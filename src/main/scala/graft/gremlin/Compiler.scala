@@ -1,0 +1,541 @@
+package graft.gremlin
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.GraphStore
+
+/** What flows between steps — the reference's query-level IO type
+  * (`IO_T`, Grasper `core/parser.hpp:35`). */
+sealed trait Kind
+case object VertexKind extends Kind                  // __val: LONG id
+case object EdgeKind   extends Kind                  // __val: STRUCT(src,dst,label)
+final case class ScalarKind(dt: DataType) extends Kind
+
+final case class CompileException(msg: String) extends Exception(msg)
+
+/**
+ * Compiles a `List[Step]` into a DataFrame plan.
+ *
+ * This is the Spark-native replacement for the reference's entire
+ * execution machinery (expert dataflow, mailboxes, barrier readiness,
+ * locality routing — Grasper `core/experts_adapter.hpp`,
+ * `core/message.cpp`, `expert/barrier_expert.hpp`): each step is a
+ * declarative DataFrame transformation, and Catalyst/Tungsten/AQE
+ * provide the scheduling, shuffles, partial aggregation and codegen the
+ * reference hand-rolls.
+ *
+ * Column conventions inside a traversal plan:
+ *  - `__val`          — the traverser's current value (id / edge struct / scalar)
+ *  - `__as_<label>`   — history recorded by `as("<label>")`
+ *                       (the reference's `history_t`, `core/message.hpp:74-100`)
+ *  - `__rowid`        — input-traverser tag for and/or/not existential
+ *                       evaluation (`CreateBranchedMsgWithHisLabel`,
+ *                       `core/message.cpp:214-268`)
+ *  - `__ord_*`        — retained sort keys so `order()` survives later joins
+ *
+ * Property access re-attaches the element's columns by an equi-join on
+ * id — the Spark analogue of the reference's RDMA point-reads
+ * (`storage/vkvstore.cpp:153-166`). When the frontier came straight from
+ * the table scan the columns are already attached and no join happens,
+ * which is how `g.V().has(...)` compiles to a plain pushed-down scan.
+ */
+object Compiler {
+
+  final case class State(
+      df: DataFrame,
+      kind: Kind,
+      attached: Boolean,
+      history: Map[String, Kind],
+      sideEffects: Map[String, (DataFrame, Kind)],
+      groupCol: Option[String],
+      // (hidden sort-key columns, ascending?) — order persists until a barrier
+      ordering: Seq[(String, Boolean)]) {
+    /** Columns that must survive every transformation. */
+    def auxCols: Seq[String] =
+      history.keys.map(h => s"__as_$h").toSeq ++
+        groupCol.toSeq ++ ordering.map(_._1)
+  }
+
+  final case class Result(df: DataFrame, kind: Kind,
+                          ordering: Seq[(String, Boolean)],
+                          sideEffects: Map[String, (DataFrame, Kind)])
+
+  private var aliasCounter = 0
+  private def freshAlias(prefix: String): String = synchronized {
+    aliasCounter += 1; s"$prefix$aliasCounter"
+  }
+
+  def compile(graph: GraphStore, steps: List[Step]): Result = {
+    val init = State(null, VertexKind, attached = false, Map.empty,
+      Map.empty, None, Nil)
+    val out = steps.foldLeft(init)((s, step) => apply(graph, s, step))
+    Result(out.df, out.kind, out.ordering, out.sideEffects)
+  }
+
+  /** Compile a sub-traversal from an existing frontier. */
+  private def compileSub(graph: GraphStore, from: State,
+                         sub: List[Step]): State =
+    sub.foldLeft(from)((s, step) => apply(graph, s, step))
+
+  // ------------------------------------------------------------------
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case "eq"  => l === r
+    case "neq" => l =!= r
+    case "lt"  => l < r
+    case "lte" => l <= r
+    case "gt"  => l > r
+    case "gte" => l >= r
+    case other => throw CompileException(s"bad comparison op: $other")
+  }
+
+  private def edgeStruct(prefix: String = ""): Column =
+    struct(col(s"${prefix}src").as("src"), col(s"${prefix}dst").as("dst"),
+      col(s"${prefix}label").as("label"))
+
+  /** Re-attach element property columns (join on id) if absent. */
+  private def ensureAttached(graph: GraphStore, s: State): State = {
+    if (s.attached) return s
+    s.kind match {
+      case VertexKind =>
+        val a = freshAlias("__v")
+        val v = graph.vertices.alias(a)
+        val joined = s.df.join(v, s.df("__val") === col(s"$a.id"))
+        val keep = col("__val") +: s.auxCols.map(col) ++:
+          (col(s"$a.label").as("label") +:
+            graph.vertexKeys.map(k => col(s"$a.$k").as(k)))
+        s.copy(df = joined.select(keep: _*), attached = true)
+      case EdgeKind =>
+        val a = freshAlias("__e")
+        val e = graph.edges.alias(a)
+        val joined = s.df.join(e,
+          s.df("__val").getField("src") === col(s"$a.src") &&
+          s.df("__val").getField("dst") === col(s"$a.dst"))
+        val keep = col("__val") +: s.auxCols.map(col) ++:
+          graph.edgeKeys.map(k => col(s"$a.$k").as(k))
+        s.copy(df = joined.select(keep: _*), attached = true)
+      case ScalarKind(_) =>
+        throw CompileException("cannot read properties of a scalar stream")
+    }
+  }
+
+  /** Drop attached property columns before a traversal join. */
+  private def detach(s: State): State = {
+    if (!s.attached) s
+    else s.copy(
+      df = s.df.select((col("__val") +: s.auxCols.map(col)): _*),
+      attached = false)
+  }
+
+  private def propCol(graph: GraphStore, s: State, key: String): Column =
+    s.kind match {
+      case VertexKind =>
+        if (!graph.vertexKeys.contains(key) && key != "label")
+          throw CompileException(s"unknown vertex property: $key")
+        col(key)
+      case EdgeKind =>
+        if (key == "label") col("__val").getField("label")
+        else if (!graph.edgeKeys.contains(key))
+          throw CompileException(s"unknown edge property: $key")
+        else col(key)
+      case ScalarKind(_) =>
+        throw CompileException(s"property $key on scalar stream")
+    }
+
+  private def propKeys(graph: GraphStore, kind: Kind): Seq[String] =
+    kind match {
+      case VertexKind => graph.vertexKeys
+      case EdgeKind   => graph.edgeKeys
+      case ScalarKind(_) => throw CompileException("scalar has no keys")
+    }
+
+  /** A barrier folds the stream: history and ordering do not survive
+    * (the reference's barrier experts re-emit fresh traversers —
+    * `expert/barrier_expert.hpp:246-263`); the branch group column does. */
+  private def barrierReset(s: State, df: DataFrame, kind: Kind): State =
+    s.copy(df = df, kind = kind, attached = false,
+      history = Map.empty, ordering = Nil)
+
+  // ------------------------------------------------------------------
+  private def apply(graph: GraphStore, s: State, step: Step): State = {
+    import Step._
+    step match {
+      case V(ids) =>
+        var v = graph.vertices
+        if (ids.nonEmpty) v = v.filter(col("id").isin(ids: _*))
+        val df = v.select(
+          (col("id").as("__val") +: col("label") +:
+            graph.vertexKeys.map(col)): _*)
+        s.copy(df = df, kind = VertexKind, attached = true)
+
+      case E() =>
+        val df = graph.edges.select(
+          (edgeStruct().as("__val") +: graph.edgeKeys.map(col)): _*)
+        s.copy(df = df, kind = EdgeKind, attached = true)
+
+      case Has(key, pred) =>
+        val at = ensureAttached(graph, s)
+        at.copy(df = at.df.filter(pred(propCol(graph, at, key))))
+
+      case HasKey(keys) =>
+        val at = ensureAttached(graph, s)
+        val cond = keys.map(k => propCol(graph, at, k).isNotNull)
+          .reduce(_ && _)
+        at.copy(df = at.df.filter(cond))
+
+      case HasValue(vs) =>
+        val at = ensureAttached(graph, s)
+        // dynamic `any property equals v`: compare as strings (the
+        // reference compares value_t bytes with numeric coercion;
+        // string-normalised equality matches for its 4 primitive types)
+        val keys = propKeys(graph, at.kind)
+        val cond = vs.map { v =>
+          keys.map(k => propCol(graph, at, k).cast(StringType) ===
+            lit(v.value.toString)).reduce(_ || _)
+        }.reduce(_ || _)
+        at.copy(df = at.df.filter(cond))
+
+      case HasLabel(labels) => s.kind match {
+        case VertexKind =>
+          val at = ensureAttached(graph, s)
+          at.copy(df = at.df.filter(col("label").isin(labels: _*)))
+        case EdgeKind =>
+          s.copy(df = s.df.filter(
+            col("__val").getField("label").isin(labels: _*)))
+        case ScalarKind(_) =>
+          throw CompileException("hasLabel on scalar stream")
+      }
+
+      case Is(pred) =>
+        s.copy(df = s.df.filter(pred(col("__val"))))
+
+      case Coin(p) =>
+        // rand with a fixed seed: deterministic for a deterministic scan
+        s.copy(df = s.df.filter(rand(42L) < lit(p)))
+
+      case WherePred(op, target) =>
+        if (!s.history.contains(target))
+          throw CompileException(s"where(): unknown as-label $target")
+        s.copy(df = s.df.filter(cmp(op, col("__val"), col(s"__as_$target"))))
+
+      case WhereHistory(l, op, r) =>
+        s.copy(df = s.df.filter(cmp(op, col(s"__as_$l"), col(s"__as_$r"))))
+
+      case WhereStore(key, anti) =>
+        val (store, _) = s.sideEffects.getOrElse(key,
+          throw CompileException(s"where(): unknown side-effect store $key"))
+        val a = freshAlias("__se")
+        val st = store.alias(a)
+        val joined = s.df.join(st, s.df("__val") === col(s"$a.__val"),
+          if (anti) "left_anti" else "left_semi")
+        s.copy(df = joined)
+
+      case VtoV(dir, labels) => traverse(graph, s, dir, labels,
+        emitEdge = false)
+      case VtoE(dir, labels) => traverse(graph, s, dir, labels,
+        emitEdge = true)
+
+      case EtoV(dir) =>
+        if (s.kind != EdgeKind)
+          throw CompileException("outV/inV/bothV need an edge stream")
+        val d = detach(s)
+        val base = d.df
+        val df = dir match {
+          // outV = edge source, inV = edge destination
+          case Out => base.withColumn("__val", col("__val").getField("src"))
+          case In  => base.withColumn("__val", col("__val").getField("dst"))
+          case Both => base
+            .withColumn("__both", explode(array(
+              col("__val").getField("src"), col("__val").getField("dst"))))
+            .withColumn("__val", col("__both")).drop("__both")
+        }
+        d.copy(df = df, kind = VertexKind, attached = false)
+
+      case Values(keys) =>
+        val at = ensureAttached(graph, s)
+        val aux = at.auxCols.map(col)
+        keys match {
+          case Seq(k) =>
+            val c = propCol(graph, at, k)
+            val dt = at.df.select(c).schema.head.dataType
+            val df = at.df.filter(c.isNotNull)
+              .select((c.as("__val") +: aux): _*)
+            at.copy(df = df, kind = ScalarKind(dt), attached = false)
+          case ks =>
+            // multi-key: all keys must share one type (values_expert.hpp);
+            // element emits one row per present key, in key order
+            val arr = array(ks.map(k => propCol(graph, at, k)): _*)
+            val compact = filter(arr, x => x.isNotNull)
+            val df = at.df
+              .select((compact.as("__vs") +: aux): _*)
+              .select((explode(col("__vs")).as("__val") +: aux): _*)
+            val dt = df.select(col("__val")).schema.head.dataType
+            at.copy(df = df, kind = ScalarKind(dt), attached = false)
+        }
+
+      case Properties(keys0) =>
+        val at = ensureAttached(graph, s)
+        val keys = if (keys0.nonEmpty) keys0 else propKeys(graph, at.kind)
+        val aux = at.auxCols.map(col)
+        val arr = array(keys.map { k =>
+          val c = propCol(graph, at, k)
+          when(c.isNotNull, concat(lit(k + ":"), c.cast(StringType)))
+        }: _*)
+        val df = at.df
+          .select((filter(arr, x => x.isNotNull).as("__ps") +: aux): _*)
+          .select((explode(col("__ps")).as("__val") +: aux): _*)
+        at.copy(df = df, kind = ScalarKind(StringType), attached = false)
+
+      case Key() =>
+        val at = ensureAttached(graph, s)
+        val keys = propKeys(graph, at.kind)
+        val aux = at.auxCols.map(col)
+        val arr = array(keys.map { k =>
+          when(propCol(graph, at, k).isNotNull, lit(k))
+        }: _*)
+        val df = at.df
+          .select((filter(arr, x => x.isNotNull).as("__ks") +: aux): _*)
+          .select((explode(col("__ks")).as("__val") +: aux): _*)
+        at.copy(df = df, kind = ScalarKind(StringType), attached = false)
+
+      case Label() => s.kind match {
+        case VertexKind =>
+          val at = ensureAttached(graph, s)
+          val df = at.df.select(
+            (col("label").as("__val") +: at.auxCols.map(col)): _*)
+          at.copy(df = df, kind = ScalarKind(StringType), attached = false)
+        case EdgeKind =>
+          val df = s.df.select(
+            (col("__val").getField("label").as("__val") +:
+              s.auxCols.map(col)): _*)
+          s.copy(df = df, kind = ScalarKind(StringType), attached = false)
+        case ScalarKind(_) =>
+          throw CompileException("label() on scalar stream")
+      }
+
+      case As(name) =>
+        s.copy(df = s.df.withColumn(s"__as_$name", col("__val")),
+          history = s.history + (name -> s.kind))
+
+      case Select(names) => names match {
+        case Seq(n) =>
+          val kind = s.history.getOrElse(n,
+            throw CompileException(s"select(): unknown as-label $n"))
+          val d = detach(s)
+          d.copy(df = d.df.withColumn("__val", col(s"__as_$n")),
+            kind = kind, attached = false)
+        case ns =>
+          // reference formats multi-select as "[a:va, b:vb]"
+          // (select_expert.hpp:30-138)
+          val d = detach(s)
+          val parts = ns.flatMap(n => Seq(
+            lit(s"$n:"), col(s"__as_$n").cast(StringType), lit(", ")))
+          val body = concat(parts.dropRight(1): _*)
+          d.copy(
+            df = d.df.withColumn("__val", concat(lit("["), body, lit("]"))),
+            kind = ScalarKind(StringType), attached = false)
+      }
+
+      case Count() =>
+        val df = s.groupCol match {
+          case Some(g) => s.df.groupBy(col(g))
+            .agg(count(lit(1)).as("__val"))
+          case None => s.df.agg(count(lit(1)).as("__val"))
+        }
+        barrierReset(s, df, ScalarKind(LongType))
+
+      case MathStep(op) =>
+        val v = col("__val").cast(DoubleType)
+        val agg = op match {
+          case SumOp  => sum(v)
+          case MaxOp  => max(v)
+          case MinOp  => min(v)
+          case MeanOp => avg(v)
+        }
+        val df = s.groupCol match {
+          case Some(g) => s.df.groupBy(col(g)).agg(agg.as("__val"))
+          case None    => s.df.agg(agg.as("__val"))
+        }
+        barrierReset(s, df, ScalarKind(DoubleType))
+
+      case Dedup(byHistory) =>
+        val d = detach(s)
+        val cols =
+          if (byHistory.nonEmpty) byHistory.map(h => s"__as_$h")
+          else Seq("__val")
+        val keys = cols ++ d.groupCol.toSeq
+        d.copy(df = d.df.dropDuplicates(keys))
+
+      case Order(key, desc) =>
+        key match {
+          case None =>
+            val ord = freshAlias("__ord_")
+            val df = s.df.withColumn(ord, col("__val"))
+            s.copy(df = df, ordering = Seq((ord, !desc)))
+          case Some(k) =>
+            val at = ensureAttached(graph, s)
+            val c = if (k == "label") col("label")
+                    else propCol(graph, at, k)
+            // elements missing the key are dropped (the reference sorts a
+            // multiset keyed by the projected property)
+            val ord  = freshAlias("__ord_")
+            val ord2 = freshAlias("__ord_")
+            val df = at.df.filter(c.isNotNull)
+              .withColumn(ord, c)
+              // value tiebreak for determinism
+              .withColumn(ord2, col("__val").cast(StringType))
+            at.copy(df = df,
+              ordering = Seq((ord, !desc), (ord2, true)))
+        }
+
+      case Range(lo, hi) =>
+        val sorted = applyOrdering(s)
+        val df =
+          if (hi < 0) sorted.offset(lo.toInt)
+          else if (lo == 0) sorted.limit(hi.toInt)
+          else sorted.offset(lo.toInt).limit((hi - lo).toInt)
+        s.copy(df = df)
+
+      case Group(byKey, valKey, countOnly) =>
+        val at = if (byKey.exists(_ != "label") || valKey.isDefined ||
+            (byKey.contains("label") && s.kind != EdgeKind))
+          ensureAttached(graph, s) else s
+        def proj(k: Option[String]): Column = k match {
+          case None          => col("__val")
+          case Some("label") => at.kind match {
+            case EdgeKind => col("__val").getField("label")
+            case _        => col("label")
+          }
+          case Some(p) => propCol(graph, at, p)
+        }
+        val keyC = proj(byKey).as("key")
+        val grouped = at.groupCol match {
+          case Some(g) => at.df.groupBy(col(g), keyC)
+          case None    => at.df.groupBy(keyC)
+        }
+        val df =
+          if (countOnly)
+            grouped.agg(count(lit(1)).as("count"))
+              .withColumn("__val", struct(col("key"), col("count")))
+          else
+            grouped.agg(sort_array(collect_list(
+              proj(valKey).cast(StringType))).as("values"))
+              .withColumn("__val", struct(col("key"), col("values")))
+        val keep = col("__val") +: at.groupCol.toSeq.map(col)
+        val out = df.select(keep: _*)
+        barrierReset(at, out,
+          ScalarKind(out.schema("__val").dataType))
+
+      case Aggregate(name) =>
+        val store = s.df.select(col("__val"))
+        s.copy(sideEffects = s.sideEffects + (name -> (store, s.kind)))
+
+      case Cap(names) =>
+        val stores = names.map(n => s.sideEffects.getOrElse(n,
+          throw CompileException(s"cap(): unknown side-effect store $n")))
+        val df = names match {
+          case Seq(_) => stores.head._1
+          case _ => names.zip(stores).map { case (n, (st, _)) =>
+            st.select(concat(lit(n + ":"),
+              col("__val").cast(StringType)).as("__val"))
+          }.reduce(_ unionByName _)
+        }
+        val kind = names match {
+          case Seq(_) => stores.head._2
+          case _      => ScalarKind(StringType)
+        }
+        barrierReset(s, df, kind)
+
+      case Union(subs) =>
+        val d = detach(s)
+        var se = d.sideEffects
+        val results = subs.map { sub =>
+          val r = compileSub(graph, d.copy(sideEffects = se), sub)
+          se = r.sideEffects
+          r
+        }
+        val kinds = results.map(_.kind).distinct
+        if (kinds.length != 1)
+          throw CompileException(
+            s"union(): sub-traversals emit different types: $kinds")
+        val dfs = results.map(r => detach(r).df)
+        val df = dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+        // history common to all branches survives; branch-local labels die
+        val commonHist = results.map(_.history.keySet).reduce(_ & _)
+        d.copy(df = df, kind = kinds.head, attached = false,
+          history = d.history.filter(kv => commonHist(kv._1)),
+          sideEffects = se, ordering = Nil)
+
+      case BranchFilter(op, subs) =>
+        val d = detach(s)
+        val tagged = d.df.withColumn("__rowid",
+          monotonically_increasing_id())
+        val from = d.copy(df = tagged, groupCol = Some("__rowid"))
+        var se = d.sideEffects
+        val hits: Seq[DataFrame] = subs.map { sub =>
+          val r = compileSub(graph, from.copy(sideEffects = se), sub)
+          se = r.sideEffects
+          r.df.select(col("__rowid")).distinct()
+        }
+        val joined = op match {
+          case AndOp => hits.foldLeft(tagged)((acc, h) =>
+            acc.join(h, Seq("__rowid"), "left_semi"))
+          case OrOp =>
+            val any = hits.reduce(_ unionByName _).distinct()
+            tagged.join(any, Seq("__rowid"), "left_semi")
+          case NotOp =>
+            hits.foldLeft(tagged)((acc, h) =>
+              acc.join(h, Seq("__rowid"), "left_anti"))
+        }
+        d.copy(df = joined.drop("__rowid"), sideEffects = se)
+
+      case Repeat(sub, times) =>
+        (1 to math.max(times, 1)).foldLeft(s)((st, _) =>
+          compileSub(graph, st, sub))
+    }
+  }
+
+  /** out/in/both × (V→V | V→E): the only mandatory shuffle in the
+    * reference (`send_remote`, parser.cpp:1414) — here a plain equi-join
+    * that Catalyst/AQE turns into broadcast or shuffle join as sizes
+    * dictate. */
+  private def traverse(graph: GraphStore, s0: State, dir: Step.Dir,
+                       labels: Seq[String], emitEdge: Boolean): State = {
+    import Step._
+    if (s0.kind != VertexKind)
+      throw CompileException("out/in/both need a vertex stream")
+    val s = detach(s0)
+    val a = freshAlias("__e")
+    var e = graph.edges.select(col("src"), col("dst"), col("label"))
+    if (labels.nonEmpty) e = e.filter(col("label").isin(labels: _*))
+    val ea = e.alias(a)
+
+    def hop(joinOn: String, emit: String): DataFrame = {
+      val joined = s.df.join(ea, s.df("__val") === col(s"$a.$joinOn"))
+      val newVal =
+        if (emitEdge) struct(col(s"$a.src").as("src"),
+          col(s"$a.dst").as("dst"), col(s"$a.label").as("label"))
+        else col(s"$a.$emit")
+      joined.select((newVal.as("__val") +: s.auxCols.map(col)): _*)
+    }
+    val df = dir match {
+      case Out  => hop("src", "dst")
+      case In   => hop("dst", "src")
+      case Both => hop("src", "dst").unionByName(hop("dst", "src"))
+    }
+    s.copy(df = df, kind = if (emitEdge) EdgeKind else VertexKind,
+      attached = false)
+  }
+
+  /** Materialise the retained `order()` into an actual sort. */
+  def applyOrdering(s: State): DataFrame =
+    if (s.ordering.isEmpty) s.df
+    else s.df.orderBy(s.ordering.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc }: _*)
+
+  def applyOrdering(df: DataFrame,
+                    ordering: Seq[(String, Boolean)]): DataFrame =
+    if (ordering.isEmpty) df
+    else df.orderBy(ordering.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc }: _*)
+}

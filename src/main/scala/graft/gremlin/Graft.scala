@@ -1,0 +1,74 @@
+package graft.gremlin
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.GraphStore
+
+/**
+ * User-facing entry point: run the reference's Gremlin-subset query
+ * strings against a [[GraphStore]].
+ *
+ * {{{
+ *   val g = Graft(GraphStore.modern(spark))
+ *   g.df("g.V().hasLabel(\"person\").has(\"age\", gt(27)).values(\"name\")")
+ *   g.strings("g.V().count()")   // console-style "=>6" parity output
+ * }}}
+ *
+ * Output schema of [[df]] by final stream type:
+ *  - vertices → `id: LONG`
+ *  - edges    → `src: LONG, dst: LONG, label: STRING`
+ *  - scalars  → `value: <type>`
+ *  - group()/groupCount() → `key, values`/`key, count`
+ *
+ * Replaces the reference's client/master/worker query lifecycle
+ * (Grasper `driver/client.cpp`, `driver/worker.hpp:264-347`): parse →
+ * reorder → compile → Catalyst. The ZMQ/RDMA plumbing has no Spark
+ * analogue to build — `collect()` is the result channel.
+ */
+final case class Graft(graph: GraphStore) {
+
+  /** Parse + reorder + compile; returns the raw compiled result. */
+  def compile(query: String): Compiler.Result = {
+    val steps = Reorder(StepParser.parse(query))
+    Compiler.compile(graph, steps)
+  }
+
+  /** The query as a user-facing DataFrame (ordering applied, internal
+    * columns mapped to stable names). */
+  def df(query: String): DataFrame = finish(compile(query))
+
+  private def finish(r: Compiler.Result): DataFrame = {
+    val ordered = Compiler.applyOrdering(r.df, r.ordering)
+    r.kind match {
+      case VertexKind => ordered.select(col("__val").as("id"))
+      case EdgeKind => ordered.select(
+        col("__val").getField("src").as("src"),
+        col("__val").getField("dst").as("dst"),
+        col("__val").getField("label").as("label"))
+      case ScalarKind(dt) => dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          // group()/groupCount() emit struct(key, count|values)
+          ordered.select(st.fieldNames.map(f =>
+            col("__val").getField(f).as(f)): _*)
+        case _ => ordered.select(col("__val").as("value"))
+      }
+    }
+  }
+
+  /** Console-parity output: one "=>v" string per result row, like the
+    * reference client (`docs/Tutorial.md:291-309`). Collects to the
+    * driver — final-result sized only. */
+  def strings(query: String): Seq[String] = {
+    val r = compile(query)
+    val out = finish(r)
+    val rows = out.collect()
+    rows.toSeq.map { row =>
+      val rendered = row.toSeq.map {
+        case null => ""
+        case s: Seq[_] => s.mkString("[", ", ", "]")
+        case v => v.toString
+      }.mkString(", ")
+      s"=>$rendered"
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.gremlin
+
+/**
+ * Logical step IR — one case class per "Expert" in the reference
+ * (`EXPERT_T`, Grasper `base/type.hpp:394-397`; Gremlin-step→expert
+ * mapping `core/parser.cpp:534-613,1496-1539`). The parser produces a
+ * `List[Step]`; `Reorder` applies the reference's predicate-pushdown
+ * rule; `Compiler` folds the list into a DataFrame plan.
+ *
+ * Unlike the reference's flat array-with-next-pointers
+ * (`core/expert_object.hpp:15-37`), sub-traversals are nested lists —
+ * Scala ADTs make branch bookkeeping structural instead of pointer
+ * fix-ups.
+ */
+sealed trait Step
+
+object Step {
+  // ---- sources (InitExpert, init_expert.hpp:33-291) ----
+  /** g.V() / g.E(): full scan of the vertex / edge table. */
+  final case class V(ids: Seq[Long] = Nil) extends Step
+  final case class E() extends Step
+
+  // ---- filters (§2.2) ----
+  /** has(key) / has(key, value) / has(key, pred) / hasNot(key). */
+  final case class Has(key: String, pred: Pred) extends Step
+  /** hasKey(k1, …): element has ALL listed property keys. */
+  final case class HasKey(keys: Seq[String]) extends Step
+  /** hasValue(v1, …): ANY property value of the element ∈ list. */
+  final case class HasValue(vs: Seq[Lit]) extends Step
+  /** hasLabel(l1, l2, …). */
+  final case class HasLabel(labels: Seq[String]) extends Step
+  /** is(pred): filter a scalar stream. */
+  final case class Is(pred: Pred) extends Step
+  /** coin(p): Bernoulli sample. */
+  final case class Coin(p: Double) extends Step
+
+  // ---- where forms (where_expert.hpp:21-229) ----
+  /** Comparison op for history-referencing where(): eq|neq|lt|lte|gt|gte. */
+  type CmpOp = String
+  /** where(pred("a")): current value vs history value at label `target`. */
+  final case class WherePred(op: CmpOp, target: String) extends Step
+  /** where("a", pred("b")): history vs history. */
+  final case class WhereHistory(left: String, op: CmpOp, right: String)
+      extends Step
+  /** where(within("x")/without("x")) against an aggregate side-effect. */
+  final case class WhereStore(storeKey: String, anti: Boolean) extends Step
+  /** where(subquery) — re-sugared to and(subquery) (parser.cpp:1464-1474). */
+
+  // ---- traversals (traversal_expert.hpp) ----
+  sealed trait Dir
+  case object Out  extends Dir
+  case object In   extends Dir
+  case object Both extends Dir
+  /** out/in/both(label?): vertex → adjacent vertices. */
+  final case class VtoV(dir: Dir, labels: Seq[String]) extends Step
+  /** outE/inE/bothE(label?): vertex → incident edges. */
+  final case class VtoE(dir: Dir, labels: Seq[String]) extends Step
+  /** outV/inV/bothV(): edge → endpoint vertices. */
+  final case class EtoV(dir: Dir) extends Step
+
+  // ---- projections (§2.4) ----
+  /** values(k1, k2, …): element → property value(s); missing key drops row. */
+  final case class Values(keys: Seq[String]) extends Step
+  /** properties(k…): element → "key:value" strings (all keys if empty). */
+  final case class Properties(keys: Seq[String]) extends Step
+  /** key(): element → property key names present. */
+  final case class Key() extends Step
+  /** label(): element → label string. */
+  final case class Label() extends Step
+  /** as("a"): record current value in history. */
+  final case class As(name: String) extends Step
+  /** select("a", …): re-emit history value(s). */
+  final case class Select(names: Seq[String]) extends Step
+
+  // ---- barriers (§2.5, §2.6) ----
+  final case class Count() extends Step
+  sealed trait MathOp
+  case object SumOp extends MathOp
+  case object MaxOp extends MathOp
+  case object MinOp extends MathOp
+  case object MeanOp extends MathOp
+  final case class MathStep(op: MathOp) extends Step
+  /** dedup() by value, or dedup("a","b") by history tuple. */
+  final case class Dedup(byHistory: Seq[String]) extends Step
+  /** order() / order(key|"label", incr|decr). */
+  final case class Order(key: Option[String], desc: Boolean) extends Step
+  /** limit(n) = range(0, n); skip(n) = range(n, -1); range(lo, hi); -1 = ∞. */
+  final case class Range(lo: Long, hi: Long) extends Step
+  /** group(byKey?, valueKey?) / groupCount(byKey?). Keys may be "label". */
+  final case class Group(byKey: Option[String], valKey: Option[String],
+                         countOnly: Boolean) extends Step
+  /** aggregate("x"): store stream into side-effect key x, pass through. */
+  final case class Aggregate(name: String) extends Step
+  /** cap("x", …): emit side-effect store(s). */
+  final case class Cap(names: Seq[String]) extends Step
+
+  // ---- branches (§2.7) ----
+  /** union(sub1, sub2, …). */
+  final case class Union(subs: Seq[List[Step]]) extends Step
+  /** and/or/not(sub…): existential filter via per-row sub evaluation. */
+  sealed trait BranchFilterOp
+  case object AndOp extends BranchFilterOp
+  case object OrOp  extends BranchFilterOp
+  case object NotOp extends BranchFilterOp
+  final case class BranchFilter(op: BranchFilterOp, subs: Seq[List[Step]])
+      extends Step
+  /** repeat(sub): executes sub exactly once in the reference
+    * ("Act just as union", parser.cpp:1305-1318); same here, with an
+    * optional times(k) extension unrolled by the compiler. */
+  final case class Repeat(sub: List[Step], times: Int = 1) extends Step
+}

@@ -1,0 +1,232 @@
+package graft.gremlin
+
+import graft.SparkSpec
+import graft.sources.GraphStore
+
+/**
+ * Golden queries over the reference's own 6-vertex "modern" sample graph
+ * (`/root/reference/data/`, expected values hand-derived from Gremlin
+ * semantics — FIXTURES.md §A.3).
+ */
+class GremlinSpec extends SparkSpec {
+
+  lazy val g: Graft = Graft(GraphStore.modern(spark).cached())
+
+  private def values(q: String): Seq[Any] =
+    g.df(q).collect().toSeq.map(_.get(0))
+  private def longs(q: String): Seq[Long] =
+    values(q).map(_.asInstanceOf[Long])
+
+  test("g.V().count() == 6") {
+    assert(longs("g.V().count()") == Seq(6L))
+  }
+
+  test("g.E().count() == 6") {
+    assert(longs("g.E().count()") == Seq(6L))
+  }
+
+  test("hasLabel filters by label") {
+    assert(longs("g.V().hasLabel(\"person\").count()") == Seq(4L))
+    assert(longs("g.V().hasLabel(\"person\", \"software\").count()") == Seq(6L))
+  }
+
+  test("has with predicate + values + order") {
+    assert(values("g.V().has(\"age\", gt(27)).values(\"name\").order()") ==
+      Seq("josh", "marko", "peter"))
+  }
+
+  test("has(key) / hasNot(key) / hasKey / hasValue") {
+    assert(longs("g.V().has(\"age\").count()") == Seq(4L))
+    assert(longs("g.V().hasNot(\"age\").count()") == Seq(2L))
+    assert(longs("g.V().hasKey(\"name\", \"lang\").count()") == Seq(2L))
+    assert(longs("g.V().hasValue(\"java\").count()") == Seq(2L))
+    assert(longs("g.V().hasValue(29).count()") == Seq(1L))
+  }
+
+  test("out with edge label") {
+    assert(values("g.V().has(\"name\",\"marko\").out(\"knows\").values(\"name\").order()") ==
+      Seq("josh", "vadas"))
+  }
+
+  test("in traversal") {
+    assert(values("g.V().has(\"name\",\"lop\").in(\"created\").values(\"name\").order()") ==
+      Seq("josh", "marko", "peter"))
+  }
+
+  test("both traversal") {
+    assert(longs("g.V().has(\"name\",\"marko\").both().count()") == Seq(3L))
+  }
+
+  test("out().dedup().count()") {
+    assert(longs("g.V().out(\"created\").dedup().count()") == Seq(2L))
+  }
+
+  test("values mean") {
+    assert(values("g.V().values(\"age\").mean()") == Seq(30.75))
+  }
+
+  test("sum/max/min") {
+    assert(values("g.V().values(\"age\").sum()") == Seq(123.0))
+    assert(values("g.V().values(\"age\").max()") == Seq(35.0))
+    assert(values("g.E().values(\"weight\").min()") == Seq(0.2))
+  }
+
+  test("edge predicate inside()") {
+    assert(longs("g.E().has(\"weight\", inside(0.3, 0.9)).count()") == Seq(3L))
+  }
+
+  test("between is inclusive, outside excludes") {
+    assert(longs("g.V().has(\"age\", between(27, 32)).count()") == Seq(3L))
+    assert(longs("g.V().has(\"age\", outside(27, 32)).count()") == Seq(1L))
+  }
+
+  test("within/without value lists") {
+    assert(longs("g.V().has(\"name\", within(\"marko\",\"lop\")).count()") ==
+      Seq(2L))
+    assert(longs("g.V().hasLabel(\"person\").has(\"name\", without(\"marko\")).count()") ==
+      Seq(3L))
+  }
+
+  test("as + where(neq) history filter") {
+    assert(longs("g.V().as(\"a\").out(\"knows\").where(neq(\"a\")).count()") ==
+      Seq(2L))
+  }
+
+  test("as + select re-emits history") {
+    assert(values(
+      "g.V().as(\"a\").out(\"knows\").select(\"a\").dedup()") == Seq(1L))
+  }
+
+  test("groupCount by property") {
+    val rows = g.df("g.V().hasLabel(\"person\").groupCount(\"age\")")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(rows == Map(27 -> 1L, 29 -> 1L, 32 -> 1L, 35 -> 1L))
+  }
+
+  test("groupCount by label") {
+    val rows = g.df("g.V().groupCount(\"label\")")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == Map("person" -> 4L, "software" -> 2L))
+  }
+
+  test("group(label, name) collects values") {
+    val rows = g.df("g.V().group(\"label\", \"name\")")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    assert(rows("software") == Seq("lop", "ripple"))
+    assert(rows("person") == Seq("josh", "marko", "peter", "vadas"))
+  }
+
+  test("union merges branches") {
+    assert(longs("g.V().union(out(\"knows\"), out(\"created\")).count()") ==
+      Seq(6L))
+  }
+
+  test("aggregate + cap") {
+    assert(longs("g.V().has(\"lang\").aggregate(\"x\").cap(\"x\")").sorted ==
+      Seq(3L, 5L))
+  }
+
+  test("aggregate + where(without) excludes stored elements") {
+    // store = persons marko knows {vadas(2), josh(4)}; stream continues:
+    // out(created) -> {lop, ripple}; in(created) -> {1,4,6,4};
+    // without(store) -> {1,6} (paper Q8 shape, BASELINE.md)
+    assert(longs(
+      "g.V().has(\"name\",\"marko\").out(\"knows\").aggregate(\"a\")" +
+        ".out(\"created\").in(\"created\").where(without(\"a\")).count()") ==
+      Seq(2L))
+    assert(longs(
+      "g.V().has(\"name\",\"marko\").out(\"knows\").aggregate(\"a\")" +
+        ".out(\"created\").in(\"created\").where(within(\"a\")).count()") ==
+      Seq(2L))
+  }
+
+  test("and requires all branches, or any") {
+    assert(values("g.V().and(out(\"knows\"), out(\"created\")).values(\"name\")") ==
+      Seq("marko"))
+    assert(values("g.V().or(out(\"knows\"), out(\"created\")).values(\"name\").order()") ==
+      Seq("josh", "marko", "peter"))
+  }
+
+  test("not inverts existence") {
+    // vertices with no outgoing edges at all: vadas, lop, ripple
+    assert(longs("g.V().not(out()).count()") == Seq(3L))
+  }
+
+  test("where(subquery) sugars to and()") {
+    assert(values("g.V().where(out(\"created\")).values(\"name\").order()") ==
+      Seq("josh", "marko", "peter"))
+  }
+
+  test("order by key desc + limit") {
+    assert(values("g.V().order(\"age\", decr).limit(2).values(\"name\")") ==
+      Seq("peter", "josh"))
+  }
+
+  test("range/skip slice an ordered stream") {
+    assert(values("g.V().values(\"age\").order().range(1, 3)") == Seq(29, 32))
+    assert(values("g.V().values(\"age\").order().skip(2)") == Seq(32, 35))
+  }
+
+  test("outE/inV edge traversal") {
+    assert(longs("g.V().outE(\"knows\").count()") == Seq(2L))
+    assert(values("g.V().outE(\"knows\").inV().values(\"name\").order()") ==
+      Seq("josh", "vadas"))
+    assert(values("g.E().has(\"weight\", eq(1.0)).outV().values(\"name\").order()") ==
+      Seq("josh", "marko"))
+    assert(longs("g.E().bothV().count()") == Seq(12L))
+  }
+
+  test("label / key / properties projections") {
+    assert(values("g.V().label().dedup().order()") ==
+      Seq("person", "software"))
+    assert(values("g.E().label().dedup().order()") ==
+      Seq("created", "knows"))
+    assert(values("g.V().has(\"name\",\"marko\").key().order()") ==
+      Seq("age", "name"))
+    assert(values("g.V().has(\"name\",\"marko\").properties().order()") ==
+      Seq("age:29", "name:marko"))
+  }
+
+  test("is() filters scalars") {
+    assert(values("g.V().values(\"age\").is(gt(28)).order()") ==
+      Seq(29, 32, 35))
+    assert(values("g.V().values(\"age\").is(27)") == Seq(27))
+  }
+
+  test("repeat executes once (reference parity)") {
+    assert(longs("g.V().repeat(out()).count()") == Seq(6L))
+  }
+
+  test("values over multiple keys") {
+    assert(values("g.V().has(\"name\", \"lop\").values(\"name\", \"lang\").order()") ==
+      Seq("java", "lop"))
+  }
+
+  test("select of two labels formats like the reference") {
+    val res = values(
+      "g.V().has(\"name\",\"marko\").as(\"a\").out(\"created\").as(\"b\").select(\"a\", \"b\")")
+    assert(res == Seq("[a:1, b:3]"))
+  }
+
+  test("coin is deterministic under a fixed seed") {
+    val n1 = longs("g.V().coin(0.5).count()").head
+    val n2 = longs("g.V().coin(0.5).count()").head
+    assert(n1 == n2 && n1 >= 0 && n1 <= 6)
+  }
+
+  test("V(ids) seeds the traversal") {
+    assert(values("g.V(1).out(\"knows\").values(\"name\").order()") ==
+      Seq("josh", "vadas"))
+  }
+
+  test("console strings parity shape") {
+    assert(g.strings("g.V().count()") == Seq("=>6"))
+  }
+
+  test("step reorder pushes has before hasLabel but not past as") {
+    val steps = Reorder(StepParser.parse(
+      "g.V().hasLabel(\"person\").has(\"age\", gt(1)).out().as(\"a\").dedup(\"a\")"))
+    val names = steps.map(_.getClass.getSimpleName)
+    assert(names == List("V", "Has", "HasLabel", "VtoV", "As", "Dedup"))
+  }
+}
