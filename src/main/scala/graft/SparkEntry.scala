@@ -88,11 +88,78 @@ object SparkEntry {
     "not_filter" -> q("g.V().hasLabel('customer').not(out('placed')).count()"),
     "where_store_q8" -> q("g.V().hasLabel('order').has('totalprice', lt(20000.0)).in('placed').dedup().aggregate('small').out('placed').out('contains').in('contains').in('placed').dedup().where(without('small')).count()"),
     "repeat_hop" -> q("g.V().hasLabel('customer').has('nationkey', eq(7)).repeat(out()).count()"),
+
+    // ---- LLM-data-pipeline operators (graft.operators.*) ----
+    "text_stats" -> ((spark, sfDir) => {
+      val t = col("text")
+      docs(spark, sfDir).select(col("doc_id"),
+        operators.TextOps.tokenCount(t).as("token_count"),
+        operators.TextOps.bpeishCount(t).as("bpeish_count"))
+    }),
+    "text_lang_id" -> ((spark, sfDir) =>
+      docs(spark, sfDir).select(col("doc_id"),
+        operators.TextOps.langId(col("text")).as("lang_pred"))),
+    "text_quality" -> ((spark, sfDir) =>
+      docs(spark, sfDir).select(col("doc_id"),
+        operators.TextOps.qualityScore(col("text")).as("quality"))),
+    "text_fingerprint" -> ((spark, sfDir) =>
+      docs(spark, sfDir).select(col("doc_id"),
+        operators.TextOps.docFingerprint(col("text")).as("fingerprint"),
+        operators.TextOps.winnowFingerprint(col("text")).as("winnow_fp"))),
+    "dedup_exact" -> ((spark, sfDir) =>
+      operators.DedupOps.exact(docs(spark, sfDir))),
+    "dedup_minhash" -> ((spark, sfDir) =>
+      operators.DedupOps.minhashLsh(docs(spark, sfDir), tau = 0.8)),
+    "dedup_token_jaccard" -> ((spark, sfDir) =>
+      operators.DedupOps.tokenJaccard(docs(spark, sfDir), tau = 0.95)),
+    "dedup_simhash" -> ((spark, sfDir) => // no SQL oracle: xxhash64 seeds differ across engines
+      operators.DedupOps.simhash(docs(spark, sfDir), maxDist = 3)),
+    "neardup_embedding" -> ((spark, sfDir) =>
+      operators.DedupOps.embeddingNearDup(embs(spark, sfDir), tau = 0.45)),
+    "ann_topk" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      operators.SimilarityOps.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+    "ann_lsh" -> ((spark, sfDir) => { // no SQL oracle: approximate by design
+      val e = embs(spark, sfDir)
+      operators.SimilarityOps.lshTopK(e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+    "multimodal_meta" -> ((spark, sfDir) =>
+      operators.MultimodalOps.decodeMetaColumns(
+        operators.MultimodalOps.withPayload(docs(spark, sfDir)))),
+    "multimodal_frames" -> ((spark, sfDir) =>
+      operators.MultimodalOps.sampleFrames(
+        operators.MultimodalOps.withPayload(docs(spark, sfDir)))),
   )
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
 
   // Shared SQL fragments: the derived graph in relational form.
   private val EdgesContains =
     "(SELECT l_orderkey, l_partkey, sum(l_quantity) AS quantity, sum(l_extendedprice) AS extendedprice FROM lineitem GROUP BY l_orderkey, l_partkey)"
+
+  // DuckDB mirrors of the TextOps/SimilarityOps formulas. Operation
+  // order matters: it is kept identical to the Column expressions so
+  // double arithmetic agrees bit-for-bit.
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def sqlHits(ws: Seq[String]): String =
+    s"len(list_filter(string_split(trim(text), ' '), x -> list_contains(${sqlList(ws)}, x)))"
+  /** Double-accumulated dot product of two 64-dim float lists. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum([CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) for i in range(1, 65)])"
+  private val SqlCosPairs =
+    s"""(SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${sqlDot("a", "a")} AS aa, ${sqlDot("b", "b")} AS bb,
+       |  ${sqlDot("a", "b")} AS ab
+       | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)""".stripMargin
+  private val SqlTrigramSets =
+    """(SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-2, 1)+1)]) AS sh
+      | FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "init_v_count" ->
@@ -174,5 +241,66 @@ object SparkEntry {
         |SELECT count(*) AS value FROM c2 WHERE ck NOT IN (SELECT ck FROM small)""".stripMargin,
     "repeat_hop" ->
       "SELECT count(*) AS value FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 7",
+
+    // ---- LLM-data-pipeline operators ----
+    "text_stats" ->
+      ("SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS token_count, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpeish_count FROM documents"),
+    "text_lang_id" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  ${sqlHits(operators.TextOps.StopEn)} AS en,
+         |  ${sqlHits(operators.TextOps.StopDe)} AS de,
+         |  ${sqlHits(operators.TextOps.StopFr)} AS fr,
+         |  ${sqlHits(operators.TextOps.StopEs)} AS es,
+         |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh
+         | FROM documents)
+         |SELECT doc_id, CASE WHEN zh > 0 THEN 'zh'
+         |  WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+         |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |  WHEN de >= fr AND de >= es THEN 'de'
+         |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM s""".stripMargin,
+    "text_quality" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) AS cns,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS pn,
+         |  CAST(length(text) AS DOUBLE) AS ln,
+         |  CAST(${sqlHits(operators.TextOps.StopEn)} AS DOUBLE) AS st
+         | FROM documents)
+         |SELECT doc_id, round(least(n/100.0, 1.0)*0.4 + least((cns/n)/8.0, 1.0)*0.2 + (1.0 - pn/ln)*0.2 + least((st/n)*5.0, 1.0)*0.2, 4) AS quality FROM s""".stripMargin,
+    "text_fingerprint" ->
+      ("SELECT doc_id, md5(text) AS fingerprint, " +
+        "list_min([md5(text[i:i+7]) for i in range(1, greatest(length(text)-7, 1)+1)]) AS winnow_fp FROM documents"),
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, text, count(*) AS dup_count FROM documents GROUP BY text",
+    "dedup_minhash" ->
+      s"""WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+         | FROM $SqlTrigramSets a JOIN $SqlTrigramSets b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(inter/(la + lb - inter), 4) AS jaccard FROM p WHERE inter/(la + lb - inter) >= 0.8""".stripMargin,
+    "dedup_token_jaccard" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+        | FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(inter/(la + lb - inter), 4) AS jaccard FROM p WHERE inter/(la + lb - inter) >= 0.95""".stripMargin,
+    "neardup_embedding" ->
+      s"""SELECT id_a, id_b, round(ab/(sqrt(aa)*sqrt(bb)), 4) AS cosine
+         |FROM $SqlCosPairs WHERE ab/(sqrt(aa)*sqrt(bb)) >= 0.45""".stripMargin,
+    "ann_topk" ->
+      s"""WITH d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  ${sqlDot("a", "a")} AS aa, ${sqlDot("b", "b")} AS bb, ${sqlDot("a", "b")} AS ab
+         | FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id),
+         |r AS (SELECT query_id, neighbor_id, ab/(sqrt(aa)*sqrt(bb)) AS cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY ab/(sqrt(aa)*sqrt(bb)) DESC, neighbor_id) AS rank FROM d)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    "multimodal_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bytes, " +
+        "CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width, " +
+        "CAST(CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 16 AS INTEGER) AS height, " +
+        "CAST(3 AS INTEGER) AS channels, 'stub' AS format FROM documents"),
+    "multimodal_frames" ->
+      ("WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) % 300 + 1 AS INTEGER) AS frame_count FROM documents) " +
+        "SELECT doc_id, frame_count, CAST(unnest(list_slice(range(0, frame_count, 10), 1, 8)) AS INTEGER) AS frame_idx FROM m"),
   )
 }

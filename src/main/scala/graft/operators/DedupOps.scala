@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deduplication operators for training-data pipelines, each designed
+ * for the 100 TB case:
+ *
+ *  - [[exact]]: hash-groupBy — one shuffle on the text key, map-side
+ *    partial aggregation.
+ *  - [[minhashLsh]]: shingle → minhash → band → bucket-join. The only
+ *    shuffles are the band-bucket self-join and the verification join;
+ *    candidate volume is O(true-positive + collisions), never O(n²).
+ *  - [[tokenJaccard]]: EXACT all-pairs Jaccard via prefix filtering
+ *    (AllPairs/PPJoin): only each document's rarest
+ *    (1-τ)·|d|+1 tokens are indexed, which prunes the candidate space
+ *    while provably keeping every pair with similarity ≥ τ.
+ *  - [[simhash]]: 64-bit SimHash + Hamming-≤k pairs via the pigeonhole
+ *    band trick (k+1 blocks; any pair within distance k shares a block).
+ *  - [[embeddingNearDup]]: cosine threshold pairs — brute-force
+ *    (broadcast-nested-loop) baseline; LSH-bucketed scale path in
+ *    [[SimilarityOps]].
+ *
+ * All signature computation is pure Column expressions (codegen'd).
+ */
+object DedupOps {
+
+  /** Exact dedup: keep the smallest id per distinct text, plus the
+    * duplicate count. One shuffle, partial-aggregated map-side. */
+  def exact(df: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col(textCol), col("dup_count"))
+
+  /** Distinct word n-gram shingles of a text column. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeds, the min seeded
+    * xxhash64 over the shingle set. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(s =>
+      array_min(transform(shingles, x => xxhash64(lit(s), x)))): _*)
+
+  /** Exact Jaccard between two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /**
+   * MinHash + LSH near-duplicate pairs with exact verification.
+   *
+   * Returns `(id_a, id_b, jaccard)` for every pair the LSH bands
+   * surface whose TRUE shingle Jaccard ≥ `tau` (id_a < id_b). With the
+   * default 128 hashes in 32 bands of 4, the probability of missing a
+   * pair at τ=0.8 is (1-0.8⁴)³² ≈ 5·10⁻⁸ — effectively exact recall at
+   * the threshold, with candidate generation linear in collisions.
+   */
+  def minhashLsh(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", shingleN: Int = 3,
+                 numHashes: Int = 128, bands: Int = 32,
+                 tau: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val docs = df.select(col(idCol).as("__id"),
+      wordShingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+
+    val sig = docs.withColumn("__sig",
+      minhashSignature(col("__sh"), numHashes))
+    val banded = sig.select(col("__id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("__sig"), b * rows + 1, rows))): _*))
+        .as(Seq("__band", "__bh")))
+
+    val l = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+    val r = banded.select(col("__band"), col("__bh"), col("__id").as("id_b"))
+    val candidates = l.join(r, Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    verifyPairs(candidates, docs, tau)
+  }
+
+  /** Join candidate pairs back to shingle sets and keep true-Jaccard ≥ τ. */
+  private def verifyPairs(candidates: DataFrame, docs: DataFrame,
+                          tau: Double): DataFrame = {
+    val da = docs.select(col("__id").as("id_a"), col("__sh").as("__sha"))
+    val db = docs.select(col("__id").as("id_b"), col("__sh").as("__shb"))
+    candidates.join(da, "id_a").join(db, "id_b")
+      .withColumn("__j", jaccard(col("__sha"), col("__shb")))
+      .filter(col("__j") >= tau) // filter on raw value; round for display
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+  }
+
+  /**
+   * EXACT token-set Jaccard ≥ τ via prefix filtering.
+   *
+   * Tokens are globally ordered by (document frequency, token); each doc
+   * indexes only its first `|d| - ⌈τ·|d|⌉ + 1` tokens in that order.
+   * Two docs with Jaccard ≥ τ must share an indexed prefix token
+   * (AllPairs bound), so the candidate join over the prefix index is
+   * lossless — and far smaller than an all-pairs product because
+   * prefixes are the RAREST tokens. Verification recomputes true
+   * Jaccard on the full sets.
+   */
+  def tokenJaccard(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   tau: Double = 0.9): DataFrame = {
+    val docs = df.select(col(idCol).as("__id"),
+      array_distinct(split(trim(col(textCol)), " ")).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+
+    val tokenDf = docs.select(col("__id"), explode(col("__sh")).as("__tok"))
+    val freq = tokenDf.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val ranked = tokenDf.join(freq, "__tok")
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__tok"))))
+    val withSize = ranked.join(
+      docs.select(col("__id"), size(col("__sh")).as("__n")), "__id")
+    val prefix = withSize.filter(
+      col("__rank") <= col("__n") - ceil(lit(tau) * col("__n")) + 1)
+
+    val l = prefix.select(col("__tok"), col("__id").as("id_a"))
+    val r = prefix.select(col("__tok"), col("__id").as("id_b"))
+    val candidates = l.join(r, "__tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    verifyPairs(candidates, docs, tau)
+  }
+
+  /** 64-bit SimHash of the token multiset: per bit, the sign of the
+    * weighted vote of token-hash bits. Pure column expressions. */
+  def simhashBits(text: Column): Column = {
+    val hashes = transform(split(trim(text), " "), t => xxhash64(t))
+    // bit i of the simhash = 1 iff Σ_tokens (2·bit_i(h)-1) > 0
+    val bitCols = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, i).bitwiseAND(1L) * 2L - 1L))
+      when(vote > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << i)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /**
+   * SimHash near-duplicate pairs with Hamming distance ≤ `maxDist`.
+   * Pigeonhole blocking: the 64 bits are cut into `maxDist+1` blocks;
+   * any pair within distance `maxDist` agrees on ≥1 whole block, so the
+   * per-block equi-join is lossless. Verification uses
+   * `bit_count(a XOR b)`.
+   */
+  def simhash(df: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", maxDist: Int = 3): DataFrame = {
+    val blocks = maxDist + 1
+    val width = 64 / blocks
+    val sigs = df.select(col(idCol).as("__id"),
+      simhashBits(col(textCol)).as("__sim"))
+
+    val blocked = sigs.select(col("__id"), col("__sim"),
+      posexplode(array((0 until blocks).map { b =>
+        // top block takes the remainder bits
+        val w = if (b == blocks - 1) 64 - width * (blocks - 1) else width
+        shiftrightunsigned(col("__sim"), b * width)
+          .bitwiseAND((1L << w) - 1L)
+      }: _*)).as(Seq("__blk", "__bv")))
+
+    val l = blocked.select(col("__blk"), col("__bv"),
+      col("__id").as("id_a"), col("__sim").as("__sa"))
+    val r = blocked.select(col("__blk"), col("__bv"),
+      col("__id").as("id_b"), col("__sim").as("__sb"))
+    l.join(r, Seq("__blk", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /**
+   * Cosine-threshold near-duplicate pairs over an embedding column —
+   * brute-force baseline (the small side broadcasts; Spark picks
+   * BroadcastNestedLoopJoin). For corpora where n² is prohibitive use
+   * [[SimilarityOps.lshBuckets]] blocking instead.
+   */
+  def embeddingNearDup(df: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       tau: Double = 0.9): DataFrame = {
+    val withNorm = df.select(col(idCol).as("__id"),
+      col(vecCol).as("__v"),
+      SimilarityOps.l2norm(col(vecCol)).as("__n"))
+    val a = withNorm.select(col("__id").as("id_a"), col("__v").as("__va"),
+      col("__n").as("__na"))
+    val b = withNorm.select(col("__id").as("id_b"), col("__v").as("__vb"),
+      col("__n").as("__nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("__c", SimilarityOps.dot(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")))
+      .filter(col("__c") >= tau) // filter on raw value; round for display
+      .select(col("id_a"), col("id_b"), round(col("__c"), 4).as("cosine"))
+  }
+}

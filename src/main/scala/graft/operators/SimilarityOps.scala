@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`Array[Float]`).
+ *
+ *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
+ *    query set against the corpus; one pass, no index. The correctness
+ *    baseline.
+ *  - [[lshTopK]]: random-hyperplane LSH — corpus bucketed by sign-bit
+ *    signature, queries probe their own bucket plus all 1-bit-flip
+ *    neighbors. Turns the n×m product into an equi-join on bucket id;
+ *    the 100 TB scale path.
+ *
+ * Vector math is `zip_with` + `aggregate` Column expressions: the dot
+ * product stays inside whole-stage codegen, element order is
+ * left-to-right deterministic (bitwise-reproducible across engines).
+ */
+object SimilarityOps {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /**
+   * Exact top-k by cosine for each query vector. `queries` is expected
+   * to be small (it is broadcast); ties broken by corpus id for
+   * determinism. Returns `(query_id, neighbor_id, cosine, rank)`.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a splitmix64-style integer mix mapped to [-1, 1]. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-bit LSH bucket id from `nBits` fixed hyperplanes; `table`
+    * selects an independent plane family. */
+  def lshBuckets(vec: Column, dim: Int, nBits: Int,
+                 table: Int = 0): Column = {
+    val bits = (0 until nBits).map { j =>
+      val plane = array((0 until dim).map(i =>
+        lit(planeComponent(table * nBits + j, i))): _*)
+      when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    // tag with the table id so different tables never cross-join
+    bits.reduce(_ + _) + lit(table.toLong << 32)
+  }
+
+  /**
+   * LSH-bucketed approximate top-k. The corpus is hashed into
+   * `nTables` independent 2^nBits bucket families; each query probes
+   * its own bucket and every 1-bit flip (multi-probe) in every table.
+   * The n×m product becomes an equi-join on bucket id with fan-out
+   * nTables·(nBits+1) buckets per query — the 100 TB scale path.
+   * Recall rises with more tables / fewer bits; exactness is
+   * [[bruteForceTopK]]'s job.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Int = 64, nBits: Int = 6, nTables: Int = 8,
+              k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"),
+      explode(array((0 until nTables).map(t =>
+        lshBuckets(col(vecCol), dim, nBits, t)): _*)).as("__bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"),
+      array((0 until nTables).map(t =>
+        lshBuckets(col(vecCol), dim, nBits, t)): _*).as("__bs"))
+    // multi-probe: per table, own bucket + all single-bit flips
+    val probes = qBase.withColumn("__bucket", explode(flatten(
+      transform(col("__bs"), b => concat(array(b),
+        array((0 until nBits).map(j =>
+          b.bitwiseXOR(lit(1L << j))): _*))))))
+    probes.join(c, "__bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+}

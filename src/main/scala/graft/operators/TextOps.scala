@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * token counting, language ID, quality scoring, fingerprinting.
+ *
+ * All pure `Column` expressions (whole-stage-codegen'd, no UDFs): each
+ * operator is a narrow map over the documents table, embarrassingly
+ * parallel at any scale — no shuffle, no driver state. Formulas are
+ * deliberately SQL-mirrorable so the DuckDB oracle can replay them
+ * exactly (see SparkEntry.oracleSql).
+ */
+object TextOps {
+
+  /** Whitespace tokens (single-space tokenizer, mirroring the oracle's
+    * `string_split(text, ' ')`). */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Plain whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs + single digits + punctuation
+    * marks, the shape a byte-pair tokenizer's pre-tokenizer produces. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  // Per-language stopword marker lists for the n-gram/stopword language
+  // heuristic. Shared with the SQL oracle — keep in sync.
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "nicht")
+  val StopFr = Seq("le", "la", "les", "et", "est", "une")
+  val StopEs = Seq("el", "los", "las", "y", "es", "una")
+  val CjkPattern = "[\\u4e00-\\u9fff]"
+
+  /** Occurrences of any of `words` among the tokens (duplicates count). */
+  def hits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  /**
+   * Deterministic language-ID heuristic: CJK characters → zh, else the
+   * language with the most stopword hits, ties broken en > de > fr > es;
+   * no hits at all → "unknown". (A real model would be an n-gram
+   * classifier; the *pipeline shape* — codegen'd scoring + argmax — is
+   * identical.)
+   */
+  def langId(text: Column): Column = {
+    val en = hits(text, StopEn); val de = hits(text, StopDe)
+    val fr = hits(text, StopFr); val es = hits(text, StopEs)
+    when(regexp_count(text, lit(CjkPattern)) > 0, lit("zh"))
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, lit("unknown"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /**
+   * Quality score in [0,1]: length, mean word length, punctuation ratio,
+   * stopword density — the standard cheap pre-filter shape for web-scale
+   * corpus cleaning. Rounded to 4 decimals for cross-engine stability.
+   */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast(DoubleType)
+    val charsNoSpace = length(regexp_replace(text, lit(" "), lit("")))
+      .cast(DoubleType)
+    val meanWordLen = charsNoSpace / n
+    val punct = size(regexp_extract_all(text,
+      lit("[^A-Za-z0-9 ]"), lit(0))).cast(DoubleType) /
+      length(text).cast(DoubleType)
+    val stopRatio = hits(text, StopEn).cast(DoubleType) / n
+    round(
+      least(n / 100.0, lit(1.0)) * 0.4 +
+      least(meanWordLen / 8.0, lit(1.0)) * 0.2 +
+      (lit(1.0) - punct) * 0.2 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.2, 4)
+  }
+
+  /** Whole-document fingerprint: md5 (identical in DuckDB → oracle-checkable,
+    * unlike xxhash64 whose seed constants differ across engines). */
+  def docFingerprint(text: Column): Column = md5(text.cast(BinaryType))
+
+  /**
+   * Winnowing-style shingle fingerprint: the minimum md5 over all 8-char
+   * sliding windows — a rolling-hash document sketch; equal sketches are
+   * strong near-dup evidence. O(len) per doc, no shuffle.
+   */
+  def winnowFingerprint(text: Column, window: Int = 8): Column = {
+    val idx = sequence(lit(1), greatest(length(text) - (window - 1), lit(1)))
+    array_min(transform(idx,
+      i => md5(text.substr(i, lit(window)).cast(BinaryType))))
+  }
+
+  /** Attach all text-analysis columns to a documents DataFrame. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("token_count", tokenCount(t))
+      .withColumn("bpeish_count", bpeishCount(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", docFingerprint(t))
+      .withColumn("winnow_fp", winnowFingerprint(t))
+  }
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  private lazy val embs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  // ---------------- TextOps ----------------
+
+  test("token counts") {
+    import spark.implicits._
+    val df = Seq((1L, "a bb ccc"), (2L, "hello, world!")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.tokenCount(col("text")),
+      TextOps.bpeishCount(col("text"))).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((3, 3)))
+    assert(out(2L) == ((2, 4))) // hello , world !
+  }
+
+  test("langId heuristic") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the hat", "der hund und die katze ist",
+      "le chat et la maison est", "el gato y los perros es",
+      "你好世界", "zzz qqq xxx").toDF("text")
+    val out = df.select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "fr", "es", "zh", "unknown"))
+  }
+
+  test("quality score bounded and deterministic") {
+    val out = docs.select(TextOps.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).collect().head
+    assert(out.getDouble(0) >= 0.0 && out.getDouble(1) <= 1.0)
+  }
+
+  test("fingerprints: md5 + winnow agree on identical text") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "abcdefghiX"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextOps.docFingerprint(col("text")).as("f"),
+      TextOps.winnowFingerprint(col("text")).as("w")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  // ---------------- DedupOps ----------------
+
+  test("exact dedup keeps min id and counts") {
+    import spark.implicits._
+    val df = Seq((5L, "x"), (2L, "x"), (9L, "y")).toDF("doc_id", "text")
+    val out = DedupOps.exact(df).collect()
+      .map(r => (r.getString(1), (r.getLong(0), r.getLong(2)))).toMap
+    assert(out("x") == ((2L, 2L)))
+    assert(out("y") == ((9L, 1L)))
+  }
+
+  /** Brute-force trigram-Jaccard pairs — the independent oracle. */
+  private def brutePairs(tau: Double, shingleN: Int = 3): Set[(Long, Long)] = {
+    val sh = docs.select(col("doc_id").as("id"),
+      DedupOps.wordShingles(col("text"), shingleN).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sa"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(DedupOps.jaccard(col("sa"), col("sb")) >= tau)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH finds exactly the true trigram-jaccard pairs") {
+    val expected = brutePairs(0.8)
+    val got = DedupOps.minhashLsh(docs, tau = 0.8).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture should contain planted near-dups")
+    assert(got == expected)
+  }
+
+  test("prefix-filtered token jaccard equals brute force") {
+    val expected = brutePairs(0.95, shingleN = 1)
+    val got = DedupOps.tokenJaccard(docs, tau = 0.95).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("simhash blocking is lossless for hamming <= maxDist") {
+    val sample = docs.limit(120).cache()
+    val sigs = sample.select(col("doc_id").as("id"),
+      DedupOps.simhashBits(col("text")).as("s"))
+    val a = sigs.select(col("id").as("id_a"), col("s").as("sa"))
+    val b = sigs.select(col("id").as("id_b"), col("s").as("sb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("h", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("h") <= 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DedupOps.simhash(sample, maxDist = 3).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+
+  // ---------------- SimilarityOps ----------------
+
+  test("brute-force top-k matches a driver-side reference") {
+    val k = 5
+    val out = SimilarityOps.bruteForceTopK(
+      embs.filter(col("vec_id") === 0), embs, k = k)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+
+    // independent re-computation on the driver
+    val vecs = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val q = vecs(0L)
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k)
+      .map { case (id, c) =>
+        (id, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(out == expected)
+  }
+
+  test("lsh top-k achieves reasonable recall vs brute force") {
+    val queries = embs.filter(col("vec_id") < 20).cache()
+    val k = 10
+    def pairs(df: DataFrame): Set[(Long, Long)] = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityOps.bruteForceTopK(queries, embs, k = k))
+    val approx = pairs(SimilarityOps.lshTopK(queries, embs, k = k))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  // ---------------- MultimodalOps ----------------
+
+  test("payload decode plumbing: typed batches with deterministic stub") {
+    val media = MultimodalOps.withPayload(docs)
+    val meta = MultimodalOps.decodeMeta(media, batchSize = 32)
+    val viaColumns = MultimodalOps.decodeMetaColumns(media)
+    val a = meta.collect().map(m => (m.doc_id, m.bytes, m.width, m.height)).toSet
+    val b = viaColumns.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(a == b)            // mapPartitions stub == column stub
+    assert(a.size == docs.count())
+  }
+
+  test("resize + frame sampling stubs") {
+    implicit val s = spark
+    val media = MultimodalOps.withPayload(docs.limit(10))
+    val resized = MultimodalOps.resizeMeta(
+      MultimodalOps.decodeMeta(media), maxSide = 100)
+    assert(resized.filter(col("out_width") > 100 || col("out_height") > 100)
+      .count() == 0)
+    val frames = MultimodalOps.sampleFrames(media, everyNth = 10, maxFrames = 4)
+    assert(frames.groupBy("doc_id").count()
+      .filter(col("count") > 4).count() == 0)
+  }
+}
