@@ -1,0 +1,209 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the hot numeric kernels of the
+ * dedup/similarity operators.
+ *
+ * Why these exist: Spark's higher-order functions (`transform`,
+ * `aggregate`, `zip_with`) evaluate their lambda as an interpreted
+ * expression tree PER ARRAY ELEMENT — a 64-dim dot product through
+ * `zip_with`+`aggregate` costs ~128 boxed expression evaluations per
+ * row-pair, which dominates brute-force similarity scans. Each
+ * expression here is one virtual call per row with a tight JVM loop
+ * inside (JIT-vectorised), 1-2 orders of magnitude faster on the
+ * kernels that matter. Everything stays deterministic and identical in
+ * value to the HOF formulation (sequential left-to-right accumulation).
+ */
+object VectorExpressions {
+
+  /** splitmix64 finaliser (public-domain constant mix). */
+  @inline private[functions] def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes — fast, stable string hash. */
+  @inline private[functions] def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Σ aᵢ·bᵢ in double, sequential order; accepts float or double
+    * arrays on either side. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private def isFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    private lazy val lf = isFloat(left)
+    private lazy val rf = isFloat(right)
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xi * yi
+        i += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /**
+   * MinHash signature of a string-array column: `numHashes` minima of
+   * per-seed remixes of one FNV-1a base hash per element.
+   */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h0 = fnv64(arr.getUTF8String(i).getBytes)
+        var s = 0
+        while (s < numHashes) {
+          val h = mix64(h0 ^ mix64(s.toLong))
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /**
+   * 64-bit SimHash of a string-array column: per element one base
+   * hash; each of the 64 bits votes ±1, sign of the tally sets the bit.
+   */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = fnv64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /**
+   * Distinct word n-gram shingles of a string: single-space tokenize,
+   * join every n consecutive tokens, dedup preserving first-seen order.
+   * (The `transform`+`concat_ws`+`array_distinct` HOF chain this
+   * replaces re-interprets its lambda per shingle and dominated MinHash
+   * runtime.) Short texts yield one (possibly shorter) shingle,
+   * matching `slice` semantics of the HOF version.
+   */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.toString.trim
+      val toks = text.split(' ')
+      val count = math.max(toks.length - n + 1, 1)
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder
+        var j = i
+        val end = math.min(i + n, toks.length)
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) {
+        out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  // ---- Column-level API ----
+  // Expressions reach the plan through the session FunctionRegistry
+  // (the supported extension point; direct Column construction from an
+  // Expression is private[sql] in Spark 4). register() is idempotent —
+  // operators call it on their input's session before using these.
+
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("graft_minhash",
+      exprs => MinHashSig(exprs(0), exprs(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash numHashes must be an int literal, got $other")
+      }), "built-in")
+    r.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHash64(exprs(0)), "built-in")
+    r.createOrReplaceTempFunction("graft_shingles",
+      exprs => WordShingles(exprs(0), exprs(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles n must be an int literal, got $other")
+      }), "built-in")
+  }
+
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    call_function("graft_minhash", shingles, lit(numHashes))
+  def simhash64(tokens: Column): Column = call_function("graft_simhash", tokens)
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
+}

@@ -36,19 +36,18 @@ object DedupOps {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col(textCol), col("dup_count"))
 
-  /** Distinct word n-gram shingles of a text column. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Distinct word n-gram shingles of a text column (native
+    * expression; register() required — operator entry points do it). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.VectorExpressions.wordShingles(text, n)
 
-  /** MinHash signature: for each of `numHashes` seeds, the min seeded
-    * xxhash64 over the shingle set. */
+  /** MinHash signature — native Catalyst expression (one FNV-1a base
+    * hash per shingle + `numHashes` splitmix remixes in a tight JVM
+    * loop; the HOF formulation interprets per element and dominated the
+    * whole LSH runtime). Requires
+    * [[graft.functions.VectorExpressions.register]] (callers here do it). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(s =>
-      array_min(transform(shingles, x => xxhash64(lit(s), x)))): _*)
+    graft.functions.VectorExpressions.minhashSig(shingles, numHashes)
 
   /** Exact Jaccard between two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -70,6 +69,7 @@ object DedupOps {
                  numHashes: Int = 128, bands: Int = 32,
                  tau: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val rows = numHashes / bands
     val docs = df.select(col(idCol).as("__id"),
       wordShingles(col(textCol), shingleN).as("__sh"))
@@ -130,27 +130,25 @@ object DedupOps {
     val prefix = withSize.filter(
       col("__rank") <= col("__n") - ceil(lit(tau) * col("__n")) + 1)
 
-    val l = prefix.select(col("__tok"), col("__id").as("id_a"))
-    val r = prefix.select(col("__tok"), col("__id").as("id_b"))
+    val l = prefix.select(col("__tok"), col("__id").as("id_a"),
+      col("__n").as("__na"))
+    val r = prefix.select(col("__tok"), col("__id").as("id_b"),
+      col("__n").as("__nb"))
+    // size-band bound: J(a,b) ≥ τ requires τ·max(|a|,|b|) ≤ min(|a|,|b|)
     val candidates = l.join(r, "__tok")
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        greatest(col("__na"), col("__nb")) * tau <=
+          least(col("__na"), col("__nb")))
       .select("id_a", "id_b").distinct()
 
     verifyPairs(candidates, docs, tau)
   }
 
   /** 64-bit SimHash of the token multiset: per bit, the sign of the
-    * weighted vote of token-hash bits. Pure column expressions. */
-  def simhashBits(text: Column): Column = {
-    val hashes = transform(split(trim(text), " "), t => xxhash64(t))
-    // bit i of the simhash = 1 iff Σ_tokens (2·bit_i(h)-1) > 0
-    val bitCols = (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, i).bitwiseAND(1L) * 2L - 1L))
-      when(vote > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << i)
-    }
-    bitCols.reduce(_ + _)
-  }
+    * weighted vote of token-hash bits — native Catalyst expression
+    * (64 interpreted HOF aggregates per doc otherwise). */
+  def simhashBits(text: Column): Column =
+    graft.functions.VectorExpressions.simhash64(split(trim(text), " "))
 
   /**
    * SimHash near-duplicate pairs with Hamming distance ≤ `maxDist`.
@@ -161,6 +159,7 @@ object DedupOps {
    */
   def simhash(df: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", maxDist: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val blocks = maxDist + 1
     val width = 64 / blocks
     val sigs = df.select(col(idCol).as("__id"),
@@ -194,6 +193,7 @@ object DedupOps {
   def embeddingNearDup(df: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        tau: Double = 0.9): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val withNorm = df.select(col(idCol).as("__id"),
       col(vecCol).as("__v"),
       SimilarityOps.l2norm(col(vecCol)).as("__n"))

@@ -23,10 +23,14 @@ import org.apache.spark.sql.types._
  */
 object SimilarityOps {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float/double-array columns, accumulated in
+    * double — a native Catalyst expression (one JVM call per row; the
+    * `zip_with`+`aggregate` HOF equivalent interprets its lambda per
+    * element and is ~100× slower on brute-force scans). Requires
+    * [[graft.functions.VectorExpressions.register]] on the session;
+    * all operators here do that themselves. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot(a, b)
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -42,6 +46,7 @@ object SimilarityOps {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      k: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -94,6 +99,7 @@ object SimilarityOps {
               idCol: String = "vec_id", vecCol: String = "embedding",
               dim: Int = 64, nBits: Int = 6, nTables: Int = 8,
               k: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"),
       explode(array((0 until nTables).map(t =>

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
 
-  private lazy val docs: DataFrame =
+  private lazy val docs: DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  }
   private lazy val embs: DataFrame =
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
 
