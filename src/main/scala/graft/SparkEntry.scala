@@ -131,7 +131,46 @@ object SparkEntry {
     "multimodal_frames" -> ((spark, sfDir) =>
       operators.MultimodalOps.sampleFrames(
         operators.MultimodalOps.withPayload(docs(spark, sfDir)))),
+
+    // ---- events-table analytics (window functions / sessionization) ----
+    "events_topn_per_type" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id"))
+      events(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("event_id"), round(col("value"), 2).as("value"),
+          col("rn").cast("int").as("rn"))
+    }),
+    "events_sessions" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val gapped = events(spark, sfDir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800,
+            lit(1)).otherwise(lit(0)))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser).cast("long"))
+      gapped.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("events"))
+    }),
+    "events_running_total" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(spark, sfDir)
+        .withColumn("running", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("running"))
+    }),
   )
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    streaming.EventStreamOps.readEvents(spark, s"$sfDir/events.parquet")
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -302,5 +341,23 @@ object SparkEntry {
     "multimodal_frames" ->
       ("WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) % 300 + 1 AS INTEGER) AS frame_count FROM documents) " +
         "SELECT doc_id, frame_count, CAST(unnest(list_slice(range(0, frame_count, 10), 1, 8)) AS INTEGER) AS frame_idx FROM m"),
+
+    "events_topn_per_type" ->
+      """SELECT event_type, event_id, round(value, 2) AS value, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        | FROM events) WHERE rn <= 3""".stripMargin,
+    "events_sessions" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+        |s AS (SELECT user_id, event_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id FROM g)
+        |SELECT user_id, session_id, count(*) AS events FROM s GROUP BY user_id, session_id""".stripMargin,
+    "events_running_total" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events""".stripMargin,
   )
 }

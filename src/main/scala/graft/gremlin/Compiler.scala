@@ -73,6 +73,17 @@ object Compiler {
     Result(out.df, out.kind, out.ordering, out.sideEffects)
   }
 
+  /** Compile with a pre-computed vertex-id frontier (`id: LONG`) —
+    * used by the posting-list index fold, the Spark analogue of
+    * InitWithIndex (`expert/init_expert.hpp:199-234`). */
+  def compileSeeded(graph: GraphStore, frontier: DataFrame,
+                    steps: List[Step]): Result = {
+    val init = State(frontier.select(col("id").as("__val")), VertexKind,
+      attached = false, Map.empty, Map.empty, None, Nil)
+    val out = steps.foldLeft(init)((s, step) => apply(graph, s, step))
+    Result(out.df, out.kind, out.ordering, out.sideEffects)
+  }
+
   /** Compile a sub-traversal from an existing frontier. */
   private def compileSub(graph: GraphStore, from: State,
                          sub: List[Step]): State =

@@ -27,10 +27,50 @@ import graft.sources.GraphStore
  */
 final case class Graft(graph: GraphStore) {
 
-  /** Parse + reorder + compile; returns the raw compiled result. */
+  /** Posting-list indexes built by `BuildIndex(...)` DDL. */
+  val index = new IndexStore
+  /** Runtime toggles set by `SetConfig(...)` DDL (the reference's
+    * ConfigExpert switches; we record them — Catalyst/AQE subsumes
+    * their effects). */
+  @volatile var config: Map[String, String] = Map.empty
+
+  private val BuildIndexRe =
+    """(?i)\s*BuildIndex\s*\(\s*([VE])\s*,\s*['"]([^'"]+)['"]\s*\)\s*""".r
+  private val SetConfigRe =
+    """(?i)\s*SetConfig\s*\(\s*['"]?([^'",\s]+)['"]?\s*,\s*['"]?([^'")\s]+)['"]?\s*\)\s*""".r
+
+  /** DDL dispatch (reference entry point 2, `core/parser.cpp:75-91`).
+    * Returns a status line, or None if `q` is a traversal query. */
+  def ddl(q: String): Option[String] = q match {
+    case BuildIndexRe(ve, key) =>
+      index.build(graph, ve.equalsIgnoreCase("V"), key)
+      Some(s"Index built for ${ve.toUpperCase}.$key")
+    case SetConfigRe(k, v) =>
+      config += k -> v
+      Some(s"Config $k=$v")
+    case _ => None
+  }
+
+  /** Parse + reorder + compile; returns the raw compiled result.
+    * A leading selective `has(key, eq/within)` with a built index seeds
+    * the frontier from the posting list instead of the table scan
+    * (reference §4.2 index fold, selectivity-gated). */
   def compile(query: String): Compiler.Result = {
     val steps = Reorder(StepParser.parse(query))
-    Compiler.compile(graph, steps)
+    steps match {
+      case Step.V(Seq()) :: Step.Has(key, pred) :: rest
+          if index.has(isVertex = true, key) =>
+        val values = pred match {
+          case Pred.Eq(v)     => Some(Seq(v.value))
+          case Pred.Within(vs) => Some(vs.map(_.value))
+          case _ => None
+        }
+        values.flatMap(vs => index.lookupVertices(key, vs)) match {
+          case Some(frontier) => Compiler.compileSeeded(graph, frontier, rest)
+          case None => Compiler.compile(graph, steps)
+        }
+      case _ => Compiler.compile(graph, steps)
+    }
   }
 
   /** The query as a user-facing DataFrame (ordering applied, internal
@@ -56,9 +96,10 @@ final case class Graft(graph: GraphStore) {
   }
 
   /** Console-parity output: one "=>v" string per result row, like the
-    * reference client (`docs/Tutorial.md:291-309`). Collects to the
-    * driver — final-result sized only. */
+    * reference client (`docs/Tutorial.md:291-309`); DDL returns its
+    * status line. Collects to the driver — final-result sized only. */
   def strings(query: String): Seq[String] = {
+    ddl(query).foreach(status => return Seq(status))
     val r = compile(query)
     val out = finish(r)
     val rows = out.collect()

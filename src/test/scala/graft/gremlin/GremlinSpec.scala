@@ -223,6 +223,25 @@ class GremlinSpec extends SparkSpec {
     assert(g.strings("g.V().count()") == Seq("=>6"))
   }
 
+  test("BuildIndex DDL + index-seeded query matches scan result") {
+    val gi = Graft(GraphStore.modern(spark))
+    assert(gi.strings("BuildIndex(V, 'name')") == Seq("Index built for V.name"))
+    // selective point lookup: passes the 20% gate (1 of 6 vertices)
+    assert(gi.index.lookupVertices("name", Seq("marko")).isDefined)
+    assert(gi.strings("g.V().has('name','marko').out('knows').values('name')")
+      .toSet == Set("=>vadas", "=>josh"))
+    // unselective: 'java' covers 2/6 = 33% > 20% gate -> falls back
+    gi.strings("BuildIndex(V, 'lang')")
+    assert(gi.index.lookupVertices("lang", Seq("java")).isEmpty)
+    assert(gi.strings("g.V().has('lang','java').count()") == Seq("=>2"))
+  }
+
+  test("SetConfig DDL records toggles") {
+    val gi = Graft(GraphStore.modern(spark))
+    assert(gi.strings("SetConfig('caching', 'true')") == Seq("Config caching=true"))
+    assert(gi.config("caching") == "true")
+  }
+
   test("step reorder pushes has before hasLabel but not past as") {
     val steps = Reorder(StepParser.parse(
       "g.V().hasLabel(\"person\").has(\"age\", gt(1)).out().as(\"a\").dedup(\"a\")"))
