@@ -38,6 +38,24 @@ class GraphStoreSpec extends SparkSpec {
     assert(efields("weight") == "double") // type tag 2 = double
   }
 
+  test("bucketed persistence removes the edges-side shuffle in traversals") {
+    val g = GraphStore.tpch(spark, "/root/testdata/sf0.001")
+    g.saveBucketed("gsb", buckets = 4)
+    val loaded = GraphStore.loadBucketed(spark, "gsb")
+
+    // results identical
+    val q = "g.V().hasLabel('customer').out('placed').count()"
+    assert(Graft(loaded).strings(q) == Graft(g).strings(q))
+
+    // plan: scanning the bucketed edges table for a src-key join emits
+    // no Exchange on the table side (SelectedBucketsCount appears)
+    val plan = Graft(loaded)
+      .df("g.V().hasLabel('customer').out('placed').count()")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("Bucketed: true"),
+      s"expected bucketed scan in plan:\n$plan")
+  }
+
   test("tutorial query runs on the loaded graph") {
     // docs/Tutorial.md:283 — g.V().hasKey/hasLabel/has console sample
     val g = Graft(loaded)
