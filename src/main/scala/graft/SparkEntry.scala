@@ -88,6 +88,13 @@ object SparkEntry {
     "not_filter" -> q("g.V().hasLabel('customer').not(out('placed')).count()"),
     "where_store_q8" -> q("g.V().hasLabel('order').has('totalprice', lt(20000.0)).in('placed').dedup().aggregate('small').out('placed').out('contains').in('contains').in('placed').dedup().where(without('small')).count()"),
     "repeat_hop" -> q("g.V().hasLabel('customer').has('nationkey', eq(7)).repeat(out()).count()"),
+    "where_history_neq" -> q("g.V().hasLabel('part').as('a').in('contains').out('contains').where(neq('a')).count()"),
+    "range_skip" -> q("g.V().hasLabel('order').values('totalprice').order().skip(5).count()"),
+    "traverse_ine" -> q("g.V().hasLabel('order').inE('placed').outV().dedup().count()"),
+    "edge_bothv" -> q("g.E().hasLabel('contains').bothV().dedup().count()"),
+    "key_proj" -> q("g.V().has('name', 'Customer#000000001').key().order()"),
+    "select_multi" -> q("g.V().hasLabel('customer').has('nationkey', eq(3)).as('c').out('placed').has('totalprice', gt(200000.0)).as('o').select('c', 'o').order()"),
+    "coin_sample" -> q("g.V().hasLabel('order').coin(0.5).count()"), // no oracle: engine-specific rand stream
 
     // ---- LLM-data-pipeline operators (graft.operators.*) ----
     "text_stats" -> ((spark, sfDir) => {
@@ -131,6 +138,14 @@ object SparkEntry {
     "multimodal_frames" -> ((spark, sfDir) =>
       operators.MultimodalOps.sampleFrames(
         operators.MultimodalOps.withPayload(docs(spark, sfDir)))),
+
+    // ---- iterative graph algorithms (GraphX/Pregel) ----
+    "graph_hops" -> ((spark, sfDir) =>
+      operators.GraphAlgos.shortestHops(
+        sources.GraphStore.tpch(spark, sfDir), source = 1L)),
+    "graph_components" -> ((spark, sfDir) => // no SQL oracle: iterative fixpoint
+      operators.GraphAlgos.connectedComponents(
+        sources.GraphStore.tpch(spark, sfDir))),
 
     // ---- events-table analytics (window functions / sessionization) ----
     "events_topn_per_type" -> ((spark, sfDir) => {
@@ -280,6 +295,18 @@ object SparkEntry {
         |SELECT count(*) AS value FROM c2 WHERE ck NOT IN (SELECT ck FROM small)""".stripMargin,
     "repeat_hop" ->
       "SELECT count(*) AS value FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 7",
+    "where_history_neq" ->
+      s"SELECT count(*) AS value FROM $EdgesContains e1 JOIN $EdgesContains e2 ON e1.l_orderkey = e2.l_orderkey WHERE e2.l_partkey != e1.l_partkey",
+    "range_skip" ->
+      "SELECT count(*) AS value FROM (SELECT o_totalprice FROM orders ORDER BY o_totalprice OFFSET 5)",
+    "traverse_ine" ->
+      "SELECT count(DISTINCT o_custkey) AS value FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+    "edge_bothv" ->
+      s"SELECT (SELECT count(DISTINCT l_orderkey) FROM $EdgesContains) + (SELECT count(DISTINCT l_partkey) FROM $EdgesContains) AS value",
+    "key_proj" ->
+      "SELECT unnest(['acctbal', 'mktsegment', 'name', 'nationkey']) AS value FROM customer WHERE c_name = 'Customer#000000001'",
+    "select_multi" ->
+      "SELECT '[c:' || CAST(c.c_custkey AS VARCHAR) || ', o:' || CAST(o.o_orderkey + 1000000000 AS VARCHAR) || ']' AS value FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 3 AND o.o_totalprice > 200000.0 ORDER BY value",
 
     // ---- LLM-data-pipeline operators ----
     "text_stats" ->
@@ -342,6 +369,11 @@ object SparkEntry {
       ("WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) % 300 + 1 AS INTEGER) AS frame_count FROM documents) " +
         "SELECT doc_id, frame_count, CAST(unnest(list_slice(range(0, frame_count, 10), 1, 8)) AS INTEGER) AS frame_idx FROM m"),
 
+    "graph_hops" ->
+      """SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS distance
+        |UNION ALL SELECT DISTINCT o_orderkey + 1000000000, 1 FROM orders WHERE o_custkey = 1
+        |UNION ALL SELECT DISTINCT l.l_partkey + 2000000000, 2 FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_custkey = 1""".stripMargin,
     "events_topn_per_type" ->
       """SELECT event_type, event_id, round(value, 2) AS value, CAST(rn AS INTEGER) AS rn
         |FROM (SELECT event_type, event_id, value,

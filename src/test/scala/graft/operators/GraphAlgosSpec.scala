@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.GraphStore
+import org.apache.spark.sql.functions._
+
+class GraphAlgosSpec extends SparkSpec {
+
+  lazy val modern: GraphStore = GraphStore.modern(spark)
+
+  test("connected components on the modern graph") {
+    // modern is one connected component (1-2,1-3,1-4,4-5,4-3,6-3)
+    val cc = GraphAlgos.connectedComponents(modern).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.values.toSet == Set(1L))
+    assert(cc.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("connected components split when an edge set is restricted") {
+    val knowsOnly = GraphStore(modern.vertices,
+      modern.edges.filter(col("label") === "knows"))
+    val cc = GraphAlgos.connectedComponents(knowsOnly).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // {1,2,4} connected by knows; 3, 5, 6 isolated
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(4L) == 1L)
+    assert(cc(3L) == 3L && cc(5L) == 5L && cc(6L) == 6L)
+  }
+
+  test("shortest hops from marko") {
+    val d = GraphAlgos.shortestHops(modern, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    // 6 (peter) unreachable from marko following edge direction
+    assert(!d.contains(6L))
+  }
+
+  test("pagerank ranks the most-cited vertex highest") {
+    val pr = GraphAlgos.pageRank(modern).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // lop (3) has 3 in-edges — highest rank
+    assert(pr.maxBy(_._2)._1 == 3L)
+    assert(math.abs(pr.values.sum - 6.0) < 0.3) // ranks ~sum to |V|
+  }
+}
