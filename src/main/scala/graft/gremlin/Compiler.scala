@@ -235,9 +235,11 @@ object Compiler {
       case WhereStore(key, anti) =>
         val (store, _) = s.sideEffects.getOrElse(key,
           throw CompileException(s"where(): unknown side-effect store $key"))
-        val a = freshAlias("__se")
-        val st = store.alias(a)
-        val joined = s.df.join(st, s.df("__val") === col(s"$a.__val"),
+        // rename (fresh exprId) — the store often shares lineage with
+        // the stream (aggregate() then where() on the same chain) and a
+        // bare alias would trip DetectAmbiguousSelfJoin
+        val st = store.withColumnRenamed("__val", "__se_val")
+        val joined = s.df.join(st, s.df("__val") === st("__se_val"),
           if (anti) "left_anti" else "left_semi")
         s.copy(df = joined)
 

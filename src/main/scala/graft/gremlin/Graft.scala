@@ -103,12 +103,23 @@ final case class Graft(graph: GraphStore) {
     val r = compile(query)
     val out = finish(r)
     val rows = out.collect()
+    val isGroup = out.columns.headOption.contains("key")
     rows.toSeq.map { row =>
-      val rendered = row.toSeq.map {
-        case null => ""
-        case s: Seq[_] => s.mkString("[", ", ", "]")
-        case v => v.toString
-      }.mkString(", ")
+      val rendered =
+        if (isGroup)
+          // reference group()/groupCount() console format: "key:[v1, v2]"
+          // / "key:count" (barrier_expert.hpp:685-716)
+          // NB: scala.collection.Seq, not the 2.13 immutable default —
+          // Spark hands back mutable.ArraySeq for array columns
+          row.get(0).toString + ":" + (row.get(1) match {
+            case s: scala.collection.Seq[_] => s.mkString("[", ", ", "]")
+            case v => v.toString
+          })
+        else row.toSeq.map {
+          case null => ""
+          case s: scala.collection.Seq[_] => s.mkString("[", ", ", "]")
+          case v => v.toString
+        }.mkString(", ")
       s"=>$rendered"
     }
   }
