@@ -333,7 +333,7 @@ object SparkEntry {
          |  CAST(length(text) AS DOUBLE) AS ln,
          |  CAST(${sqlHits(operators.TextOps.StopEn)} AS DOUBLE) AS st
          | FROM documents)
-         |SELECT doc_id, round(least(n/100.0, 1.0)*0.4 + least((cns/n)/8.0, 1.0)*0.2 + (1.0 - pn/ln)*0.2 + least((st/n)*5.0, 1.0)*0.2, 4) AS quality FROM s""".stripMargin,
+         |SELECT doc_id, (least(n, 100.0)*40.0 + least(floor(250.0*cns/n), 2000.0) + (2000.0 - floor(2000.0*pn/ln)) + least(floor(10000.0*st/n), 2000.0)) / 10000.0 AS quality FROM s""".stripMargin,
     "text_fingerprint" ->
       ("SELECT doc_id, md5(text) AS fingerprint, " +
         "list_min([md5(text[i:i+7]) for i in range(1, greatest(length(text)-7, 1)+1)]) AS winnow_fp FROM documents"),

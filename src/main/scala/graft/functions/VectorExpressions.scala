@@ -174,6 +174,38 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /**
+   * |a ∩ b| for two string arrays (set semantics) — count only, no
+   * intersection array materialised. `array_intersect` allocates and
+   * dedups per pair, which dominates near-dup verification when
+   * candidate volume is millions of pairs.
+   */
+  case class SetIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      // probe the smaller side against a set of the larger
+      val (small, large) =
+        if (x.numElements() <= y.numElements()) (x, y) else (y, x)
+      val set = new java.util.HashSet[Any](large.numElements() * 2)
+      var i = 0
+      while (i < large.numElements()) {
+        set.add(large.getUTF8String(i)); i += 1
+      }
+      var n = 0
+      i = 0
+      while (i < small.numElements()) {
+        if (set.contains(small.getUTF8String(i))) n += 1
+        i += 1
+      }
+      n
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   // ---- Column-level API ----
   // Expressions reach the plan through the session FunctionRegistry
   // (the supported extension point; direct Column construction from an
@@ -192,6 +224,8 @@ object VectorExpressions {
       }), "built-in")
     r.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHash64(exprs(0)), "built-in")
+    r.createOrReplaceTempFunction("graft_isect_size",
+      exprs => SetIntersectSize(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction("graft_shingles",
       exprs => WordShingles(exprs(0), exprs(1) match {
         case Literal(v: Int, IntegerType) => v
@@ -206,4 +240,6 @@ object VectorExpressions {
   def simhash64(tokens: Column): Column = call_function("graft_simhash", tokens)
   def wordShingles(text: Column, n: Int): Column =
     call_function("graft_shingles", text, lit(n))
+  def setIntersectSize(a: Column, b: Column): Column =
+    call_function("graft_isect_size", a, b)
 }

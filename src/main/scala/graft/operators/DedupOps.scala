@@ -49,9 +49,11 @@ object DedupOps {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     graft.functions.VectorExpressions.minhashSig(shingles, numHashes)
 
-  /** Exact Jaccard between two shingle-array columns. */
+  /** Exact Jaccard between two shingle-array columns (count-only
+    * native intersection; inputs are distinct sets by construction). */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val inter = graft.functions.VectorExpressions
+      .setIntersectSize(a, b).cast(DoubleType)
     inter / (size(a) + size(b) - inter)
   }
 
@@ -116,6 +118,7 @@ object DedupOps {
   def tokenJaccard(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
                    tau: Double = 0.9): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val docs = df.select(col(idCol).as("__id"),
       array_distinct(split(trim(col(textCol)), " ")).as("__sh"))
       .filter(size(col("__sh")) > 0)

@@ -60,24 +60,29 @@ object TextOps {
   }
 
   /**
-   * Quality score in [0,1]: length, mean word length, punctuation ratio,
-   * stopword density — the standard cheap pre-filter shape for web-scale
-   * corpus cleaning. Rounded to 4 decimals for cross-engine stability.
+   * Quality score in [0,1]: length (0.4), mean word length (0.2),
+   * punctuation ratio (0.2), stopword density (0.2) — the standard
+   * cheap pre-filter shape for web-scale corpus cleaning.
+   *
+   * Computed as an exact integer in [0,10000] then scaled: every term
+   * is one floored double division of small integers, which is
+   * bit-identical across engines. (A float sum-of-weighted-terms lands
+   * on half-rounding boundaries where DuckDB's FMA'd evaluation differs
+   * from Spark in the last ulp — found at sf0.1, doc 918.)
    */
   def qualityScore(text: Column): Column = {
     val n = tokenCount(text).cast(DoubleType)
-    val charsNoSpace = length(regexp_replace(text, lit(" "), lit("")))
+    val cns = length(regexp_replace(text, lit(" "), lit("")))
       .cast(DoubleType)
-    val meanWordLen = charsNoSpace / n
-    val punct = size(regexp_extract_all(text,
-      lit("[^A-Za-z0-9 ]"), lit(0))).cast(DoubleType) /
-      length(text).cast(DoubleType)
-    val stopRatio = hits(text, StopEn).cast(DoubleType) / n
-    round(
-      least(n / 100.0, lit(1.0)) * 0.4 +
-      least(meanWordLen / 8.0, lit(1.0)) * 0.2 +
-      (lit(1.0) - punct) * 0.2 +
-      least(stopRatio * 5.0, lit(1.0)) * 0.2, 4)
+    val pn = size(regexp_extract_all(text,
+      lit("[^A-Za-z0-9 ]"), lit(0))).cast(DoubleType)
+    val ln = length(text).cast(DoubleType)
+    val st = hits(text, StopEn).cast(DoubleType)
+    val t1 = least(n, lit(100.0)) * 40.0            // exact: int ≤ 100 · 40
+    val t2 = least(floor(lit(250.0) * cns / n), lit(2000.0))
+    val t3 = lit(2000.0) - floor(lit(2000.0) * pn / ln)
+    val t4 = least(floor(lit(10000.0) * st / n), lit(2000.0))
+    (t1 + t2 + t3 + t4) / 10000.0
   }
 
   /** Whole-document fingerprint: md5 (identical in DuckDB → oracle-checkable,
