@@ -132,6 +132,12 @@ object SparkEntry {
       val e = embs(spark, sfDir)
       operators.SimilarityOps.lshTopK(e.filter(col("vec_id") < 10), e, k = 5)
     }),
+    "ann_ivf" -> ((spark, sfDir) => { // no SQL oracle: approximate by design
+      val e = embs(spark, sfDir)
+      val cents = operators.SimilarityOps.fitIvfCentroids(e, k = 16, iters = 3)
+      operators.SimilarityOps.ivfTopK(
+        e.filter(col("vec_id") < 10), e, cents, nprobe = 4, k = 5)
+    }),
     "multimodal_meta" -> ((spark, sfDir) =>
       operators.MultimodalOps.decodeMetaColumns(
         operators.MultimodalOps.withPayload(docs(spark, sfDir)))),

@@ -108,4 +108,7 @@ object Step {
     * ("Act just as union", parser.cpp:1305-1318); same here, with an
     * optional times(k) extension unrolled by the compiler. */
   final case class Repeat(sub: List[Step], times: Int = 1) extends Step
+  /** Parser-internal `.times(k)` marker; folded into the preceding
+    * Repeat by the parser, never reaches the compiler. */
+  private[gremlin] final case class TimesMarker(k: Int) extends Step
 }

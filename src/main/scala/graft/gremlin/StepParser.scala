@@ -90,7 +90,7 @@ object StepParser {
     "bothV", "values", "properties", "key", "label", "as", "select",
     "count", "sum", "max", "min", "mean", "dedup", "order", "limit",
     "range", "skip", "group", "groupCount", "aggregate", "cap", "union",
-    "and", "or", "not", "repeat", "coin")
+    "and", "or", "not", "repeat", "times", "coin")
 
   /** An argument inside a step's parens. */
   sealed trait Arg
@@ -131,16 +131,25 @@ object StepParser {
     steps
   }
 
-  /** Parse `step ("." step)*` until the cursor hits a non-chain token. */
+  /** Parse `step ("." step)*` until the cursor hits a non-chain token.
+    * `repeat(sub).times(k)` folds into the preceding Repeat — an
+    * extension beyond the reference, whose repeat is single-pass. */
   private def parseChain(cur: Cursor): List[Step] = {
-    val steps = List.newBuilder[Step]
-    steps += parseStep(cur)
+    var steps = List.empty[Step]
+    def push(s: Step): Unit = (s, steps) match {
+      case (Step.TimesMarker(k), (r: Step.Repeat) :: rest) =>
+        steps = r.copy(times = k) :: rest
+      case (Step.TimesMarker(_), _) =>
+        throw ParseException("times() must follow repeat()")
+      case _ => steps = s :: steps
+    }
+    push(parseStep(cur))
     var continue = true
     while (continue) cur.peek match {
-      case Some(TDot) => cur.next(); steps += parseStep(cur)
+      case Some(TDot) => cur.next(); push(parseStep(cur))
       case _          => continue = false
     }
-    steps.result()
+    steps.reverse
   }
 
   private def parseStep(cur: Cursor): Step = {
@@ -315,6 +324,7 @@ object StepParser {
       case "aggregate" => Aggregate(strOf(args.head))
       case "cap"       => Cap(args.map(strOf))
 
+      case "times"  => TimesMarker(numOf(args.head).toInt) // folded by parseChain
       case "union"  => Union(args.map(subOf))
       case "and"    => BranchFilter(AndOp, args.map(subOf))
       case "or"     => BranchFilter(OrOp, args.map(subOf))

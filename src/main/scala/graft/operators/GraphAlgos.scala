@@ -22,7 +22,9 @@ object GraphAlgos {
     val vs = g.vertices.select(col("id")).rdd.map(r => (r.getLong(0), ()))
     val es = g.edges.select(col("src"), col("dst")).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    XGraph(vs, es)
+    // iterative algorithms re-read the graph every superstep — without
+    // caching, each iteration re-runs the DataFrame scans
+    XGraph(vs, es).cache()
   }
 
   /** Connected components (undirected): `(id, component)` where

@@ -63,6 +63,97 @@ object SimilarityOps {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search.
+  // The centroid model is tiny (k·dim doubles) and driver-held — model
+  // fitting collects k×dim aggregates per iteration, never rows.
+  // ------------------------------------------------------------------
+
+  /** Column: index of the nearest centroid (squared-L2 argmin). */
+  private def nearestCentroid(vec: Column,
+                              centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      val cc = c.map(x => x * x).sum
+      // ||v-c||² = ||v||² - 2·v·c + ||c||²; ||v||² constant per row
+      struct((lit(cc) - lit(2.0) * dot(vec, cl)).as("d"),
+        lit(i).as("i"))
+    }
+    array_min(array(scored: _*)).getField("i")
+  }
+
+  /** The `nprobe` nearest centroid indices for a vector. */
+  private def probeCentroids(vec: Column, centroids: Array[Array[Double]],
+                             nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      val cc = c.map(x => x * x).sum
+      struct((lit(cc) - lit(2.0) * dot(vec, cl)).as("d"), lit(i).as("i"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+      s => s.getField("i"))
+  }
+
+  /**
+   * Fit IVF centroids by Lloyd's k-means: deterministic init (first k
+   * vectors by id), fixed iteration count. Element-wise means computed
+   * distributed (posexplode → groupBy(cluster, dim)); only the k·dim
+   * model ever reaches the driver.
+   */
+  def fitIvfCentroids(corpus: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding", dim: Int = 64,
+                      k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .cache()
+    var centroids: Array[Array[Double]] = vecs.orderBy("__id").limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = vecs.withColumn("__c",
+        nearestCentroid(col("__v"), centroids))
+      val means = assigned
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__c", "__pos").agg(avg(col("__x")).as("__m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    vecs.unpersist()
+    centroids
+  }
+
+  /**
+   * IVF approximate top-k: corpus bucketed by nearest centroid, each
+   * query probes its `nprobe` closest cells. Complements [[lshTopK]]:
+   * IVF adapts to the data distribution (learned cells), LSH is
+   * data-independent (fixed hyperplanes).
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              centroids: Array[Array[Double]],
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nprobe: Int = 4, k: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"),
+      nearestCentroid(col(vecCol), centroids).as("__cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"),
+      explode(probeCentroids(col(vecCol), centroids, nprobe)).as("__cell"))
+    q.join(c, "__cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a splitmix64-style integer mix mapped to [-1, 1]. */
   private def planeComponent(plane: Int, dim: Int): Double = {

@@ -197,6 +197,15 @@ class GremlinSpec extends SparkSpec {
     assert(longs("g.V().repeat(out()).count()") == Seq(6L))
   }
 
+  test("repeat().times(k) unrolls k hops (extension)") {
+    // 2 hops from marko: out,out -> created of vadas/josh = {lop,ripple} via josh
+    assert(values("g.V(1).repeat(out()).times(2).values(\"name\").order()") ==
+      Seq("lop", "ripple"))
+    intercept[StepParser.ParseException] {
+      StepParser.parse("g.V().times(2)")
+    }
+  }
+
   test("values over multiple keys") {
     assert(values("g.V().has(\"name\", \"lop\").values(\"name\", \"lang\").order()") ==
       Seq("java", "lop"))

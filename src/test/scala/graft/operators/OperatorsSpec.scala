@@ -146,6 +146,23 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("ivf top-k: deterministic centroids, reasonable recall") {
+    val cents = SimilarityOps.fitIvfCentroids(embs, k = 8, iters = 3)
+    val cents2 = SimilarityOps.fitIvfCentroids(embs, k = 8, iters = 3)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+
+    val queries = embs.filter(col("vec_id") < 20).cache()
+    val k = 10
+    def pairs(df: DataFrame): Set[(Long, Long)] = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityOps.bruteForceTopK(queries, embs, k = k))
+    val ivf = pairs(SimilarityOps.ivfTopK(queries, embs, cents,
+      nprobe = 4, k = k))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   // ---------------- MultimodalOps ----------------
 
   test("payload decode plumbing: typed batches with deterministic stub") {
