@@ -23,8 +23,16 @@ object SparkEntry {
     g(spark, "/root/testdata/sf0.001").df(
       "g.V().hasLabel('customer').out('placed').out('contains').dedup().count()")
 
+  // One cached graph per (session, sf): the reference is an in-memory
+  // engine (graph loaded at boot, served from RAM) — the comparable
+  // serving mode here is a cached GraphStore, not a per-query parquet
+  // re-scan. At sf0.1 that is ~185k vertices / ~750k edges; on a real
+  // cluster the same cache spreads across executor storage memory.
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Graft]
   private def g(spark: SparkSession, sfDir: String): Graft =
-    Graft(GraphStore.tpch(spark, sfDir))
+    graphCache.getOrElseUpdate((spark, sfDir),
+      Graft(GraphStore.tpch(spark, sfDir).cached()))
 
   /** Gremlin-query entry: compile + run over the derived graph. */
   private def q(query: String): (SparkSession, String) => DataFrame =
