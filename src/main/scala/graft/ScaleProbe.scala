@@ -1,0 +1,43 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    // replicate with id offsets AND a per-copy token prefix so copies are
+    // not trivial duplicates of each other (keeps pair structure sane)
+    val docs = (0 until mult).map { i =>
+      base.select((col("doc_id") + lit(i.toLong * 1000000)).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"), lit("$1_" + i)).as("text"))
+    }.reduce(_ unionByName _).repartition(32).cache()
+    println(s"docs=${docs.count()} (${mult}x of $n)")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name: ${(System.nanoTime()-t0)/1e9}%.1fs rows=$r")
+    }
+    time("minhashLsh")(operators.DedupOps.minhashLsh(docs, tau = 0.8).count())
+    time("simhash")(operators.DedupOps.simhash(docs, maxDist = 3).count())
+    time("exact")(operators.DedupOps.exact(docs).count())
+
+    val ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val embs = (0 until mult).map { i =>
+      ebase.select((col("vec_id") + lit(i.toLong * 1000000)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _).repartition(32).cache()
+    println(s"vecs=${embs.count()}")
+    val q = embs.filter(col("vec_id") < 20).cache(); q.count()
+    time("lshTopK")(operators.SimilarityOps.lshTopK(q, embs, k = 10).count())
+    val cents = operators.SimilarityOps.fitIvfCentroids(embs, k = 32, iters = 3)
+    time("ivfTopK")(operators.SimilarityOps.ivfTopK(q, embs, cents, nprobe = 4, k = 10).count())
+    time("bruteTopK")(operators.SimilarityOps.bruteForceTopK(q, embs, k = 10).count())
+    spark.stop()
+  }
+}
