@@ -134,14 +134,22 @@ object DedupOps {
       col("__rank") <= col("__n") - ceil(lit(tau) * col("__n")) + 1)
 
     val l = prefix.select(col("__tok"), col("__id").as("id_a"),
-      col("__n").as("__na"))
+      col("__n").as("__na"), col("__rank").as("__pa"))
     val r = prefix.select(col("__tok"), col("__id").as("id_b"),
-      col("__n").as("__nb"))
-    // size-band bound: J(a,b) ≥ τ requires τ·max(|a|,|b|) ≤ min(|a|,|b|)
+      col("__n").as("__nb"), col("__rank").as("__pb"))
+    // two lossless prunes on top of the prefix guarantee:
+    //  - size band: J ≥ τ requires τ·max(|a|,|b|) ≤ min(|a|,|b|)
+    //  - PPJoin position bound: overlap o ≥ ⌈τ/(1+τ)·(|a|+|b|)⌉, and a
+    //    match at doc-local ranks (pa, pb) can contribute at most
+    //    min(|a|-pa, |b|-pb)+1 overlap. The pair's FIRST shared token
+    //    (global order) always satisfies the bound when J ≥ τ, so
+    //    keeping pairs where ANY entry passes is exact.
     val candidates = l.join(r, "__tok")
       .filter(col("id_a") < col("id_b") &&
         greatest(col("__na"), col("__nb")) * tau <=
-          least(col("__na"), col("__nb")))
+          least(col("__na"), col("__nb")) &&
+        least(col("__na") - col("__pa"), col("__nb") - col("__pb")) + 1 >=
+          ceil(lit(tau / (1 + tau)) * (col("__na") + col("__nb"))))
       .select("id_a", "id_b").distinct()
 
     verifyPairs(candidates, docs, tau)
