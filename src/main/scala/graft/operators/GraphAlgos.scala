@@ -36,6 +36,79 @@ object GraphAlgos {
       .toDF("id", "component")
   }
 
+  /**
+   * DataFrame-native connected components: the alternating
+   * large-star/small-star algorithm (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond"). Converges in O(log n)
+   * rounds; every round is two `groupBy(min)` + join passes — no
+   * per-root adjacency materialisation (the classic collect_list trap
+   * on giant components) and no RDDs, so AQE/Tungsten apply throughout.
+   *
+   * Measured vs [[connectedComponents]] at sf0.1 (185k vertices, 750k
+   * edges, local[16]): GraphX 6.7 s, this 20.3 s — Pregel's
+   * partition-reuse beats per-round shuffle+checkpoint at this size,
+   * so GraphX stays the default; this variant exists for environments
+   * where RDD-based GraphX is unavailable/undesirable and as the
+   * AQE-planned path for very wide clusters.
+   */
+  def connectedComponentsDF(g: GraphStore, maxRounds: Int = 25): DataFrame = {
+    val spark = g.vertices.sparkSession
+
+    def undirected(e: DataFrame): DataFrame =
+      e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+
+    def minNeighbor(e: DataFrame): DataFrame =
+      undirected(e).groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+
+    // large-star: (u,v) with v>u  → (v, m(u)); small-star: v≤u → (v, m(u)) ∪ (u, m(u))
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val m = minNeighbor(e)
+      val all = undirected(e)
+      val linked =
+        if (large)
+          all.filter(col("v") > col("u")).join(m, "u")
+            .select(col("v").as("u"), col("m").as("v"))
+        else
+          all.filter(col("v") <= col("u")).join(m, "u")
+            .select(col("v").as("u"), col("m").as("v"))
+            .union(m.select(col("u"), col("m").as("v")))
+      linked.filter(col("u") =!= col("v")).distinct()
+    }
+
+    // localCheckpoint each round: caching truncates EXECUTION but not
+    // the logical plan — without it the analyzer re-walks a plan that
+    // nests ~4× per round (exponential; round 4 alone took >85 s on a
+    // 6-node graph before this)
+    var edges = g.edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var round = 0
+    var prevSig = -1L
+    while (!converged && round < maxRounds) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint()
+      // order-independent, overflow-free fixpoint signature (ANSI mode
+      // forbids wrapping sum of full-range hashes)
+      val sig = next.agg(expr("bit_xor(xxhash64(u, v))"),
+        count(lit(1))).collect().head
+      val nextSig = Option(sig.get(0)).map(_.asInstanceOf[Long])
+        .getOrElse(0L) ^ sig.getLong(1)
+      converged = nextSig == prevSig
+      prevSig = nextSig
+      edges = next
+      round += 1
+    }
+    // stars: u → component root; isolated vertices are their own root
+    val assigned = edges.select(col("u").as("id"), col("v").as("component"))
+    g.vertices.select(col("id"))
+      .join(assigned, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id"))
+        .as("component"))
+  }
+
   /** PageRank to `tol` convergence: `(id, rank)`. */
   def pageRank(g: GraphStore, tol: Double = 1e-4,
                resetProb: Double = 0.15): DataFrame = {
