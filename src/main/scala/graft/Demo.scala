@@ -21,8 +21,9 @@ object Demo {
   def main(args: Array[String]): Unit = {
     val explain = args.contains("--explain")
     val rest = args.filterNot(_ == "--explain")
-    if (rest.length < 2) {
-      System.err.println("usage: graft.Demo <modern|sfDir> [--explain] <query>…")
+    if (rest.length < 1) {
+      System.err.println("usage: graft.Demo <modern|sfDir> [--explain] [query…]")
+      System.err.println("       (no query args: interactive, reads queries from stdin)")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -38,7 +39,7 @@ object Demo {
       if (rest(0) == "modern") GraphStore.modern(spark)
       else GraphStore.tpch(spark, rest(0))
     val g = Graft(graph)
-    rest.drop(1).foreach { q =>
+    def run(q: String): Unit = {
       println(s"gremlin> $q")
       try {
         if (explain) g.df(q).explain("formatted")
@@ -47,6 +48,13 @@ object Demo {
         case e: Exception => println(s"ERROR: ${e.getMessage}")
       }
     }
+    val queries = rest.drop(1)
+    if (queries.nonEmpty) queries.foreach(run)
+    else // interactive console, like the reference client
+      scala.io.Source.stdin.getLines()
+        .map(_.trim).filter(_.nonEmpty)
+        .takeWhile(l => l != "exit" && l != "quit")
+        .foreach(run)
     spark.stop()
   }
 }
