@@ -70,9 +70,11 @@ object Emu {
       keyRe.replaceAllIn(t, m => {
         val pool = pools(m.group(1))
         val v = pool(rand.nextInt(pool.length))
-        // numeric values stay bare; strings get quoted
-        if (v.matches("-?[0-9.]+")) v
-        else "'" + v.replace("'", "\\'") + "'"
+        // numeric values stay bare; strings get quoted; quoteReplacement
+        // so '$'/'\' in data values aren't read as group references
+        scala.util.matching.Regex.quoteReplacement(
+          if (v.matches("-?[0-9.]+")) v
+          else "'" + v.replace("'", "\\'") + "'")
       })
 
     val latencies = new ConcurrentLinkedQueue[Double]()

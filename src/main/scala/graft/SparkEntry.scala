@@ -347,7 +347,7 @@ object SparkEntry {
          |  CAST(length(text) AS DOUBLE) AS ln,
          |  CAST(${sqlHits(operators.TextOps.StopEn)} AS DOUBLE) AS st
          | FROM documents)
-         |SELECT doc_id, (least(n, 100.0)*40.0 + least(floor(250.0*cns/n), 2000.0) + (2000.0 - floor(2000.0*pn/ln)) + least(floor(10000.0*st/n), 2000.0)) / 10000.0 AS quality FROM s""".stripMargin,
+         |SELECT doc_id, (least(n, 100.0)*40.0 + least(floor(250.0*cns/greatest(n, 1.0)), 2000.0) + (2000.0 - floor(2000.0*pn/greatest(ln, 1.0))) + least(floor(10000.0*st/greatest(n, 1.0)), 2000.0)) / 10000.0 AS quality FROM s""".stripMargin,
     "text_fingerprint" ->
       ("SELECT doc_id, md5(text) AS fingerprint, " +
         "list_min([md5(text[i:i+7]) for i in range(1, greatest(length(text)-7, 1)+1)]) AS winnow_fp FROM documents"),

@@ -50,7 +50,10 @@ object Compiler {
       sideEffects: Map[String, (DataFrame, Kind)],
       groupCol: Option[String],
       // (hidden sort-key columns, ascending?) — order persists until a barrier
-      ordering: Seq[(String, Boolean)]) {
+      ordering: Seq[(String, Boolean)],
+      // distinct groupCol universe: lets count() emit 0 rows for empty
+      // groups ("empty data still reaches barriers", message.cpp:418-449)
+      groupUniverse: Option[DataFrame] = None) {
     /** Columns that must survive every transformation. */
     def auxCols: Seq[String] =
       history.keys.map(h => s"__as_$h").toSeq ++
@@ -67,6 +70,11 @@ object Compiler {
   }
 
   def compile(graph: GraphStore, steps: List[Step]): Result = {
+    steps.headOption match {
+      case Some(Step.V(_)) | Some(Step.E()) => ()
+      case other => throw CompileException(
+        s"query must start with V() or E(), got $other")
+    }
     val init = State(null, VertexKind, attached = false, Map.empty,
       Map.empty, None, Nil)
     val out = steps.foldLeft(init)((s, step) => apply(graph, s, step))
@@ -121,7 +129,10 @@ object Compiler {
         val e = graph.edges.alias(a)
         val joined = s.df.join(e,
           s.df("__val").getField("src") === col(s"$a.src") &&
-          s.df("__val").getField("dst") === col(s"$a.dst"))
+          s.df("__val").getField("dst") === col(s"$a.dst") &&
+          // label too: stores loaded from text can hold parallel edges
+          // differing only by label
+          s.df("__val").getField("label") === col(s"$a.label"))
         val keep = col("__val") +: s.auxCols.map(col) ++:
           graph.edgeKeys.map(k => col(s"$a.$k").as(k))
         s.copy(df = joined.select(keep: _*), attached = true)
@@ -351,8 +362,15 @@ object Compiler {
 
       case Count() =>
         val df = s.groupCol match {
-          case Some(g) => s.df.groupBy(col(g))
-            .agg(count(lit(1)).as("__val"))
+          case Some(g) =>
+            val counts = s.df.groupBy(col(g)).agg(count(lit(1)).as("__val"))
+            // per-traverser barriers emit count=0 for empty groups
+            s.groupUniverse match {
+              case Some(universe) => universe
+                .join(counts, Seq(g), "left")
+                .select(col(g), coalesce(col("__val"), lit(0L)).as("__val"))
+              case None => counts
+            }
           case None => s.df.agg(count(lit(1)).as("__val"))
         }
         barrierReset(s, df, ScalarKind(LongType))
@@ -386,8 +404,13 @@ object Compiler {
             val df = s.df.withColumn(ord, col("__val"))
             s.copy(df = df, ordering = Seq((ord, !desc)))
           case Some(k) =>
-            val at = ensureAttached(graph, s)
-            val c = if (k == "label") col("label")
+            val at =
+              if (k == "label" && s.kind == EdgeKind) s
+              else ensureAttached(graph, s)
+            val c = if (k == "label") at.kind match {
+                      case EdgeKind => col("__val").getField("label")
+                      case _        => col("label")
+                    }
                     else propCol(graph, at, k)
             // elements missing the key are dropped (the reference sorts a
             // multiset keyed by the projected property)
@@ -421,10 +444,17 @@ object Compiler {
           }
           case Some(p) => propCol(graph, at, p)
         }
+        // elements missing the projected group key are dropped (the
+        // reference groups only elements that have the property; a
+        // null-key bucket would also NPE the console renderer)
+        val base = byKey match {
+          case Some(_) => at.df.filter(proj(byKey).isNotNull)
+          case None    => at.df
+        }
         val keyC = proj(byKey).as("key")
         val grouped = at.groupCol match {
-          case Some(g) => at.df.groupBy(col(g), keyC)
-          case None    => at.df.groupBy(keyC)
+          case Some(g) => base.groupBy(col(g), keyC)
+          case None    => base.groupBy(keyC)
         }
         val df =
           if (countOnly)
@@ -481,9 +511,16 @@ object Compiler {
 
       case BranchFilter(op, subs) =>
         val d = detach(s)
+        // localCheckpoint freezes the row ids: the tagged plan is
+        // re-evaluated on both sides of the semi/anti join, and
+        // monotonically_increasing_id is only deterministic for a
+        // deterministic partition layout — a shuffled frontier's
+        // within-partition order is not, so without materialisation the
+        // two evaluations could tag the same logical row differently
         val tagged = d.df.withColumn("__rowid",
-          monotonically_increasing_id())
-        val from = d.copy(df = tagged, groupCol = Some("__rowid"))
+          monotonically_increasing_id()).localCheckpoint()
+        val from = d.copy(df = tagged, groupCol = Some("__rowid"),
+          groupUniverse = Some(tagged.select(col("__rowid")).distinct()))
         var se = d.sideEffects
         val hits: Seq[DataFrame] = subs.map { sub =>
           val r = compileSub(graph, from.copy(sideEffects = se), sub)

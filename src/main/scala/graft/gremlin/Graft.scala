@@ -43,8 +43,10 @@ final case class Graft(graph: GraphStore) {
     * Returns a status line, or None if `q` is a traversal query. */
   def ddl(q: String): Option[String] = q match {
     case BuildIndexRe(ve, key) =>
-      index.build(graph, ve.equalsIgnoreCase("V"), key)
-      Some(s"Index built for ${ve.toUpperCase}.$key")
+      val isV = ve.equalsIgnoreCase("V")
+      index.build(graph, isV, key)
+      Some(s"Index built for ${ve.toUpperCase}.$key" +
+        (if (isV) "" else " (planner folds vertex indexes only)"))
     case SetConfigRe(k, v) =>
       config += k -> v
       Some(s"Config $k=$v")

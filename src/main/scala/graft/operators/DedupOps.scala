@@ -178,10 +178,12 @@ object DedupOps {
 
     val blocked = sigs.select(col("__id"), col("__sim"),
       posexplode(array((0 until blocks).map { b =>
-        // top block takes the remainder bits
+        // top block takes the remainder bits; w=64 (maxDist=0) needs
+        // the all-ones mask — (1L << 64) wraps to 1 in the JVM
         val w = if (b == blocks - 1) 64 - width * (blocks - 1) else width
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
         shiftrightunsigned(col("__sim"), b * width)
-          .bitwiseAND((1L << w) - 1L)
+          .bitwiseAND(mask)
       }: _*)).as(Seq("__blk", "__bv")))
 
     val l = blocked.select(col("__blk"), col("__bv"),

@@ -78,10 +78,14 @@ object TextOps {
       lit("[^A-Za-z0-9 ]"), lit(0))).cast(DoubleType)
     val ln = length(text).cast(DoubleType)
     val st = hits(text, StopEn).cast(DoubleType)
+    // greatest(…, 1): empty text would divide by zero → NaN in Spark
+    // but NULL in DuckDB — guard identically on both sides
+    val nG = greatest(n, lit(1.0))
+    val lnG = greatest(ln, lit(1.0))
     val t1 = least(n, lit(100.0)) * 40.0            // exact: int ≤ 100 · 40
-    val t2 = least(floor(lit(250.0) * cns / n), lit(2000.0))
-    val t3 = lit(2000.0) - floor(lit(2000.0) * pn / ln)
-    val t4 = least(floor(lit(10000.0) * st / n), lit(2000.0))
+    val t2 = least(floor(lit(250.0) * cns / nG), lit(2000.0))
+    val t3 = lit(2000.0) - floor(lit(2000.0) * pn / lnG)
+    val t4 = least(floor(lit(10000.0) * st / nG), lit(2000.0))
     (t1 + t2 + t3 + t4) / 10000.0
   }
 

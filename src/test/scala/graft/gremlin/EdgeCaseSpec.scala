@@ -61,6 +61,32 @@ class EdgeCaseSpec extends SparkSpec {
       Seq("=>software:[lop, ripple]"))
   }
 
+  test("count() inside a branch emits 0 for empty groups (Gremlin parity)") {
+    // vertices with NO outgoing edges: vadas, lop, ripple
+    assert(g.df("g.V().and(out().count().is(eq(0))).id()"
+      .replace(".id()", "")).count() == 3)
+    assert(g.strings(
+      "g.V().and(out().count().is(gt(1))).values('name')").sorted ==
+      Seq("=>josh", "=>marko"))
+  }
+
+  test("order by label on an edge stream") {
+    assert(g.strings("g.E().order('label', decr).limit(1).label()") ==
+      Seq("=>knows"))
+  }
+
+  test("groupCount over a partially-present key drops missing elements") {
+    val t = Graft(graft.sources.GraphStore.tpch(spark, "/root/testdata/sf0.001"))
+    val rows = t.df("g.V().groupCount('mktsegment')").collect()
+    assert(rows.forall(r => r.getString(0) != null))
+    assert(rows.map(_.getLong(1)).sum == 150L) // only customers counted
+  }
+
+  test("query not starting with V/E raises CompileException") {
+    val ex = intercept[CompileException] { g.df("g.count()") }
+    assert(ex.getMessage.contains("must start with V() or E()"))
+  }
+
   test("chained barriers: count of a count") {
     assert(g.strings("g.V().count().count()") == Seq("=>1"))
   }

@@ -41,6 +41,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getDouble(0) >= 0.0 && out.getDouble(1) <= 1.0)
   }
 
+  test("quality score is finite for empty text") {
+    import spark.implicits._
+    val q = Seq("", "   ", "x").toDF("text")
+      .select(TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(q.forall(v => !v.isNaN && v >= 0.0 && v <= 1.0))
+  }
+
+  test("simhash maxDist=0 finds exactly identical signatures") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.simhash(df, maxDist = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("fingerprints: md5 + winnow agree on identical text") {
     import spark.implicits._
     val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "abcdefghiX"))
