@@ -57,6 +57,10 @@ object SparkEntry {
     "hasnot_key"     -> q("g.V().hasNot('mktsegment').count()"),
     "haskey_all"     -> q("g.V().hasKey('name', 'acctbal').count()"),
     "hasvalue_any"   -> q("g.V().hasValue('BUILDING').count()"),
+    // numeric hasValue coerces int<->double like the reference's value_t
+    // compare (base/predicate.cpp:28-44); both spell the same predicate
+    "hasvalue_num"    -> q("g.V().hasValue(15).count()"),
+    "hasvalue_coerce" -> q("g.V().hasValue(15.0).count()"),
     "haslabel_multi" -> q("g.V().hasLabel('customer', 'part').count()"),
     "is_scalar"      -> q("g.V().hasLabel('order').values('totalprice').is(gt(100000.0)).count()"),
 
@@ -91,6 +95,13 @@ object SparkEntry {
 
     // ---- §2.7 branches ----
     "union_branches" -> q("g.V().hasLabel('customer').has('nationkey', eq(1)).union(out('placed'), out('placed').out('contains')).count()"),
+    // order/limit inside union branches: branch-global slice (reference
+    // BranchExpert sends unlabelled data — core/message.cpp:149-172)
+    "union_order_limit" -> q("g.V().hasLabel('customer').has('nationkey', eq(1)).union(out('placed').order('totalprice', decr).limit(3), out('placed').order('totalprice', incr).limit(2)).values('totalprice')"),
+    // order/limit inside and(): per-input-traverser slice (labelled
+    // branch + RangeExpert counter_map, barrier_expert.hpp:860-958) —
+    // "customers whose LARGEST order is below 200k"
+    "branch_top1_filter" -> q("g.V().hasLabel('customer').and(out('placed').order('totalprice', decr).limit(1).has('totalprice', lt(200000.0))).count()"),
     "and_filter" -> q("g.V().hasLabel('customer').and(out('placed').has('totalprice', gt(150000.0)), out('placed').has('totalprice', lt(50000.0))).count()"),
     "or_filter"  -> q("g.V().hasLabel('customer').or(out('placed').has('totalprice', gt(250000.0)), out('placed').has('totalprice', lt(20000.0))).count()"),
     "not_filter" -> q("g.V().hasLabel('customer').not(out('placed')).count()"),
@@ -249,6 +260,10 @@ object SparkEntry {
       "SELECT count(*) AS value FROM customer",
     "hasvalue_any" ->
       "SELECT count(*) AS value FROM customer WHERE c_name = 'BUILDING' OR c_mktsegment = 'BUILDING'",
+    "hasvalue_num" ->
+      "SELECT (SELECT count(*) FROM customer WHERE c_nationkey = 15 OR c_acctbal = 15.0) + (SELECT count(*) FROM orders WHERE o_totalprice = 15.0) + (SELECT count(*) FROM part WHERE p_size = 15 OR p_retailprice = 15.0) AS value",
+    "hasvalue_coerce" ->
+      "SELECT (SELECT count(*) FROM customer WHERE c_nationkey = 15 OR c_acctbal = 15.0) + (SELECT count(*) FROM orders WHERE o_totalprice = 15.0) + (SELECT count(*) FROM part WHERE p_size = 15 OR p_retailprice = 15.0) AS value",
     "haslabel_multi" ->
       "SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM part) AS value",
     "is_scalar" ->
@@ -296,6 +311,12 @@ object SparkEntry {
 
     "union_branches" ->
       s"SELECT (SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 1) + (SELECT count(*) FROM $EdgesContains e JOIN orders o ON e.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 1) AS value",
+    "union_order_limit" ->
+      """SELECT value FROM (SELECT o_totalprice AS value FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 1 ORDER BY o_totalprice DESC, CAST(o.o_orderkey + 1000000000 AS VARCHAR) LIMIT 3)
+        |UNION ALL
+        |SELECT value FROM (SELECT o_totalprice AS value FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 1 ORDER BY o_totalprice ASC, CAST(o.o_orderkey + 1000000000 AS VARCHAR) LIMIT 2)""".stripMargin,
+    "branch_top1_filter" ->
+      "SELECT count(*) AS value FROM (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING max(o_totalprice) < 200000.0)",
     "and_filter" ->
       "SELECT count(*) AS value FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0) AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000.0)",
     "or_filter" ->

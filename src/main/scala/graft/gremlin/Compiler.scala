@@ -207,13 +207,21 @@ object Compiler {
 
       case HasValue(vs) =>
         val at = ensureAttached(graph, s)
-        // dynamic `any property equals v`: compare as strings (the
-        // reference compares value_t bytes with numeric coercion;
-        // string-normalised equality matches for its 4 primitive types)
+        // dynamic `any property equals v`, with the reference's value_t
+        // comparison semantics (`base/predicate.cpp:28-44`): int and
+        // double coerce to a numeric compare, strings compare as
+        // strings, and a string-vs-number mismatch is simply false.
         val keys = propKeys(graph, at.kind)
         val cond = vs.map { v =>
-          keys.map(k => propCol(graph, at, k).cast(StringType) ===
-            lit(v.value.toString)).reduce(_ || _)
+          keys.map { k =>
+            val c = propCol(graph, at, k)
+            val dt = at.df.select(c).schema.head.dataType
+            (v, dt) match {
+              case (Lit.S(sv), StringType)             => c === lit(sv)
+              case (Lit.I(_) | Lit.D(_), _: NumericType) => c === v.column
+              case _                                   => lit(false)
+            }
+          }.reduce(_ || _)
         }.reduce(_ || _)
         at.copy(df = at.df.filter(cond))
 
@@ -425,12 +433,37 @@ object Compiler {
         }
 
       case Range(lo, hi) =>
-        val sorted = applyOrdering(s)
-        val df =
-          if (hi < 0) sorted.offset(lo.toInt)
-          else if (lo == 0) sorted.limit(hi.toInt)
-          else sorted.offset(lo.toInt).limit((hi - lo).toInt)
-        s.copy(df = df)
+        s.groupCol match {
+          case Some(g) =>
+            // Inside and/or/not the reference labels every input
+            // traverser and RangeExpert slices per label
+            // (`expert/barrier_expert.hpp:860-958`, labelling
+            // `core/message.cpp:214-243`) — a row_number window per
+            // branch group, not a global limit. (Plain union() branches
+            // stay global: BranchExpert sends unlabelled data, so all
+            // rows share bucket -1 — `core/message.cpp:149-172`.)
+            val orderSpec =
+              if (s.ordering.nonEmpty)
+                s.ordering.map { case (c, asc) =>
+                  if (asc) col(c).asc else col(c).desc }
+              else Seq(col("__val").asc) // deterministic stand-in for
+                                         // the reference's arrival order
+            val rn = freshAlias("__rn")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(g)).orderBy(orderSpec: _*)
+            val sliced = s.df.withColumn(rn, row_number().over(w))
+              .filter(col(rn) > lo &&
+                (if (hi < 0) lit(true) else col(rn) <= hi))
+              .drop(rn)
+            s.copy(df = sliced)
+          case None =>
+            val sorted = applyOrdering(s)
+            val df =
+              if (hi < 0) sorted.offset(lo.toInt)
+              else if (lo == 0) sorted.limit(hi.toInt)
+              else sorted.offset(lo.toInt).limit((hi - lo).toInt)
+            s.copy(df = df)
+        }
 
       case Group(byKey, valKey, countOnly) =>
         val at = if (byKey.exists(_ != "label") || valKey.isDefined ||

@@ -100,6 +100,44 @@ class EdgeCaseSpec extends SparkSpec {
     assert(g.df("g.V().hasLabel('person').values('lang')").count() == 0)
   }
 
+  test("range/limit inside and() slices per input traverser") {
+    // per-creator alphabetically-first created software is always lop
+    // (marko:{lop}, josh:{lop,ripple}, peter:{lop}) — a GLOBAL limit(1)
+    // would keep a single branch row and pass only one creator
+    assert(g.strings(
+      "g.V().hasLabel('person').and(out('created').order('name', incr)" +
+        ".limit(1).has('name', eq('lop'))).count()") == Seq("=>3"))
+    // ripple is josh's SECOND alphabetically — top-1 never matches it
+    assert(g.strings(
+      "g.V().hasLabel('person').and(out('created').order('name', incr)" +
+        ".limit(1).has('name', eq('ripple'))).count()") == Seq("=>0"))
+    // skip(1) per traverser: only josh created more than one thing
+    assert(g.strings(
+      "g.V().hasLabel('person').and(out('created').order('name', incr)" +
+        ".skip(1)).values('name')") == Seq("=>josh"))
+    // range(1, 2) per traverser = the second created software
+    assert(g.strings(
+      "g.V().hasLabel('person').and(out('created').order('name', incr)" +
+        ".range(1, 2).has('name', eq('ripple'))).values('name')") ==
+      Seq("=>josh"))
+  }
+
+  test("limit inside union() stays branch-global (unlabelled branch)") {
+    // top-2 created targets across ALL creators in branch 1, plus all
+    // knows targets in branch 2
+    assert(g.df("g.V().union(out('created').dedup().order('name', incr)" +
+      ".limit(1), out('knows')).count()").collect().head.getLong(0) == 3)
+  }
+
+  test("hasValue coerces int<->double and never string<->number") {
+    assert(g.strings("g.V().hasValue(29).count()") == Seq("=>1"))
+    assert(g.strings("g.V().hasValue(29.0).count()") == Seq("=>1"))
+    // the reference's value_t compare: string '29' != int 29
+    assert(g.strings("g.V().hasValue('29').count()") == Seq("=>0"))
+    assert(g.strings("g.V().hasValue('java').count()") == Seq("=>2"))
+    assert(g.strings("g.V().hasValue('java', 29).count()") == Seq("=>3"))
+  }
+
   test("deep chain: 3 hops with history and slice") {
     assert(g.strings(
       "g.V().as('a').out('knows').as('b').out('created').as('c')" +
