@@ -141,6 +141,10 @@ object SparkEntry {
     "dedup_simhash" -> ((spark, sfDir) => // no SQL oracle: xxhash64 seeds differ across engines
       operators.DedupOps.simhash(docs(spark, sfDir), maxDist = 3)),
     "neardup_embedding" -> ((spark, sfDir) =>
+      operators.DedupOps.embeddingNearDupExact(embs(spark, sfDir), tau = 0.45)),
+    // the DEFAULT (LSH-bucketed) path must reproduce the exact answer —
+    // same DuckDB all-pairs oracle, same τ
+    "neardup_embedding_lsh" -> ((spark, sfDir) =>
       operators.DedupOps.embeddingNearDup(embs(spark, sfDir), tau = 0.45)),
     "ann_topk" -> ((spark, sfDir) => {
       val e = embs(spark, sfDir)
@@ -386,6 +390,9 @@ object SparkEntry {
         | FROM t a JOIN t b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(inter/(la + lb - inter), 4) AS jaccard FROM p WHERE inter/(la + lb - inter) >= 0.95""".stripMargin,
     "neardup_embedding" ->
+      s"""SELECT id_a, id_b, round(ab/(sqrt(aa)*sqrt(bb)), 4) AS cosine
+         |FROM $SqlCosPairs WHERE ab/(sqrt(aa)*sqrt(bb)) >= 0.45""".stripMargin,
+    "neardup_embedding_lsh" ->
       s"""SELECT id_a, id_b, round(ab/(sqrt(aa)*sqrt(bb)), 4) AS cosine
          |FROM $SqlCosPairs WHERE ab/(sqrt(aa)*sqrt(bb)) >= 0.45""".stripMargin,
     "ann_topk" ->

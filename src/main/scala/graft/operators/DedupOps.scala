@@ -65,11 +65,20 @@ object DedupOps {
    * default 128 hashes in 32 bands of 4, the probability of missing a
    * pair at τ=0.8 is (1-0.8⁴)³² ≈ 5·10⁻⁸ — effectively exact recall at
    * the threshold, with candidate generation linear in collisions.
+   *
+   * Skew guard: a band bucket holding more than `maxBucket` postings
+   * (a degenerate shingle population — boilerplate, empty-ish docs)
+   * would alone contribute O(size²) candidates, so each bucket is
+   * truncated to its `maxBucket` smallest ids. Truncation is NOT
+   * silent: the number of truncated postings is published via
+   * `Dataset.observe` and warn-logged by [[CapMetrics]] when nonzero
+   * ([[CapMetrics.last]]("minhashLsh")). Pairs hidden by one band's
+   * truncation are still found through any other band they share.
    */
   def minhashLsh(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", shingleN: Int = 3,
                  numHashes: Int = 128, bands: Int = 32,
-                 tau: Double = 0.8): DataFrame = {
+                 tau: Double = 0.8, maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.VectorExpressions.register(df.sparkSession)
     val rows = numHashes / bands
@@ -79,13 +88,24 @@ object DedupOps {
 
     val sig = docs.withColumn("__sig",
       minhashSignature(col("__sh"), numHashes))
-    val banded = sig.select(col("__id"),
+    val banded0 = sig.select(col("__id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("__sig"), b * rows + 1, rows))): _*))
         .as(Seq("__band", "__bh")))
-
-    val l = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
-    val r = banded.select(col("__band"), col("__bh"), col("__id").as("id_b"))
+    // rank within bucket; the (band, bh) shuffle this needs is the same
+    // distribution the self-join below uses, so it is not an extra pass
+    val ranked = banded0.withColumn("__brn", row_number().over(
+      Window.partitionBy(col("__band"), col("__bh")).orderBy(col("__id"))))
+    // observe on ONE side only — a CollectMetrics name may appear once
+    // per query plan, and the self-join would otherwise duplicate it
+    val observed = CapMetrics.observe(ranked, "minhashLsh",
+      sum(when(col("__brn") > maxBucket, 1L).otherwise(0L))
+        .as("capped_postings"),
+      max(col("__brn")).as("max_bucket_size"))
+    val l = observed.filter(col("__brn") <= maxBucket)
+      .select(col("__band"), col("__bh"), col("__id").as("id_a"))
+    val r = ranked.filter(col("__brn") <= maxBucket)
+      .select(col("__band"), col("__bh"), col("__id").as("id_b"))
     val candidates = l.join(r, Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -199,13 +219,72 @@ object DedupOps {
 
   /**
    * Cosine-threshold near-duplicate pairs over an embedding column —
-   * brute-force baseline (the small side broadcasts; Spark picks
-   * BroadcastNestedLoopJoin). For corpora where n² is prohibitive use
-   * [[SimilarityOps.lshBuckets]] blocking instead.
+   * the DEFAULT path is LSH-bucketed: candidates come from an equi-join
+   * on multi-table sign-bit bucket ids (with multi-probe flips on one
+   * side), then every candidate is verified with the exact cosine. Work
+   * is O(n · tables · probes + collisions), never O(n²) — the 100 TB
+   * shape. The surfaced pairs are a subset of the exact answer scored
+   * with the identical dot/norm arithmetic; with the default
+   * 12 tables × 6 bits × ≤2-bit probes the per-pair miss probability at
+   * τ=0.45 is ≈4·10⁻⁶ ((1-0.644)¹², angle-collision math), and falls
+   * fast as τ rises. [[embeddingNearDupExact]] is the O(n²) oracle.
    */
   def embeddingNearDup(df: DataFrame, idCol: String = "vec_id",
-                       vecCol: String = "embedding",
-                       tau: Double = 0.9): DataFrame = {
+                       vecCol: String = "embedding", tau: Double = 0.9,
+                       dim: Int = 64, nBits: Int = 6, nTables: Int = 12,
+                       probeBits: Int = 2): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val withNorm = df.select(col(idCol).as("__id"),
+      col(vecCol).as("__v"),
+      SimilarityOps.l2norm(col(vecCol)).as("__n"))
+    val base = withNorm.withColumn("__bs",
+      array((0 until nTables).map(t =>
+        SimilarityOps.lshBuckets(col("__v"), dim, nBits, t)): _*))
+
+    val corpusSide = base.select(col("__id").as("id_b"),
+      explode(col("__bs")).as("__bucket"))
+    // probe side: own bucket plus every <=probeBits-bit flip. Flips are
+    // symmetric, so probing from one side of the pair is enough: if
+    // sig_a and sig_b differ in <=probeBits bits in ANY table, the
+    // (probe_a, bucket_b) join row exists.
+    val flipMasks: Seq[Long] = {
+      val one = (0 until nBits).map(j => 1L << j)
+      val two =
+        if (probeBits >= 2)
+          for { j <- 0 until nBits; k <- j + 1 until nBits }
+            yield (1L << j) | (1L << k)
+        else Seq.empty
+      (if (probeBits >= 1) one else Seq.empty) ++ two
+    }
+    val probeSide = base.select(col("__id").as("id_a"),
+      explode(flatten(transform(col("__bs"), b =>
+        array((b +: flipMasks.map(m => b.bitwiseXOR(lit(m)))): _*))))
+        .as("__bucket"))
+
+    val candidates = probeSide.join(corpusSide, "__bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val a = withNorm.select(col("__id").as("id_a"), col("__v").as("__va"),
+      col("__n").as("__na"))
+    val b = withNorm.select(col("__id").as("id_b"), col("__v").as("__vb"),
+      col("__n").as("__nb"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("__c", SimilarityOps.dot(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")))
+      .filter(col("__c") >= tau) // filter on raw value; round for display
+      .select(col("id_a"), col("id_b"), round(col("__c"), 4).as("cosine"))
+  }
+
+  /**
+   * Exact cosine-threshold pairs — brute force over all n² pairs (the
+   * small side broadcasts; Spark picks BroadcastNestedLoopJoin). The
+   * correctness oracle for [[embeddingNearDup]]; only viable when n is
+   * modest.
+   */
+  def embeddingNearDupExact(df: DataFrame, idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            tau: Double = 0.9): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     val withNorm = df.select(col(idCol).as("__id"),
       col(vecCol).as("__v"),

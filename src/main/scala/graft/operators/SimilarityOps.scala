@@ -65,55 +65,80 @@ object SimilarityOps {
 
   // ------------------------------------------------------------------
   // IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search.
-  // The centroid model is tiny (k·dim doubles) and driver-held — model
-  // fitting collects k×dim aggregates per iteration, never rows.
+  // The centroid model is tiny (k·dim doubles) and driver-held — but it
+  // enters query plans as a BROADCAST TABLE, never as plan literals:
+  // cell assignment is a broadcast cross-join + argmin aggregate, so k
+  // can grow to the thousands a 100 TB corpus needs without blowing up
+  // the analyzer (a k×dim literal tree chokes it around k≈10³).
   // ------------------------------------------------------------------
 
-  /** Column: index of the nearest centroid (squared-L2 argmin). */
-  private def nearestCentroid(vec: Column,
-                              centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cl = array(c.map(lit): _*)
-      val cc = c.map(x => x * x).sum
-      // ||v-c||² = ||v||² - 2·v·c + ||c||²; ||v||² constant per row
-      struct((lit(cc) - lit(2.0) * dot(vec, cl)).as("d"),
-        lit(i).as("i"))
-    }
-    array_min(array(scored: _*)).getField("i")
+  /** The centroid model as a broadcastable 3-column table:
+    * `(__cell, __cvec, __cnorm2)`. */
+  private def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                          centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+      .toSeq.toDF("__cell", "__cvec", "__cnorm2")
   }
 
-  /** The `nprobe` nearest centroid indices for a vector. */
-  private def probeCentroids(vec: Column, centroids: Array[Array[Double]],
-                             nprobe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cl = array(c.map(lit): _*)
-      val cc = c.map(x => x * x).sum
-      struct((lit(cc) - lit(2.0) * dot(vec, cl)).as("d"), lit(i).as("i"))
-    }
-    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
-      s => s.getField("i"))
+  /** Rank-by-distance column: ||v-c||² = ||v||² - 2·v·c + ||c||²;
+    * ||v||² is constant per row so it drops out of the argmin. */
+  private def cellDist: Column =
+    col("__cnorm2") - lit(2.0) * dot(col("__v"), col("__cvec"))
+
+  /** Attach `__cell` = argmin-distance centroid to every `(__id, __v)`
+    * row, carrying `carry` columns through. The crossJoin rows are
+    * consumed immediately by the map-side partial argmin aggregate —
+    * one row per element survives to the shuffle. */
+  private def assignCells(df: DataFrame, cdf: DataFrame,
+                          carry: Seq[String]): DataFrame = {
+    val scored = df.crossJoin(broadcast(cdf)).withColumn("__d", cellDist)
+    // min(struct) is lexicographic: nearest cell, ties to lowest id —
+    // same semantics as the previous literal-array argmin
+    val aggs = min(struct(col("__d"), col("__cell")))
+      .getField("__cell").as("__cell") +:
+      carry.map(c => first(col(c)).as(c))
+    scored.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `(__id, __cell)` pairs for each element's `nprobe` nearest cells. */
+  private def probeCells(df: DataFrame, cdf: DataFrame, nprobe: Int,
+                         carry: Seq[String]): DataFrame = {
+    val scored = df.crossJoin(broadcast(cdf)).withColumn("__d", cellDist)
+    val aggs = slice(array_sort(
+      collect_list(struct(col("__d"), col("__cell")))), 1, nprobe)
+      .as("__pc") +: carry.map(c => first(col(c)).as(c))
+    scored.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("__cell",
+        explode(transform(col("__pc"), s => s.getField("__cell"))))
+      .drop("__pc")
   }
 
   /**
    * Fit IVF centroids by Lloyd's k-means: deterministic init (first k
-   * vectors by id), fixed iteration count. Element-wise means computed
-   * distributed (posexplode → groupBy(cluster, dim)); only the k·dim
-   * model ever reaches the driver.
+   * vectors by id), fixed iteration count. Cell assignment is the
+   * broadcast-join argmin of [[assignCells]]; element-wise means are
+   * computed distributed (posexplode → groupBy(cluster, dim)). Only the
+   * k·dim model ever reaches the driver, and each iteration plans
+   * fresh from the cached vectors — plan depth stays constant.
    */
   def fitIvfCentroids(corpus: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding", dim: Int = 64,
                       k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
     val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .cache()
     var centroids: Array[Array[Double]] = vecs.orderBy("__id").limit(k)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     for (_ <- 1 to iters) {
-      val assigned = vecs.withColumn("__c",
-        nearestCentroid(col("__v"), centroids))
+      val assigned = assignCells(vecs, centroidsDf(spark, centroids),
+        carry = Seq("__v"))
       val means = assigned
-        .select(col("__c"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__c", "__pos").agg(avg(col("__x")).as("__m"))
+        .select(col("__cell"),
+          posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos").agg(avg(col("__x")).as("__m"))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>
@@ -136,12 +161,19 @@ object SimilarityOps {
               idCol: String = "vec_id", vecCol: String = "embedding",
               nprobe: Int = 4, k: Int = 10): DataFrame = {
     graft.functions.VectorExpressions.register(queries.sparkSession)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"),
-      nearestCentroid(col(vecCol), centroids).as("__cell"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"),
-      explode(probeCentroids(col(vecCol), centroids, nprobe)).as("__cell"))
+    val cdf = centroidsDf(queries.sparkSession, centroids)
+    val c = assignCells(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        l2norm(col(vecCol)).as("__cn")),
+      cdf, carry = Seq("__v", "__cn"))
+      .select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
+        col("__cn"), col("__cell"))
+    val q = probeCells(
+      queries.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        l2norm(col(vecCol)).as("__qn")),
+      cdf, nprobe, carry = Seq("__v", "__qn"))
+      .select(col("__id").as("query_id"), col("__v").as("__qv"),
+        col("__qn"), col("__cell"))
     q.join(c, "__cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")

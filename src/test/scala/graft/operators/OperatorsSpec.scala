@@ -123,6 +123,48 @@ class OperatorsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("LSH-bucketed embedding near-dup equals brute force") {
+    for (tau <- Seq(0.45, 0.4)) {
+      val exact = DedupOps.embeddingNearDupExact(embs, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val lsh = DedupOps.embeddingNearDup(embs, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty, "fixture should contain near-dup embeddings")
+      assert(lsh == exact, s"tau=$tau: LSH missed ${exact -- lsh}")
+    }
+  }
+
+  test("minhash bucket cap bounds candidates, logs, and keeps the rest") {
+    import spark.implicits._
+    // 40 docs sharing one degenerate shingle population (every band
+    // bucket holds all 40) + 2 clean near-dups with their own shingles
+    val degenerate = (1L to 40L).map(i => (i, "spam spam spam spam spam"))
+    val clean = Seq(
+      (100L, "unique alpha beta gamma delta epsilon zeta"),
+      (101L, "unique alpha beta gamma delta epsilon eta"))
+    val df = (degenerate ++ clean).toDF("doc_id", "text")
+    val capped = DedupOps.minhashLsh(df, tau = 0.5, maxBucket = 10)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // truncation keeps the 10 smallest ids per bucket: pairs within
+    // 1..10 survive, pairs touching 11..40 are capped away
+    assert(capped.contains((100L, 101L)), "clean pair must survive the cap")
+    assert(capped.filter(p => p._1 <= 40).forall(p => p._2 <= 10),
+      "no candidate may touch a truncated posting")
+    assert((1L to 10L).combinations(2).map(s => (s(0), s(1)))
+      .forall(p => capped.contains(p)), "kept prefix stays fully paired")
+    // the cap is not silent: observed metrics recorded the truncation
+    val m = CapMetrics.last("minhashLsh")
+    assert(m.get("capped_postings").exists(_.asInstanceOf[Long] > 0))
+    assert(m.get("max_bucket_size").exists(_.asInstanceOf[Int] == 40))
+    // uncapped control: every degenerate pair is found
+    val uncapped = DedupOps.minhashLsh(df, tau = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1L to 40L).combinations(2).map(s => (s(0), s(1)))
+      .forall(p => uncapped.contains(p)))
+  }
+
   // ---------------- SimilarityOps ----------------
 
   test("brute-force top-k matches a driver-side reference") {
@@ -161,6 +203,20 @@ class OperatorsSpec extends SparkSpec {
     val approx = pairs(SimilarityOps.lshTopK(queries, embs, k = k))
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("ivf at k=256: centroids are data, not plan literals") {
+    // k·dim = 16384 model values — a literal-array argmin would build a
+    // ~33k-node expression tree per reference and stall the analyzer;
+    // the broadcast-join path must fit and serve briskly
+    val t0 = System.nanoTime()
+    val cents = SimilarityOps.fitIvfCentroids(embs, k = 256, iters = 1)
+    assert(cents.length == 256 && cents.forall(_.length == 64))
+    val out = SimilarityOps.ivfTopK(
+      embs.filter(col("vec_id") < 5), embs, cents, nprobe = 16, k = 5)
+    assert(out.count() == 25) // 5 queries x top-5
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, s"k=256 IVF took ${secs}s — plan blowup?")
   }
 
   test("ivf top-k: deterministic centroids, reasonable recall") {
