@@ -31,8 +31,17 @@ object SparkEntry {
   private val graphCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Graft]
   private def g(spark: SparkSession, sfDir: String): Graft =
-    graphCache.getOrElseUpdate((spark, sfDir),
-      Graft(GraphStore.tpch(spark, sfDir).cached()))
+    graphCache.getOrElseUpdate((spark, sfDir), {
+      val gr = Graft(GraphStore.tpch(spark, sfDir).cached())
+      // Serve with the reference's indexes pre-built (IndexExpert at
+      // boot): selective leading filters seed from posting lists, the
+      // rest falls back to the (cached, pushed-down) scan via the 20%
+      // selectivity gate — both paths are oracle-checked.
+      Seq("label", "mktsegment", "nationkey", "name", "brand", "size")
+        .foreach(k => gr.index.build(gr.graph, isVertex = true, k))
+      gr.index.build(gr.graph, isVertex = false, "quantity")
+      gr
+    })
 
   /** Gremlin-query entry: compile + run over the derived graph. */
   private def q(query: String): (SparkSession, String) => DataFrame =

@@ -92,6 +92,17 @@ object Compiler {
     Result(out.df, out.kind, out.ordering, out.sideEffects)
   }
 
+  /** Compile with a pre-computed edge frontier (`src, dst, label`) —
+    * the edge side of InitWithIndex (`expert/init_expert.hpp:199-234`
+    * serves both element types). */
+  def compileSeededEdges(graph: GraphStore, frontier: DataFrame,
+                         steps: List[Step]): Result = {
+    val init = State(frontier.select(edgeStruct().as("__val")), EdgeKind,
+      attached = false, Map.empty, Map.empty, None, Nil)
+    val out = steps.foldLeft(init)((s, step) => apply(graph, s, step))
+    Result(out.df, out.kind, out.ordering, out.sideEffects)
+  }
+
   /** Compile a sub-traversal from an existing frontier. */
   private def compileSub(graph: GraphStore, from: State,
                          sub: List[Step]): State =

@@ -45,8 +45,7 @@ final case class Graft(graph: GraphStore) {
     case BuildIndexRe(ve, key) =>
       val isV = ve.equalsIgnoreCase("V")
       index.build(graph, isV, key)
-      Some(s"Index built for ${ve.toUpperCase}.$key" +
-        (if (isV) "" else " (planner folds vertex indexes only)"))
+      Some(s"Index built for ${ve.toUpperCase}.$key")
     case SetConfigRe(k, v) =>
       config += k -> v
       Some(s"Config $k=$v")
@@ -54,24 +53,102 @@ final case class Graft(graph: GraphStore) {
   }
 
   /** Parse + reorder + compile; returns the raw compiled result.
-    * A leading selective `has(key, eq/within)` with a built index seeds
-    * the frontier from the posting list instead of the table scan
-    * (reference §4.2 index fold, selectivity-gated). */
+    * A leading chain of `has`/`hasLabel` filters with built indexes
+    * seeds the frontier from intersected posting lists instead of the
+    * table scan — the reference's index fold with its selectivity gate
+    * and least-selective eviction (`core/parser.cpp:991-1081`), for
+    * vertices AND edges (`expert/init_expert.hpp:199-234`). Gating is
+    * pure driver arithmetic over the build-time count map: compiling
+    * never runs a Spark job. */
   def compile(query: String): Compiler.Result = {
     val steps = Reorder(StepParser.parse(query))
     steps match {
-      case Step.V(Seq()) :: Step.Has(key, pred) :: rest
-          if index.has(isVertex = true, key) =>
-        val values = pred match {
-          case Pred.Eq(v)     => Some(Seq(v.value))
-          case Pred.Within(vs) => Some(vs.map(_.value))
-          case _ => None
+      case Step.V(Seq()) :: rest =>
+        foldIndex(isVertex = true, rest) match {
+          case Some((frontier, remaining)) =>
+            Compiler.compileSeeded(graph, frontier, remaining)
+          case scala.None => Compiler.compile(graph, steps)
         }
-        values.flatMap(vs => index.lookupVertices(key, vs)) match {
-          case Some(frontier) => Compiler.compileSeeded(graph, frontier, rest)
-          case None => Compiler.compile(graph, steps)
+      case Step.E() :: rest =>
+        foldIndex(isVertex = false, rest) match {
+          case Some((frontier, remaining)) =>
+            Compiler.compileSeededEdges(graph, frontier, remaining)
+          case scala.None => Compiler.compile(graph, steps)
         }
       case _ => Compiler.compile(graph, steps)
+    }
+  }
+
+  /** The reference's parser-time index fold (`core/parser.cpp:991-1081`):
+    * walk the leading filter chain; each indexed `has(key, pred)` whose
+    * matched count passes the selectivity gate AND `count/3 < minCount`
+    * folds into the init frontier; when a new fold lowers `minCount`,
+    * previously folded predicates with `count/3 >= minCount` are
+    * evicted back to ordinary filter steps (`index_ratio = 3`,
+    * `core/parser.hpp:43-46`). `hasLabel` folds as a WITHIN predicate
+    * on the label key (`parser.cpp:1060-1081`) — selectivity-gated but
+    * outside the minCount bookkeeping, like the reference. */
+  private[gremlin] def foldIndex(isVertex: Boolean, rest: List[Step])
+      : Option[(org.apache.spark.sql.DataFrame, List[Step])] = {
+    val IndexRatio = 3L
+    val isLeading: Step => Boolean = {
+      case _: Step.Has | _: Step.HasKey | _: Step.HasLabel |
+           _: Step.HasValue => true
+      case _ => false
+    }
+    val leading = rest.takeWhile(isLeading)
+    val tail = rest.drop(leading.length)
+    if (leading.isEmpty) return scala.None
+
+    // (key, pred, count, evictable)
+    var folded = Vector.empty[(String, Pred, Long, Boolean)]
+    var kept = Vector.empty[Step]
+    var minCount = Long.MaxValue
+
+    leading.foreach {
+      case step @ Step.Has(key, pred) =>
+        index.admissibleCount(isVertex, key, pred) match {
+          case Some(count) if count / IndexRatio < minCount =>
+            if (count < minCount) {
+              minCount = count
+              val (stay, evicted) = folded.partition { case (_, _, c, ev) =>
+                !ev || c / IndexRatio < minCount }
+              folded = stay
+              kept ++= evicted.map(f => Step.Has(f._1, f._2))
+            }
+            folded :+= ((key, pred, count, true))
+          case _ => kept :+= step
+        }
+      case step @ Step.HasKey(Seq(key)) =>
+        // hasKey(k) is has(k, ANY) in the reference's param encoding
+        index.admissibleCount(isVertex, key, Pred.Any) match {
+          case Some(count) if count / IndexRatio < minCount =>
+            if (count < minCount) {
+              minCount = count
+              val (stay, evicted) = folded.partition { case (_, _, c, ev) =>
+                !ev || c / IndexRatio < minCount }
+              folded = stay
+              kept ++= evicted.map(f => Step.Has(f._1, f._2))
+            }
+            folded :+= ((key, Pred.Any, count, true))
+          case _ => kept :+= step
+        }
+      case step @ Step.HasLabel(labels) =>
+        val pred = Pred.Within(labels.map(Lit.S))
+        index.admissibleCount(isVertex, "label", pred) match {
+          case Some(_) => folded :+= (("label", pred, 0L, false))
+          case scala.None => kept :+= step
+        }
+      case step => kept :+= step
+    }
+
+    if (folded.isEmpty) scala.None
+    else {
+      val joinCols = if (isVertex) Seq("id") else Seq("src", "dst", "label")
+      val frontier = folded
+        .map(f => index.frontier(isVertex, f._1, f._2))
+        .reduce((a, b) => a.join(b, joinCols, "left_semi"))
+      Some((frontier, (kept ++ tail).toList))
     }
   }
 

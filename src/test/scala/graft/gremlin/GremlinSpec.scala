@@ -235,14 +235,83 @@ class GremlinSpec extends SparkSpec {
   test("BuildIndex DDL + index-seeded query matches scan result") {
     val gi = Graft(GraphStore.modern(spark))
     assert(gi.strings("BuildIndex(V, 'name')") == Seq("Index built for V.name"))
-    // selective point lookup: passes the 20% gate (1 of 6 vertices)
-    assert(gi.index.lookupVertices("name", Seq("marko")).isDefined)
+    // selective point lookup: passes the 20% gate (1 of 6 vertices),
+    // and gating is pure driver arithmetic on the build-time count map
+    assert(gi.index.admissibleCount(isVertex = true, "name",
+      Pred.Eq(Lit.S("marko"))).contains(1L))
     assert(gi.strings("g.V().has('name','marko').out('knows').values('name')")
       .toSet == Set("=>vadas", "=>josh"))
     // unselective: 'java' covers 2/6 = 33% > 20% gate -> falls back
     gi.strings("BuildIndex(V, 'lang')")
-    assert(gi.index.lookupVertices("lang", Seq("java")).isEmpty)
+    assert(gi.index.admissibleCount(isVertex = true, "lang",
+      Pred.Eq(Lit.S("java"))).isEmpty)
     assert(gi.strings("g.V().has('lang','java').count()") == Seq("=>2"))
+  }
+
+  test("index fold: chains, hasLabel, ranges, edges match the scan path") {
+    val scan = Graft(GraphStore.modern(spark))
+    val gi = Graft(GraphStore.modern(spark))
+    Seq("BuildIndex(V, 'name')", "BuildIndex(V, 'age')",
+      "BuildIndex(V, 'label')", "BuildIndex(E, 'weight')")
+      .foreach(gi.strings(_))
+    val queries = Seq(
+      // chain: both predicates fold, frontier = posting intersection
+      "g.V().has('name', 'marko').has('age', eq(29)).values('name')",
+      // contradiction across folded postings -> empty intersection
+      "g.V().has('name', 'marko').has('age', eq(32)).count()",
+      // hasLabel folds as WITHIN on the label index (no minCount)
+      "g.V().hasLabel('software').has('name', 'lop').values('name')",
+      // range predicate counted through the count map
+      "g.V().has('age', between(29, 30)).values('name')",
+      // fold then traverse: seeded frontier joins like any other
+      "g.V().has('name', 'josh').out('created').values('name')",
+      // edge index: point and range predicates
+      "g.E().has('weight', eq(0.2)).inV().values('name')",
+      "g.E().has('weight', gt(0.9)).count()",
+      // no index on the key -> plain scan, same answer
+      "g.V().has('lang', 'java').count()")
+    for (q <- queries)
+      assert(gi.strings(q).sorted == scan.strings(q).sorted, q)
+  }
+
+  test("index fold evicts the least-selective predicate (reference gate)") {
+    val sf = "/root/testdata/sf0.001"
+    val gi = Graft(graft.sources.GraphStore.tpch(spark, sf))
+    gi.strings("BuildIndex(V, 'mktsegment')")
+    gi.strings("BuildIndex(V, 'nationkey')")
+    val steps = Reorder(StepParser.parse(
+      "g.V().has('mktsegment', 'BUILDING').has('nationkey', eq(5)).count()"))
+    val Some((_, remaining)) = gi.foldIndex(isVertex = true, steps.tail)
+    // mktsegment (~30 matches) folds first, then nationkey (~6) lowers
+    // minCount and evicts it: count/3 >= minCount (parser.cpp:1006-1022)
+    assert(remaining.exists {
+      case Step.Has("mktsegment", _) => true; case _ => false },
+      s"evicted mktsegment filter should be back among steps: $remaining")
+    // and the evicted filter still applies: results match the scan path
+    val scan = Graft(graft.sources.GraphStore.tpch(spark, sf))
+    val q = "g.V().has('mktsegment', 'BUILDING').has('nationkey', eq(5)).values('name')"
+    assert(gi.strings(q).sorted == scan.strings(q).sorted)
+  }
+
+  test("compile() with indexes runs no Spark job (plan-time gate)") {
+    val gi = Graft(GraphStore.modern(spark))
+    gi.strings("BuildIndex(V, 'name')")
+    gi.strings("BuildIndex(V, 'label')")
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      gi.compile("g.V().hasLabel('person').has('name', 'marko')" +
+        ".out('knows').values('name')")
+      // listener bus is async — give it time to surface any job event
+      Thread.sleep(1500)
+      assert(counter.get() == 0,
+        "query compilation must not launch Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("SetConfig DDL records toggles") {
