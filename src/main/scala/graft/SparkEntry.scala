@@ -170,9 +170,12 @@ object SparkEntry {
       operators.SimilarityOps.ivfTopK(
         e.filter(col("vec_id") < 10), e, cents, nprobe = 4, k = 5)
     }),
+    // synthesize REAL PNG bytes per doc, then PARSE their headers back
+    // (pure-JVM IHDR decode in mapPartitions batches); the oracle
+    // recomputes what the parser must extract from the synthesis math
     "multimodal_meta" -> ((spark, sfDir) =>
-      operators.MultimodalOps.decodeMetaColumns(
-        operators.MultimodalOps.withPayload(docs(spark, sfDir)))),
+      operators.MultimodalOps.decodeMeta(
+        operators.MultimodalOps.withPngPayload(docs(spark, sfDir))).toDF()),
     "multimodal_frames" -> ((spark, sfDir) =>
       operators.MultimodalOps.sampleFrames(
         operators.MultimodalOps.withPayload(docs(spark, sfDir)))),
@@ -412,10 +415,10 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id ORDER BY ab/(sqrt(aa)*sqrt(bb)) DESC, neighbor_id) AS rank FROM d)
          |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5""".stripMargin,
     "multimodal_meta" ->
-      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bytes, " +
+      ("SELECT doc_id, CAST(octet_length(encode(text)) + 57 AS BIGINT) AS bytes, " +
         "CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width, " +
         "CAST(CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 16 AS INTEGER) AS height, " +
-        "CAST(3 AS INTEGER) AS channels, 'stub' AS format FROM documents"),
+        "CAST(3 AS INTEGER) AS channels, 'png' AS format FROM documents"),
     "multimodal_frames" ->
       ("WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) % 300 + 1 AS INTEGER) AS frame_count FROM documents) " +
         "SELECT doc_id, frame_count, CAST(unnest(list_slice(range(0, frame_count, 10), 1, 8)) AS INTEGER) AS frame_idx FROM m"),

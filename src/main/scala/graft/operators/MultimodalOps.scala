@@ -38,10 +38,10 @@ object MultimodalOps {
       encode(col(textCol), "UTF-8").as("payload"))
 
   /**
-   * STUB decoder: deterministic pseudo-metadata from the payload size.
-   * A real implementation would parse the container header (JPEG/PNG/
-   * WAV…). Deliberately expressible in SQL so the oracle can verify the
-   * plumbing: width = len%640+16, height = (len*7)%480+16.
+   * STUB decoder: deterministic pseudo-metadata from the payload size —
+   * the fallback for payloads whose container [[realDecode]] does not
+   * recognise. Deliberately expressible in SQL so the oracle can verify
+   * the plumbing: width = len%640+16, height = (len*7)%480+16.
    */
   def stubDecode(id: Long, payload: Array[Byte]): MediaMeta = {
     val n = payload.length.toLong
@@ -51,22 +51,121 @@ object MultimodalOps {
       3, "stub")
   }
 
+  // ----------------------------------------------------------------
+  // Real (pure-JVM) container-header decoders. Pixel/sample decoding
+  // would need codec libraries; the header fields a curation pipeline
+  // filters on (dimensions, channels, sample rate) parse from a few
+  // header bytes with no dependencies.
+  // ----------------------------------------------------------------
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def beShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** PNG color type -> sample channels (PNG spec §11.2.2). */
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    case _ => 0
+  }
+
+  /**
+   * Parse real container headers: PNG IHDR, JPEG SOF0/1/2, WAV fmt.
+   * Unrecognised payloads fall back to [[stubDecode]] (and say so in
+   * `format`), so the operator never throws on dirty data — the
+   * curation-pipeline contract. For WAV, `width` carries the sample
+   * rate and `height` the bits per sample.
+   */
+  def realDecode(id: Long, p: Array[Byte]): MediaMeta = {
+    val n = p.length.toLong
+    // PNG: 8-byte signature, then the IHDR chunk must come first —
+    // width/height at data offsets 16/20, depth/color at 24/25
+    if (n >= 26 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+        p(3) == 'G' && p(12) == 'I' && p(13) == 'H' && p(14) == 'D' &&
+        p(15) == 'R')
+      MediaMeta(id, n, beInt(p, 16), beInt(p, 20),
+        pngChannels(p(25) & 0xff), "png")
+    // JPEG: FF D8, then marker segments; dimensions live in the first
+    // start-of-frame marker (SOF0 baseline / SOF1 / SOF2 progressive)
+    else if (n >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      var i = 2
+      var out: MediaMeta = null
+      while (out == null && i + 9 < p.length) {
+        if ((p(i) & 0xff) != 0xff) return stubDecode(id, p) // not a marker: corrupt
+        val marker = p(i + 1) & 0xff
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+          out = MediaMeta(id, n, beShort(p, i + 7), beShort(p, i + 5),
+            p(i + 9) & 0xff, "jpeg")
+        else if (marker == 0xd9 || marker == 0xda) i = p.length // no SOF before scan
+        else i += 2 + beShort(p, i + 2) // skip the segment payload
+      }
+      if (out != null) out else stubDecode(id, p)
+    }
+    // WAV: RIFF....WAVE with the fmt chunk at offset 12
+    else if (n >= 36 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E' && p(12) == 'f' && p(13) == 'm' && p(14) == 't')
+      MediaMeta(id, n, leInt(p, 24), leShort(p, 34), leShort(p, 22), "wav")
+    else stubDecode(id, p)
+  }
+
   /**
    * Batch decode: `mapPartitions` over typed rows, decoding in chunks
    * of `batchSize` — the shape a real vectorised decoder (or a Python
    * `mapInPandas` worker) needs: partition-local, no driver round-trip,
-   * bounded memory per batch.
+   * bounded memory per batch. Each payload goes through the pure-JVM
+   * header parsers of [[realDecode]].
    */
   def decodeMeta(df: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.as[MediaRow].mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // real code: hand `batch.map(_.payload)` to the decoder in one
-        // call; here each row goes through the stub
-        batch.map(r => stubDecode(r.doc_id, r.payload))
+        // a vectorised decoder would take `batch.map(_.payload)` in one
+        // call; header parsing is per-row either way
+        batch.map(r => realDecode(r.doc_id, r.payload))
       }
     }
+  }
+
+  /**
+   * Synthesize a REAL (signature + IHDR + tEXt + IEND) PNG payload per
+   * document, dimensions derived from the text length with the same
+   * arithmetic as [[stubDecode]] — so an oracle can recompute what the
+   * header PARSER must extract: width = len%640+16, height =
+   * (len*7)%480+16, RGB (channels=3), total bytes = len + 57.
+   * CRCs are zeroed (valid layout, lazy checksums — header parsers,
+   * ours included, do not verify them).
+   */
+  def withPngPayload(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+    rows.map { case (id, text) =>
+      val body = text.getBytes("UTF-8")
+      val w = body.length % 640 + 16
+      val h = (body.length.toLong * 7 % 480 + 16).toInt
+      val out = java.nio.ByteBuffer.allocate(body.length + 57)
+      out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+        .putInt(w).putInt(h)
+        .put(8.toByte)  // bit depth
+        .put(2.toByte)  // color type: truecolor RGB
+        .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+        .putInt(0)      // CRC (unchecked)
+      out.putInt(body.length).put("tEXt".getBytes("US-ASCII"))
+        .put(body).putInt(0)
+      out.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+      MediaRow(id, out.array())
+    }.toDF("doc_id", "payload")
   }
 
   /** Pure-column variant of the stub metadata (whole-stage codegen;

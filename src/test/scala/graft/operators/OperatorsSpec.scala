@@ -249,6 +249,67 @@ class OperatorsSpec extends SparkSpec {
     assert(a.size == docs.count())
   }
 
+  test("real header decode: PNG IHDR, JPEG SOF0, WAV fmt") {
+    // the canonical 1x1 transparent PNG (RGBA, color type 6)
+    val png1x1 = Array(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01, // 1 x 1
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1f, 0x15, 0xc4, 0x89
+    ).map(_.toByte)
+    val m1 = MultimodalOps.realDecode(1L, png1x1)
+    assert((m1.width, m1.height, m1.channels, m1.format) == ((1, 1, 4, "png")))
+
+    // minimal JPEG: SOI, APP0 stub, SOF0 (8-bit, 480x640, 3 components)
+    val jpeg = Array(
+      0xff, 0xd8,                                     // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46,             // APP0, len 4
+      0xff, 0xc0, 0x00, 0x11, 0x08,                   // SOF0, len 17, precision 8
+      0x01, 0xe0,                                     // height 480
+      0x02, 0x80,                                     // width 640
+      0x03,                                           // 3 components
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01,
+      0xff, 0xd9                                      // EOI
+    ).map(_.toByte)
+    val m2 = MultimodalOps.realDecode(2L, jpeg)
+    assert((m2.width, m2.height, m2.channels, m2.format) ==
+      ((640, 480, 3, "jpeg")))
+
+    // minimal WAV: RIFF/WAVE + fmt chunk, stereo 44100 Hz 16-bit
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1)           // PCM
+      .putShort(2)           // channels
+      .putInt(44100)         // sample rate
+      .putInt(44100 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes).putInt(0)
+    val m3 = MultimodalOps.realDecode(3L, bb.array())
+    assert((m3.width, m3.height, m3.channels, m3.format) ==
+      ((44100, 16, 2, "wav")))
+
+    // dirty data never throws — falls back to the stub
+    val m4 = MultimodalOps.realDecode(4L, Array[Byte](1, 2, 3))
+    assert(m4.format == "stub" && m4.bytes == 3L)
+  }
+
+  test("synthesized PNG payloads round-trip through the header parser") {
+    val meta = MultimodalOps.decodeMeta(
+      MultimodalOps.withPngPayload(docs), batchSize = 32).collect()
+    val lens = docs.select(col("doc_id"),
+      length(encode(col("text"), "UTF-8")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(meta.length == lens.size)
+    meta.foreach { m =>
+      val n = lens(m.doc_id)
+      assert(m.format == "png" && m.channels == 3)
+      assert(m.width == n % 640 + 16, s"doc ${m.doc_id}")
+      assert(m.height == (n.toLong * 7 % 480 + 16).toInt)
+      assert(m.bytes == n + 57L)
+    }
+  }
+
   test("resize + frame sampling stubs") {
     implicit val s = spark
     val media = MultimodalOps.withPayload(docs.limit(10))
