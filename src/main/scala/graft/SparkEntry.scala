@@ -180,6 +180,25 @@ object SparkEntry {
       operators.MultimodalOps.sampleFrames(
         operators.MultimodalOps.withPayload(docs(spark, sfDir)))),
 
+    // ---- corpus-curation operators (graft.operators.CurationOps) ----
+    "curation_redact" -> ((spark, sfDir) =>
+      operators.CurationOps.redact(docs(spark, sfDir), "table|spark", "<X>")),
+    "curation_scrub" -> ((spark, sfDir) =>
+      operators.CurationOps.scrubPii(docs(spark, sfDir))),
+    "curation_repetition" -> ((spark, sfDir) =>
+      operators.CurationOps.repetitionStats(docs(spark, sfDir), n = 3)),
+    "curation_filters" -> ((spark, sfDir) =>
+      operators.CurationOps.qualityFilters(docs(spark, sfDir))),
+    "curation_decontaminate" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      operators.CurationOps.decontaminate(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0))
+    }),
+    "curation_lang_eval" -> ((spark, sfDir) =>
+      operators.CurationOps.langIdEval(docs(spark, sfDir))),
+    "curation_source_stats" -> ((spark, sfDir) =>
+      operators.CurationOps.sourceStats(docs(spark, sfDir))),
+
     // ---- iterative graph algorithms (GraphX/Pregel) ----
     "graph_hops" -> ((spark, sfDir) =>
       operators.GraphAlgos.shortestHops(
@@ -422,6 +441,53 @@ object SparkEntry {
     "multimodal_frames" ->
       ("WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) % 300 + 1 AS INTEGER) AS frame_count FROM documents) " +
         "SELECT doc_id, frame_count, CAST(unnest(list_slice(range(0, frame_count, 10), 1, 8)) AS INTEGER) AS frame_idx FROM m"),
+
+    "curation_redact" ->
+      "SELECT doc_id, regexp_replace(text, 'table|spark', '<X>', 'g') AS clean_text, CAST(len(regexp_extract_all(text, 'table|spark')) AS INTEGER) AS hits FROM documents",
+    "curation_scrub" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text, " +
+        "CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS url_count, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS email_count FROM documents"),
+    "curation_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, greatest(len(w) - 2, 0) AS total,
+        |  len(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-2, 1)+1)])) AS uniq FROM w)
+        |SELECT doc_id, CASE WHEN total <= 0 THEN 0.0
+        |  ELSE round(CAST(total - uniq AS DOUBLE) / total, 4) END AS rep_ratio FROM t""".stripMargin,
+    "curation_filters" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS words,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars FROM documents)
+        |SELECT doc_id, words < 5 AS too_short, words > 5000 AS too_long,
+        |  chars < words * 2 AS word_len_low, chars > words * 12 AS word_len_high,
+        |  NOT (words < 5) AND NOT (words > 5000) AND NOT (chars < words * 2)
+        |    AND NOT (chars > words * 12) AS keep FROM s""".stripMargin,
+    "curation_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, greatest(len(w)-7, 1)+1)])) AS s FROM w),
+        |h AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0)
+        |SELECT c.doc_id, count(*) AS shared_ngrams FROM sh c JOIN h ON c.s = h.s
+        |WHERE c.doc_id % 10 != 0 GROUP BY c.doc_id""".stripMargin,
+    "curation_lang_eval" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  ${sqlHits(operators.TextOps.StopEn)} AS en,
+         |  ${sqlHits(operators.TextOps.StopDe)} AS de,
+         |  ${sqlHits(operators.TextOps.StopFr)} AS fr,
+         |  ${sqlHits(operators.TextOps.StopEs)} AS es,
+         |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh
+         | FROM documents),
+         |p AS (SELECT doc_id, CASE WHEN zh > 0 THEN 'zh'
+         |  WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+         |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |  WHEN de >= fr AND de >= es THEN 'de'
+         |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM s)
+         |SELECT d.lang, p.lang_pred, count(*) AS n FROM documents d
+         |JOIN p ON d.doc_id = p.doc_id GROUP BY d.lang, p.lang_pred""".stripMargin,
+    "curation_source_stats" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(length(text)) AS DOUBLE) / count(*), 2) AS avg_chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     "graph_hops" ->
       """SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS distance

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline runs
+ * between ingestion and tokenization. All narrow maps or single
+ * equi-joins — nothing here is worse than one shuffle at 100 TB:
+ *
+ *  - [[redact]] / [[scrubPii]]: regex redaction (URLs, emails) with
+ *    per-doc hit counts — codegen'd `regexp_replace`, no UDF.
+ *  - [[repetitionRatio]]: duplicate word-n-gram fraction (the
+ *    Gopher/C4-style "repetitious text" signal) — pure Columns over
+ *    the native shingle kernel.
+ *  - [[qualityFilters]]: named boolean Gopher-style gates with
+ *    integer-exact thresholds (no float compare drift across engines).
+ *  - [[decontaminate]]: train/eval n-gram overlap — exploded-shingle
+ *    equi-join, distinct-pruned on the (small) held-out side.
+ *  - [[langIdEval]] / [[sourceStats]]: per-language confusion counts
+ *    and per-source corpus monitoring aggregates.
+ */
+object CurationOps {
+
+  /** Replace every `pattern` match and count hits per doc (count from
+    * the ORIGINAL text). */
+  def redact(df: DataFrame, pattern: String,
+             replacement: String = "<REDACTED>",
+             idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+      regexp_replace(col(textCol), lit(pattern), lit(replacement))
+        .as("clean_text"),
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+        .as("hits"))
+
+  /** RE2-safe (works in Spark's Java regex AND DuckDB/RE2 dialects). */
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Scrub URLs then emails; counts are measured on the original text. */
+  def scrubPii(df: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+      regexp_replace(
+        regexp_replace(col(textCol), lit(UrlPattern), lit("<URL>")),
+        lit(EmailPattern), lit("<EMAIL>")).as("clean_text"),
+      size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+        .as("url_count"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .as("email_count"))
+
+  /** Fraction of word n-grams that are repeats of an earlier n-gram in
+    * the same doc: `1 - distinct/total`, 0 for docs shorter than n
+    * words. Single division + round(4) — cross-engine float-safe. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = greatest(size(split(trim(text), " ")) - (n - 1), lit(0))
+    val uniq = size(graft.functions.VectorExpressions.wordShingles(text, n))
+    when(total <= 0, lit(0.0))
+      .otherwise(round((total - uniq).cast(DoubleType) / total, 4))
+  }
+
+  /** Per-doc repetition stats (requires the shingle kernel to be
+    * registered; this does it). */
+  def repetitionStats(df: DataFrame, n: Int = 3,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+      repetitionRatio(col(textCol), n).as("rep_ratio"))
+  }
+
+  /**
+   * Gopher-style named quality gates. Thresholds compare integer
+   * products only (`chars < minWordLen·words`), never float ratios, so
+   * the booleans are bit-identical across engines:
+   *  - too_short / too_long: word-count bounds
+   *  - word_len_low / word_len_high: mean word length outside
+   *    [minWordLen, maxWordLen] via cross-multiplication
+   *  - keep: passes every gate
+   */
+  def qualityFilters(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", minWords: Int = 5,
+                     maxWords: Int = 5000, minWordLen: Int = 2,
+                     maxWordLen: Int = 12): DataFrame = {
+    val words = size(split(trim(col(textCol)), " ")).cast(LongType)
+    val chars = length(regexp_replace(col(textCol), lit(" "), lit("")))
+      .cast(LongType)
+    val tooShort = (words < minWords).as("too_short")
+    val tooLong = (words > maxWords).as("too_long")
+    val lenLow = (chars < words * minWordLen).as("word_len_low")
+    val lenHigh = (chars > words * maxWordLen).as("word_len_high")
+    df.select(col(idCol), tooShort, tooLong, lenLow, lenHigh)
+      .withColumn("keep", !col("too_short") && !col("too_long") &&
+        !col("word_len_low") && !col("word_len_high"))
+  }
+
+  /**
+   * Training/eval contamination: corpus docs sharing at least one word
+   * n-gram with the held-out set, with the count of distinct shared
+   * n-grams. One equi-join on the shingle; the held-out side is
+   * distinct-pruned and usually broadcastable (eval sets are small
+   * next to a training corpus).
+   */
+  def decontaminate(corpus: DataFrame, heldout: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 8): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    def sh(df: DataFrame): DataFrame = df.select(col(idCol).as("__id"),
+      explode(graft.functions.VectorExpressions
+        .wordShingles(col(textCol), n)).as("__s"))
+    val h = sh(heldout).select(col("__s")).distinct()
+    sh(corpus).join(h, "__s")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("shared_ngrams")) // corpus shingles distinct per doc
+      .select(col("__id").as(idCol), col("shared_ngrams"))
+  }
+
+  /** Confusion counts of the n-gram language heuristic against a
+    * ground-truth label column. */
+  def langIdEval(df: DataFrame, truthCol: String = "lang",
+                 textCol: String = "text"): DataFrame =
+    df.select(col(truthCol), TextOps.langId(col(textCol)).as("lang_pred"))
+      .groupBy(col(truthCol), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-source monitoring aggregates: doc count, total whitespace
+    * tokens, mean char length (single division + round(2)). */
+  def sourceStats(df: DataFrame, sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast(LongType))
+          .as("total_tokens"),
+        round(sum(length(col(textCol)).cast(LongType))
+          .cast(DoubleType) / count(lit(1)), 2).as("avg_chars"))
+}

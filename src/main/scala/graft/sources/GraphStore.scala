@@ -129,9 +129,8 @@ object GraphStore {
         (cols(0).toLong, cols(1), kvs.toMap)
       }.toDF("id", "label_id", "props")
 
-    val labelToName = udfMap(vLabels)
     var vertices = vpLines
-      .withColumn("label", labelToName(col("label_id")))
+      .withColumn("label", mapLookup(vLabels, col("label_id")))
       .drop("label_id")
     for ((name, (pid, tag)) <- vpIndex.toSeq.sortBy(_._2._1.toInt)) {
       vertices = vertices.withColumn(
@@ -151,9 +150,8 @@ object GraphStore {
         (cols(0).toLong, cols(1).toLong, cols(2), kvs.toMap)
       }.toDF("src", "dst", "label_id", "props")
 
-    val eLabelToName = udfMap(eLabels)
     var edges = epLines
-      .withColumn("label", eLabelToName(col("label_id")))
+      .withColumn("label", mapLookup(eLabels, col("label_id")))
       .drop("label_id")
     for ((name, (pid, tag)) <- epIndex.toSeq.sortBy(_._2._1.toInt)) {
       edges = edges.withColumn(
@@ -179,8 +177,14 @@ object GraphStore {
     out.toSeq
   }
 
-  private def udfMap(m: Map[String, String]) =
-    udf((k: String) => m.getOrElse(k, null))
+  /** Dictionary lookup as a map LITERAL (codegen'd, no UDF); missing
+    * keys yield null (try_element_at — plain element_at throws under
+    * ANSI mode). Dictionaries are label/property-name sized. */
+  private def mapLookup(m: Map[String, String], key: org.apache.spark.sql.Column) = {
+    val entries = m.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    try_element_at(map(entries: _*), key)
+  }
 
   /**
    * The 6-vertex "modern" graph the reference bundles as its only

@@ -236,6 +236,80 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  // ---------------- CurationOps ----------------
+
+  test("scrubPii redacts urls and emails with counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at bob.smith+x@example.co.uk for info"),
+      (2L, "see https://example.com/a?b=1 and http://x.io today"),
+      (3L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val out = CurationOps.scrubPii(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out(1L) == (("contact me at <EMAIL> for info", 0, 1)))
+    assert(out(2L) == (("see <URL> and <URL> today", 2, 0)))
+    assert(out(3L) == (("clean text with no pii at all", 0, 0)))
+  }
+
+  test("repetitionRatio flags repetitive docs, 0 for short docs") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq(
+      (1L, "a b c a b c a b c"),       // 7 trigrams, 3 distinct
+      (2L, "all words differ here ok"), // no repeats
+      (3L, "xy zz")).toDF("doc_id", "text") // shorter than n
+    val out = CurationOps.repetitionStats(df, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == BigDecimal(4.0 / 7).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0)
+  }
+
+  test("qualityFilters gates are integer-exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two"),                       // too short
+      (2L, "normal length words right here"),
+      (3L, "a b c d e f"),                   // 1-char words -> len_low
+      (4L, "extraordinarily hyperextended " +
+        "incomprehensibilities " * 3)).toDF("doc_id", "text")
+    val out = CurationOps.qualityFilters(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L)._1 && !out(1L)._4)            // too_short, not kept
+    assert(out(2L) == ((false, false, false, true))) // kept
+    assert(out(3L)._2 && !out(3L)._4)            // word_len_low
+    assert(out(4L)._3 && !out(4L)._4)            // word_len_high
+  }
+
+  test("decontaminate finds held-out n-gram overlap exactly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated words live in this document")).toDF("doc_id", "text")
+    val heldout = Seq(
+      (100L, "quick brown fox jumps over the lazy dog again")).toDF("doc_id", "text")
+    val out = CurationOps.decontaminate(corpus, heldout, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares exactly one 8-gram window with the held-out doc
+    assert(out == Map(1L -> 1L))
+  }
+
+  test("langIdEval confusion counts cover every truth label") {
+    val out = CurationOps.langIdEval(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.keys.map(_._1).toSet ==
+      docs.select("lang").distinct().collect().map(_.getString(0)).toSet)
+    assert(out.values.sum == docs.count())
+    // synthetic word-salad text carries a weak language signal: just
+    // assert the heuristic beats the 1-of-5 random-label floor
+    val agree = out.collect { case ((t, p), n) if t == p => n }.sum
+    assert(agree.toDouble / docs.count() > 0.2)
+  }
+
   // ---------------- MultimodalOps ----------------
 
   test("payload decode plumbing: typed batches with deterministic stub") {
