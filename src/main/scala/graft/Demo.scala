@@ -41,9 +41,11 @@ object Demo {
     val g = Graft(graph)
     def run(q: String): Unit = {
       println(s"gremlin> $q")
-      try {
-        if (explain) g.df(q).explain("formatted")
-        g.strings(q).foreach(println)
+      try g.ddl(q) match {
+        case Some(status) => println(s"=>$status")
+        case None =>
+          if (explain) g.df(q).explain("formatted")
+          g.strings(q).foreach(println)
       } catch {
         case e: Exception => println(s"ERROR: ${e.getMessage}")
       }

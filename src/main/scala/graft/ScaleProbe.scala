@@ -37,7 +37,21 @@ object ScaleProbe {
     time("lshTopK")(operators.SimilarityOps.lshTopK(q, embs, k = 10).count())
     val cents = operators.SimilarityOps.fitIvfCentroids(embs, k = 32, iters = 3)
     time("ivfTopK")(operators.SimilarityOps.ivfTopK(q, embs, cents, nprobe = 4, k = 10).count())
+    val cents256 = operators.SimilarityOps.fitIvfCentroids(embs, k = 256, iters = 1)
+    time("ivfTopK_k256")(operators.SimilarityOps.ivfTopK(q, embs, cents256, nprobe = 16, k = 10).count())
     time("bruteTopK")(operators.SimilarityOps.bruteForceTopK(q, embs, k = 10).count())
+    // pair dedup, default fine-bucket regime (τ=0.9): replicated copies
+    // are exact twins, so every copy-pair must surface; candidates stay
+    // collision-bounded because 16-bit tables keep buckets sparse
+    time("embNearDupLsh_t09")(operators.DedupOps.embeddingNearDup(embs, tau = 0.9).count())
+    // the low-τ coarse-bucket regime (the sf-gate config) and its exact
+    // oracle are all-pairs-shaped — only probe them at small multipliers
+    if (mult <= 2) {
+      time("embNearDupLsh_t045_coarse")(
+        operators.DedupOps.embeddingNearDup(embs, tau = 0.45, nBits = 6).count())
+      time("embNearDupExact")(
+        operators.DedupOps.embeddingNearDupExact(embs, tau = 0.45).count())
+    }
     spark.stop()
   }
 }

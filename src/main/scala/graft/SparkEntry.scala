@@ -151,10 +151,13 @@ object SparkEntry {
       operators.DedupOps.simhash(docs(spark, sfDir), maxDist = 3)),
     "neardup_embedding" -> ((spark, sfDir) =>
       operators.DedupOps.embeddingNearDupExact(embs(spark, sfDir), tau = 0.45)),
-    // the DEFAULT (LSH-bucketed) path must reproduce the exact answer —
-    // same DuckDB all-pairs oracle, same τ
+    // the LSH-bucketed path must reproduce the exact answer — same
+    // DuckDB all-pairs oracle, same τ. nBits=6 because the fixture's
+    // planted pairs sit at cosine ≈0.45 (see embeddingNearDup scaladoc:
+    // low τ forces coarse buckets; default 16 bits suits real τ≥0.9)
     "neardup_embedding_lsh" -> ((spark, sfDir) =>
-      operators.DedupOps.embeddingNearDup(embs(spark, sfDir), tau = 0.45)),
+      operators.DedupOps.embeddingNearDup(embs(spark, sfDir), tau = 0.45,
+        nBits = 6)),
     "ann_topk" -> ((spark, sfDir) => {
       val e = embs(spark, sfDir)
       operators.SimilarityOps.bruteForceTopK(

@@ -206,6 +206,50 @@ object VectorExpressions {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /**
+   * Multi-probe expansion of an array of LSH bucket ids: for every
+   * bucket, emit the bucket itself plus every xor-flip of up to
+   * `probeBits` of its low `nBits` bits — `tables · Σ C(nBits, ≤p)`
+   * longs per row in one tight loop. The `transform`+`concat` HOF
+   * formulation interprets ~137 expressions per bucket (nBits=16,
+   * p=2) and dominates the near-dup probe side.
+   */
+  case class LshProbes(child: Expression, nBits: Int, probeBits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val masks: Array[Long] = {
+      val b = Array.newBuilder[Long]
+      b += 0L
+      if (probeBits >= 1)
+        for (j <- 0 until nBits) b += 1L << j
+      if (probeBits >= 2)
+        for (j <- 0 until nBits; k <- j + 1 until nBits)
+          b += (1L << j) | (1L << k)
+      b.result()
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](n * masks.length)
+      var i = 0
+      var o = 0
+      while (i < n) {
+        val bucket = arr.getLong(i)
+        var m = 0
+        while (m < masks.length) {
+          out(o) = bucket ^ masks(m)
+          o += 1
+          m += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ---- Column-level API ----
   // Expressions reach the plan through the session FunctionRegistry
   // (the supported extension point; direct Column construction from an
@@ -226,6 +270,18 @@ object VectorExpressions {
       exprs => SimHash64(exprs(0)), "built-in")
     r.createOrReplaceTempFunction("graft_isect_size",
       exprs => SetIntersectSize(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("graft_lsh_probes",
+      exprs => LshProbes(exprs(0),
+        exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_probes nBits must be an int literal, got $other")
+        },
+        exprs(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_probes probeBits must be an int literal, got $other")
+        }), "built-in")
     r.createOrReplaceTempFunction("graft_shingles",
       exprs => WordShingles(exprs(0), exprs(1) match {
         case Literal(v: Int, IntegerType) => v
@@ -242,4 +298,6 @@ object VectorExpressions {
     call_function("graft_shingles", text, lit(n))
   def setIntersectSize(a: Column, b: Column): Column =
     call_function("graft_isect_size", a, b)
+  def lshProbes(buckets: Column, nBits: Int, probeBits: Int): Column =
+    call_function("graft_lsh_probes", buckets, lit(nBits), lit(probeBits))
 }

@@ -224,14 +224,23 @@ object DedupOps {
    * side), then every candidate is verified with the exact cosine. Work
    * is O(n · tables · probes + collisions), never O(n²) — the 100 TB
    * shape. The surfaced pairs are a subset of the exact answer scored
-   * with the identical dot/norm arithmetic; with the default
-   * 12 tables × 6 bits × ≤2-bit probes the per-pair miss probability at
-   * τ=0.45 is ≈4·10⁻⁶ ((1-0.644)¹², angle-collision math), and falls
-   * fast as τ rises. [[embeddingNearDupExact]] is the O(n²) oracle.
+   * with the identical dot/norm arithmetic; [[embeddingNearDupExact]]
+   * is the O(n²) oracle.
+   *
+   * Tuning: the probed fraction of each table's bucket space is
+   * Σ C(nBits, ≤probeBits) / 2^nBits — that fraction times n is the
+   * expected RANDOM-pair candidate rate per element, so `nBits` must
+   * grow with corpus size (rule of thumb: ≥ log₂(n)). The default
+   * 16 bits × 12 tables × ≤2-bit probes covers 2·10⁻³ of bucket space
+   * and misses a true τ=0.9 pair with p≈2·10⁻⁵ (per-table hit rate
+   * 0.59 from the angle-collision bound). Dropping τ demands coarser
+   * buckets: the sf-fixture gate runs `nBits = 6` because its planted
+   * pairs sit at cosine ≈0.45 — fine for thousands of vectors, an
+   * all-pairs trap at millions.
    */
   def embeddingNearDup(df: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding", tau: Double = 0.9,
-                       dim: Int = 64, nBits: Int = 6, nTables: Int = 12,
+                       dim: Int = 64, nBits: Int = 16, nTables: Int = 12,
                        probeBits: Int = 2): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     val withNorm = df.select(col(idCol).as("__id"),
@@ -243,23 +252,15 @@ object DedupOps {
 
     val corpusSide = base.select(col("__id").as("id_b"),
       explode(col("__bs")).as("__bucket"))
-    // probe side: own bucket plus every <=probeBits-bit flip. Flips are
-    // symmetric, so probing from one side of the pair is enough: if
-    // sig_a and sig_b differ in <=probeBits bits in ANY table, the
-    // (probe_a, bucket_b) join row exists.
-    val flipMasks: Seq[Long] = {
-      val one = (0 until nBits).map(j => 1L << j)
-      val two =
-        if (probeBits >= 2)
-          for { j <- 0 until nBits; k <- j + 1 until nBits }
-            yield (1L << j) | (1L << k)
-        else Seq.empty
-      (if (probeBits >= 1) one else Seq.empty) ++ two
-    }
+    // probe side: own bucket plus every <=probeBits-bit flip, expanded
+    // by a native kernel (one tight loop per row instead of ~137
+    // interpreted HOF expressions per bucket). Flips are symmetric, so
+    // probing from one side of the pair is enough: if sig_a and sig_b
+    // differ in <=probeBits bits in ANY table, the (probe_a, bucket_b)
+    // join row exists.
     val probeSide = base.select(col("__id").as("id_a"),
-      explode(flatten(transform(col("__bs"), b =>
-        array((b +: flipMasks.map(m => b.bitwiseXOR(lit(m)))): _*))))
-        .as("__bucket"))
+      explode(graft.functions.VectorExpressions
+        .lshProbes(col("__bs"), nBits, probeBits)).as("__bucket"))
 
     val candidates = probeSide.join(corpusSide, "__bucket")
       .filter(col("id_a") < col("id_b"))

@@ -232,10 +232,9 @@ object SimilarityOps {
       array((0 until nTables).map(t =>
         lshBuckets(col(vecCol), dim, nBits, t)): _*).as("__bs"))
     // multi-probe: per table, own bucket + all single-bit flips
-    val probes = qBase.withColumn("__bucket", explode(flatten(
-      transform(col("__bs"), b => concat(array(b),
-        array((0 until nBits).map(j =>
-          b.bitwiseXOR(lit(1L << j))): _*))))))
+    // (native probe-expansion kernel — no per-element HOF lambda)
+    val probes = qBase.withColumn("__bucket", explode(
+      graft.functions.VectorExpressions.lshProbes(col("__bs"), nBits, 1)))
     probes.join(c, "__bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")

@@ -104,6 +104,56 @@ object PredicateProps extends Properties("gremlin") {
         ages.map(_.toDouble).sum / ages.length) < 1e-9
     }
 
+  // ---- Pred.eval (the index store's driver-side count path) must
+  // agree with Catalyst's evaluation of the same predicate, including
+  // int<->double coercion and null handling ----
+
+  private val numLitGen: Gen[Lit] = Gen.oneOf(
+    Gen.chooseNum(-10L, 10L).map(Lit.I(_)),
+    Gen.chooseNum(-20, 20).map(i => Lit.D(i / 2.0))) // binary-exact
+  private val strLitGen: Gen[Lit] =
+    Gen.oneOf("a", "b", "c", "zz").map(Lit.S(_))
+
+  private def predAdtGen(lg: Gen[Lit]): Gen[Pred] = Gen.oneOf(
+    lg.map(Pred.Eq(_)), lg.map(Pred.Neq(_)), lg.map(Pred.Lt(_)),
+    lg.map(Pred.Lte(_)), lg.map(Pred.Gt(_)), lg.map(Pred.Gte(_)),
+    Gen.zip(lg, lg).map { case (a, b) => Pred.Inside(a, b) },
+    Gen.zip(lg, lg).map { case (a, b) => Pred.Outside(a, b) },
+    Gen.zip(lg, lg).map { case (a, b) => Pred.Between(a, b) },
+    Gen.nonEmptyListOf(lg).map(vs => Pred.Within(vs.take(4))),
+    Gen.nonEmptyListOf(lg).map(vs => Pred.Without(vs.take(4))),
+    Gen.const(Pred.Any))
+
+  private def evalAgrees[T](vals: List[Option[T]], pred: Pred,
+                            toDf: List[(Long, Option[T])] =>
+                              org.apache.spark.sql.DataFrame): Boolean = {
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = toDf(rows)
+    val sparkIds = df.filter(pred(org.apache.spark.sql.functions.col("v")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val modelIds = vals.zipWithIndex
+      .collect { case (Some(v), i) if pred.eval(v) => i.toLong }.toSet
+    sparkIds == modelIds
+  }
+
+  property("Pred.eval agrees with Catalyst on int columns") =
+    forAll(Gen.listOf(Gen.option(Gen.chooseNum(-10, 10))),
+           predAdtGen(numLitGen)) { (vals, pred) =>
+      evalAgrees[Int](vals, pred, _.toDF("id", "v"))
+    }
+
+  property("Pred.eval agrees with Catalyst on double columns") =
+    forAll(Gen.listOf(Gen.option(Gen.chooseNum(-20, 20).map(_ / 2.0))),
+           predAdtGen(numLitGen)) { (vals, pred) =>
+      evalAgrees[Double](vals, pred, _.toDF("id", "v"))
+    }
+
+  property("Pred.eval agrees with Catalyst on string columns") =
+    forAll(Gen.listOf(Gen.option(Gen.oneOf("a", "b", "c", "zz", ""))),
+           predAdtGen(strLitGen)) { (vals, pred) =>
+      evalAgrees[String](vals, pred, _.toDF("id", "v"))
+    }
+
   property("Reorder preserves semantics") =
     forAll(agesGen, predGen, predGen) { (ages, p1, p2) =>
       val (g, _) = graphOf(ages)

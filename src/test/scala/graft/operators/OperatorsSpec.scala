@@ -124,14 +124,24 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("LSH-bucketed embedding near-dup equals brute force") {
+    // low-τ fixture regime: coarse buckets (see embeddingNearDup doc)
     for (tau <- Seq(0.45, 0.4)) {
       val exact = DedupOps.embeddingNearDupExact(embs, tau = tau)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val lsh = DedupOps.embeddingNearDup(embs, tau = tau)
+      val lsh = DedupOps.embeddingNearDup(embs, tau = tau, nBits = 6)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(exact.nonEmpty, "fixture should contain near-dup embeddings")
       assert(lsh == exact, s"tau=$tau: LSH missed ${exact -- lsh}")
     }
+    // default (fine-bucket, τ=0.9) regime: plant exact and near twins
+    val twins = embs.limit(50)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val corpus = embs.select("vec_id", "embedding").unionByName(twins)
+    val exact9 = DedupOps.embeddingNearDupExact(corpus, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh9 = DedupOps.embeddingNearDup(corpus, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact9.size == 50 && lsh9 == exact9)
   }
 
   test("minhash bucket cap bounds candidates, logs, and keeps the rest") {
