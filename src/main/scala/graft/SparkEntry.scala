@@ -199,6 +199,10 @@ object SparkEntry {
     }),
     "curation_lang_eval" -> ((spark, sfDir) =>
       operators.CurationOps.langIdEval(docs(spark, sfDir))),
+    "curation_quota_sample" -> ((spark, sfDir) =>
+      operators.CurationOps.quotaSample(docs(spark, sfDir), n = 20)),
+    "curation_pack" -> ((spark, sfDir) =>
+      operators.CurationOps.packSequences(docs(spark, sfDir), budget = 512)),
     "curation_source_stats" -> ((spark, sfDir) =>
       operators.CurationOps.sourceStats(docs(spark, sfDir))),
 
@@ -486,6 +490,20 @@ object SparkEntry {
          |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM s)
          |SELECT d.lang, p.lang_pred, count(*) AS n FROM documents d
          |JOIN p ON d.doc_id = p.doc_id GROUP BY d.lang, p.lang_pred""".stripMargin,
+    "curation_quota_sample" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 20""".stripMargin,
+    "curation_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS token_count
+        | FROM documents)
+        |SELECT doc_id, source, token_count,
+        |  CAST(floor(CAST(coalesce(sum(token_count) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS DOUBLE) / 512) AS BIGINT) AS bin_id
+        |FROM t""".stripMargin,
     "curation_source_stats" ->
       """SELECT source, count(*) AS docs,
         |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,

@@ -125,6 +125,45 @@ object CurationOps {
       .groupBy(col(truthCol), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
 
+  /**
+   * Deterministic per-group quota sample: keep each group's `n` rows
+   * with the smallest `md5(id)` — a seedless pseudo-random sample any
+   * engine reproduces bit-for-bit (md5 of the same string is
+   * universal), so downsampling decisions are auditable and stable
+   * across reruns. One window shuffle on the group key; no global
+   * sort.
+   */
+  def quotaSample(df: DataFrame, n: Int, groupCol: String = "source",
+                  idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /**
+   * Sequence packing for pretraining batches: lay each group's docs
+   * out in id order and assign bin ids by cumulative token budget —
+   * `bin = floor(tokens_before_this_doc / budget)` — so consecutive
+   * docs fill ~`budget`-token bins. Grouped by `groupCol` (packing is
+   * embarrassingly parallel across groups; a single global ordering
+   * would serialise the window at scale).
+   */
+  def packSequences(df: DataFrame, budget: Int,
+                    groupCol: String = "source",
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(groupCol),
+      TextOps.tokenCount(col(textCol)).cast(LongType).as("token_count"))
+      .withColumn("bin_id",
+        floor(coalesce(sum(col("token_count")).over(w), lit(0L)) /
+          lit(budget)))
+  }
+
   /** Per-source monitoring aggregates: doc count, total whitespace
     * tokens, mean char length (single division + round(2)). */
   def sourceStats(df: DataFrame, sourceCol: String = "source",

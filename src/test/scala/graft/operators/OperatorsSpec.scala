@@ -308,6 +308,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L))
   }
 
+  test("quotaSample: deterministic bounded sample per group") {
+    val a = CurationOps.quotaSample(docs, n = 7).collect()
+      .map(r => r.getLong(0)).sorted.toSeq
+    val b = CurationOps.quotaSample(docs, n = 7).collect()
+      .map(r => r.getLong(0)).sorted.toSeq
+    assert(a == b, "sample must be rerun-stable")
+    val perGroup = CurationOps.quotaSample(docs, n = 7)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(perGroup.forall(_ <= 7) && perGroup.nonEmpty)
+  }
+
+  test("packSequences: greedy cumulative bins match a driver model") {
+    val out = CurationOps.packSequences(docs, budget = 300).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val model = out.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).map { case (id, _, tc, _) =>
+        val bin = cum / 300
+        cum += tc
+        (id, bin)
+      }.toSeq
+    }.toMap
+    out.foreach { case (id, _, _, bin) =>
+      assert(bin == model(id), s"doc $id bin mismatch")
+    }
+    // bins are dense from 0 within each source
+    val bins = out.groupBy(_._2).view.mapValues(_.map(_._4).distinct.sorted)
+    bins.foreach { case (_, bs) => assert(bs.head == 0L) }
+  }
+
   test("langIdEval confusion counts cover every truth label") {
     val out = CurationOps.langIdEval(docs).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
