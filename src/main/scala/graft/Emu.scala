@@ -23,6 +23,10 @@ import scala.util.Random
  */
 object Emu {
 
+  private val keyRe = """\$RAND\(([A-Za-z_]+)\)""".r
+  private def keysOf(templates: Seq[String]): Seq[String] =
+    templates.flatMap(t => keyRe.findAllMatchIn(t).map(_.group(1))).distinct
+
   val DefaultTemplates: Seq[String] = Seq(
     "g.V().has('nationkey', eq($RAND(nationkey))).count()",
     "g.V().has('name', eq($RAND(name))).out('placed').values('totalprice').sum()",
@@ -54,13 +58,15 @@ object Emu {
                  else GraphStore.tpch(spark, sfDir)).cached()
     graph.vertices.count(); graph.edges.count() // warm the cache
     val g = Graft(graph)
+    // serve like the reference's emu mode: point templates draw values
+    // from (and are answered by) the posting-list indexes
+    keysOf(templates).foreach(k =>
+      if (graph.vertices.columns.contains(k)) g.ddl(s"BuildIndex(V, '$k')"))
 
     // sample substitution pools once, fixed seed (reference: $RAND from
     // the index store, worker.hpp:184-199)
     val rand = new Random(42)
-    val keyRe = """\$RAND\(([A-Za-z_]+)\)""".r
-    val keys = templates.flatMap(t => keyRe.findAllMatchIn(t).map(_.group(1)))
-      .distinct
+    val keys = keysOf(templates)
     val pools: Map[String, Array[String]] = keys.map { k =>
       k -> graph.vertices.select(k).where(s"$k IS NOT NULL")
         .distinct().limit(1000).collect().map(_.get(0).toString)
