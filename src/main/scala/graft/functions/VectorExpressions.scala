@@ -216,6 +216,9 @@ object VectorExpressions {
    */
   case class LshProbes(child: Expression, nBits: Int, probeBits: Int)
       extends UnaryExpression with CodegenFallback {
+    require(probeBits >= 0 && probeBits <= 2,
+      s"probeBits must be 0..2 (got $probeBits) — wider probing needs " +
+        "more mask tiers here AND makes bucket coverage near-all-pairs")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     private lazy val masks: Array[Long] = {
       val b = Array.newBuilder[Long]

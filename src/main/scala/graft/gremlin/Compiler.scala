@@ -223,10 +223,13 @@ object Compiler {
         // double coerce to a numeric compare, strings compare as
         // strings, and a string-vs-number mismatch is simply false.
         val keys = propKeys(graph, at.kind)
+        // one analyzer round-trip per key (the dtype is value-independent)
+        val keyTypes = keys.map { k =>
+          val c = propCol(graph, at, k)
+          (k, c, at.df.select(c).schema.head.dataType)
+        }
         val cond = vs.map { v =>
-          keys.map { k =>
-            val c = propCol(graph, at, k)
-            val dt = at.df.select(c).schema.head.dataType
+          keyTypes.map { case (_, c, dt) =>
             (v, dt) match {
               case (Lit.S(sv), StringType)             => c === lit(sv)
               case (Lit.I(_) | Lit.D(_), _: NumericType) => c === v.column

@@ -105,34 +105,25 @@ final case class Graft(graph: GraphStore) {
     var kept = Vector.empty[Step]
     var minCount = Long.MaxValue
 
+    // fold-or-keep one evictable predicate (shared by has and hasKey —
+    // the reference encodes hasKey as has(k, ANY))
+    def tryFold(key: String, pred: Pred, step: Step): Unit =
+      index.admissibleCount(isVertex, key, pred) match {
+        case Some(count) if count / IndexRatio < minCount =>
+          if (count < minCount) {
+            minCount = count
+            val (stay, evicted) = folded.partition { case (_, _, c, ev) =>
+              !ev || c / IndexRatio < minCount }
+            folded = stay
+            kept ++= evicted.map(f => Step.Has(f._1, f._2))
+          }
+          folded :+= ((key, pred, count, true))
+        case _ => kept :+= step
+      }
+
     leading.foreach {
-      case step @ Step.Has(key, pred) =>
-        index.admissibleCount(isVertex, key, pred) match {
-          case Some(count) if count / IndexRatio < minCount =>
-            if (count < minCount) {
-              minCount = count
-              val (stay, evicted) = folded.partition { case (_, _, c, ev) =>
-                !ev || c / IndexRatio < minCount }
-              folded = stay
-              kept ++= evicted.map(f => Step.Has(f._1, f._2))
-            }
-            folded :+= ((key, pred, count, true))
-          case _ => kept :+= step
-        }
-      case step @ Step.HasKey(Seq(key)) =>
-        // hasKey(k) is has(k, ANY) in the reference's param encoding
-        index.admissibleCount(isVertex, key, Pred.Any) match {
-          case Some(count) if count / IndexRatio < minCount =>
-            if (count < minCount) {
-              minCount = count
-              val (stay, evicted) = folded.partition { case (_, _, c, ev) =>
-                !ev || c / IndexRatio < minCount }
-              folded = stay
-              kept ++= evicted.map(f => Step.Has(f._1, f._2))
-            }
-            folded :+= ((key, Pred.Any, count, true))
-          case _ => kept :+= step
-        }
+      case step @ Step.Has(key, pred)  => tryFold(key, pred, step)
+      case step @ Step.HasKey(Seq(key)) => tryFold(key, Pred.Any, step)
       case step @ Step.HasLabel(labels) =>
         val pred = Pred.Within(labels.map(Lit.S))
         index.admissibleCount(isVertex, "label", pred) match {

@@ -53,6 +53,10 @@ final class IndexStore {
   val SelectivityGate = 0.2
 
   def build(graph: GraphStore, isVertex: Boolean, key: String): Unit = {
+    // rebuilding replaces the entry — release the old cached blocks
+    indexes.get((isVertex, key)).foreach { old =>
+      old.postings.unpersist(); old.noKey.unpersist()
+    }
     val (table, idCols) =
       if (isVertex) (graph.vertices, Seq(col("id")))
       else (graph.edges, Seq(col("src"), col("dst"), col("label")))

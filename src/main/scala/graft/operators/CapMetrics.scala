@@ -19,9 +19,14 @@ import org.apache.spark.sql.util.QueryExecutionListener
 object CapMetrics {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-  private val sessions = ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: a stopped SparkSession must stay collectable even though
+  // its listener was registered through us
+  private val sessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private val nameCounter = new AtomicLong()
-  /** metric-name prefix -> last observed row, for assertions in specs. */
+  /** op -> last observed metric row. Diagnostics-grade: with concurrent
+    * invocations of the same operator the last writer wins. */
   private val lastObserved =
     new ConcurrentHashMap[String, Map[String, Any]]()
 
@@ -36,9 +41,24 @@ object CapMetrics {
   }
 
   /** Last observed metric row for an operator (any invocation), keyed
-    * by metric column name. Empty until an action has run. */
+    * by metric column name. Empty until an action has run — listener
+    * delivery is ASYNC, so callers that just ran an action should use
+    * [[await]]. */
   def last(op: String): Map[String, Any] =
     lastObserved.getOrDefault(op, Map.empty)
+
+  /** Poll until `last(op)` satisfies `cond` or `timeoutMs` elapses
+    * (QueryExecutionListener events arrive on a background bus). */
+  def await(op: String, timeoutMs: Long = 10000)
+           (cond: Map[String, Any] => Boolean): Map[String, Any] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var m = last(op)
+    while (!cond(m) && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      m = last(op)
+    }
+    m
+  }
 
   private def ensureListener(spark: SparkSession): Unit = {
     if (sessions.add(spark)) {

@@ -72,8 +72,12 @@ object DedupOps {
    * truncated to its `maxBucket` smallest ids. Truncation is NOT
    * silent: the number of truncated postings is published via
    * `Dataset.observe` and warn-logged by [[CapMetrics]] when nonzero
-   * ([[CapMetrics.last]]("minhashLsh")). Pairs hidden by one band's
-   * truncation are still found through any other band they share.
+   * ([[CapMetrics.last]]("minhashLsh")). Recall note: a pair whose
+   * bucket was truncated in one band survives only through OTHER bands
+   * where its bucket is small — for a fully-degenerate group (identical
+   * signatures, so the SAME oversized bucket in every band) pairs
+   * outside the kept id prefix are genuinely dropped; that loss is
+   * exactly what the observed `capped_postings` metric reports.
    */
   def minhashLsh(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", shingleN: Int = 3,

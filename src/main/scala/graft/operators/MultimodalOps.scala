@@ -168,8 +168,11 @@ object MultimodalOps {
     }.toDF("doc_id", "payload")
   }
 
-  /** Pure-column variant of the stub metadata (whole-stage codegen;
-    * used by the oracle-checked query). */
+  /** Pure-column variant of the stub metadata (whole-stage codegen).
+    * The oracle-checked gate runs the REAL parser path
+    * ([[withPngPayload]] → [[decodeMeta]]); this variant remains as the
+    * SQL-expressible twin the plumbing spec compares [[stubDecode]]
+    * against. */
   def decodeMetaColumns(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       length(col("payload")).cast("long").as("bytes"),

@@ -90,7 +90,9 @@ object SimilarityOps {
   /** Attach `__cell` = argmin-distance centroid to every `(__id, __v)`
     * row, carrying `carry` columns through. The crossJoin rows are
     * consumed immediately by the map-side partial argmin aggregate —
-    * one row per element survives to the shuffle. */
+    * one row per element survives to the shuffle. Grouping is on
+    * (`__id`, `__v`) so dirty inputs with duplicate ids keep one row
+    * per distinct vector, like the per-row assignment it replaced. */
   private def assignCells(df: DataFrame, cdf: DataFrame,
                           carry: Seq[String]): DataFrame = {
     val scored = df.crossJoin(broadcast(cdf)).withColumn("__d", cellDist)
@@ -98,18 +100,19 @@ object SimilarityOps {
     // same semantics as the previous literal-array argmin
     val aggs = min(struct(col("__d"), col("__cell")))
       .getField("__cell").as("__cell") +:
-      carry.map(c => first(col(c)).as(c))
-    scored.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+      carry.filterNot(_ == "__v").map(c => first(col(c)).as(c))
+    scored.groupBy(col("__id"), col("__v")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** `(__id, __cell)` pairs for each element's `nprobe` nearest cells. */
+  /** `(__id, __cell)` pairs for each element's `nprobe` nearest cells
+    * (grouped on (`__id`, `__v`) — see [[assignCells]]). */
   private def probeCells(df: DataFrame, cdf: DataFrame, nprobe: Int,
                          carry: Seq[String]): DataFrame = {
     val scored = df.crossJoin(broadcast(cdf)).withColumn("__d", cellDist)
     val aggs = slice(array_sort(
       collect_list(struct(col("__d"), col("__cell")))), 1, nprobe)
-      .as("__pc") +: carry.map(c => first(col(c)).as(c))
-    scored.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+      .as("__pc") +: carry.filterNot(_ == "__v").map(c => first(col(c)).as(c))
+    scored.groupBy(col("__id"), col("__v")).agg(aggs.head, aggs.tail: _*)
       .withColumn("__cell",
         explode(transform(col("__pc"), s => s.getField("__cell"))))
       .drop("__pc")

@@ -164,7 +164,9 @@ class OperatorsSpec extends SparkSpec {
     assert((1L to 10L).combinations(2).map(s => (s(0), s(1)))
       .forall(p => capped.contains(p)), "kept prefix stays fully paired")
     // the cap is not silent: observed metrics recorded the truncation
-    val m = CapMetrics.last("minhashLsh")
+    // (listener delivery is async — poll through the helper)
+    val m = CapMetrics.await("minhashLsh")(
+      _.get("capped_postings").exists(_.asInstanceOf[Long] > 0))
     assert(m.get("capped_postings").exists(_.asInstanceOf[Long] > 0))
     assert(m.get("max_bucket_size").exists(_.asInstanceOf[Int] == 40))
     // uncapped control: every degenerate pair is found
