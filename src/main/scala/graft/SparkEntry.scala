@@ -205,6 +205,10 @@ object SparkEntry {
       operators.CurationOps.packSequences(docs(spark, sfDir), budget = 512)),
     "curation_source_stats" -> ((spark, sfDir) =>
       operators.CurationOps.sourceStats(docs(spark, sfDir))),
+    "curation_top_ngram" -> ((spark, sfDir) =>
+      operators.CurationOps.topNgramFraction(docs(spark, sfDir), n = 3)),
+    "curation_token_quantiles" -> ((spark, sfDir) =>
+      operators.CurationOps.sourceTokenQuantiles(docs(spark, sfDir))),
 
     // ---- iterative graph algorithms (GraphX/Pregel) ----
     "graph_hops" -> ((spark, sfDir) =>
@@ -504,6 +508,17 @@ object SparkEntry {
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS DOUBLE) / 512) AS BIGINT) AS bin_id
         |FROM t""".stripMargin,
+    "curation_top_ngram" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-2, 1)+1)]) AS gram FROM w),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+        |t AS (SELECT doc_id, max(n) AS mx, sum(n) AS total FROM c GROUP BY doc_id)
+        |SELECT doc_id, round(CAST(mx AS DOUBLE) / total, 4) AS top_ngram_frac FROM t""".stripMargin,
+    "curation_token_quantiles" ->
+      """SELECT source,
+        |  round(quantile_cont(CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 0.5), 2) AS median_tokens,
+        |  round(quantile_cont(CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 0.9), 2) AS p90_tokens
+        |FROM documents GROUP BY source""".stripMargin,
     "curation_source_stats" ->
       """SELECT source, count(*) AS docs,
         |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,

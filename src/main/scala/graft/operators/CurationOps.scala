@@ -164,6 +164,42 @@ object CurationOps {
           lit(budget)))
   }
 
+  /**
+   * Fraction of a doc's word n-grams occupied by its single most
+   * common n-gram — the Gopher "most common n-gram" repetition signal
+   * ([[repetitionRatio]] is the companion "any duplicate" signal).
+   * Short docs (< n words) count one truncated whole-text gram
+   * (fraction 1.0), mirroring the shingle kernel's convention.
+   * Two grouped aggregations; n-grams carry multiplicity so the
+   * distinct-set kernel does not apply.
+   */
+  def topNgramFraction(df: DataFrame, n: Int = 3,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val words = split(trim(col(textCol)), " ")
+    val cnt = greatest(size(words) - (n - 1), lit(1))
+    val grams = transform(sequence(lit(1), cnt),
+      i => array_join(slice(words, i, lit(n)), " "))
+    df.select(col(idCol), explode(grams).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__total"))
+      .select(col(idCol),
+        round(col("__mx").cast(DoubleType) / col("__total"), 4)
+          .as("top_ngram_frac"))
+  }
+
+  /** Per-source token-count distribution markers: exact interpolated
+    * median and p90 (Spark `percentile` and DuckDB `quantile_cont`
+    * share the R-7 linear-interpolation definition). */
+  def sourceTokenQuantiles(df: DataFrame, sourceCol: String = "source",
+                           textCol: String = "text"): DataFrame = {
+    val tc = TextOps.tokenCount(col(textCol)).cast(DoubleType)
+    df.groupBy(col(sourceCol))
+      .agg(round(percentile(tc, lit(0.5)), 2).as("median_tokens"),
+        round(percentile(tc, lit(0.9)), 2).as("p90_tokens"))
+  }
+
   /** Per-source monitoring aggregates: doc count, total whitespace
     * tokens, mean char length (single division + round(2)). */
   def sourceStats(df: DataFrame, sourceCol: String = "source",

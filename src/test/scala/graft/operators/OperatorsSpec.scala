@@ -340,6 +340,29 @@ class OperatorsSpec extends SparkSpec {
     bins.foreach { case (_, bs) => assert(bs.head == 0L) }
   }
 
+  test("topNgramFraction matches a driver model") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b a b"),   // trigrams: aba x3, bab x3 of 6 -> 0.5
+      (2L, "w x y z q r"),       // all 4 trigrams distinct -> 0.25
+      (3L, "xy zz")).toDF("doc_id", "text") // shorter than n -> 1.0
+    val out = CurationOps.topNgramFraction(df, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.5)
+    assert(out(2L) == 0.25)
+    assert(out(3L) == 1.0)
+  }
+
+  test("sourceTokenQuantiles interpolates like the model") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s", "a b c"), (2L, "s", "a b c d e"),
+      (3L, "s", "a"), (4L, "s", "a b")).toDF("doc_id", "source", "text")
+    // token counts {3,5,1,2} sorted {1,2,3,5}: median = 2.5, p90 = 4.4
+    val r = CurationOps.sourceTokenQuantiles(df).collect().head
+    assert(r.getDouble(1) == 2.5 && r.getDouble(2) == 4.4)
+  }
+
   test("langIdEval confusion counts cover every truth label") {
     val out = CurationOps.langIdEval(docs).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
