@@ -223,13 +223,13 @@ object Compiler {
         // double coerce to a numeric compare, strings compare as
         // strings, and a string-vs-number mismatch is simply false.
         val keys = propKeys(graph, at.kind)
-        // one analyzer round-trip per key (the dtype is value-independent)
+        // property keys are plain top-level columns of the attached df,
+        // so the already-analyzed schema answers with no analyzer pass
         val keyTypes = keys.map { k =>
-          val c = propCol(graph, at, k)
-          (k, c, at.df.select(c).schema.head.dataType)
+          (propCol(graph, at, k), at.df.schema(k).dataType)
         }
         val cond = vs.map { v =>
-          keyTypes.map { case (_, c, dt) =>
+          keyTypes.map { case (c, dt) =>
             (v, dt) match {
               case (Lit.S(sv), StringType)             => c === lit(sv)
               case (Lit.I(_) | Lit.D(_), _: NumericType) => c === v.column

@@ -53,10 +53,6 @@ final class IndexStore {
   val SelectivityGate = 0.2
 
   def build(graph: GraphStore, isVertex: Boolean, key: String): Unit = {
-    // rebuilding replaces the entry — release the old cached blocks
-    indexes.get((isVertex, key)).foreach { old =>
-      old.postings.unpersist(); old.noKey.unpersist()
-    }
     val (table, idCols) =
       if (isVertex) (graph.vertices, Seq(col("id")))
       else (graph.edges, Seq(col("src"), col("dst"), col("label")))
@@ -74,6 +70,12 @@ final class IndexStore {
       .map(r => r.get(0) -> r.getLong(1)).toMap
     val noKeyCount = noKey.count()
     val total = counts.valuesIterator.sum + noKeyCount
+    // release the replaced index's cached blocks only AFTER the new one
+    // materialized — a failed rebuild must not leave a registered index
+    // serving uncached postings
+    indexes.get((isVertex, key)).foreach { old =>
+      old.postings.unpersist(); old.noKey.unpersist()
+    }
     indexes += (isVertex, key) -> Index(posting, noKey, counts,
       noKeyCount, total)
   }

@@ -246,6 +246,9 @@ object DedupOps {
                        vecCol: String = "embedding", tau: Double = 0.9,
                        dim: Int = 64, nBits: Int = 16, nTables: Int = 12,
                        probeBits: Int = 2): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 2,
+      s"probeBits must be 0..2 (got $probeBits): raise recall with more " +
+        "tables, not wider probes — probe volume grows C(nBits, p)")
     graft.functions.VectorExpressions.register(df.sparkSession)
     val withNorm = df.select(col(idCol).as("__id"),
       col(vecCol).as("__v"),

@@ -157,7 +157,10 @@ object SimilarityOps {
    * IVF approximate top-k: corpus bucketed by nearest centroid, each
    * query probes its `nprobe` closest cells. Complements [[lshTopK]]:
    * IVF adapts to the data distribution (learned cells), LSH is
-   * data-independent (fixed hyperplanes).
+   * data-independent (fixed hyperplanes). Ids are assumed unique per
+   * element (as in [[bruteForceTopK]]): rows sharing an id survive cell
+   * assignment per distinct vector but the final
+   * `dropDuplicates(query, neighbor)` keeps an arbitrary one.
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               centroids: Array[Array[Double]],

@@ -375,6 +375,28 @@ class OperatorsSpec extends SparkSpec {
     assert(agree.toDouble / docs.count() > 0.2)
   }
 
+  test("text/curation ops survive null, empty, and whitespace text") {
+    import spark.implicits._
+    val dirty = Seq((1L, "s", Option("ok doc here")), (2L, "s", Some("")),
+      (3L, "s", Some("   ")), (4L, "s", Option.empty[String]))
+      .toDF("doc_id", "source", "text")
+    // nothing throws; dirty rows degrade, clean rows survive
+    assert(CurationOps.qualityFilters(dirty).count() == 4)
+    assert(CurationOps.scrubPii(dirty).count() == 4)
+    assert(CurationOps.repetitionStats(dirty).count() == 4)
+    assert(CurationOps.topNgramFraction(dirty).collect()
+      .map(_.getLong(0)).toSet.contains(1L))
+    assert(CurationOps.sourceStats(dirty).count() == 1)
+    val tq = dirty.select(TextOps.qualityScore(col("text"))).collect()
+    assert(tq.length == 4)
+    // empty corpora produce empty results, not failures
+    val empty = dirty.filter(col("doc_id") < 0)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    assert(DedupOps.minhashLsh(empty).count() == 0)
+    assert(DedupOps.tokenJaccard(empty).count() == 0)
+    assert(DedupOps.simhash(empty).count() == 0)
+  }
+
   // ---------------- MultimodalOps ----------------
 
   test("payload decode plumbing: typed batches with deterministic stub") {
