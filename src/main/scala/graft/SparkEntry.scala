@@ -217,6 +217,14 @@ object SparkEntry {
     "graph_components" -> ((spark, sfDir) => // no SQL oracle: iterative fixpoint
       operators.GraphAlgos.connectedComponents(
         sources.GraphStore.tpch(spark, sfDir))),
+    "graph_pagerank" -> ((spark, sfDir) => { // no SQL oracle: iterative fixpoint
+      import org.apache.spark.sql.expressions.Window
+      operators.GraphAlgos.pageRank(sources.GraphStore.tpch(spark, sfDir))
+        .withColumn("rank_pos", row_number().over(
+          Window.orderBy(col("rank").desc, col("id"))))
+        .filter(col("rank_pos") <= 20)
+        .select(col("id"), col("rank_pos")) // positions, not float ranks
+    }),
 
     // ---- events-table analytics (window functions / sessionization) ----
     "events_topn_per_type" -> ((spark, sfDir) => {
