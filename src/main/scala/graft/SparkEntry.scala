@@ -219,11 +219,13 @@ object SparkEntry {
         sources.GraphStore.tpch(spark, sfDir))),
     "graph_pagerank" -> ((spark, sfDir) => { // no SQL oracle: iterative fixpoint
       import org.apache.spark.sql.expressions.Window
+      // top-k FIRST (TakeOrderedAndProject — no global sort), then
+      // number the 20 survivors; emit positions, not float ranks
       operators.GraphAlgos.pageRank(sources.GraphStore.tpch(spark, sfDir))
+        .orderBy(col("rank").desc, col("id")).limit(20)
         .withColumn("rank_pos", row_number().over(
           Window.orderBy(col("rank").desc, col("id"))))
-        .filter(col("rank_pos") <= 20)
-        .select(col("id"), col("rank_pos")) // positions, not float ranks
+        .select(col("id"), col("rank_pos"))
     }),
 
     // ---- events-table analytics (window functions / sessionization) ----
