@@ -229,6 +229,12 @@ object SparkEntry {
     }),
 
     // ---- events-table analytics (window functions / sessionization) ----
+    // a REAL incremental stream (file source → watermarkless tumbling
+    // windows → memory sink, drained to completion) whose answer must
+    // equal the batch/SQL computation of the same windows
+    "events_stream_window" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedWindowCounts(
+        spark, s"$sfDir/events.parquet")),
     "events_topn_per_type" -> ((spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("event_type")
@@ -540,6 +546,10 @@ object SparkEntry {
         |UNION ALL SELECT DISTINCT o_orderkey + 1000000000, 1 FROM orders WHERE o_custkey = 1
         |UNION ALL SELECT DISTINCT l.l_partkey + 2000000000, 2 FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_custkey = 1""".stripMargin,
+    "events_stream_window" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+        |  event_type, count(*) AS events
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "events_topn_per_type" ->
       """SELECT event_type, event_id, round(value, 2) AS value, CAST(rn AS INTEGER) AS rn
         |FROM (SELECT event_type, event_id, value,

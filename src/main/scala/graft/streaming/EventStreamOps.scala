@@ -114,4 +114,31 @@ object EventStreamOps {
   def toMemorySink(df: DataFrame, name: String,
                    mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /**
+   * Execute a REAL incremental stream to completion and return the
+   * result: file-source over the events parquet → tumbling-window
+   * counts per event type → memory sink, drained with
+   * `processAllAvailable`. The answer must equal the batch computation
+   * of the same windows — that equivalence is what the correctness gate
+   * checks against the SQL oracle (epoch-aligned tumbling windows, like
+   * DuckDB's `time_bucket`). Window bounds are emitted as epoch seconds
+   * so the comparison is timezone-free.
+   */
+  def streamedWindowCounts(spark: SparkSession, path: String,
+                           window: String = "1 hour"): DataFrame = {
+    val name = s"graft_stream_wc_${runCounter.incrementAndGet()}"
+    val counts = streamFromParquet(spark, path)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("events"))
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }
