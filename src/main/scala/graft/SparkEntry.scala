@@ -158,6 +158,13 @@ object SparkEntry {
     "neardup_embedding_lsh" -> ((spark, sfDir) =>
       operators.DedupOps.embeddingNearDup(embs(spark, sfDir), tau = 0.45,
         nBits = 6)),
+    "dedup_exact_vectors" -> ((spark, sfDir) =>
+      operators.DedupOps.exactVectors(embs(spark, sfDir))),
+    "ann_cluster" -> ((spark, sfDir) => { // no SQL oracle: k-means fixpoint
+      val e = embs(spark, sfDir)
+      val cents = operators.SimilarityOps.fitIvfCentroids(e, k = 16, iters = 3)
+      operators.SimilarityOps.clusterEmbeddings(e, cents)
+    }),
     "ann_topk" -> ((spark, sfDir) => {
       val e = embs(spark, sfDir)
       operators.SimilarityOps.bruteForceTopK(
@@ -447,6 +454,8 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, len(a.sh) AS la, len(b.sh) AS lb
         | FROM t a JOIN t b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(inter/(la + lb - inter), 4) AS jaccard FROM p WHERE inter/(la + lb - inter) >= 0.95""".stripMargin,
+    "dedup_exact_vectors" ->
+      "SELECT min(vec_id) AS vec_id, count(*) AS dup_count FROM embeddings GROUP BY embedding",
     "neardup_embedding" ->
       s"""SELECT id_a, id_b, round(ab/(sqrt(aa)*sqrt(bb)), 4) AS cosine
          |FROM $SqlCosPairs WHERE ab/(sqrt(aa)*sqrt(bb)) >= 0.45""".stripMargin,

@@ -285,6 +285,18 @@ object DedupOps {
   }
 
   /**
+   * Bitwise-identical embedding vectors (duplicated docs produce
+   * byte-equal embeddings): keep the smallest id per distinct vector
+   * plus the duplicate count — [[exact]] for the vector column. One
+   * shuffle on the array key, map-side partial aggregation.
+   */
+  def exactVectors(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    df.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("dup_count"))
+
+  /**
    * Exact cosine-threshold pairs — brute force over all n² pairs (the
    * small side broadcasts; Spark picks BroadcastNestedLoopJoin). The
    * correctness oracle for [[embeddingNearDup]]; only viable when n is

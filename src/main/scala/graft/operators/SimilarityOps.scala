@@ -119,6 +119,23 @@ object SimilarityOps {
   }
 
   /**
+   * Public clustering surface over the IVF machinery: assign every
+   * vector to its nearest fitted centroid — corpus analysis (topic-ish
+   * grouping, per-cluster sampling) reuses the same broadcast-join
+   * argmin as the ANN index. Deterministic given [[fitIvfCentroids]]'s
+   * deterministic init.
+   */
+  def clusterEmbeddings(df: DataFrame, centroids: Array[Array[Double]],
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    assignCells(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      centroidsDf(df.sparkSession, centroids), carry = Nil)
+      .select(col("__id").as(idCol), col("__cell").as("cluster"))
+  }
+
+  /**
    * Fit IVF centroids by Lloyd's k-means: deterministic init (first k
    * vectors by id), fixed iteration count. Cell assignment is the
    * broadcast-join argmin of [[assignCells]]; element-wise means are

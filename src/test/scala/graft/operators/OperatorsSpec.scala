@@ -231,6 +231,23 @@ class OperatorsSpec extends SparkSpec {
     assert(secs < 120.0, s"k=256 IVF took ${secs}s — plan blowup?")
   }
 
+  test("clusterEmbeddings: deterministic, k clusters, twins co-assigned") {
+    val cents = SimilarityOps.fitIvfCentroids(embs, k = 8, iters = 2)
+    val a = SimilarityOps.clusterEmbeddings(embs, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = SimilarityOps.clusterEmbeddings(embs, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b && a.size == embs.count())
+    assert(a.values.toSet.size > 1 && a.values.toSet.subsetOf((0 until 8).toSet))
+    // an exact twin of a vector must land in the same cluster
+    val twin = embs.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 9999L).as("vec_id"), col("embedding"))
+    val withTwin = SimilarityOps.clusterEmbeddings(
+      embs.select("vec_id", "embedding").unionByName(twin), cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(withTwin(9999L) == withTwin(0L))
+  }
+
   test("ivf top-k: deterministic centroids, reasonable recall") {
     val cents = SimilarityOps.fitIvfCentroids(embs, k = 8, iters = 3)
     val cents2 = SimilarityOps.fitIvfCentroids(embs, k = 8, iters = 3)
