@@ -558,14 +558,29 @@ object Compiler {
 
       case BranchFilter(op, subs) =>
         val d = detach(s)
-        // localCheckpoint freezes the row ids: the tagged plan is
-        // re-evaluated on both sides of the semi/anti join, and
-        // monotonically_increasing_id is only deterministic for a
-        // deterministic partition layout — a shuffled frontier's
-        // within-partition order is not, so without materialisation the
-        // two evaluations could tag the same logical row differently
-        val tagged = d.df.withColumn("__rowid",
-          monotonically_increasing_id()).localCheckpoint()
+        // The tagged plan is re-evaluated on both sides of the semi/anti
+        // join, so row ids must be stable across evaluations. A
+        // deterministic frontier always re-produces the same row
+        // MULTISET (order/partitioning may differ), so a content-derived
+        // tag — xxhash64 over every column, plus a row_number within
+        // each hash group ordered by the full content (which keeps tags
+        // stable for distinct rows even on a 64-bit hash collision;
+        // identical rows are interchangeable) — is deterministic without
+        // materialising anything: compile stays job-free. Only a
+        // genuinely nondeterministic frontier (e.g. coin() upstream,
+        // whose seeded rand depends on partition layout) still needs the
+        // eager localCheckpoint to freeze its rows first.
+        val nondet = d.df.queryExecution.analyzed.exists(
+          p => p.expressions.exists(e => !e.deterministic))
+        val base = if (nondet) d.df.localCheckpoint() else d.df
+        val contentCols = base.columns.toSeq.map(col)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__rowh")).orderBy(contentCols: _*)
+        val tagged = base
+          .withColumn("__rowh", xxhash64(contentCols: _*))
+          .withColumn("__rowid",
+            concat_ws("#", col("__rowh"), row_number().over(w)))
+          .drop("__rowh")
         val from = d.copy(df = tagged, groupCol = Some("__rowid"),
           groupUniverse = Some(tagged.select(col("__rowid")).distinct()))
         var se = d.sideEffects

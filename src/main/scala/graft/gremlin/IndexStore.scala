@@ -24,23 +24,47 @@ import graft.sources.GraphStore
  *  - noKey: ids whose key is null (serves `hasNot(key)`), plus its
  *    driver-held count.
  *
- * The count map holds one entry per DISTINCT value — the same driver
- * memory the reference's single-node `count_map` uses; postings (the
- * big side) stay distributed.
+ * Unlike the reference's single-node `count_map` (one entry per
+ * DISTINCT value — O(cardinality) driver memory, fine at its scale,
+ * fatal for an index on a unique key over 100 TB), the driver map here
+ * is BOUNDED: when cardinality exceeds [[IndexStore.ExactMapCap]] only
+ * heavy hitters (count >= total/[[IndexStore.HeavyHitterDenom]], hence
+ * at most ~HeavyHitterDenom entries) are collected, plus two residual
+ * scalars (sum and max count of the light tail). `countFor` then
+ * returns an UPPER BOUND for values absent from the map — an
+ * overestimate can only make the selectivity gate more conservative
+ * (fall back to the scan), never produce a wrong result; a value below
+ * the heavy-hitter threshold is by construction far below the 20% gate,
+ * so point lookups on high-cardinality keys stay index-admissible.
+ * Postings (the big side) stay distributed either way.
  */
 final class IndexStore {
+  import IndexStore.{ExactMapCap, HeavyHitterDenom}
 
+  /** @param counts    exact per-value counts (all values if cardinality
+    *                  <= ExactMapCap, else heavy hitters only)
+    * @param residualTotal summed count of values NOT in `counts` (0 on
+    *                  the exact path)
+    * @param residualMax   largest single-value count absent from
+    *                  `counts` — the per-value upper bound */
   final case class Index(postings: DataFrame, noKey: DataFrame,
                          counts: Map[Any, Long], noKeyCount: Long,
-                         total: Long) {
+                         total: Long, residualTotal: Long,
+                         residualMax: Long) {
+    private def boundFor(v: Any): Long =
+      counts.getOrElse(v, if (residualTotal > 0) residualMax else 0L)
+    /** Upper bound on elements matching `pred` (exact when the full
+      * value map fit the driver cap). */
     def countFor(pred: Pred): Long = pred match {
       case Pred.Any     => total - noKeyCount
       case Pred.None    => noKeyCount
-      case Pred.Eq(v)   => counts.getOrElse(v.value, 0L)
+      case Pred.Eq(v)   => boundFor(v.value)
       case Pred.Within(vs) =>
-        vs.map(v => counts.getOrElse(v.value, 0L)).sum
+        math.min(vs.map(v => boundFor(v.value)).sum,
+                 counts.valuesIterator.sum + residualTotal)
       case p => counts.iterator
-        .collect { case (value, n) if p.eval(value) => n }.sum
+        .collect { case (value, n) if p.eval(value) => n }.sum +
+        residualTotal // residual values are invisible to p: assume all match
     }
   }
 
@@ -65,11 +89,30 @@ final class IndexStore {
     posting.count() // materialise now, like the INDEX expert barrier
     val noKey = table.filter(col(key).isNull)
       .select(idCols: _*).cache()
-    val counts = posting.groupBy(col("value"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val grouped = posting.groupBy(col("value"))
+      .agg(count(lit(1)).as("n"))
+    // one distributed pass for (distinct, sum) decides exact vs bounded
+    val statsRow = grouped.agg(
+      count(lit(1)).as("distinct"),
+      coalesce(sum(col("n")), lit(0L)).as("tot")).head()
+    val (distinctVals, nonNullTotal) =
+      (statsRow.getLong(0), statsRow.getLong(1))
+    val (counts, residualTotal, residualMax) =
+      if (distinctVals <= ExactMapCap) {
+        val m = grouped.collect().map(r => r.get(0) -> r.getLong(1)).toMap
+        (m, 0L, 0L)
+      } else {
+        // heavy hitters: at most ~HeavyHitterDenom entries by pigeonhole
+        val threshold = math.max(2L, nonNullTotal / HeavyHitterDenom)
+        val heavy = grouped.filter(col("n") >= threshold).collect()
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+        val resRow = grouped.filter(col("n") < threshold).agg(
+          coalesce(sum(col("n")), lit(0L)),
+          coalesce(max(col("n")), lit(0L))).head()
+        (heavy, resRow.getLong(0), resRow.getLong(1))
+      }
     val noKeyCount = noKey.count()
-    val total = counts.valuesIterator.sum + noKeyCount
+    val total = nonNullTotal + noKeyCount
     // release the replaced index's cached blocks only AFTER the new one
     // materialized — a failed rebuild must not leave a registered index
     // serving uncached postings
@@ -77,7 +120,7 @@ final class IndexStore {
       old.postings.unpersist(); old.noKey.unpersist()
     }
     indexes += (isVertex, key) -> Index(posting, noKey, counts,
-      noKeyCount, total)
+      noKeyCount, total, residualTotal, residualMax)
   }
 
   def get(isVertex: Boolean, key: String): Option[Index] =
@@ -107,4 +150,13 @@ final class IndexStore {
         .drop("value")
     }
   }
+}
+
+object IndexStore {
+  /** Cardinality up to which the full value→count map is collected
+    * exactly (the reference's count_map semantics, bounded). */
+  val ExactMapCap = 4096L
+  /** Above the cap, collect values with count >= total/this — caps the
+    * driver map at ~this many entries regardless of cardinality. */
+  val HeavyHitterDenom = 1000L
 }

@@ -293,6 +293,31 @@ class GremlinSpec extends SparkSpec {
     assert(gi.strings(q).sorted == scan.strings(q).sorted)
   }
 
+  test("index on a high-cardinality key bounds the driver count map") {
+    import spark.implicits._
+    val n = 10000
+    val vertices = (1L to n.toLong)
+      .map(i => (i, "person", s"uid_$i"))
+      .toDF("id", "label", "uid")
+    val edges = Seq((1L, 2L, "knows")).toDF("src", "dst", "label")
+    val gi = Graft(graft.sources.GraphStore(vertices, edges))
+    gi.strings("BuildIndex(V, 'uid')")
+    val idx = gi.index.get(isVertex = true, "uid").get
+    // unique key: every value is below the heavy-hitter threshold, so
+    // the driver map stays bounded (here: empty) with residual scalars
+    assert(idx.counts.size <= IndexStore.HeavyHitterDenom,
+      s"driver map must be bounded, got ${idx.counts.size} entries")
+    assert(idx.residualTotal == n && idx.residualMax == 1L)
+    // absent values are still index-admissible: bound = residualMax = 1
+    assert(gi.index.admissibleCount(isVertex = true, "uid",
+      Pred.Eq(Lit.S("uid_4242"))).contains(1L))
+    // and the posting-seeded query is exact
+    assert(gi.strings("g.V().has('uid','uid_4242').count()") == Seq("=>1"))
+    val scan = Graft(graft.sources.GraphStore(vertices, edges))
+    assert(gi.strings("g.V().has('uid','uid_4242')").sorted ==
+      scan.strings("g.V().has('uid','uid_4242')").sorted)
+  }
+
   test("compile() with indexes runs no Spark job (plan-time gate)") {
     val gi = Graft(GraphStore.modern(spark))
     gi.strings("BuildIndex(V, 'name')")
@@ -307,6 +332,10 @@ class GremlinSpec extends SparkSpec {
     try {
       gi.compile("g.V().hasLabel('person').has('name', 'marko')" +
         ".out('knows').values('name')")
+      // and/or/not used to eagerly localCheckpoint the frontier at
+      // compile time — the content-hash tagging must keep this job-free
+      gi.compile("g.V().and(out('knows'), out('created'))" +
+        ".values('name')")
       // listener bus is async — give it time to surface any job event
       Thread.sleep(1500)
       assert(counter.get() == 0,
