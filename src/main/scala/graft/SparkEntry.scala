@@ -124,6 +124,19 @@ object SparkEntry {
     "select_multi" -> q("g.V().hasLabel('customer').has('nationkey', eq(3)).as('c').out('placed').has('totalprice', gt(200000.0)).as('o').select('c', 'o').order()"),
     "coin_sample" -> q("g.V().hasLabel('order').coin(0.5).count()"), // no oracle: engine-specific rand stream
 
+    // ---- SoCC'19 Table 4 paper templates (Q1/Q3/Q4/Q8 are gated above
+    // as properties_kv / traverse_in / edge_outv_dedup / where_store_q8;
+    // these close the remaining four shapes) ----
+    "paper_q2" -> q("g.V().hasKey('name').hasLabel('part').has('size', gt(40))"),
+    "paper_q5" -> q("g.E().hasLabel('contains').has('quantity', gt(30.0)).not(outV().has('orderstatus', eq('F'))).groupCount('quantity')"),
+    "paper_q6" -> q("g.V().hasLabel('customer').has('mktsegment', eq('BUILDING')).and(out('placed').values('totalprice').min().is(lt(50000.0)), out('placed').count().is(gt(3))).values('name')"),
+    "paper_q7" -> q("g.V().hasLabel('customer').has('nationkey', eq(2)).as('a').union(out('placed'), out('placed').out('contains')).in('contains').where(neq('a')).has('totalprice', gt(100000.0)).order('totalprice', decr).limit(10)"),
+    // LDBC IC1-shaped deep traversal (paper Table 5 workload class):
+    // 3 hops + filters at both ends + dedup + order(k).limit(20) +
+    // select — the limit cut is deterministic because dedup() runs
+    // before order, so ties fall back to the unique element-id tiebreak
+    "ic1_3hop" -> q("g.V().hasLabel('customer').has('mktsegment', eq('AUTOMOBILE')).as('c').out('placed').out('contains').in('contains').has('orderpriority', eq('1-URGENT')).dedup().as('o').order('totalprice', decr).limit(20).select('o')"),
+
     // ---- LLM-data-pipeline operators (graft.operators.*) ----
     "text_stats" -> ((spark, sfDir) => {
       val t = col("text")
@@ -397,6 +410,45 @@ object SparkEntry {
         | sp AS (SELECT DISTINCT l.l_partkey AS pk FROM small s JOIN orders o ON o.o_custkey = s.ck JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
         | c2 AS (SELECT DISTINCT o2.o_custkey AS ck FROM sp JOIN lineitem l2 ON l2.l_partkey = sp.pk JOIN orders o2 ON o2.o_orderkey = l2.l_orderkey)
         |SELECT count(*) AS value FROM c2 WHERE ck NOT IN (SELECT ck FROM small)""".stripMargin,
+    "paper_q2" ->
+      "SELECT p_partkey + 2000000000 AS id FROM part WHERE p_name IS NOT NULL AND p_size > 40",
+    // each contains edge has exactly one outV (its order), so
+    // not(outV().has(status='F')) is simply status <> 'F'; quantity is a
+    // sum of small-integer-valued doubles — exact in both engines
+    "paper_q5" ->
+      s"SELECT e.quantity AS key, count(*) AS count FROM $EdgesContains e JOIN orders o ON o.o_orderkey = e.l_orderkey WHERE e.quantity > 30.0 AND o.o_orderstatus <> 'F' GROUP BY e.quantity",
+    "paper_q6" ->
+      """SELECT c.c_name AS value FROM customer c
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND (SELECT min(o.o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) < 50000.0
+        |  AND (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) > 3""".stripMargin,
+    // bag semantics: the union's orders branch has no in('contains')
+    // edges and drops out; the parts branch fans back to every order
+    // containing the part — DISTINCT (orderkey, partkey) pairs mirror
+    // the collapsed contains-edge identity. neq('a') compares order ids
+    // against a customer id and is vacuously true (id offsets).
+    "paper_q7" ->
+      """SELECT id FROM (
+        |  SELECT o2.o_orderkey + 1000000000 AS id
+        |  FROM customer c
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l1 ON l1.l_orderkey = o.o_orderkey
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l2 ON l2.l_partkey = l1.l_partkey
+        |  JOIN orders o2 ON o2.o_orderkey = l2.l_orderkey
+        |  WHERE c.c_nationkey = 2 AND o2.o_totalprice > 100000.0
+        |  ORDER BY o2.o_totalprice DESC, CAST(o2.o_orderkey + 1000000000 AS VARCHAR) ASC
+        |  LIMIT 10)""".stripMargin,
+    "ic1_3hop" ->
+      """SELECT id FROM (
+        |  SELECT DISTINCT o2.o_orderkey + 1000000000 AS id, o2.o_totalprice AS tp
+        |  FROM customer c
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l1 ON l1.l_orderkey = o.o_orderkey
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l2 ON l2.l_partkey = l1.l_partkey
+        |  JOIN orders o2 ON o2.o_orderkey = l2.l_orderkey
+        |  WHERE c.c_mktsegment = 'AUTOMOBILE' AND o2.o_orderpriority = '1-URGENT'
+        |  ORDER BY tp DESC, CAST(o2.o_orderkey + 1000000000 AS VARCHAR) ASC
+        |  LIMIT 20)""".stripMargin,
     "repeat_hop" ->
       "SELECT count(*) AS value FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 7",
     "where_history_neq" ->
