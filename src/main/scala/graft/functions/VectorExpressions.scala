@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
@@ -44,9 +44,12 @@ object VectorExpressions {
   }
 
   /** Σ aᵢ·bᵢ in double, sequential order; accepts float or double
-    * arrays on either side. */
+    * arrays on either side. Fully codegen'd (doGenCode emits the same
+    * tight loop), so brute-force similarity scans stay inside one
+    * WholeStageCodegen span instead of crossing an interpreted
+    * expression boundary per row pair. */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     private def isFloat(e: Expression): Boolean =
       e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -66,6 +69,23 @@ object VectorExpressions {
       }
       s
     }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val n = ctx.freshName("dotN")
+        val i = ctx.freshName("dotI")
+        val s = ctx.freshName("dotS")
+        val getL = if (lf) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+        val getR = if (rf) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $getL * $getR;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
   }

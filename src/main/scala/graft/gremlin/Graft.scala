@@ -29,10 +29,17 @@ final case class Graft(graph: GraphStore) {
 
   /** Posting-list indexes built by `BuildIndex(...)` DDL. */
   val index = new IndexStore
-  /** Runtime toggles set by `SetConfig(...)` DDL (the reference's
-    * ConfigExpert switches; we record them — Catalyst/AQE subsumes
-    * their effects). */
+  /** Runtime toggles set by `SetConfig(...)` DDL — the reference's
+    * ConfigExpert switches (`expert/config_expert.hpp:39-59`).
+    * `step_reorder` and `indexing` actually gate the optimizer phases
+    * below; the scheduling/caching toggles (`caching`, `core_bind`,
+    * `stealing`, …) are recorded but subsumed by Catalyst/AQE. */
   @volatile var config: Map[String, String] = Map.empty
+
+  /** A toggle is on unless explicitly set to false/0 (reference default:
+    * all optimizations enabled, `utils/config.hpp`). */
+  private def enabled(key: String): Boolean =
+    !config.get(key).exists(v => v.equalsIgnoreCase("false") || v == "0")
 
   private val BuildIndexRe =
     """(?i)\s*BuildIndex\s*\(\s*([VE])\s*,\s*['"]([^'"]+)['"]\s*\)\s*""".r
@@ -61,15 +68,15 @@ final case class Graft(graph: GraphStore) {
     * pure driver arithmetic over the build-time count map: compiling
     * never runs a Spark job. */
   def compile(query: String): Compiler.Result = {
-    val steps = Reorder(StepParser.parse(query))
+    val steps = plannedSteps(query)
     steps match {
-      case Step.V(Seq()) :: rest =>
+      case Step.V(Seq()) :: rest if enabled("indexing") =>
         foldIndex(isVertex = true, rest) match {
           case Some((frontier, remaining)) =>
             Compiler.compileSeeded(graph, frontier, remaining)
           case scala.None => Compiler.compile(graph, steps)
         }
-      case Step.E() :: rest =>
+      case Step.E() :: rest if enabled("indexing") =>
         foldIndex(isVertex = false, rest) match {
           case Some((frontier, remaining)) =>
             Compiler.compileSeededEdges(graph, frontier, remaining)
@@ -77,6 +84,14 @@ final case class Graft(graph: GraphStore) {
         }
       case _ => Compiler.compile(graph, steps)
     }
+  }
+
+  /** Parse + (config-gated) reorder — `SetConfig('step_reorder',
+    * 'false')` serves the steps in written order, like the reference's
+    * `global_enable_step_reorder`. */
+  private[gremlin] def plannedSteps(query: String): List[Step] = {
+    val parsed = StepParser.parse(query)
+    if (enabled("step_reorder")) Reorder(parsed) else parsed
   }
 
   /** The reference's parser-time index fold (`core/parser.cpp:991-1081`):

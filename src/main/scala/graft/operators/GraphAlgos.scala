@@ -27,13 +27,37 @@ object GraphAlgos {
     XGraph(vs, es).cache()
   }
 
+  /** Materialise `df` (eager localCheckpoint truncates its lineage off
+    * the RDD graph), then drop every GraphX cache the call created, so
+    * repeated calls in one session keep storage memory flat instead of
+    * accumulating cached EdgeRDD/VertexRDD pairs per call. Unpersisting
+    * the graphs we hold handles to is not enough — Pregel's derived
+    * intermediates (degree joins, replicated vertex views) stay
+    * registered — so after the result is checkpointed off the RDD
+    * lineage, every graphx-tagged cache is swept. This module owns all
+    * GraphX usage in the library, making the sweep safe. */
+  private def materializeAndFree(df: DataFrame,
+                                 graphs: XGraph[_, _]*): DataFrame = {
+    val out = df.localCheckpoint()
+    graphs.foreach(_.unpersist(blocking = false))
+    val sc = df.sparkSession.sparkContext
+    sc.getPersistentRDDs.values.foreach { rdd =>
+      val tag = rdd.toString + rdd.getClass.getName
+      if (tag.contains("VertexRDD") || tag.contains("EdgeRDD") ||
+          tag.contains("graphx"))
+        rdd.unpersist(blocking = false)
+    }
+    out
+  }
+
   /** Connected components (undirected): `(id, component)` where
     * component = smallest vertex id in the component. */
   def connectedComponents(g: GraphStore): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
-    toGraphX(g).connectedComponents().vertices
-      .toDF("id", "component")
+    val xg = toGraphX(g)
+    val cc = xg.connectedComponents()
+    materializeAndFree(cc.vertices.toDF("id", "component"), cc, xg)
   }
 
   /**
@@ -114,8 +138,9 @@ object GraphAlgos {
                resetProb: Double = 0.15): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
-    toGraphX(g).pageRank(tol, resetProb).vertices
-      .toDF("id", "rank")
+    val xg = toGraphX(g)
+    val pr = xg.pageRank(tol, resetProb)
+    materializeAndFree(pr.vertices.toDF("id", "rank"), pr, xg)
   }
 
   /** Single-source shortest hop counts (directed), Pregel:
@@ -123,7 +148,8 @@ object GraphAlgos {
   def shortestHops(g: GraphStore, source: Long): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
-    val init = toGraphX(g).mapVertices((id, _) =>
+    val xg = toGraphX(g)
+    val init = xg.mapVertices((id, _) =>
       if (id == source) 0.0 else Double.PositiveInfinity)
     val res = init.pregel(Double.PositiveInfinity)(
       (_, dist, msg) => math.min(dist, msg),
@@ -132,8 +158,9 @@ object GraphAlgos {
           Iterator((triplet.dstId, triplet.srcAttr + 1.0))
         else Iterator.empty,
       (a, b) => math.min(a, b))
-    res.vertices.filter(_._2 != Double.PositiveInfinity)
+    val df = res.vertices.filter(_._2 != Double.PositiveInfinity)
       .map { case (id, d) => (id, d.toLong) }
       .toDF("id", "distance")
+    materializeAndFree(df, res, xg)
   }
 }

@@ -349,6 +349,39 @@ class GremlinSpec extends SparkSpec {
     assert(gi.config("caching") == "true")
   }
 
+  test("SetConfig('step_reorder', 'false') serves steps in written order") {
+    val gi = Graft(GraphStore.modern(spark))
+    val q = "g.V().hasLabel('person').has('age', gt(1)).count()"
+    assert(gi.plannedSteps(q).map(_.getClass.getSimpleName)
+      .startsWith(List("V", "Has", "HasLabel")))
+    gi.strings("SetConfig('step_reorder', 'false')")
+    assert(gi.plannedSteps(q).map(_.getClass.getSimpleName)
+      .startsWith(List("V", "HasLabel", "Has")))
+    // results are unaffected either way
+    assert(gi.strings(q) == Seq("=>4"))
+  }
+
+  test("SetConfig('indexing', 'false') bypasses the index fold") {
+    val gi = Graft(GraphStore.modern(spark))
+    gi.strings("BuildIndex(V, 'name')")
+    def plan: String = gi.df("g.V().has('name','marko').count()")
+      .queryExecution.executedPlan.toString
+    // index path filters the postings' `value` column; the plain scan
+    // path filters the vertex table's `name` column directly
+    val postingsFilter = """value#\d+ = marko""".r
+    val scanFilter = """name#\d+ = marko""".r
+    assert(postingsFilter.findFirstIn(plan).isDefined,
+      "with indexing on, the frontier must come from the posting list")
+    gi.strings("SetConfig('indexing', 'false')")
+    assert(postingsFilter.findFirstIn(plan).isEmpty &&
+      scanFilter.findFirstIn(plan).isDefined,
+      "with indexing off, the query must take the plain scan path")
+    assert(gi.strings("g.V().has('name','marko').values('name')") ==
+      Seq("=>marko"))
+    gi.strings("SetConfig('indexing', 'true')")
+    assert(postingsFilter.findFirstIn(plan).isDefined)
+  }
+
   test("step reorder pushes has before hasLabel but not past as") {
     val steps = Reorder(StepParser.parse(
       "g.V().hasLabel(\"person\").has(\"age\", gt(1)).out().as(\"a\").dedup(\"a\")"))

@@ -69,4 +69,40 @@ class PlanSpec extends SparkSpec {
       ".aggregate('small').in('placed').where(within('small')).count()")
     assert(p.contains("LeftSemi"), p.take(800))
   }
+
+  test("bucketed tables serve out() with no shuffle exchange on either side") {
+    GraphStore.tpch(spark, sf).saveBucketed("planspec", buckets = 4)
+    val gb = Graft(GraphStore.loadBucketed(spark, "planspec"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path: a broadcast would hide the exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = gb.df("g.V().hasLabel('customer').out('placed').count()")
+        .queryExecution.executedPlan.toString
+      // vertices bucketed by id, edges by src, same bucket count — the
+      // hop join reads pre-hashed buckets; the only allowed exchange is
+      // the count()'s SinglePartition collapse
+      val shuffles = p.linesIterator
+        .filter(_.contains("Exchange"))
+        .filterNot(_.contains("SinglePartition")).toList
+      assert(shuffles.isEmpty,
+        s"hop over bucketed tables must not shuffle: $shuffles\n${p.take(1500)}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("DotProduct is codegen'd: similarity projection stays in WSCG") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.VectorExpressions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = emb.select(graft.functions.VectorExpressions
+      .dot(col("embedding"), col("embedding")).as("d"))
+    assert(out.head().getDouble(0) > 0.0)
+    // a CodegenFallback expression would break the WholeStageCodegen
+    // span: its Project loses the `*(n)` prefix in the physical plan
+    val p = out.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator.find(_.contains("Project")).getOrElse("")
+    assert(projLine.trim.startsWith("*"),
+      s"dot-product Project must be inside WholeStageCodegen:\n$p")
+  }
 }

@@ -56,4 +56,18 @@ class GraphAlgosSpec extends SparkSpec {
     assert(pr.maxBy(_._2)._1 == 3L)
     assert(math.abs(pr.values.sum - 6.0) < 0.3) // ranks ~sum to |V|
   }
+
+  test("repeated algorithm calls leave no GraphX caches behind") {
+    def graphxCached: Int =
+      spark.sparkContext.getPersistentRDDs.values.count { rdd =>
+        val tag = rdd.toString + rdd.getClass.getName
+        tag.contains("VertexRDD") || tag.contains("EdgeRDD") ||
+          tag.contains("graphx")
+      }
+    GraphAlgos.connectedComponents(modern).count()
+    GraphAlgos.pageRank(modern).count()
+    GraphAlgos.shortestHops(modern, 1L).count()
+    assert(graphxCached == 0,
+      s"GraphX left $graphxCached cached RDDs after materializeAndFree")
+  }
 }
