@@ -90,6 +90,74 @@ object VectorExpressions {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a splitmix64-style integer mix mapped to [-1, 1]. Shared by the
+    * Column-level formulation in SimilarityOps and the fused
+    * [[SignBuckets]] kernel — one definition, bit-identical planes. */
+  @inline def planeComponent(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L +
+      dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  /**
+   * All `nTables` sign-bit LSH bucket ids of a vector in ONE pass:
+   * bucket(t) = Σ_j [vec·plane(t·nBits+j) > 0]·2^j + (t << 32), planes
+   * generated on the fly from [[planeComponent]]. Replaces the
+   * `array(lshBuckets(t=0), …, lshBuckets(t=n-1))` Column formulation,
+   * which inlined nTables·nBits separate dot-product loops and
+   * nTables·nBits·dim plane literals into the plan — past ~100 bits the
+   * generated projection method outgrows JIT limits and the whole stage
+   * drops to interpreted execution. Arithmetic is sequential
+   * multiply-add in the same order, so bucket ids are bit-identical to
+   * the unfused form. Stays CodegenFallback on purpose: one virtual
+   * call per ROW around a JIT-vectorised 12k-flop loop, instead of a
+   * giant inlined method.
+   */
+  case class SignBuckets(child: Expression, dim: Int, nBits: Int,
+                         nTables: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    // planes are tiny (nTables·nBits·dim doubles) and deterministic —
+    // precompute once per expression instance, not per row
+    private lazy val planes: Array[Array[Double]] =
+      Array.tabulate(nTables * nBits)(p =>
+        Array.tabulate(dim)(i => planeComponent(p, i)))
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = math.min(v.numElements(), dim)
+      val out = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var sig = t.toLong << 32
+        var j = 0
+        while (j < nBits) {
+          val plane = planes(t * nBits + j)
+          var s = 0.0
+          var i = 0
+          while (i < n) {
+            val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+            s += x * plane(i)
+            i += 1
+          }
+          if (s > 0) sig += (1L << j)
+          j += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /**
    * MinHash signature of a string-array column: `numHashes` minima of
    * per-seed remixes of one FNV-1a base hash per element.
@@ -305,6 +373,16 @@ object VectorExpressions {
           case other => throw new IllegalArgumentException(
             s"graft_lsh_probes probeBits must be an int literal, got $other")
         }), "built-in")
+    r.createOrReplaceTempFunction("graft_sign_buckets",
+      exprs => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_sign_buckets $what must be an int literal, got $other")
+        }
+        SignBuckets(exprs(0), intLit(exprs(1), "dim"),
+          intLit(exprs(2), "nBits"), intLit(exprs(3), "nTables"))
+      }, "built-in")
     r.createOrReplaceTempFunction("graft_shingles",
       exprs => WordShingles(exprs(0), exprs(1) match {
         case Literal(v: Int, IntegerType) => v
@@ -323,4 +401,7 @@ object VectorExpressions {
     call_function("graft_isect_size", a, b)
   def lshProbes(buckets: Column, nBits: Int, probeBits: Int): Column =
     call_function("graft_lsh_probes", buckets, lit(nBits), lit(probeBits))
+  def signBuckets(vec: Column, dim: Int, nBits: Int, nTables: Int): Column =
+    call_function("graft_sign_buckets", vec, lit(dim), lit(nBits),
+      lit(nTables))
 }

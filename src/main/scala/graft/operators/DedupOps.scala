@@ -254,8 +254,7 @@ object DedupOps {
       col(vecCol).as("__v"),
       SimilarityOps.l2norm(col(vecCol)).as("__n"))
     val base = withNorm.withColumn("__bs",
-      array((0 until nTables).map(t =>
-        SimilarityOps.lshBuckets(col("__v"), dim, nBits, t)): _*))
+      SimilarityOps.signBuckets(col("__v"), dim, nBits, nTables))
 
     val corpusSide = base.select(col("__id").as("id_b"),
       explode(col("__bs")).as("__bucket"))

@@ -209,28 +209,20 @@ object SimilarityOps {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a splitmix64-style integer mix mapped to [-1, 1]. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
-    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (z.toDouble / Long.MaxValue.toDouble)
-  }
-
   /** Sign-bit LSH bucket id from `nBits` fixed hyperplanes; `table`
-    * selects an independent plane family. */
+    * selects an independent plane family. Single-table convenience
+    * around the fused [[signBuckets]] kernel (bit-identical planes from
+    * `VectorExpressions.planeComponent`). */
   def lshBuckets(vec: Column, dim: Int, nBits: Int,
-                 table: Int = 0): Column = {
-    val bits = (0 until nBits).map { j =>
-      val plane = array((0 until dim).map(i =>
-        lit(planeComponent(table * nBits + j, i))): _*)
-      when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    // tag with the table id so different tables never cross-join
-    bits.reduce(_ + _) + lit(table.toLong << 32)
-  }
+                 table: Int = 0): Column =
+    element_at(signBuckets(vec, dim, nBits, table + 1), table + 1)
+
+  /** All `nTables` bucket ids in one native pass — see
+    * `VectorExpressions.SignBuckets` for why this is not a Column
+    * formulation (JIT limits on the generated projection). */
+  def signBuckets(vec: Column, dim: Int, nBits: Int,
+                  nTables: Int): Column =
+    graft.functions.VectorExpressions.signBuckets(vec, dim, nBits, nTables)
 
   /**
    * LSH-bucketed approximate top-k. The corpus is hashed into
@@ -248,12 +240,10 @@ object SimilarityOps {
     graft.functions.VectorExpressions.register(queries.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"),
-      explode(array((0 until nTables).map(t =>
-        lshBuckets(col(vecCol), dim, nBits, t)): _*)).as("__bucket"))
+      explode(signBuckets(col(vecCol), dim, nBits, nTables)).as("__bucket"))
     val qBase = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"),
-      array((0 until nTables).map(t =>
-        lshBuckets(col(vecCol), dim, nBits, t)): _*).as("__bs"))
+      signBuckets(col(vecCol), dim, nBits, nTables).as("__bs"))
     // multi-probe: per table, own bucket + all single-bit flips
     // (native probe-expansion kernel — no per-element HOF lambda)
     val probes = qBase.withColumn("__bucket", explode(
