@@ -576,11 +576,17 @@ object Compiler {
         val contentCols = base.columns.toSeq.map(col)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("__rowh")).orderBy(contentCols: _*)
+        // cache() is LAZY (no compile-time job): when the semi/anti
+        // join evaluates both sides in one execution, each tagged block
+        // computes once and the other side reads it — without this, an
+        // aggregation-derived frontier (e.g. the collapsed contains
+        // edges) would run its whole lineage twice
         val tagged = base
           .withColumn("__rowh", xxhash64(contentCols: _*))
           .withColumn("__rowid",
             concat_ws("#", col("__rowh"), row_number().over(w)))
           .drop("__rowh")
+          .cache()
         val from = d.copy(df = tagged, groupCol = Some("__rowid"),
           groupUniverse = Some(tagged.select(col("__rowid")).distinct()))
         var se = d.sideEffects

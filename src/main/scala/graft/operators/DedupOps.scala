@@ -253,10 +253,15 @@ object DedupOps {
     val withNorm = df.select(col(idCol).as("__id"),
       col(vecCol).as("__v"),
       SimilarityOps.l2norm(col(vecCol)).as("__n"))
-    val base = withNorm.withColumn("__bs",
-      SimilarityOps.signBuckets(col("__v"), dim, nBits, nTables))
+    // probe and corpus sides SELF-JOIN the same signature set; without
+    // a cache each side re-evaluates the scan lineage and every row's
+    // nTables·nBits·dim-flop signature is computed twice. The cached
+    // projection is (id, nTables longs) — far smaller than the vectors.
+    val sigs = withNorm.select(col("__id"),
+      SimilarityOps.signBuckets(col("__v"), dim, nBits, nTables)
+        .as("__bs")).cache()
 
-    val corpusSide = base.select(col("__id").as("id_b"),
+    val corpusSide = sigs.select(col("__id").as("id_b"),
       explode(col("__bs")).as("__bucket"))
     // probe side: own bucket plus every <=probeBits-bit flip, expanded
     // by a native kernel (one tight loop per row instead of ~137
@@ -264,7 +269,7 @@ object DedupOps {
     // probing from one side of the pair is enough: if sig_a and sig_b
     // differ in <=probeBits bits in ANY table, the (probe_a, bucket_b)
     // join row exists.
-    val probeSide = base.select(col("__id").as("id_a"),
+    val probeSide = sigs.select(col("__id").as("id_a"),
       explode(graft.functions.VectorExpressions
         .lshProbes(col("__bs"), nBits, probeBits)).as("__bucket"))
 
