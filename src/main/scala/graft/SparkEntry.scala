@@ -248,6 +248,13 @@ object SparkEntry {
         .groupBy(col("component").as("root"))
         .agg(count(lit(1)).as("size"))
     }),
+    // fixed-iteration power method IS oracle-checkable: 3 rounds are 3
+    // chained SQL CTEs; round(4) absorbs summation-order ulps (per-dst
+    // contribution sums are the only float accumulation)
+    "graph_pagerank_power" -> ((spark, sfDir) =>
+      operators.GraphAlgos.pageRankPower(
+        sources.GraphStore.tpch(spark, sfDir), iters = 3)
+        .select(col("id"), round(col("rank"), 4).as("rank"))),
     "graph_pagerank" -> ((spark, sfDir) => { // no SQL oracle: iterative fixpoint
       import org.apache.spark.sql.expressions.Window
       // top-k FIRST (TakeOrderedAndProject — no global sort), then
@@ -638,6 +645,24 @@ object SparkEntry {
         |SELECT comp AS root, count(*) AS size
         |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
         |GROUP BY comp""".stripMargin,
+    "graph_pagerank_power" ->
+      """WITH nodes AS (
+        |   SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+        |   UNION ALL SELECT CAST(o_orderkey + 1000000000 AS BIGINT) FROM orders
+        |   UNION ALL SELECT CAST(p_partkey + 2000000000 AS BIGINT) FROM part),
+        | e AS (
+        |   SELECT CAST(o_custkey AS BIGINT) AS src, CAST(o_orderkey + 1000000000 AS BIGINT) AS dst FROM orders
+        |   UNION ALL SELECT CAST(l_orderkey + 1000000000 AS BIGINT), CAST(l_partkey + 2000000000 AS BIGINT)
+        |   FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)),
+        | ed AS (SELECT e.src, e.dst, d.d FROM e JOIN (SELECT src, count(*) AS d FROM e GROUP BY src) d ON d.src = e.src),
+        | r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+        | r1 AS (SELECT n.id, 0.15 + 0.85 * coalesce(s.sm, 0.0) AS rank FROM nodes n
+        |        LEFT JOIN (SELECT ed.dst AS id, sum(r0.rank / ed.d) AS sm FROM ed JOIN r0 ON r0.id = ed.src GROUP BY ed.dst) s ON s.id = n.id),
+        | r2 AS (SELECT n.id, 0.15 + 0.85 * coalesce(s.sm, 0.0) AS rank FROM nodes n
+        |        LEFT JOIN (SELECT ed.dst AS id, sum(r1.rank / ed.d) AS sm FROM ed JOIN r1 ON r1.id = ed.src GROUP BY ed.dst) s ON s.id = n.id),
+        | r3 AS (SELECT n.id, 0.15 + 0.85 * coalesce(s.sm, 0.0) AS rank FROM nodes n
+        |        LEFT JOIN (SELECT ed.dst AS id, sum(r2.rank / ed.d) AS sm FROM ed JOIN r2 ON r2.id = ed.src GROUP BY ed.dst) s ON s.id = n.id)
+        |SELECT id, round(rank, 4) AS rank FROM r3""".stripMargin,
     "graph_hops" ->
       """SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS distance
         |UNION ALL SELECT DISTINCT o_orderkey + 1000000000, 1 FROM orders WHERE o_custkey = 1

@@ -133,6 +133,38 @@ object GraphAlgos {
         .as("component"))
   }
 
+  /**
+   * Fixed-iteration PageRank power method, DataFrame-native:
+   * r₀ = 1; rₖ₊₁(v) = resetProb + (1-resetProb)·Σ_{u→v} rₖ(u)/outdeg(u)
+   * (GraphX's un-normalized formulation — dangling mass is dropped, so
+   * ranks are comparable with [[pageRank]]). A fixed iteration count
+   * makes the whole computation expressible as chained SQL CTEs, which
+   * is what lets the driver hash-check this variant against the DuckDB
+   * oracle — the tol-convergence GraphX path stays rows-only by nature.
+   * Each round is one equi-join + one aggregation; `iters` is small and
+   * fixed so the plan nests only `iters` deep (no checkpoint needed).
+   */
+  def pageRankPower(g: GraphStore, iters: Int = 3,
+                    resetProb: Double = 0.15): DataFrame = {
+    val edges = g.edges.select(col("src"), col("dst"))
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val withDeg = edges.join(outDeg, "src")
+    var ranks = g.vertices.select(col("id"),
+      lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          (col("rank") / col("__deg")).as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__sum"))
+      ranks = g.vertices.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), (lit(resetProb) + lit(1.0 - resetProb) *
+          coalesce(col("__sum"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
   /** PageRank to `tol` convergence: `(id, rank)`. */
   def pageRank(g: GraphStore, tol: Double = 1e-4,
                resetProb: Double = 0.15): DataFrame = {

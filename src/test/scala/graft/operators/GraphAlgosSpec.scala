@@ -57,6 +57,25 @@ class GraphAlgosSpec extends SparkSpec {
     assert(math.abs(pr.values.sum - 6.0) < 0.3) // ranks ~sum to |V|
   }
 
+  test("power-iteration pagerank converges to the GraphX fixpoint") {
+    val power = GraphAlgos.pageRankPower(modern, iters = 40).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val gx = GraphAlgos.pageRank(modern).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(power.keySet == gx.keySet)
+    // GraphX normalizes its final ranks (sum ≈ |V|); the power method is
+    // the raw fixpoint — compare the normalized distributions
+    val pSum = power.values.sum
+    val gSum = gx.values.sum
+    power.foreach { case (id, r) =>
+      assert(math.abs(r / pSum - gx(id) / gSum) < 0.005,
+        s"vertex $id: ${r / pSum} vs ${gx(id) / gSum}") }
+    // and the 3-iteration gate variant preserves the ranking's head
+    val p3 = GraphAlgos.pageRankPower(modern, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(p3.maxBy(_._2)._1 == 3L) // lop: 3 in-edges
+  }
+
   test("repeated algorithm calls leave no GraphX caches behind") {
     def graphxCached: Int =
       spark.sparkContext.getPersistentRDDs.values.count { rdd =>
