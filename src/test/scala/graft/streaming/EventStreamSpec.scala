@@ -91,4 +91,14 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(streamed == batch)
   }
+
+  test("streamed stateful dedup equals batch distinct") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = EventStreamOps.streamedDedup(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = readEvents(spark, path)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
