@@ -143,4 +143,17 @@ class EdgeCaseSpec extends SparkSpec {
       "g.V().as('a').out('knows').as('b').out('created').as('c')" +
         ".select('a').dedup().count()") == Seq("=>1"))
   }
+
+  test("duplicate traversers survive and() independently") {
+    // out('created') yields lop three times and ripple once; the
+    // content-hash row tags must keep all four IDENTICAL-content
+    // traversers distinct through the semi-join (a value-keyed tag
+    // would collapse lop's three copies to one)
+    assert(g.strings(
+      "g.V().out('created').and(in('created').count().is(gt(0))).count()")
+      == Seq("=>4"))
+    // and a not() over the same duplicated frontier keeps none of them
+    assert(g.strings(
+      "g.V().out('created').not(in('created')).count()") == Seq("=>0"))
+  }
 }
