@@ -4,6 +4,9 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    // optional 2nd arg: substring filter of op names — run one op in a
+    // fresh session (accumulated caches distort the long-tail timings)
+    val only = args.lift(1)
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.adaptive.enabled","true")
@@ -18,11 +21,12 @@ object ScaleProbe {
         regexp_replace(col("text"), lit("(\\S+)"), lit("$1_" + i)).as("text"))
     }.reduce(_ unionByName _).repartition(32).cache()
     println(s"docs=${docs.count()} (${mult}x of $n)")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name: ${(System.nanoTime()-t0)/1e9}%.1fs rows=$r")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.forall(name.contains)) {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"$name: ${(System.nanoTime()-t0)/1e9}%.1fs rows=$r")
+      }
     time("minhashLsh")(operators.DedupOps.minhashLsh(docs, tau = 0.8).count())
     time("simhash")(operators.DedupOps.simhash(docs, maxDist = 3).count())
     time("exact")(operators.DedupOps.exact(docs).count())
