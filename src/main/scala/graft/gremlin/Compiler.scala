@@ -576,17 +576,26 @@ object Compiler {
         val contentCols = base.columns.toSeq.map(col)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("__rowh")).orderBy(contentCols: _*)
-        // cache() is LAZY (no compile-time job): when the semi/anti
-        // join evaluates both sides in one execution, each tagged block
-        // computes once and the other side reads it — without this, an
-        // aggregation-derived frontier (e.g. the collapsed contains
-        // edges) would run its whole lineage twice
-        val tagged = base
+        // The semi/anti join evaluates the tagged frontier on both
+        // sides. A cheap frontier (pushed-down scan + filters) is best
+        // recomputed — no materialization at 100 TB. An expensive one
+        // (aggregates/joins/windows in its lineage) gets a LAZY
+        // localCheckpoint: still no compile-time job, computed once at
+        // execution, and — unlike cache(), whose CacheManager entry
+        // would leak per query in a long-running service — the
+        // checkpoint storage is released with the DataFrame.
+        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin, Window => LWindow}
+        val expensive = d.df.queryExecution.analyzed.exists {
+          case _: Aggregate | _: LJoin | _: LWindow => true
+          case _ => false
+        }
+        val tagged0 = base
           .withColumn("__rowh", xxhash64(contentCols: _*))
           .withColumn("__rowid",
             concat_ws("#", col("__rowh"), row_number().over(w)))
           .drop("__rowh")
-          .cache()
+        val tagged =
+          if (expensive) tagged0.localCheckpoint(false) else tagged0
         val from = d.copy(df = tagged, groupCol = Some("__rowid"),
           groupUniverse = Some(tagged.select(col("__rowid")).distinct()))
         var se = d.sideEffects
