@@ -254,12 +254,15 @@ object DedupOps {
       col(vecCol).as("__v"),
       SimilarityOps.l2norm(col(vecCol)).as("__n"))
     // probe and corpus sides SELF-JOIN the same signature set; without
-    // a cache each side re-evaluates the scan lineage and every row's
-    // nTables·nBits·dim-flop signature is computed twice. The cached
-    // projection is (id, nTables longs) — far smaller than the vectors.
+    // materialization each side re-evaluates the scan lineage and every
+    // row's nTables·nBits·dim-flop signature is computed twice. Lazy
+    // localCheckpoint materializes (id, nTables longs) — far smaller
+    // than the vectors — once at execution, and its storage is released
+    // with the DataFrame (cache() would leak a CacheManager entry per
+    // call in a long-running service).
     val sigs = withNorm.select(col("__id"),
       SimilarityOps.signBuckets(col("__v"), dim, nBits, nTables)
-        .as("__bs")).cache()
+        .as("__bs")).localCheckpoint(false)
 
     val corpusSide = sigs.select(col("__id").as("id_b"),
       explode(col("__bs")).as("__bucket"))
