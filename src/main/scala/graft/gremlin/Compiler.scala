@@ -591,8 +591,10 @@ object Compiler {
         }
         val tagged0 = base
           .withColumn("__rowh", xxhash64(contentCols: _*))
+          // struct tag: joins/windows hash two raw ints, no per-row
+          // string formatting
           .withColumn("__rowid",
-            concat_ws("#", col("__rowh"), row_number().over(w)))
+            struct(col("__rowh"), row_number().over(w).as("__rown")))
           .drop("__rowh")
         val tagged =
           if (expensive) tagged0.localCheckpoint(false) else tagged0
