@@ -136,6 +136,10 @@ object SparkEntry {
     // select — the limit cut is deterministic because dedup() runs
     // before order, so ties fall back to the unique element-id tiebreak
     "ic1_3hop" -> q("g.V().hasLabel('customer').has('mktsegment', eq('AUTOMOBILE')).as('c').out('placed').out('contains').in('contains').has('orderpriority', eq('1-URGENT')).dedup().as('o').order('totalprice', decr).limit(20).select('o')"),
+    // IC5-like cohort aggregation: 2-hop fan-out then a
+    // high-cardinality groupCount with BAG multiplicities (count =
+    // number of cohort paths reaching each part)
+    "ic5_group_2hop" -> q("g.V().hasLabel('customer').has('nationkey', within(1, 2, 3)).out('placed').out('contains').groupCount('name')"),
 
     // ---- LLM-data-pipeline operators (graft.operators.*) ----
     "text_stats" -> ((spark, sfDir) => {
@@ -460,6 +464,14 @@ object SparkEntry {
         |  WHERE c.c_nationkey = 2 AND o2.o_totalprice > 100000.0
         |  ORDER BY o2.o_totalprice DESC, CAST(o2.o_orderkey + 1000000000 AS VARCHAR) ASC
         |  LIMIT 10)""".stripMargin,
+    "ic5_group_2hop" ->
+      """SELECT p.p_name AS key, count(*) AS count
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l ON l.l_orderkey = o.o_orderkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE c.c_nationkey IN (1, 2, 3)
+        |GROUP BY p.p_name""".stripMargin,
     "ic1_3hop" ->
       """SELECT id FROM (
         |  SELECT DISTINCT o2.o_orderkey + 1000000000 AS id, o2.o_totalprice AS tp
