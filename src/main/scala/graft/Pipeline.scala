@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end training-data curation pipeline over the `documents`
+ * table — the composition story for the corpus operators: every stage
+ * is one of the library's DataFrame transforms, chained lazily so
+ * Catalyst plans the whole flow (filters reach the scan, one shuffle
+ * per genuine re-key) and nothing round-trips through the driver until
+ * the final per-stage counts.
+ *
+ *   scrub PII → quality gates → exact dedup → MinHash near-dedup →
+ *   language/quality annotate → token stats → sequence packing
+ *
+ * Run: `sbt "runMain graft.Pipeline /root/testdata/sf0.01 512"`
+ * Prints one JSON line of per-stage survivor counts (the shape a
+ * production run would log to a metrics sink).
+ */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val budget = args.lift(1).map(_.toInt).getOrElse(512)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val total = docs.count()
+
+    // 1. redact emails/phones (scrubPii emits clean_text; swap it in
+    // for text so downstream stages see the scrubbed corpus)
+    val scrubbed = docs.drop("text").join(
+      operators.CurationOps.scrubPii(docs)
+        .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+
+    // 2. Gopher-style quality gates -> keep survivors only
+    val keepIds = operators.CurationOps.qualityFilters(scrubbed)
+      .filter(col("keep")).select(col("doc_id"))
+    val quality = scrubbed.join(keepIds, "doc_id")
+    val nQuality = quality.count()
+
+    // 3. exact dedup: smallest id per distinct text survives
+    val exactKept = operators.DedupOps.exact(quality)
+      .select(col("doc_id"))
+    val exact = quality.join(exactKept, "doc_id")
+    val nExact = exact.count()
+
+    // 4. near-dedup: drop the larger id of every MinHash pair
+    val nearPairs = operators.DedupOps.minhashLsh(exact, tau = 0.8)
+    val losers = nearPairs.select(col("id_b").as("doc_id")).distinct()
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+    val nDeduped = deduped.count()
+
+    // 5. annotate language + quality score + token counts (narrow maps)
+    val annotated = deduped
+      .withColumn("lang_pred", operators.TextOps.langId(col("text")))
+      .withColumn("quality", operators.TextOps.qualityScore(col("text")))
+      .withColumn("tokens", operators.TextOps.tokenCount(col("text")))
+
+    // 6. pack into fixed-token-budget bins per source
+    val packed = operators.CurationOps.packSequences(annotated, budget)
+    val nBins = packed.agg(countDistinct(col("source"), col("bin_id")))
+      .head().getLong(0)
+
+    // 7. final corpus stats
+    val stats = annotated.agg(
+      sum(col("tokens")).as("tokens"),
+      round(avg(col("quality")), 4).as("avg_quality")).head()
+
+    println(s"""{"metric":"pipeline","input":$total,"quality":$nQuality,""" +
+      s""""exact":$nExact,"near_dedup":$nDeduped,"bins":$nBins,""" +
+      s""""tokens":${stats.getLong(0)},"avg_quality":${stats.getDouble(1)},""" +
+      s""""budget":$budget,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
