@@ -349,6 +349,15 @@ object VectorExpressions {
 
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
+    // every operator entry point calls register(); skip when this
+    // session already has ALL kernels (re-registration is harmless but
+    // WARN-logs once per function per call — noisy in Verify/Bench)
+    val names = Seq("graft_dot", "graft_minhash", "graft_simhash",
+      "graft_isect_size", "graft_lsh_probes", "graft_sign_buckets",
+      "graft_shingles")
+    if (names.forall(n => r.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
+      return
     r.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction("graft_minhash",

@@ -29,8 +29,9 @@ final case class CompileException(msg: String) extends Exception(msg)
  *  - `__val`          — the traverser's current value (id / edge struct / scalar)
  *  - `__as_<label>`   — history recorded by `as("<label>")`
  *                       (the reference's `history_t`, `core/message.hpp:74-100`)
- *  - `__rowid`        — input-traverser tag for and/or/not existential
- *                       evaluation (`CreateBranchedMsgWithHisLabel`,
+ *  - `__rowid<n>`     — input-traverser tag for and/or/not existential
+ *                       evaluation, fresh per branch filter so they nest
+ *                       (`CreateBranchedMsgWithHisLabel`,
  *                       `core/message.cpp:214-268`)
  *  - `__ord_*`        — retained sort keys so `order()` survives later joins
  *
@@ -570,12 +571,17 @@ object Compiler {
         // genuinely nondeterministic frontier (e.g. coin() upstream,
         // whose seeded rand depends on partition layout) still needs the
         // eager localCheckpoint to freeze its rows first.
+        // fresh per-filter aliases: a NESTED branch filter (e.g.
+        // and(not(...))) would otherwise overwrite and then drop the
+        // outer filter's tag column
+        val rowTag = freshAlias("__rowid")
+        val rowHash = freshAlias("__rowh")
         val nondet = d.df.queryExecution.analyzed.exists(
           p => p.expressions.exists(e => !e.deterministic))
         val base = if (nondet) d.df.localCheckpoint() else d.df
         val contentCols = base.columns.toSeq.map(col)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__rowh")).orderBy(contentCols: _*)
+          .partitionBy(col(rowHash)).orderBy(contentCols: _*)
         // The semi/anti join evaluates the tagged frontier on both
         // sides. A cheap frontier (pushed-down scan + filters) is best
         // recomputed — no materialization at 100 TB. An expensive one
@@ -590,33 +596,33 @@ object Compiler {
           case _ => false
         }
         val tagged0 = base
-          .withColumn("__rowh", xxhash64(contentCols: _*))
+          .withColumn(rowHash, xxhash64(contentCols: _*))
           // struct tag: joins/windows hash two raw ints, no per-row
           // string formatting
-          .withColumn("__rowid",
-            struct(col("__rowh"), row_number().over(w).as("__rown")))
-          .drop("__rowh")
+          .withColumn(rowTag,
+            struct(col(rowHash), row_number().over(w).as("__rown")))
+          .drop(rowHash)
         val tagged =
           if (expensive) tagged0.localCheckpoint(false) else tagged0
-        val from = d.copy(df = tagged, groupCol = Some("__rowid"),
-          groupUniverse = Some(tagged.select(col("__rowid")).distinct()))
+        val from = d.copy(df = tagged, groupCol = Some(rowTag),
+          groupUniverse = Some(tagged.select(col(rowTag)).distinct()))
         var se = d.sideEffects
         val hits: Seq[DataFrame] = subs.map { sub =>
           val r = compileSub(graph, from.copy(sideEffects = se), sub)
           se = r.sideEffects
-          r.df.select(col("__rowid")).distinct()
+          r.df.select(col(rowTag)).distinct()
         }
         val joined = op match {
           case AndOp => hits.foldLeft(tagged)((acc, h) =>
-            acc.join(h, Seq("__rowid"), "left_semi"))
+            acc.join(h, Seq(rowTag), "left_semi"))
           case OrOp =>
             val any = hits.reduce(_ unionByName _).distinct()
-            tagged.join(any, Seq("__rowid"), "left_semi")
+            tagged.join(any, Seq(rowTag), "left_semi")
           case NotOp =>
             hits.foldLeft(tagged)((acc, h) =>
-              acc.join(h, Seq("__rowid"), "left_anti"))
+              acc.join(h, Seq(rowTag), "left_anti"))
         }
-        d.copy(df = joined.drop("__rowid"), sideEffects = se)
+        d.copy(df = joined.drop(rowTag), sideEffects = se)
 
       case Repeat(sub, times) =>
         (1 to math.max(times, 1)).foldLeft(s)((st, _) =>

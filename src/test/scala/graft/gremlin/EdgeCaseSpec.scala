@@ -144,6 +144,16 @@ class EdgeCaseSpec extends SparkSpec {
         ".select('a').dedup().count()") == Seq("=>1"))
   }
 
+  test("nested branch filters compose (and containing not)") {
+    // persons who created something AND do not know anyone: josh? josh
+    // knows nobody outward... marko knows vadas+josh (fails not), josh
+    // created ripple+lop and has no out-knows (passes), peter created
+    // lop and knows nobody (passes)
+    assert(g.strings(
+      "g.V().and(out('created').count().is(gt(0)), not(out('knows')))" +
+        ".values('name')").sorted == Seq("=>josh", "=>peter"))
+  }
+
   test("duplicate traversers survive and() independently") {
     // out('created') yields lop three times and ripple once; the
     // content-hash row tags must keep all four IDENTICAL-content
