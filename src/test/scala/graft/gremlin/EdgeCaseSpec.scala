@@ -144,6 +144,45 @@ class EdgeCaseSpec extends SparkSpec {
         ".select('a').dedup().count()") == Seq("=>1"))
   }
 
+  test("union nested inside and() counts across both branches") {
+    // marko: knows 2 + created 1; josh: created 2; peter: created 1
+    assert(g.strings(
+      "g.V().and(union(out('knows'), out('created')).count().is(gt(1)))" +
+        ".values('name')").sorted == Seq("=>josh", "=>marko"))
+  }
+
+  test("not() nested inside a union branch filters that branch only") {
+    // branch 1: knows-targets with no creations -> vadas;
+    // branch 2: all created software -> lop, ripple (bag)
+    assert(g.strings(
+      "g.V().union(out('knows').not(out('created')), out('created'))" +
+        ".dedup().count()") == Seq("=>3"))
+  }
+
+  test("aggregate store consumed by where(within) after a traversal") {
+    // olds = {marko, josh, peter}; marko's knows-targets ∩ olds = josh
+    assert(g.strings(
+      "g.V().has('age', gt(28)).aggregate('olds').out('knows')" +
+        ".where(within('olds')).values('name')") == Seq("=>josh"))
+  }
+
+  test("per-traverser top-1 barrier inside not()") {
+    // only marko's oldest known person (josh, 32) clears gt(30), so
+    // not() drops marko alone
+    assert(g.strings(
+      "g.V().not(out('knows').order('age', decr).limit(1)" +
+        ".has('age', gt(30))).values('name').order()") ==
+      Seq("=>josh", "=>lop", "=>peter", "=>ripple", "=>vadas"))
+  }
+
+  test("history recorded before union survives into select") {
+    assert(g.strings(
+      "g.V().as('x').union(out('created'), out('knows')).as('y')" +
+        ".select('x', 'y').order()") ==
+      Seq("=>[x:1, y:2]", "=>[x:1, y:3]", "=>[x:1, y:4]",
+        "=>[x:4, y:3]", "=>[x:4, y:5]", "=>[x:6, y:3]"))
+  }
+
   test("nested branch filters compose (and containing not)") {
     // persons who created something AND do not know anyone: josh? josh
     // knows nobody outward... marko knows vadas+josh (fails not), josh
