@@ -183,6 +183,14 @@ class EdgeCaseSpec extends SparkSpec {
         "=>[x:4, y:3]", "=>[x:4, y:5]", "=>[x:6, y:3]"))
   }
 
+  test("edge-stream and() with filters on both endpoints") {
+    // edges whose creator/knower is over 28 AND whose target is
+    // software: (1,3) (4,5) (4,3) (6,3)
+    assert(g.strings(
+      "g.E().and(outV().has('age', gt(28)), inV().hasLabel('software'))" +
+        ".count()") == Seq("=>4"))
+  }
+
   test("nested branch filters compose (and containing not)") {
     // persons who created something AND do not know anyone: josh? josh
     // knows nobody outward... marko knows vadas+josh (fails not), josh
