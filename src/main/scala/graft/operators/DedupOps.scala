@@ -100,15 +100,20 @@ object DedupOps {
     // distribution the self-join below uses, so it is not an extra pass
     val ranked = banded0.withColumn("__brn", row_number().over(
       Window.partitionBy(col("__band"), col("__bh")).orderBy(col("__id"))))
-    // observe on ONE side only — a CollectMetrics name may appear once
-    // per query plan, and the self-join would otherwise duplicate it
-    val observed = CapMetrics.observe(ranked, "minhashLsh",
+    // The bucket-join is a SELF-join of the ranked postings; a lazy
+    // localCheckpoint computes the 128-hash signatures and the bucket
+    // window ONCE, and both sides read the narrow (id, band, bucket,
+    // rank) rows. The observe must sit ABOVE the checkpoint (and on one
+    // side only): metrics surface through the main action's
+    // QueryExecutionListener, which checkpoint materialization bypasses.
+    val ranked1 = ranked.localCheckpoint(false)
+    val observed = CapMetrics.observe(ranked1, "minhashLsh",
       sum(when(col("__brn") > maxBucket, 1L).otherwise(0L))
         .as("capped_postings"),
       max(col("__brn")).as("max_bucket_size"))
     val l = observed.filter(col("__brn") <= maxBucket)
       .select(col("__band"), col("__bh"), col("__id").as("id_a"))
-    val r = ranked.filter(col("__brn") <= maxBucket)
+    val r = ranked1.filter(col("__brn") <= maxBucket)
       .select(col("__band"), col("__bh"), col("__id").as("id_b"))
     val candidates = l.join(r, Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
@@ -154,8 +159,12 @@ object DedupOps {
         Window.partitionBy("__id").orderBy(col("__df"), col("__tok"))))
     val withSize = ranked.join(
       docs.select(col("__id"), size(col("__sh")).as("__n")), "__id")
+    // the candidate join below is a self-join of this prefix index;
+    // lazy checkpoint computes the freq-join + rank window once and
+    // serves both sides the narrow (token, id, size, rank) rows
     val prefix = withSize.filter(
       col("__rank") <= col("__n") - ceil(lit(tau) * col("__n")) + 1)
+      .localCheckpoint(false)
 
     val l = prefix.select(col("__tok"), col("__id").as("id_a"),
       col("__n").as("__na"), col("__rank").as("__pa"))
