@@ -209,6 +209,8 @@ object DedupOps {
     val sigs = df.select(col(idCol).as("__id"),
       simhashBits(col(textCol)).as("__sim"))
 
+    // self-joined below: checkpoint so each doc's 64-bit signature and
+    // block decomposition compute once for both sides
     val blocked = sigs.select(col("__id"), col("__sim"),
       posexplode(array((0 until blocks).map { b =>
         // top block takes the remainder bits; w=64 (maxDist=0) needs
@@ -218,6 +220,7 @@ object DedupOps {
         shiftrightunsigned(col("__sim"), b * width)
           .bitwiseAND(mask)
       }: _*)).as(Seq("__blk", "__bv")))
+      .localCheckpoint(false)
 
     val l = blocked.select(col("__blk"), col("__bv"),
       col("__id").as("id_a"), col("__sim").as("__sa"))
