@@ -1,0 +1,121 @@
+package graft.gremlin
+
+/**
+ * Multiplicity-insensitivity rewrites, applied after [[Reorder]].
+ *
+ * The reference executes traversals with bag semantics: every hop
+ * forwards one message per (traverser, matching edge), so a 3-hop
+ * expansion like `out().out().in()` multiplies path counts per hop
+ * (Grasper routes each as a remote message batch,
+ * `core/message.cpp:50-140`). When the query ends the expansion with a
+ * plain `dedup()`, those multiplicities are provably irrelevant — only
+ * the SET of reached elements survives. On Spark the duplicate
+ * traversers are real shuffle rows, and at cluster scale the bag grows
+ * with path counts (unbounded) while the set is bounded by |V| / |E|.
+ *
+ * Two rewrites exploit this, both result-preserving:
+ *
+ *  1. '''Dead-history elimination''': drop `as(x)` steps whose label is
+ *     never read by a later `select` / `where` / `dedup(x)` (including
+ *     inside sub-traversals). History columns are threaded through
+ *     every join and shuffle, so an unused label widens the whole
+ *     pipeline for nothing.
+ *  2. '''Early dedup insertion''': for a `dedup()` preceded by an
+ *     unbroken run of pure per-element steps (filters, hops,
+ *     projections — nothing that counts, samples, slices, orders, or
+ *     reads history) with no recorded history upstream, insert
+ *     `dedup()` before every hop after the first in that run. Each
+ *     frontier then stays a set: the work of hop k is bounded by
+ *     |frontier ∩ V| · avg-degree instead of (paths so far) ·
+ *     avg-degree. Inside and/or/not sub-traversals the inserted dedup
+ *     keys on the branch tag too (the compiler's Dedup always includes
+ *     `groupCol`), preserving per-input-traverser semantics.
+ *
+ * Both are gated by `SetConfig('early_dedup', 'false')`, alongside the
+ * reference's own optimizer toggles (`expert/config_expert.hpp:39-59`).
+ */
+object EarlyDedup {
+
+  /** Every history label read anywhere in the (sub)tree. */
+  private def referenced(steps: List[Step]): Set[String] =
+    steps.flatMap {
+      case Step.Select(ns)            => ns
+      case Step.WherePred(_, t)       => Seq(t)
+      case Step.WhereHistory(l, _, r) => Seq(l, r)
+      case Step.Dedup(hs)             => hs
+      case Step.Union(subs)           => subs.flatMap(referenced)
+      case Step.BranchFilter(_, subs) => subs.flatMap(referenced)
+      case Step.Repeat(sub, _)        => referenced(sub)
+      case _                          => Nil
+    }.toSet
+
+  /** Per-element, set-preserving steps a dedup can commute across. */
+  private def safePass(s: Step): Boolean = s match {
+    case _: Step.Has | _: Step.HasKey | _: Step.HasValue |
+         _: Step.HasLabel | _: Step.Is | _: Step.WhereStore |
+         _: Step.Values | _: Step.Properties | _: Step.Key |
+         _: Step.Label | _: Step.Dedup => true
+    case other => isHop(other)
+  }
+
+  private def isHop(s: Step): Boolean = s match {
+    case _: Step.VtoV | _: Step.VtoE | _: Step.EtoV => true
+    case _ => false
+  }
+
+  def apply(steps: List[Step]): List[Step] =
+    insertEarly(elimDeadLabels(steps))
+
+  /** Rewrite 1: drop as(x) never read downstream (tree-global check —
+    * sub-traversals inherit outer history, so a label used only inside
+    * an and()/union() branch still counts as read). Duplicate labels
+    * (re-recorded `as(x)`) are kept conservatively. */
+  private[gremlin] def elimDeadLabels(steps: List[Step]): List[Step] = {
+    val used = referenced(steps)
+    def walk(l: List[Step]): List[Step] = l.flatMap {
+      case Step.Union(subs)           => Some(Step.Union(subs.map(walk)))
+      case Step.BranchFilter(op, subs) =>
+        Some(Step.BranchFilter(op, subs.map(walk)))
+      case Step.Repeat(sub, t)        => Some(Step.Repeat(walk(sub), t))
+      case Step.As(n) if !used(n)     => None
+      case s                          => Some(s)
+    }
+    walk(steps)
+  }
+
+  /** Rewrite 2: early dedup insertion (per list, recursing into subs). */
+  private[gremlin] def insertEarly(steps: List[Step]): List[Step] = {
+    val rec = steps.map {
+      case Step.Union(subs)            => Step.Union(subs.map(insertEarly))
+      case Step.BranchFilter(op, subs) =>
+        Step.BranchFilter(op, subs.map(insertEarly))
+      // Repeat unrolls at compile time; its body may run under a
+      // surviving outer context — leave it alone
+      case other => other
+    }
+    val arr = rec.toVector
+    val insertBefore = scala.collection.mutable.Set.empty[Int]
+    arr.zipWithIndex.foreach {
+      case (Step.Dedup(Seq()), i)
+          // any upstream as() means live history whose arbitrary-row
+          // survival an early dedup could re-pick — skip the whole run
+          if !arr.take(i).exists(_.isInstanceOf[Step.As]) =>
+        var j = i - 1
+        while (j >= 0 && safePass(arr(j))) j -= 1
+        var hopsSeen = 0
+        ((j + 1) until i).foreach { k =>
+          if (isHop(arr(k))) {
+            // dedup before every hop after the first, unless the
+            // previous step already is one
+            if (hopsSeen >= 1 && arr(k - 1) != Step.Dedup(Nil))
+              insertBefore += k
+            hopsSeen += 1
+          }
+        }
+      case _ => ()
+    }
+    arr.zipWithIndex.flatMap { case (s, k) =>
+      if (insertBefore(k)) Seq(Step.Dedup(Nil), s) else Seq(s)
+    }.toList
+  }
+}

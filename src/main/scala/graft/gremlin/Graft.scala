@@ -91,7 +91,11 @@ final case class Graft(graph: GraphStore) {
     * `global_enable_step_reorder`. */
   private[gremlin] def plannedSteps(query: String): List[Step] = {
     val parsed = StepParser.parse(query)
-    if (enabled("step_reorder")) Reorder(parsed) else parsed
+    val reordered = if (enabled("step_reorder")) Reorder(parsed) else parsed
+    // multiplicity-insensitivity rewrites (dead-history elimination +
+    // early dedup insertion) — `SetConfig('early_dedup','false')` to
+    // serve the written shape
+    if (enabled("early_dedup")) EarlyDedup(reordered) else reordered
   }
 
   /** The reference's parser-time index fold (`core/parser.cpp:991-1081`):
