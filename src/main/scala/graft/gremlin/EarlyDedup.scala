@@ -102,14 +102,19 @@ object EarlyDedup {
           if !arr.take(i).exists(_.isInstanceOf[Step.As]) =>
         var j = i - 1
         while (j >= 0 && safePass(arr(j))) j -= 1
-        var hopsSeen = 0
+        // collapse once 2 hops have accumulated since the last dedup:
+        // multiplicity between collapses is bounded by d² instead of
+        // dⁿ (scale-safe), at half the extra exchanges of a per-hop
+        // dedup — and the insertion lands exactly before the fan-in
+        // hop of the quadratic out(l).in(l) co-occurrence pattern
+        var sinceDedup = 0
         ((j + 1) until i).foreach { k =>
-          if (isHop(arr(k))) {
-            // dedup before every hop after the first, unless the
-            // previous step already is one
-            if (hopsSeen >= 1 && arr(k - 1) != Step.Dedup(Nil))
-              insertBefore += k
-            hopsSeen += 1
+          arr(k) match {
+            case Step.Dedup(_) => sinceDedup = 0
+            case s if isHop(s) =>
+              if (sinceDedup >= 2) { insertBefore += k; sinceDedup = 0 }
+              sinceDedup += 1
+            case _ => ()
           }
         }
       case _ => ()

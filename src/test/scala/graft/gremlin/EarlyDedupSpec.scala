@@ -30,12 +30,20 @@ class EarlyDedupSpec extends SparkSpec {
     assert(out.collect { case Step.As(n) => n } == List("a"))
   }
 
-  test("early dedup inserted before every hop after the first") {
+  test("early dedup inserted once two hops have accumulated") {
     val steps = StepParser.parse(
       "g.V().hasLabel('c').out('p').out('k').in('k').has('x', gt(1)).dedup().count()")
     val out = EarlyDedup.insertEarly(steps)
-    assert(names(out) == List("V", "HasLabel", "VtoV", "Dedup", "VtoV",
+    assert(names(out) == List("V", "HasLabel", "VtoV", "VtoV",
       "Dedup", "VtoV", "Has", "Dedup", "Count"))
+  }
+
+  test("four-hop run collapses before hops 3 and (not) 4, resets on dedup") {
+    val steps = StepParser.parse(
+      "g.V().out('a').out('b').in('b').in('a').dedup().count()")
+    val out = EarlyDedup.insertEarly(steps)
+    assert(names(out) == List("V", "VtoV", "VtoV", "Dedup", "VtoV",
+      "VtoV", "Dedup", "Count"))
   }
 
   test("no insertion without a terminal dedup (bag semantics preserved)") {
@@ -90,7 +98,7 @@ class EarlyDedupSpec extends SparkSpec {
     // and the rewrite is actually active: planned steps gain dedups
     gi.strings("SetConfig('early_dedup', 'true')")
     val planned = gi.plannedSteps(q)
-    assert(planned.count(_ == Step.Dedup(Nil)) == 3,
-      s"expected 2 inserted + 1 written dedup, got: ${names(planned)}")
+    assert(planned.count(_ == Step.Dedup(Nil)) == 2,
+      s"expected 1 inserted + 1 written dedup, got: ${names(planned)}")
   }
 }
