@@ -232,6 +232,10 @@ object SparkEntry {
       operators.CurationOps.topNgramFraction(docs(spark, sfDir), n = 3)),
     "curation_token_quantiles" -> ((spark, sfDir) =>
       operators.CurationOps.sourceTokenQuantiles(docs(spark, sfDir))),
+    "curation_domain_stats" -> ((spark, sfDir) =>
+      operators.CurationOps.domainStats(docs(spark, sfDir))),
+    "text_tfidf_top" -> ((spark, sfDir) =>
+      operators.TextOps.tfidfTop(docs(spark, sfDir), k = 1)),
 
     // ---- iterative graph algorithms (GraphX/Pregel) ----
     "graph_hops" -> ((spark, sfDir) =>
@@ -305,6 +309,38 @@ object SparkEntry {
       gapped.groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("events"))
     }),
+    // point-in-time feature join: each click annotated with the same
+    // user's latest purchase at-or-before it (union + keyed window,
+    // not a per-row range join — see EventStreamOps.asofJoin)
+    "events_asof_join" -> ((spark, sfDir) => {
+      val ev = events(spark, sfDir)
+      streaming.EventStreamOps.asofJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        keyCol = "user_id", tsCol = "ts", ordCol = "event_id",
+        leftCols = Seq("event_id"), payload = Seq("event_id", "value"),
+        prefix = "purchase_")
+        .select(col("event_id"), col("user_id"),
+          col("purchase_event_id"),
+          round(col("purchase_value"), 2).as("purchase_value"))
+    }),
+    // trailing 30-minute per-user range window; integer-cent sum keeps
+    // the aggregate engine-exact (no float accumulation order)
+    "events_trailing_30m" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.trailingWindow(
+        events(spark, sfDir), seconds = 1800)),
+    // REAL incremental stream-stream interval join (watermarked both
+    // sides), drained and compared to the batch join
+    "events_stream_join" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedIntervalJoin(
+        spark, s"$sfDir/events.parquet")),
+    // JSON property extraction: typed pull out of the props column,
+    // grouped aggregate over the extracted value
+    "events_props_agg" -> ((spark, sfDir) =>
+      events(spark, sfDir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_cnt"))),
     "events_running_total" -> ((spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
@@ -719,5 +755,61 @@ object SparkEntry {
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
         |FROM events""".stripMargin,
+    // union + keyed running window — the exact algorithm the Spark
+    // asofJoin runs, re-expressed relationally (right rows sort before
+    // left at equal ts; greatest event_id wins among equal-ts rights)
+    "events_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS side, event_id AS ord, event_id,
+        |    NULL::BIGINT AS p_id, NULL::DOUBLE AS p_val
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, NULL, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT *,
+        |    last_value(p_id IGNORE NULLS) OVER w AS purchase_event_id,
+        |    last_value(p_val IGNORE NULLS) OVER w AS pv
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, purchase_event_id,
+        |  round(pv, 2) AS purchase_value FROM m WHERE side = 1""".stripMargin,
+    "events_trailing_30m" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS trailing_events,
+        |  sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS trailing_cents
+        |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "events_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p ON p.user_id = c.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
+    "events_props_agg" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+    "curation_domain_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain
+        | FROM documents)
+        |SELECT domain, count(DISTINCT doc_id) AS docs, count(*) AS mentions
+        |FROM d GROUP BY domain""".stripMargin,
+    // operation order mirrored exactly: (cnt/len) * ln(N/df), ranking
+    // on round(score, 6) with the term as tiebreak
+    "text_tfidf_top" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |e AS (SELECT doc_id, len(w) AS len, unnest(w) AS term FROM t),
+        |c AS (SELECT doc_id, len, term, count(*) AS cnt FROM e GROUP BY doc_id, len, term),
+        |d AS (SELECT term, count(*) AS df FROM c GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT c.doc_id, c.term,
+        |  (CAST(c.cnt AS DOUBLE) / c.len) * ln(CAST(n.n AS DOUBLE) / d.df) AS score
+        | FROM c JOIN d USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY round(score, 6) DESC, term) AS rank FROM s)
+        |SELECT doc_id, term, round(score, 4) AS tfidf,
+        |  CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 1""".stripMargin,
   )
 }

@@ -210,4 +210,24 @@ object CurationOps {
           .as("total_tokens"),
         round(sum(length(col(textCol)).cast(LongType))
           .cast(DoubleType) / count(lit(1)), 2).as("avg_chars"))
+
+  /** Host part of every URL occurrence (capture group 1 of
+    * [[UrlPattern]]'s host segment) — RE2-safe, shared with the oracle. */
+  val DomainPattern = "https?://([^/ ]+)"
+
+  /**
+   * C4-style per-domain corpus monitoring: for every URL host appearing
+   * in the text, the number of documents mentioning it and the total
+   * mention count. Explode + one grouped aggregate (map-side partial);
+   * the distinct-docs count is exact. The standard first step before
+   * per-domain quotas/blocklists in a web-scale curation pipeline.
+   */
+  def domainStats(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(DomainPattern),
+          lit(1))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col(idCol)).as("docs"),
+        count(lit(1)).as("mentions"))
 }

@@ -104,6 +104,47 @@ object TextOps {
       i => md5(text.substr(i, lit(window)).cast(BinaryType))))
   }
 
+  /**
+   * TF-IDF: per-document top-`k` terms by `tf·idf` with
+   * `tf = count/doc_len` and `idf = ln(N/df)`.
+   *
+   * Shape: explode → two grouped aggregates (term counts per doc,
+   * document frequency per term) → equi-join on term → per-doc top-k
+   * window. Everything partial-aggregates map-side; the only shuffles
+   * are the two groupBys and the df join (term-keyed, so a hot term is
+   * AQE-skew territory, not a broadcast problem — df is |vocab|-sized
+   * and joins term-to-term). The corpus size N is carried as DATA (a
+   * broadcast 1-row aggregate, not a literal), so the plan is
+   * N-independent and compiling runs no job.
+   *
+   * Ranking uses `round(score, 6)` (absorbs cross-engine 1-ulp noise in
+   * `ln`) with the term string as tiebreak — deterministic, and exactly
+   * mirrorable in the SQL oracle.
+   */
+  def tfidfTop(df: DataFrame, k: Int = 1, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("__len"),
+        explode(col("__toks")).as("term"))
+    val counts = toks.groupBy(col(idCol), col("__len"), col("term"))
+      .agg(count(lit(1)).as("__cnt"))
+    val dfreq = counts.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = counts.join(dfreq, "term")
+      .join(broadcast(n))
+      .withColumn("score",
+        (col("__cnt").cast("double") / col("__len")) *
+          log(col("__n").cast("double") / col("__df")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(round(col("score"), 6).desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), round(col("score"), 4).as("tfidf"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Attach all text-analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -109,6 +109,114 @@ object EventStreamOps {
       }
   }
 
+  /**
+   * Point-in-time (as-of) join: for every left row, the LATEST right
+   * row with the same key and `ts` at-or-before the left row's.
+   * The training-pipeline feature join — "the user's last purchase as
+   * of this click".
+   *
+   * Implemented as union + one per-key ordered window instead of a
+   * per-row range join: both sides are tagged, unioned, and a single
+   * `last(..., ignoreNulls)` running window per key carries the most
+   * recent right payload forward into each left row. One shuffle on
+   * the key, sort within partitions — at 100 TB this scales like any
+   * keyed window (AQE/salting for hot keys), where a range join would
+   * be a per-row probe. Ties: right rows sort before left rows at the
+   * same `ts` (at-or-before is inclusive), and among equal-`ts` right
+   * rows the greatest `ordCol` wins — fully deterministic.
+   *
+   * Left rows keep `leftCols`; the matched right row contributes
+   * `payload` columns renamed with `prefix`. Unmatched left rows keep
+   * nulls (left-outer as-of semantics).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keyCol: String, tsCol: String, ordCol: String,
+               leftCols: Seq[String], payload: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val side = "__side"
+    val ord = "__ord"
+    val lRows = left.select(
+      (col(keyCol) +: col(tsCol) +: lit(1).as(side) +: col(ordCol).as(ord) +:
+        (leftCols.map(col) ++
+          payload.map(p => lit(null).cast(right.schema(p).dataType)
+            .as(s"$prefix$p")))): _*)
+    val rRows = right.select(
+      (col(keyCol) +: col(tsCol) +: lit(0).as(side) +: col(ordCol).as(ord) +:
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(p => col(p).as(s"$prefix$p")))): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(side).asc, col(ord).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(lRows.unionByName(rRows)) { (df, p) =>
+      df.withColumn(s"$prefix$p", last(col(s"$prefix$p"), ignoreNulls = true)
+        .over(w))
+    }
+    carried.filter(col(side) === 1)
+      .select((col(keyCol) +: leftCols.map(col)) ++
+        payload.map(p => col(s"$prefix$p")): _*)
+  }
+
+  /**
+   * Trailing event-time range aggregate per key: for each event, the
+   * count and integer-cent sum of `value` over the trailing `seconds`
+   * window (inclusive of the current row's second). A RANGE window on
+   * floored epoch seconds — per-key sort, no self-join; the
+   * integer-cent sum (`floor(value*100)`) keeps the result exact and
+   * engine-independent where a float sum's accumulation order is not.
+   */
+  def trailingWindow(events: DataFrame, seconds: Long,
+                     keyCol: String = "user_id",
+                     valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sec = "__sec"
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(sec))
+      .rangeBetween(-seconds, 0)
+    events
+      .withColumn(sec, floor(col("ts").cast("double")).cast("long"))
+      .withColumn("trailing_events", count(lit(1)).over(w))
+      .withColumn("trailing_cents",
+        sum(floor(col(valueCol) * 100).cast("long")).over(w))
+      .select(col("event_id"), col(keyCol),
+        col("trailing_events"), col("trailing_cents"))
+  }
+
+  /**
+   * REAL incremental stream-stream inner join, drained to completion:
+   * clicks joined to the same user's purchases within
+   * `[click.ts, click.ts + windowMinutes]`, both sides watermarked so
+   * the join state is bounded (Spark evicts buffered rows once the
+   * watermark passes the interval bound — at scale this is what keeps
+   * a stream-stream join from buffering the whole history). The
+   * result must equal the batch join with the same predicate, which is
+   * what the SQL oracle checks.
+   */
+  def streamedIntervalJoin(spark: SparkSession, path: String,
+                           leftType: String = "click",
+                           rightType: String = "purchase",
+                           windowMinutes: Int = 10): DataFrame = {
+    val name = s"graft_stream_ij_${runCounter.incrementAndGet()}"
+    val src = streamFromParquet(spark, path)
+    val l = src.filter(col("event_type") === leftType)
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("l_uid"),
+        col("ts").as("l_ts"))
+    val r = streamFromParquet(spark, path)
+      .filter(col("event_type") === rightType)
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("r_uid"),
+        col("ts").as("r_ts"))
+    val joined = l.join(r,
+      col("l_uid") === col("r_uid") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Update-mode sink helper used by tests and demos: stream into an
     * in-memory table. */
   def toMemorySink(df: DataFrame, name: String,

@@ -392,6 +392,37 @@ class OperatorsSpec extends SparkSpec {
     assert(agree.toDouble / docs.count() > 0.2)
   }
 
+  test("tfidfTop: rare term beats common term; tf weighting works") {
+    import spark.implicits._
+    // 'zebra' appears once in one doc of four (idf = ln 4); 'the' is in
+    // every doc (idf = 0, never wins)
+    val df = Seq(
+      (1L, "the zebra the the"), (2L, "the cat the dog"),
+      (3L, "the cat the cat"), (4L, "the dog the dog")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTop(df, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "zebra")
+    // cat/dog appear in 2 of 4 docs each — idf ln(2) > 0, beat 'the'
+    assert(top(3L) == "cat" && top(4L) == "dog")
+    // doc 2 ties cat vs dog on score — term-asc tiebreak
+    assert(top(2L) == "cat")
+    // score check: doc 1 zebra tf = 1/4, idf = ln(4)
+    val s = TextOps.tfidfTop(df, k = 1).filter(col("doc_id") === 1L)
+      .collect().head.getDouble(2)
+    assert(math.abs(s - math.round(0.25 * math.log(4.0) * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("domainStats: per-domain doc and mention counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "see http://a.com/x and https://b.org/y plus http://a.com/z"),
+      (2L, "only https://b.org/page here"),
+      (3L, "no links at all")).toDF("doc_id", "text")
+    val out = CurationOps.domainStats(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("a.com" -> (1L, 2L), "b.org" -> (2L, 2L)))
+  }
+
   test("text/curation ops survive null, empty, and whitespace text") {
     import spark.implicits._
     val dirty = Seq((1L, "s", Option("ok doc here")), (2L, "s", Some("")),

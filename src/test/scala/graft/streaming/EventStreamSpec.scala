@@ -101,4 +101,67 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("asofJoin picks the latest right row at-or-before, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, ts(10), 1L), (11L, ts(30), 1L), (12L, ts(5), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (100L, ts(10), 1L, 5.0),  // same-ts: inclusive match for id 10
+      (101L, ts(20), 1L, 7.0),  // latest before id 11
+      (102L, ts(40), 1L, 9.0),  // after everything — never matched
+      (103L, ts(20), 2L, 3.0))  // after id 12 — user 2 unmatched
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = asofJoin(left, right, "user_id", "ts", "event_id",
+      leftCols = Seq("event_id"), payload = Seq("event_id", "value"),
+      prefix = "m_")
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out == Set((10L, 100L), (11L, 101L), (12L, -1L)))
+  }
+
+  test("asofJoin equal-ts right rows: greatest ord wins") {
+    import spark.implicits._
+    val left = Seq((1L, ts(10), 1L)).toDF("event_id", "ts", "user_id")
+    val right = Seq((7L, ts(10), 1L, 1.0), (9L, ts(10), 1L, 2.0),
+      (8L, ts(10), 1L, 3.0)).toDF("event_id", "ts", "user_id", "value")
+    val out = asofJoin(left, right, "user_id", "ts", "event_id",
+      Seq("event_id"), Seq("event_id"), "m_").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(9L))
+  }
+
+  test("trailingWindow counts and cent-sums the trailing range") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(0), 1L, 1.10), (2L, ts(20), 1L, 2.05),
+      (3L, ts(40), 1L, 4.00), (4L, ts(0), 2L, 9.99))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = trailingWindow(ev, seconds = 1800) // 30 minutes
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // id 3's trailing 30 min includes id 2 but not id 1; note
+    // 9.99*100 rounds to exactly 999.0 in double (floor 999, both
+    // engines), while 2.05*100 = 204.999… floors to 204
+    assert(out == Set((1L, 1L, 110L), (2L, 2L, 314L), (3L, 2L, 604L),
+      (4L, 1L, 999L)))
+  }
+
+  test("streamed interval join equals the batch interval join") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = EventStreamOps.streamedIntervalJoin(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = readEvents(spark, path)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"),
+        col("ts").as("pts"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+      .select("cid", "pid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
