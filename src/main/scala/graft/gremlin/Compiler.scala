@@ -557,6 +557,52 @@ object Compiler {
           history = d.history.filter(kv => commonHist(kv._1)),
           sideEffects = se, ordering = Nil)
 
+      case BranchFilter(op, subs) if subs.forall(perValueSub) =>
+        // FAST PATH — every sub-traversal is a pure function of the
+        // traverser VALUE (no history reads, no as/select, no
+        // side-effect writes, no sampling): rows with equal __val
+        // necessarily agree on the existential, so evaluate each sub
+        // once per DISTINCT value and semi/anti-join the frontier on
+        // __val. Replaces the content-hash row tag + row_number window
+        // with one distinct + value-keyed joins: the sub pipelines run
+        // over the value set (≤ |V|), not the traverser bag, and
+        // nothing hashes or windows the full frontier. Barriers inside
+        // subs still slice per input traverser — the group column is
+        // the value tag, and equal-valued traversers are
+        // indistinguishable to a history-free sub by construction.
+        val d = detach(s)
+        val tag = freshAlias("__vtag")
+        // The distinct value set feeds every sub and the count-0
+        // universe. A cheap frontier (pushed-down scan + filters) is
+        // recomputed per use — no materialization, compile stays
+        // job-free; an expensive one (aggregates/joins/windows in its
+        // lineage) gets a LAZY localCheckpoint so the lineage computes
+        // once (same policy as the row-tag path below).
+        val vals0 = d.df.select(col("__val").as(tag)).distinct()
+        val vals = if (expensivePlan(d.df)) vals0.localCheckpoint(false)
+                   else vals0
+        val from = d.copy(
+          df = vals.select(col(tag), col(tag).as("__val")),
+          attached = false, history = Map.empty,
+          groupCol = Some(tag), ordering = Nil,
+          groupUniverse = Some(vals))
+        var se = d.sideEffects
+        val hits: Seq[DataFrame] = subs.map { sub =>
+          val r = compileSub(graph, from.copy(sideEffects = se), sub)
+          se = r.sideEffects
+          r.df.select(col(tag)).distinct()
+        }
+        val joined = op match {
+          case AndOp => hits.foldLeft(d.df)((acc, h) =>
+            acc.join(h, acc("__val") === h(tag), "left_semi"))
+          case OrOp =>
+            val any = hits.reduce(_ unionByName _).distinct()
+            d.df.join(any, d.df("__val") === any(tag), "left_semi")
+          case NotOp => hits.foldLeft(d.df)((acc, h) =>
+            acc.join(h, acc("__val") === h(tag), "left_anti"))
+        }
+        d.copy(df = joined, sideEffects = se)
+
       case BranchFilter(op, subs) =>
         val d = detach(s)
         // The tagged plan is re-evaluated on both sides of the semi/anti
@@ -590,11 +636,7 @@ object Compiler {
         // execution, and — unlike cache(), whose CacheManager entry
         // would leak per query in a long-running service — the
         // checkpoint storage is released with the DataFrame.
-        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin, Window => LWindow}
-        val expensive = d.df.queryExecution.analyzed.exists {
-          case _: Aggregate | _: LJoin | _: LWindow => true
-          case _ => false
-        }
+        val expensive = expensivePlan(d.df)
         val tagged0 = base
           .withColumn(rowHash, xxhash64(contentCols: _*))
           // struct tag: joins/windows hash two raw ints, no per-row
@@ -628,6 +670,33 @@ object Compiler {
         (1 to math.max(times, 1)).foldLeft(s)((st, _) =>
           compileSub(graph, st, sub))
     }
+  }
+
+  /** Aggregates/joins/windows in the lineage make re-evaluation of a
+    * self-joined frontier worth a lazy checkpoint; plain scans don't. */
+  private def expensivePlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin, Window => LWindow}
+    df.queryExecution.analyzed.exists {
+      case _: Aggregate | _: LJoin | _: LWindow => true
+      case _ => false
+    }
+  }
+
+  /** True when a branch-filter sub-traversal is a pure function of the
+    * traverser VALUE: no history reads or writes (`as`/`select`/
+    * history `where`/history `dedup`), no side-effect writes
+    * (`aggregate` — its store would collapse bag multiplicities), and
+    * no per-row sampling (`coin`). For such subs, traversers with equal
+    * `__val` are indistinguishable, so the existential can be evaluated
+    * once per distinct value. */
+  private def perValueSub(sub: List[Step]): Boolean = sub.forall {
+    case _: Step.As | _: Step.Select | _: Step.WherePred |
+         _: Step.WhereHistory | _: Step.Aggregate | _: Step.Coin => false
+    case Step.Dedup(hs)             => hs.isEmpty
+    case Step.Union(subs)           => subs.forall(perValueSub)
+    case Step.BranchFilter(_, subs) => subs.forall(perValueSub)
+    case Step.Repeat(s2, _)         => perValueSub(s2)
+    case _                          => true
   }
 
   /** out/in/both × (V→V | V→E): the only mandatory shuffle in the

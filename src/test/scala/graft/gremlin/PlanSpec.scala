@@ -51,6 +51,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(800))
   }
 
+  test("history-free branch filters take the per-value path: no window") {
+    // value-pure subs: existential evaluated per DISTINCT value — the
+    // plan must have no row_number window and no xxhash row tagging
+    val p = plan("g.V().hasLabel('customer')" +
+      ".and(out('placed').has('totalprice', gt(150000.0))).count()")
+    assert(!p.contains("Window") && !p.contains("xxhash64"), p.take(1200))
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("history-referencing branch filters keep the row-tag path") {
+    val p = plan("g.V().hasLabel('customer').as('a')" +
+      ".and(out('placed').where(neq('a'))).count()")
+    assert(p.contains("xxhash64"), p.take(1200))
+  }
+
   test("index fold serves the frontier from the cached posting list") {
     val gi = Graft(GraphStore.tpch(spark, sf))
     gi.ddl("BuildIndex(V, 'mktsegment')")
