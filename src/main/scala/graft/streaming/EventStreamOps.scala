@@ -211,9 +211,11 @@ object EventStreamOps {
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
       .select(col("click_id"), col("purchase_id"))
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -224,6 +226,20 @@ object EventStreamOps {
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 
   private val runCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run a drain-to-completion gate stream with a bounded number of
+    * state partitions. Stateful operators allocate one state store per
+    * shuffle partition PER MICRO-BATCH; for the bounded gate streams
+    * the per-store commit overhead dominates actual work, so 8
+    * partitions beat the session's 32. (A production deployment sizes
+    * this to key cardinality — state partitioning, like any shuffle,
+    * is the scale knob, and it is fixed for the life of a query.) */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
 
   /**
    * Execute a REAL incremental stream to completion and return the
@@ -244,9 +260,11 @@ object EventStreamOps {
       .agg(count(lit(1)).as("events"))
       .select(col("window.start").cast("long").as("window_start"),
         col("event_type"), col("events"))
-    val q = counts.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete()).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -266,9 +284,11 @@ object EventStreamOps {
     val distinctKeys = streamFromParquet(spark, path)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val q = distinctKeys.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = distinctKeys.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 }
