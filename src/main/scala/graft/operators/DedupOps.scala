@@ -338,4 +338,35 @@ object DedupOps {
       .filter(col("__c") >= tau) // filter on raw value; round for display
       .select(col("id_a"), col("id_b"), round(col("__c"), 4).as("cosine"))
   }
+
+  /**
+   * Near-duplicate CLUSTERING — the step a production dedup pipeline
+   * runs after pair generation: [[minhashLsh]] pairs → undirected
+   * connected components → canonical (smallest) doc id per cluster,
+   * emitted for EVERY document (singletons canonicalise to
+   * themselves). Downstream keeps `doc_id == canonical` rows.
+   *
+   * Scale shape: the component computation runs only over documents
+   * that appear in a pair (collision-bounded, tiny vs the corpus); the
+   * corpus-wide answer is a left join + coalesce. Transitive closure
+   * matters — A~B, B~C puts A and C in one cluster even when A~C is
+   * below τ, which per-pair filtering would miss.
+   */
+  def nearDupClusters(df: DataFrame, tau: Double = 0.8,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, tau = tau)
+    val verts = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b")))
+      .distinct().withColumn("label", lit("doc"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .withColumn("label", lit("neardup"))
+    val cc = GraphAlgos.connectedComponents(
+      graft.sources.GraphStore(verts, edges))
+      .withColumnRenamed("id", "__ccid")
+    df.select(col(idCol))
+      .join(cc, col(idCol) === col("__ccid"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical"))
+  }
 }

@@ -392,6 +392,23 @@ class OperatorsSpec extends SparkSpec {
     assert(agree.toDouble / docs.count() > 0.2)
   }
 
+  test("nearDupClusters: transitive closure with canonical min id") {
+    import spark.implicits._
+    // 20 distinct tokens; B differs from A in the last 2, C differs
+    // from B in the first 2: jacc(A,B) = jacc(B,C) = 16/20 = 0.8 (≥ τ),
+    // jacc(A,C) = 14/22 ≈ 0.64 (< τ) — only the closure links A to C
+    val toks = (0 until 20).map(i => s"w$i")
+    val a = toks.mkString(" ")
+    val b = (toks.dropRight(2) ++ Seq("x1", "x2")).mkString(" ")
+    val c = (Seq("y1", "y2") ++ toks.slice(2, 18) ++ Seq("x1", "x2"))
+      .mkString(" ")
+    val df = Seq((10L, a), (11L, b), (12L, c), (13L, "entirely other text"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.nearDupClusters(df, tau = 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+  }
+
   test("tfidfTop: rare term beats common term; tf weighting works") {
     import spark.implicits._
     // 'zebra' appears once in one doc of four (idf = ln 4); 'the' is in
