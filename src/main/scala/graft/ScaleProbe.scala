@@ -30,6 +30,26 @@ object ScaleProbe {
     time("minhashLsh")(operators.DedupOps.minhashLsh(docs, tau = 0.8).count())
     time("simhash")(operators.DedupOps.simhash(docs, maxDist = 3).count())
     time("exact")(operators.DedupOps.exact(docs).count())
+    time("nearDupClusters")(
+      operators.DedupOps.nearDupClusters(docs, tau = 0.8).count())
+    time("tfidfTop")(operators.TextOps.tfidfTop(docs, k = 1).count())
+    time("domainStats")(operators.CurationOps.domainStats(docs).count())
+
+    val evbase = streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.1/events.parquet")
+    val events = (0 until mult).map { i =>
+      evbase.select((col("event_id") + lit(i.toLong * 10000000)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i.toLong * 100000)).as("user_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionByName _).repartition(32).cache()
+    println(s"events=${events.count()}")
+    time("asofJoin")(streaming.EventStreamOps.asofJoin(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"),
+      "user_id", "ts", "event_id",
+      Seq("event_id"), Seq("event_id", "value")).count())
+    time("trailingWindow")(
+      streaming.EventStreamOps.trailingWindow(events, 1800).count())
 
     val ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val embs = (0 until mult).map { i =>

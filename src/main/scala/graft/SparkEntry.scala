@@ -237,8 +237,15 @@ object SparkEntry {
       operators.CurationOps.topNgramFraction(docs(spark, sfDir), n = 3)),
     "curation_token_quantiles" -> ((spark, sfDir) =>
       operators.CurationOps.sourceTokenQuantiles(docs(spark, sfDir))),
+    // synthetic documents carry no URLs, so the gate plants
+    // deterministic ones (doc_id-derived hosts) in BOTH engines — the
+    // extraction and aggregation are exercised on real link structure
     "curation_domain_stats" -> ((spark, sfDir) =>
-      operators.CurationOps.domainStats(docs(spark, sfDir))),
+      operators.CurationOps.domainStats(
+        docs(spark, sfDir).withColumn("text",
+          concat(col("text"), lit(" http://site"), col("doc_id") % 50,
+            lit(".com/p"), col("doc_id"), lit(" see https://mirror"),
+            col("doc_id") % 7, lit(".org/x"))))),
     "text_tfidf_top" -> ((spark, sfDir) =>
       operators.TextOps.tfidfTop(docs(spark, sfDir), k = 1)),
 
@@ -813,9 +820,12 @@ object SparkEntry {
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt
         |FROM events GROUP BY event_type""".stripMargin,
     "curation_domain_stats" ->
-      """WITH d AS (SELECT doc_id,
+      """WITH t AS (SELECT doc_id, text || ' http://site' || (doc_id % 50)
+        |    || '.com/p' || doc_id || ' see https://mirror' || (doc_id % 7)
+        |    || '.org/x' AS text FROM documents),
+        |d AS (SELECT doc_id,
         |  unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain
-        | FROM documents)
+        | FROM t)
         |SELECT domain, count(DISTINCT doc_id) AS docs, count(*) AS mentions
         |FROM d GROUP BY domain""".stripMargin,
     // operation order mirrored exactly: (cnt/len) * ln(N/df), ranking
