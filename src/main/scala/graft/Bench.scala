@@ -81,10 +81,13 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
 
+    // `queries` carries COLD times (the round-over-round comparable, as
+    // in rounds 1-3); warm headline times go under `queries_warm`.
+    val coldMap = cold.toMap
     val warmMap = warm.toMap
-    val head = Headline.filter(warmMap.contains)
-      .map(k => k -> warmMap(k))
+    val headCold = Headline.filter(coldMap.contains).map(k => k -> coldMap(k))
+    val headWarm = Headline.filter(warmMap.contains).map(k => k -> warmMap(k))
     spark.stop() // stop BEFORE the compact line so shutdown noise precedes it
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(head)},"warm_total":$warmTotal%.3f,"nq":${cold.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(headCold)},"queries_warm":${json(headWarm)},"warm_total":$warmTotal%.3f,"nq":${cold.size},"sf":"$sfDir"}""")
   }
 }

@@ -805,7 +805,8 @@ object SparkEntry {
     "events_trailing_30m" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS trailing_events,
-        |  sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS trailing_cents
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS trailing_cents
         |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -816,7 +817,8 @@ object SparkEntry {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
     "events_props_agg" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS k_sum,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt
         |FROM events GROUP BY event_type""".stripMargin,
     "curation_domain_stats" ->

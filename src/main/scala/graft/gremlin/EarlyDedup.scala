@@ -83,12 +83,25 @@ object EarlyDedup {
     walk(steps)
   }
 
-  /** Rewrite 2: early dedup insertion (per list, recursing into subs). */
-  private[gremlin] def insertEarly(steps: List[Step]): List[Step] = {
+  /** Rewrite 2: early dedup insertion (per list, recursing into subs).
+    *
+    * `outerHistoryLive` threads the enclosing traversal's history state
+    * into sub-traversals: a union() sub inherits the outer frontier's
+    * history bindings, so an early dedup inserted inside the sub could
+    * re-pick which OUTER binding survives even when the sub itself
+    * records no labels. Insertion is skipped anywhere history — local
+    * or inherited — is live.
+    */
+  private[gremlin] def insertEarly(
+      steps: List[Step],
+      outerHistoryLive: Boolean = false): List[Step] = {
+    val subLive =
+      outerHistoryLive || steps.exists(_.isInstanceOf[Step.As])
     val rec = steps.map {
-      case Step.Union(subs)            => Step.Union(subs.map(insertEarly))
+      case Step.Union(subs) =>
+        Step.Union(subs.map(insertEarly(_, subLive)))
       case Step.BranchFilter(op, subs) =>
-        Step.BranchFilter(op, subs.map(insertEarly))
+        Step.BranchFilter(op, subs.map(insertEarly(_, subLive)))
       // Repeat unrolls at compile time; its body may run under a
       // surviving outer context — leave it alone
       case other => other
@@ -97,9 +110,11 @@ object EarlyDedup {
     val insertBefore = scala.collection.mutable.Set.empty[Int]
     arr.zipWithIndex.foreach {
       case (Step.Dedup(Seq()), i)
-          // any upstream as() means live history whose arbitrary-row
-          // survival an early dedup could re-pick — skip the whole run
-          if !arr.take(i).exists(_.isInstanceOf[Step.As]) =>
+          // any upstream as() — here or in an enclosing traversal —
+          // means live history whose arbitrary-row survival an early
+          // dedup could re-pick — skip the whole run
+          if !outerHistoryLive &&
+            !arr.take(i).exists(_.isInstanceOf[Step.As]) =>
         var j = i - 1
         while (j >= 0 && safePass(arr(j))) j -= 1
         // collapse once 2 hops have accumulated since the last dedup:
