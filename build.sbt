@@ -12,6 +12,13 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // interactive Demo console reads stdin
+// The bench/verify harness parses the LAST stdout line as JSON. sbt's
+// default logger prefixes forked-process stdout with "[info] " and
+// appends a "[success] Total time" line — both break that parse, so
+// pass forked output through verbatim and silence the success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

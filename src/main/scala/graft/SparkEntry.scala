@@ -362,6 +362,30 @@ object SparkEntry {
         .withColumn("running", round(sum(col("value")).over(w), 2))
         .select(col("event_id"), col("user_id"), col("running"))
     }),
+    // REAL incremental session_window stream drained to completion;
+    // the oracle recomputes gap-based sessions with exact microsecond
+    // arithmetic (no exact-gap ties exist in the fixture, so the
+    // strict/inclusive boundary conventions agree)
+    "events_stream_sessions" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedSessions(
+        spark, s"$sfDir/events.parquet")),
+
+    // ---- round-5 pipeline operators ----
+    // sliding-window token chunking with overlap (RAG / pretraining
+    // document splitter)
+    "curation_chunk" -> ((spark, sfDir) =>
+      operators.CurationOps.chunkTokens(docs(spark, sfDir),
+        chunkSize = 32, overlap = 8)),
+    // deterministic salted-md5 train/val/test assignment
+    "curation_split" -> ((spark, sfDir) =>
+      operators.CurationOps.assignSplits(docs(spark, sfDir))),
+    // link-prediction wedge counts: part pairs sharing the most orders
+    "graph_common_neighbors" -> ((spark, sfDir) =>
+      operators.GraphAlgos.commonNeighbors(
+        sources.GraphStore.tpch(spark, sfDir), label = "contains", k = 20)),
+    // symmetric int8 embedding quantization (summary columns)
+    "embed_quantize" -> ((spark, sfDir) =>
+      operators.SimilarityOps.quantizeInt8(embs(spark, sfDir))),
   )
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -845,5 +869,67 @@ object SparkEntry {
         |  (PARTITION BY doc_id ORDER BY round(score, 6) DESC, term) AS rank FROM s)
         |SELECT doc_id, term, round(score, 4) AS tfidf,
         |  CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 1""".stripMargin,
+    // gap-based sessions on exact microsecond arithmetic; boundary is
+    // `diff >= gap` (session_window's strict-before-end semantics; the
+    // fixture has no exact-gap ties, so conventions cannot diverge)
+    "events_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us
+        |  FROM events),
+        |m AS (SELECT *, lag(us) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id) AS pus FROM e),
+        |x AS (SELECT *, CASE WHEN pus IS NULL OR us - pus >= 1800000000
+        |  THEN 1 ELSE 0 END AS ns FROM m),
+        |y AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  user_id, count(*) AS events
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+    // chunkSize=32, overlap=8 → step=24; trailing starts kept only when
+    // they add an uncovered token (s + overlap < n)
+    "curation_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, len(w) AS n FROM t),
+        |s AS (SELECT doc_id, w, n,
+        |  unnest(generate_series(0, CAST(n - 1 AS BIGINT), 24)) AS s
+        |  FROM n),
+        |k AS (SELECT * FROM s WHERE s = 0 OR s + 8 < n)
+        |SELECT doc_id, s // 24 AS chunk_id,
+        |  least(32, n - s) AS n_tokens,
+        |  w[CAST(s + 1 AS INTEGER)] AS first_tok,
+        |  w[CAST(least(n, s + 32) AS INTEGER)] AS last_tok FROM k""".stripMargin,
+    "curation_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |         IN ('d', 'e') THEN 'val'
+        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |         = 'f' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+    "graph_common_neighbors" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+        |  FROM lineitem)
+        |SELECT a.dst + 2000000000 AS id_a, b.dst + 2000000000 AS id_b,
+        |  count(*) AS shared
+        |FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY 1, 2
+        |ORDER BY shared DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
+    "embed_quantize" ->
+      """WITH t AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS mx FROM t),
+        |s AS (SELECT vec_id, v,
+        |  CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS sc FROM m),
+        |q AS (SELECT vec_id, sc,
+        |  list_transform(v, x -> CAST(floor(x * sc) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  round(sc, 4) AS scale FROM q""".stripMargin,
   )
 }

@@ -211,6 +211,57 @@ object CurationOps {
         round(sum(length(col(textCol)).cast(LongType))
           .cast(DoubleType) / count(lit(1)), 2).as("avg_chars"))
 
+  /**
+   * Sliding-window token chunking with overlap — the RAG/pretraining
+   * document splitter. Chunk starts are `0, step, 2·step, …` with
+   * `step = chunkSize - overlap`; a trailing start is kept only when
+   * its chunk contributes at least one token not already covered
+   * (`start + overlap < n`). Emits one row per chunk with its token
+   * count and boundary tokens (the full token slice is available via
+   * the same expressions — boundary columns keep the gate output
+   * narrow). A narrow map + explode: no shuffle at any scale; chunk
+   * count per doc is `⌈(n - overlap) / step⌉`.
+   */
+  def chunkTokens(df: DataFrame, chunkSize: Int = 64, overlap: Int = 16,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
+    val step = chunkSize - overlap
+    val toks = split(trim(col(textCol)), " ")
+    df.select(col(idCol), toks.as("__t"), size(toks).as("__n"))
+      .select(col(idCol), col("__t"), col("__n"),
+        explode(filter(sequence(lit(0), col("__n") - 1, lit(step)),
+          s => s === 0 || (s + lit(overlap)) < col("__n"))).as("__s"))
+      .select(col(idCol),
+        (col("__s") / lit(step)).cast(LongType).as("chunk_id"),
+        least(lit(chunkSize), col("__n") - col("__s")).cast(LongType)
+          .as("n_tokens"),
+        element_at(col("__t"), col("__s") + 1).as("first_tok"),
+        element_at(col("__t"),
+          least(col("__n"), col("__s") + chunkSize)).as("last_tok"))
+  }
+
+  /**
+   * Deterministic train/val/test assignment by salted md5 bucket: the
+   * first hex nibble of `md5(salt:id)` maps 13/16 → train, 2/16 → val,
+   * 1/16 → test. Pure narrow map, reproducible bit-for-bit in any
+   * engine (md5 of the same string is universal) — the split of a
+   * given document never changes as the corpus grows, which is the
+   * property a 100 TB pipeline needs (no global shuffle, no seed
+   * coordination, stable across reruns and engines).
+   */
+  def assignSplits(df: DataFrame, idCol: String = "doc_id",
+                   salt: String = "split"): DataFrame = {
+    val nibble =
+      substring(md5(concat_ws(":", lit(salt), col(idCol).cast(StringType))),
+        1, 1)
+    df.select(col(idCol),
+      when(nibble.isin("d", "e"), lit("val"))
+        .when(nibble === "f", lit("test"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** Host part of every URL occurrence (capture group 1 of
     * [[UrlPattern]]'s host segment) — RE2-safe, shared with the oracle. */
   val DomainPattern = "https?://([^/ ]+)"

@@ -195,4 +195,33 @@ object GraphAlgos {
       .toDF("id", "distance")
     materializeAndFree(df, res, xg)
   }
+
+  /**
+   * Link-prediction wedge counting: the top-`k` pairs of destination
+   * vertices ranked by how many source vertices point at both
+   * (common-neighbor score over `label` edges; ties broken by the pair
+   * ids so the cut is deterministic). One self-equi-join on `src` —
+   * both sides share the shuffle partitioning so Catalyst reuses the
+   * exchange — then a partial-aggregated count and a
+   * TakeOrderedAndProject (never a global sort). Per-source work is
+   * quadratic in out-degree: `maxDegree` drops hub sources above the
+   * bound (a celebrity node contributes O(deg²) pairs of near-zero
+   * information); pass 0 to keep every source, as exact gates do.
+   */
+  def commonNeighbors(g: GraphStore, label: String, k: Int,
+                      maxDegree: Int = 0): DataFrame = {
+    val e0 = g.edges.filter(col("label") === label)
+      .select(col("src"), col("dst"))
+    val e = if (maxDegree <= 0) e0 else {
+      val deg = e0.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") <= maxDegree).select(col("src"))
+      e0.join(deg, "src")
+    }
+    e.as("a").join(e.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("id_a"), col("b.dst").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .orderBy(col("shared").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
 }

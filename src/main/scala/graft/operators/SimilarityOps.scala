@@ -259,4 +259,39 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
+
+  /**
+   * Symmetric int8 quantization per vector — the storage/serving
+   * compression step of an embedding pipeline (4× smaller than float32
+   * before dot-product acceleration). Per row: `scale = 127 / max|xᵢ|`
+   * and `qᵢ = ⌊xᵢ · scale⌋`, so every component lands in [-128, 127].
+   * All math is per-element double products + floor — no accumulation
+   * order, bit-identical in any engine (the single division is the
+   * sanctioned cross-engine float form). Emits summary columns
+   * (`q_sum`/`q_min`/`q_max`, rounded scale) so the gate output stays
+   * narrow; the quantized array itself is the same `transform`
+   * expression, exposed via [[quantizedVector]]. Zero vectors get
+   * scale 0 (all-zero codes). A narrow map: no shuffle at any scale.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val q = quantizedVector(col(vecCol))
+    df.select(col(idCol),
+      aggregate(q, lit(0L), (acc, v) => acc + v).as("q_sum"),
+      array_min(q).as("q_min"), array_max(q).as("q_max"),
+      round(quantScale(col(vecCol)), 4).as("scale"))
+  }
+
+  /** `127 / max|xᵢ|` (0 for the zero vector), accumulated exactly. */
+  def quantScale(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast(DoubleType))))
+    when(mx > 0.0, lit(127.0) / mx).otherwise(lit(0.0))
+  }
+
+  /** The int8 code array `⌊xᵢ · scale⌋` as longs (summable without
+    * overflow casts downstream). */
+  def quantizedVector(vec: Column): Column = {
+    val sc = quantScale(vec)
+    transform(vec, x => floor(x.cast(DoubleType) * sc).cast(LongType))
+  }
 }

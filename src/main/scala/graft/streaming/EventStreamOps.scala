@@ -269,6 +269,35 @@ object EventStreamOps {
   }
 
   /**
+   * REAL incremental gap-based sessionization: file source →
+   * `session_window` aggregation → memory sink, drained to completion.
+   * Session-window semantics: an event extends a session while its
+   * timestamp is STRICTLY before the previous session end
+   * (`last_ts + gap`), so a gap of exactly `gapSeconds` starts a new
+   * session — the SQL oracle mirrors that with a `diff >= gap`
+   * boundary on exact microsecond arithmetic. Complete mode keeps
+   * every session in state for the gate (bounded fixture); a
+   * production stream adds a watermark and Append mode so closed
+   * sessions evict — same query shape, one config away.
+   */
+  def streamedSessions(spark: SparkSession, path: String,
+                       gapSeconds: Int = 1800): DataFrame = {
+    val name = s"graft_stream_sw_${runCounter.incrementAndGet()}"
+    val sessions = streamFromParquet(spark, path)
+      .groupBy(session_window(col("ts"), s"$gapSeconds seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("session_window.start").cast("long").as("session_start"),
+        col("user_id"), col("events"))
+    withStatePartitions(spark, 8) {
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+  }
+
+  /**
    * Incremental STATEFUL dedup: first occurrence of each
    * (user_id, event_type) pair wins, every later one is dropped inside
    * the micro-batch pipeline — the streaming face of the exact-dedup

@@ -89,4 +89,20 @@ class GraphAlgosSpec extends SparkSpec {
     assert(graphxCached == 0,
       s"GraphX left $graphxCached cached RDDs after materializeAndFree")
   }
+
+  test("commonNeighbors counts wedge pairs; maxDegree drops hubs") {
+    // created edges: 1→3, 4→5, 4→3, 6→3 — only person 4 points at two
+    // software vertices, so (3,5) with one shared creator is the only pair
+    val pairs = GraphAlgos.commonNeighbors(modern, "created", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((3L, 5L, 1L)))
+    // capping out-degree at 1 removes the only 2-out-degree source
+    val capped = GraphAlgos.commonNeighbors(modern, "created", k = 10,
+      maxDegree = 1).count()
+    assert(capped == 0L)
+    // knows edges: 1→2, 1→4 — pair (2,4) from the shared source 1
+    val knows = GraphAlgos.commonNeighbors(modern, "knows", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(knows.toSeq == Seq((2L, 4L, 1L)))
+  }
 }

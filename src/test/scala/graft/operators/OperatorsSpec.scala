@@ -536,6 +536,89 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens: sliding windows with overlap match the model") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b c d e"),                      // 5 tokens
+      (3L, "solo")                            // 1 token
+    ).toDF("doc_id", "text")
+    val out = CurationOps.chunkTokens(df, chunkSize = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getString(4))).toMap
+    // step=3; starts 0,3,6 for n=10 (start 9 adds no new token: 9+1 !< 10)
+    assert(out((1L, 0L)) == ((4L, "t1", "t4")))
+    assert(out((1L, 1L)) == ((4L, "t4", "t7")))
+    assert(out((1L, 2L)) == ((4L, "t7", "t10")))
+    // n=5: starts 0,3 — trailing chunk truncated to 2 tokens
+    assert(out((2L, 0L)) == ((4L, "a", "d")))
+    assert(out((2L, 1L)) == ((2L, "d", "e")))
+    // n=1: one whole-doc chunk
+    assert(out((3L, 0L)) == ((1L, "solo", "solo")))
+    assert(out.size == 6)
+  }
+
+  test("chunkTokens covers every token of every doc") {
+    val chunks = CurationOps.chunkTokens(docs, chunkSize = 32, overlap = 8)
+    // per doc: first chunk starts at token 1, chunks are contiguous
+    // (next start = prev start + 24 <= prev end + 1), last chunk ends at n
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), max(col("chunk_id")).as("mx"),
+        sum(col("n_tokens")).as("covered"))
+      .collect()
+    val nToks = docs.select(col("doc_id"),
+      size(split(trim(col("text")), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    perDoc.foreach { r =>
+      val (k, mx, covered) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mx == k - 1, s"chunk ids not dense for doc ${r.getLong(0)}")
+      val n = nToks(r.getLong(0))
+      val expected = if (n <= 32) 1 else math.ceil((n - 8) / 24.0).toInt
+      assert(k == expected, s"doc ${r.getLong(0)}: $k chunks for $n tokens")
+      // contiguous full coverage: each adjacent pair re-covers exactly
+      // `overlap` tokens, so the token multiset sums to n + 8·(k-1)
+      assert(covered == n + 8 * (k - 1),
+        s"doc ${r.getLong(0)}: coverage $covered for $n tokens, $k chunks")
+    }
+  }
+
+  test("assignSplits: deterministic, stable, three-way") {
+    val a = CurationOps.assignSplits(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = CurationOps.assignSplits(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // bit-stable across runs
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    val n = a.size.toDouble
+    val train = a.values.count(_ == "train") / n
+    assert(train > 0.70 && train < 0.92, s"train fraction $train")
+    // growing the corpus never reassigns an existing doc
+    val half = CurationOps.assignSplits(docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, s) => assert(a(id) == s) }
+  }
+
+  test("quantizeInt8: codes in [-128,127], exact on known vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(127.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // scale = 127/2 = 63.5: q = [63, -127]
+    assert(out(1L) == ((-64L, -127L, 63L, 63.5)))
+    assert(out(2L) == ((0L, 0L, 0L, 0.0))) // zero vector → scale 0
+    assert(out(3L) == ((127L, 127L, 127L, 1.0)))
+    // real embeddings: every code within int8 range
+    val q = SimilarityOps.quantizeInt8(embs)
+    assert(q.filter(col("q_min") < -128 || col("q_max") > 127).count() == 0)
+    assert(q.count() == embs.count())
+  }
+
   test("resize + frame sampling stubs") {
     implicit val s = spark
     val media = MultimodalOps.withPayload(docs.limit(10))

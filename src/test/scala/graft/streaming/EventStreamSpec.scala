@@ -164,4 +164,28 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("streamed session windows equal batch gap-based sessions") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = EventStreamOps.streamedSessions(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch model: lag-based session chaining on exact microseconds,
+    // new session at diff >= gap (session_window's [start, last+gap)
+    // convention)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val ev = readEvents(spark, path)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("pus", lag(col("us"), 1).over(byUser))
+      .withColumn("ns", when(col("pus").isNull ||
+        col("us") - col("pus") >= 1800L * 1000000L, lit(1)).otherwise(lit(0)))
+      .withColumn("sid", sum(col("ns")).over(byUser))
+    val batch = ev.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).cast("long").as("start"),
+        count(lit(1)).as("events"))
+      .select(col("start"), col("user_id"), col("events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
