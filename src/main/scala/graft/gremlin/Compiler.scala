@@ -54,7 +54,14 @@ object Compiler {
       ordering: Seq[(String, Boolean)],
       // distinct groupCol universe: lets count() emit 0 rows for empty
       // groups ("empty data still reaches barriers", message.cpp:418-449)
-      groupUniverse: Option[DataFrame] = None) {
+      groupUniverse: Option[DataFrame] = None,
+      // true when `__val` is provably duplicate-free: set at V()/E()
+      // init (elements are unique) and by dedup(), preserved by
+      // filters/order/slices/semi-joins (s.copy), reset by anything
+      // that can fan out or re-project the value (hops, values(),
+      // select(), union(), barriers). Lets the per-value branch-filter
+      // fast path skip its distinct shuffle.
+      distinctVal: Boolean = false) {
     /** Columns that must survive every transformation. */
     def auxCols: Seq[String] =
       history.keys.map(h => s"__as_$h").toSeq ++
@@ -87,8 +94,11 @@ object Compiler {
     * InitWithIndex (`expert/init_expert.hpp:199-234`). */
   def compileSeeded(graph: GraphStore, frontier: DataFrame,
                     steps: List[Step]): Result = {
+    // posting lists hold one row per element (intersections/unions of
+    // per-value postings of one key stay element-unique)
     val init = State(frontier.select(col("id").as("__val")), VertexKind,
-      attached = false, Map.empty, Map.empty, None, Nil)
+      attached = false, Map.empty, Map.empty, None, Nil,
+      distinctVal = true)
     val out = steps.foldLeft(init)((s, step) => apply(graph, s, step))
     Result(out.df, out.kind, out.ordering, out.sideEffects)
   }
@@ -99,7 +109,8 @@ object Compiler {
   def compileSeededEdges(graph: GraphStore, frontier: DataFrame,
                          steps: List[Step]): Result = {
     val init = State(frontier.select(edgeStruct().as("__val")), EdgeKind,
-      attached = false, Map.empty, Map.empty, None, Nil)
+      attached = false, Map.empty, Map.empty, None, Nil,
+      distinctVal = true)
     val out = steps.foldLeft(init)((s, step) => apply(graph, s, step))
     Result(out.df, out.kind, out.ordering, out.sideEffects)
   }
@@ -188,7 +199,7 @@ object Compiler {
     * `expert/barrier_expert.hpp:246-263`); the branch group column does. */
   private def barrierReset(s: State, df: DataFrame, kind: Kind): State =
     s.copy(df = df, kind = kind, attached = false,
-      history = Map.empty, ordering = Nil)
+      history = Map.empty, ordering = Nil, distinctVal = false)
 
   // ------------------------------------------------------------------
   private def apply(graph: GraphStore, s: State, step: Step): State = {
@@ -200,12 +211,14 @@ object Compiler {
         val df = v.select(
           (col("id").as("__val") +: col("label") +:
             graph.vertexKeys.map(col)): _*)
-        s.copy(df = df, kind = VertexKind, attached = true)
+        s.copy(df = df, kind = VertexKind, attached = true,
+          distinctVal = true)
 
       case E() =>
         val df = graph.edges.select(
           (edgeStruct().as("__val") +: graph.edgeKeys.map(col)): _*)
-        s.copy(df = df, kind = EdgeKind, attached = true)
+        s.copy(df = df, kind = EdgeKind, attached = true,
+          distinctVal = true)
 
       case Has(key, pred) =>
         val at = ensureAttached(graph, s)
@@ -296,7 +309,8 @@ object Compiler {
               col("__val").getField("src"), col("__val").getField("dst"))))
             .withColumn("__val", col("__both")).drop("__both")
         }
-        d.copy(df = df, kind = VertexKind, attached = false)
+        d.copy(df = df, kind = VertexKind, attached = false,
+          distinctVal = false)
 
       case Values(keys) =>
         val at = ensureAttached(graph, s)
@@ -307,7 +321,8 @@ object Compiler {
             val dt = at.df.select(c).schema.head.dataType
             val df = at.df.filter(c.isNotNull)
               .select((c.as("__val") +: aux): _*)
-            at.copy(df = df, kind = ScalarKind(dt), attached = false)
+            at.copy(df = df, kind = ScalarKind(dt), attached = false,
+              distinctVal = false)
           case ks =>
             // multi-key: all keys must share one type (values_expert.hpp);
             // element emits one row per present key, in key order
@@ -317,7 +332,8 @@ object Compiler {
               .select((compact.as("__vs") +: aux): _*)
               .select((explode(col("__vs")).as("__val") +: aux): _*)
             val dt = df.select(col("__val")).schema.head.dataType
-            at.copy(df = df, kind = ScalarKind(dt), attached = false)
+            at.copy(df = df, kind = ScalarKind(dt), attached = false,
+              distinctVal = false)
         }
 
       case Properties(keys0) =>
@@ -331,7 +347,8 @@ object Compiler {
         val df = at.df
           .select((filter(arr, x => x.isNotNull).as("__ps") +: aux): _*)
           .select((explode(col("__ps")).as("__val") +: aux): _*)
-        at.copy(df = df, kind = ScalarKind(StringType), attached = false)
+        at.copy(df = df, kind = ScalarKind(StringType), attached = false,
+          distinctVal = false)
 
       case Key() =>
         val at = ensureAttached(graph, s)
@@ -343,19 +360,22 @@ object Compiler {
         val df = at.df
           .select((filter(arr, x => x.isNotNull).as("__ks") +: aux): _*)
           .select((explode(col("__ks")).as("__val") +: aux): _*)
-        at.copy(df = df, kind = ScalarKind(StringType), attached = false)
+        at.copy(df = df, kind = ScalarKind(StringType), attached = false,
+          distinctVal = false)
 
       case Label() => s.kind match {
         case VertexKind =>
           val at = ensureAttached(graph, s)
           val df = at.df.select(
             (col("label").as("__val") +: at.auxCols.map(col)): _*)
-          at.copy(df = df, kind = ScalarKind(StringType), attached = false)
+          at.copy(df = df, kind = ScalarKind(StringType), attached = false,
+            distinctVal = false)
         case EdgeKind =>
           val df = s.df.select(
             (col("__val").getField("label").as("__val") +:
               s.auxCols.map(col)): _*)
-          s.copy(df = df, kind = ScalarKind(StringType), attached = false)
+          s.copy(df = df, kind = ScalarKind(StringType), attached = false,
+            distinctVal = false)
         case ScalarKind(_) =>
           throw CompileException("label() on scalar stream")
       }
@@ -370,7 +390,7 @@ object Compiler {
             throw CompileException(s"select(): unknown as-label $n"))
           val d = detach(s)
           d.copy(df = d.df.withColumn("__val", col(s"__as_$n")),
-            kind = kind, attached = false)
+            kind = kind, attached = false, distinctVal = false)
         case ns =>
           // reference formats multi-select as "[a:va, b:vb]"
           // (select_expert.hpp:30-138)
@@ -380,7 +400,8 @@ object Compiler {
           val body = concat(parts.dropRight(1): _*)
           d.copy(
             df = d.df.withColumn("__val", concat(lit("["), body, lit("]"))),
-            kind = ScalarKind(StringType), attached = false)
+            kind = ScalarKind(StringType), attached = false,
+            distinctVal = false)
       }
 
       case Count() =>
@@ -418,7 +439,11 @@ object Compiler {
           if (byHistory.nonEmpty) byHistory.map(h => s"__as_$h")
           else Seq("__val")
         val keys = cols ++ d.groupCol.toSeq
-        d.copy(df = d.df.dropDuplicates(keys))
+        // a plain global dedup() MAKES __val unique; any dedup keeps an
+        // already-unique stream unique (its output is a row subset)
+        d.copy(df = d.df.dropDuplicates(keys),
+          distinctVal = d.distinctVal ||
+            (byHistory.isEmpty && d.groupCol.isEmpty))
 
       case Order(key, desc) =>
         key match {
@@ -555,7 +580,7 @@ object Compiler {
         val commonHist = results.map(_.history.keySet).reduce(_ & _)
         d.copy(df = df, kind = kinds.head, attached = false,
           history = d.history.filter(kv => commonHist(kv._1)),
-          sideEffects = se, ordering = Nil)
+          sideEffects = se, ordering = Nil, distinctVal = false)
 
       case BranchFilter(op, subs) if subs.forall(perValueSub) =>
         // FAST PATH — every sub-traversal is a pure function of the
@@ -573,12 +598,17 @@ object Compiler {
         val d = detach(s)
         val tag = freshAlias("__vtag")
         // The distinct value set feeds every sub and the count-0
-        // universe. A cheap frontier (pushed-down scan + filters) is
-        // recomputed per use — no materialization, compile stays
-        // job-free; an expensive one (aggregates/joins/windows in its
-        // lineage) gets a LAZY localCheckpoint so the lineage computes
-        // once (same policy as the row-tag path below).
-        val vals0 = d.df.select(col("__val").as(tag)).distinct()
+        // universe. A provably duplicate-free frontier (V()/E() roots +
+        // filters — the common case) skips the distinct entirely: one
+        // less exchange+aggregate per branch filter. A cheap frontier
+        // (pushed-down scan + filters) is recomputed per use — no
+        // materialization, compile stays job-free; an expensive one
+        // (aggregates/joins/windows in its lineage) gets a LAZY
+        // localCheckpoint so the lineage computes once (same policy as
+        // the row-tag path below).
+        val vals0 =
+          if (d.distinctVal) d.df.select(col("__val").as(tag))
+          else d.df.select(col("__val").as(tag)).distinct()
         val vals = if (expensivePlan(d.df)) vals0.localCheckpoint(false)
                    else vals0
         val from = d.copy(
@@ -728,7 +758,7 @@ object Compiler {
       case Both => hop("src", "dst").unionByName(hop("dst", "src"))
     }
     s.copy(df = df, kind = if (emitEdge) EdgeKind else VertexKind,
-      attached = false)
+      attached = false, distinctVal = false)
   }
 
   /** Materialise the retained `order()` into an actual sort. */
