@@ -196,13 +196,15 @@ object EventStreamOps {
                            rightType: String = "purchase",
                            windowMinutes: Int = 10): DataFrame = {
     val name = s"graft_stream_ij_${runCounter.incrementAndGet()}"
+    // stream SELF-join: both sides derive from one file source, so the
+    // directory is listed and the schema resolved once (Spark plans the
+    // two legs as separate scans of the same source)
     val src = streamFromParquet(spark, path)
     val l = src.filter(col("event_type") === leftType)
       .withWatermark("ts", "1 hour")
       .select(col("event_id").as("click_id"), col("user_id").as("l_uid"),
         col("ts").as("l_ts"))
-    val r = streamFromParquet(spark, path)
-      .filter(col("event_type") === rightType)
+    val r = src.filter(col("event_type") === rightType)
       .withWatermark("ts", "1 hour")
       .select(col("event_id").as("purchase_id"), col("user_id").as("r_uid"),
         col("ts").as("r_ts"))
