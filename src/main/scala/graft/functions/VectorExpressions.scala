@@ -263,6 +263,45 @@ object VectorExpressions {
   }
 
   /**
+   * Fraction of a text's word n-grams occupied by its single most
+   * common n-gram — the Gopher "most common n-gram" repetition signal,
+   * computed per ROW in one pass (local hash map of n-gram counts).
+   * Replaces an explode + two grouped aggregations with a narrow map:
+   * the signal is a pure per-document function, so shuffling every
+   * n-gram of the corpus only to group it straight back by doc id is
+   * wasted exchange volume at any scale. Short texts (< n words) yield
+   * one truncated whole-text gram (fraction 1.0), matching the shingle
+   * kernel's convention.
+   */
+  case class TopShingleFraction(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.toString.trim.split(' ')
+      val count = math.max(toks.length - n + 1, 1)
+      val counts = new java.util.HashMap[String, Integer](count * 2)
+      var mx = 0
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder
+        var j = i
+        val end = math.min(i + n, toks.length)
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+        if (c > mx) mx = c
+        i += 1
+      }
+      mx.toDouble / count
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /**
    * |a ∩ b| for two string arrays (set semantics) — count only, no
    * intersection array materialised. `array_intersect` allocates and
    * dedups per pair, which dominates near-dup verification when
@@ -354,7 +393,7 @@ object VectorExpressions {
     // WARN-logs once per function per call — noisy in Verify/Bench)
     val names = Seq("graft_dot", "graft_minhash", "graft_simhash",
       "graft_isect_size", "graft_lsh_probes", "graft_sign_buckets",
-      "graft_shingles")
+      "graft_shingles", "graft_top_shingle_frac")
     if (names.forall(n => r.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
       return
@@ -398,6 +437,12 @@ object VectorExpressions {
         case other => throw new IllegalArgumentException(
           s"graft_shingles n must be an int literal, got $other")
       }), "built-in")
+    r.createOrReplaceTempFunction("graft_top_shingle_frac",
+      exprs => TopShingleFraction(exprs(0), exprs(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_top_shingle_frac n must be an int literal, got $other")
+      }), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -406,6 +451,8 @@ object VectorExpressions {
   def simhash64(tokens: Column): Column = call_function("graft_simhash", tokens)
   def wordShingles(text: Column, n: Int): Column =
     call_function("graft_shingles", text, lit(n))
+  def topShingleFraction(text: Column, n: Int): Column =
+    call_function("graft_top_shingle_frac", text, lit(n))
   def setIntersectSize(a: Column, b: Column): Column =
     call_function("graft_isect_size", a, b)
   def lshProbes(buckets: Column, nBits: Int, probeBits: Int): Column =

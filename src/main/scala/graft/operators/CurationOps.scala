@@ -170,23 +170,19 @@ object CurationOps {
    * ([[repetitionRatio]] is the companion "any duplicate" signal).
    * Short docs (< n words) count one truncated whole-text gram
    * (fraction 1.0), mirroring the shingle kernel's convention.
-   * Two grouped aggregations; n-grams carry multiplicity so the
-   * distinct-set kernel does not apply.
+   * A pure per-document signal, so it runs as a narrow map over the
+   * native [[graft.functions.VectorExpressions.TopShingleFraction]]
+   * kernel (one local count pass per row) — the explode + double
+   * groupBy formulation shuffled every n-gram of the corpus only to
+   * group it straight back by doc id.
    */
   def topNgramFraction(df: DataFrame, n: Int = 3,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val words = split(trim(col(textCol)), " ")
-    val cnt = greatest(size(words) - (n - 1), lit(1))
-    val grams = transform(sequence(lit(1), cnt),
-      i => array_join(slice(words, i, lit(n)), " "))
-    df.select(col(idCol), explode(grams).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
-      .groupBy(col(idCol))
-      .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__total"))
-      .select(col(idCol),
-        round(col("__mx").cast(DoubleType) / col("__total"), 4)
-          .as("top_ngram_frac"))
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+      round(graft.functions.VectorExpressions
+        .topShingleFraction(col(textCol), n), 4).as("top_ngram_frac"))
   }
 
   /** Per-source token-count distribution markers: exact interpolated
