@@ -62,7 +62,12 @@ object Bench {
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // free this query's checkpointed intermediates so they can't
+        // evict the shared graph/index caches out from under later
+        // queries (outside the timer: bookkeeping, not query cost)
+        Sweep.transientStorage(spark)
+        name -> dt
       }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

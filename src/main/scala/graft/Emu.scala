@@ -50,6 +50,11 @@ object Emu {
       // concurrent queries share the cluster fairly, like the
       // reference's per-query thread pools
       .config("spark.scheduler.mode", "FAIR")
+      // concurrent clients can't use Sweep.transientStorage (a sweep
+      // would kill another client's in-flight checkpointed frontier);
+      // periodic driver GC lets ContextCleaner free UNREACHABLE
+      // checkpoint blocks instead — reachability-safe under concurrency
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
