@@ -154,11 +154,14 @@ object DedupOps {
 
     val tokenDf = docs.select(col("__id"), explode(col("__sh")).as("__tok"))
     val freq = tokenDf.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    val ranked = tokenDf.join(freq, "__tok")
+    // set size rides the same per-doc window partition as the rank —
+    // one exchange on __id serves both (a separate size join would
+    // re-shuffle the token rows a second time)
+    val perDoc = Window.partitionBy("__id")
+    val withSize = tokenDf.join(freq, "__tok")
       .withColumn("__rank", row_number().over(
-        Window.partitionBy("__id").orderBy(col("__df"), col("__tok"))))
-    val withSize = ranked.join(
-      docs.select(col("__id"), size(col("__sh")).as("__n")), "__id")
+        perDoc.orderBy(col("__df"), col("__tok"))))
+      .withColumn("__n", count(lit(1)).over(perDoc))
     // the candidate join below is a self-join of this prefix index;
     // lazy checkpoint computes the freq-join + rank window once and
     // serves both sides the narrow (token, id, size, rank) rows
@@ -166,10 +169,33 @@ object DedupOps {
       col("__rank") <= col("__n") - ceil(lit(tau) * col("__n")) + 1)
       .localCheckpoint(false)
 
-    val l = prefix.select(col("__tok"), col("__id").as("id_a"),
-      col("__n").as("__na"), col("__rank").as("__pa"))
-    val r = prefix.select(col("__tok"), col("__id").as("id_b"),
-      col("__n").as("__nb"), col("__rank").as("__pb"))
+    // Self-join skew guard: joining the two prefix sides on __tok alone
+    // puts EVERY pair for a hot token in one task (a posting list of f
+    // entries builds f²/2 pairs there — observed 8→47 s swings on a
+    // 31-token corpus). Salt the join: split each token's posting list
+    // into chunks of `chunk` ids (ordered by id, so chunk order follows
+    // id order) and join on (token, left chunk, right chunk) with the
+    // left side emitting its chunk × every later chunk and the right
+    // side every earlier chunk × its chunk. Each unordered pair matches
+    // exactly once (twice when both ids share a chunk — the id_a < id_b
+    // filter keeps one), pairs-per-task is bounded by chunk², and the
+    // duplication factor is m = ⌈f/chunk⌉ per side — sub-linear in the
+    // f² pair count it spreads out.
+    val chunk = 512
+    val byTok = Window.partitionBy("__tok")
+    val chunked = prefix
+      .withColumn("__c", ((row_number().over(byTok.orderBy("__id")) - 1)
+        / chunk).cast("int"))
+      .withColumn("__m", ceil(count(lit(1)).over(byTok) / lit(chunk.toDouble))
+        .cast("int"))
+    val l = chunked.select(col("__tok"), col("__id").as("id_a"),
+        col("__n").as("__na"), col("__rank").as("__pa"),
+        col("__c").as("__ci"),
+        explode(sequence(col("__c"), col("__m") - 1)).as("__cj"))
+    val r = chunked.select(col("__tok"), col("__id").as("id_b"),
+        col("__n").as("__nb"), col("__rank").as("__pb"),
+        explode(sequence(lit(0), col("__c"))).as("__ci"),
+        col("__c").as("__cj"))
     // two lossless prunes on top of the prefix guarantee:
     //  - size band: J ≥ τ requires τ·max(|a|,|b|) ≤ min(|a|,|b|)
     //  - PPJoin position bound: overlap o ≥ ⌈τ/(1+τ)·(|a|+|b|)⌉, and a
@@ -177,7 +203,7 @@ object DedupOps {
     //    min(|a|-pa, |b|-pb)+1 overlap. The pair's FIRST shared token
     //    (global order) always satisfies the bound when J ≥ τ, so
     //    keeping pairs where ANY entry passes is exact.
-    val candidates = l.join(r, "__tok")
+    val candidates = l.join(r, Seq("__tok", "__ci", "__cj"))
       .filter(col("id_a") < col("id_b") &&
         greatest(col("__na"), col("__nb")) * tau <=
           least(col("__na"), col("__nb")) &&
