@@ -369,6 +369,12 @@ object SparkEntry {
     "events_stream_sessions" -> ((spark, sfDir) =>
       streaming.EventStreamOps.streamedSessions(
         spark, s"$sfDir/events.parquet")),
+    // REAL incremental mapGroupsWithState stream (custom keyed state,
+    // Update mode) drained to completion; final state per user must
+    // equal the batch aggregate on the integer-cents rendering
+    "events_stream_state" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedUserState(
+        spark, s"$sfDir/events.parquet")),
 
     // ---- round-5 pipeline operators ----
     // sliding-window token chunking with overlap (RAG / pretraining
@@ -386,6 +392,22 @@ object SparkEntry {
     // symmetric int8 embedding quantization (summary columns)
     "embed_quantize" -> ((spark, sfDir) =>
       operators.SimilarityOps.quantizeInt8(embs(spark, sfDir))),
+    // boilerplate-token pruning (drop tokens in > half the corpus),
+    // order-preserving re-assembly
+    "curation_prune" -> ((spark, sfDir) =>
+      operators.CurationOps.pruneFrequentTokens(docs(spark, sfDir),
+        maxDfRatio = 0.5)),
+    // JSONL sink → source fidelity: per-source aggregates computed on
+    // the RE-READ data must equal the oracle computed on the parquet
+    "source_jsonl" -> ((spark, sfDir) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      sources.TextTables.jsonlRoundTrip(docs(spark, sfDir), dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
   )
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -885,6 +907,13 @@ object SparkEntry {
         |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
         |  user_id, count(*) AS events
         |FROM y GROUP BY user_id, sid""".stripMargin,
+    // final mapGroupsWithState state per user == batch aggregate;
+    // cents (Σ floor(value·100)) is the engine-stable integer sum —
+    // the double total is accumulation-order-dependent and not compared
+    "events_stream_state" ->
+      """SELECT user_id, count(*) AS events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id""".stripMargin,
     // chunkSize=32, overlap=8 → step=24; trailing starts kept only when
     // they add an uncovered token (s + overlap < n)
     "curation_chunk" ->
@@ -931,5 +960,32 @@ object SparkEntry {
         |  CAST(list_min(qv) AS BIGINT) AS q_min,
         |  CAST(list_max(qv) AS BIGINT) AS q_max,
         |  round(sc, 4) AS scale FROM q""".stripMargin,
+    // drop-list = tokens whose doc frequency exceeds half the corpus
+    // (integer-exact comparison); kept tokens re-joined in original
+    // order; fully-pruned docs keep an empty text
+    "curation_prune" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |  generate_subscripts(w, 1) AS pos FROM t),
+        |total AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |drop_list AS (SELECT tok FROM
+        |  (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        |  total WHERE df * 1000000 > floor(0.5 * 1000000) * n),
+        |kept AS (SELECT doc_id, tok, pos FROM tok
+        |  WHERE tok NOT IN (SELECT tok FROM drop_list)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |  count(*) AS kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.text, '') AS text,
+        |  coalesce(agg.kept, 0) AS kept,
+        |  CAST(len(t.w) - coalesce(agg.kept, 0) AS BIGINT) AS dropped
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+    // JSONL round-trip fidelity: re-read data must reproduce the
+    // parquet-side per-source aggregates
+    "source_jsonl" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY source""".stripMargin,
   )
 }

@@ -277,4 +277,49 @@ object CurationOps {
       .groupBy(col("domain"))
       .agg(countDistinct(col(idCol)).as("docs"),
         count(lit(1)).as("mentions"))
+
+  /**
+   * Boilerplate-token pruning: drop every token whose document
+   * frequency exceeds `maxDfRatio` of the corpus (ubiquitous
+   * template/stopword tokens carry no signal and bloat shingle sets),
+   * preserving the surviving tokens' original order.
+   *
+   * Plan shape: posexplode → one grouped count-distinct for the df
+   * table (tiny: one row per distinct token, broadcast back) → ordered
+   * re-assembly under a per-doc window. Two shuffles total (token
+   * aggregate + per-doc regroup); the re-assembly window partitions by
+   * doc id, so it scales like any keyed aggregation. Emits
+   * `(doc_id, text, kept, dropped)` — pruned docs can go straight back
+   * into the dedup/shingle operators upstream.
+   */
+  def pruneFrequentTokens(df: DataFrame, maxDfRatio: Double = 0.5,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val total = df.select(countDistinct(col(idCol)).as("__total"))
+    val toks = df.select(col(idCol),
+      posexplode(split(trim(col(textCol)), " ")).as(Seq("__pos", "__tok")))
+    // DROP list, not keep list: tokens over the df ratio are few by
+    // construction (Σdf ≤ total token occurrences bounds how many can
+    // exceed ratio·N), so the broadcast side stays small at any corpus
+    // size — the keep list is the rest of the vocabulary and is not
+    // broadcastable at scale
+    val dropList = toks.groupBy("__tok")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .crossJoin(broadcast(total))
+      // integer-exact gate: df·1000000 > ratio·total·1000000 avoids a
+      // float division both engines would have to round identically
+      .filter(col("__df") * 1000000 >
+        floor(lit(maxDfRatio * 1000000)) * col("__total"))
+      .select(col("__tok"))
+    val kept = toks.join(broadcast(dropList), Seq("__tok"), "left_anti")
+    kept.groupBy(col(idCol))
+      .agg(array_join(array_sort(collect_list(struct(col("__pos"),
+          col("__tok")))).getField("__tok"), " ").as("text"),
+        count(lit(1)).as("kept"))
+      .join(df.select(col(idCol),
+        size(split(trim(col(textCol)), " ")).as("__n")), Seq(idCol), "right")
+      .select(col(idCol), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        (col("__n") - coalesce(col("kept"), lit(0L))).as("dropped"))
+  }
 }

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * JSON-lines ingest/egress for document tables — the interchange format
+ * of large-scale text pipelines (each line one JSON object). The
+ * reference ingests tab-separated HDFS text (`GraphStore.grasperText`);
+ * this is the same source/sink role for the corpus-curation side of the
+ * library.
+ *
+ * Scale notes: both directions are plain distributed file scans —
+ * no shuffle, one task per file split. Reading REQUIRES an explicit
+ * schema: schema inference runs an extra full pass over the data and
+ * silently widens types (a 100 TB corpus cannot afford either).
+ * `mode=FAILFAST` surfaces corrupt lines instead of nulling them; relax
+ * to PERMISSIVE + `columnNameOfCorruptRecord` when quarantining dirty
+ * data is the intent.
+ */
+object TextTables {
+
+  /** Write `df` as JSON-lines (one object per row, snappy-compressed
+    * parts, one file per partition). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Read JSON-lines written by [[writeJsonl]] (or any JSONL corpus)
+    * with a caller-supplied schema. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** Round-trip `df` through JSONL under `dir` and return the re-read
+    * DataFrame with `df`'s schema — fidelity harness for the gate. */
+  def jsonlRoundTrip(df: DataFrame, dir: String): DataFrame = {
+    writeJsonl(df, dir)
+    readJsonl(df.sparkSession, dir, df.schema)
+  }
+}

@@ -21,7 +21,12 @@ object EventStreamOps {
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
 
-  final case class UserStats(user_id: Long, events: Long, total: Double)
+  /** `total` is the natural double sum for API users; `cents` is the
+    * engine-stable integer rendering (`Σ floor(value·100)`) — float
+    * sums depend on accumulation order across engines, so correctness
+    * gates compare the cents. */
+  final case class UserStats(user_id: Long, events: Long, total: Double,
+                             cents: Long)
 
   /** Convert a nanosecond-epoch LONG `ts` to a proper timestamp. */
   private def fixTs(df: DataFrame): DataFrame =
@@ -99,14 +104,45 @@ object EventStreamOps {
       .mapGroupsWithState[UserStats, UserStats](
         GroupStateTimeout.NoTimeout()) {
         (uid: Long, rows: Iterator[Event], state: GroupState[UserStats]) =>
-          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, 0L))
           var n = prev.events
           var t = prev.total
-          rows.foreach { e => n += 1; t += e.value }
-          val next = UserStats(uid, n, t)
+          var c = prev.cents
+          rows.foreach { e =>
+            n += 1; t += e.value; c += math.floor(e.value * 100).toLong
+          }
+          val next = UserStats(uid, n, t, c)
           state.update(next)
           next
       }
+  }
+
+  /**
+   * REAL incremental custom-state gate: file source → `runningUserStats`
+   * (`mapGroupsWithState`, Update mode) → memory sink, drained to
+   * completion. The sink holds one row per user PER update; the final
+   * state per user is recovered by taking the row with the highest
+   * event count (the count is strictly increasing per user, so the max
+   * is the last update — no reliance on sink row order). The final
+   * states must equal the batch per-user aggregate, which is what the
+   * SQL oracle checks (on the integer-cents rendering; see
+   * [[UserStats]]).
+   */
+  def streamedUserState(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_us_${runCounter.incrementAndGet()}"
+    val updates = runningUserStats(
+      streamFromParquet(spark, path).as[Event]).toDF()
+    withStatePartitions(spark, 8) {
+      val q = updates.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("events"), col("cents"))).as("__s"))
+      .select(col("user_id"), col("__s.events").as("events"),
+        col("__s.cents").as("cents"))
   }
 
   /**

@@ -462,6 +462,36 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.simhash(empty).count() == 0)
   }
 
+  test("pruneFrequentTokens drops ubiquitous tokens, keeps order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick fox the"), (2L, "the slow dog"),
+      (3L, "the lazy cat"), (4L, "rare words only")).toDF("doc_id", "text")
+    // "the" is in 3/4 docs (df ratio 0.75 > 0.5) → dropped everywhere
+    val out = CurationOps.pruneFrequentTokens(corpus, maxDfRatio = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("quick fox", 2L, 2L)))
+    assert(out(2L) == (("slow dog", 2L, 1L)))
+    assert(out(4L) == (("rare words only", 3L, 0L)))
+    // a doc of only dropped tokens survives with empty text
+    val allCommon = Seq((1L, "x"), (2L, "x"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val pruned = CurationOps.pruneFrequentTokens(allCommon, maxDfRatio = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pruned(1L) == "" && pruned(3L) == "y")
+  }
+
+  test("JSONL round-trip preserves rows, schema, and text bytes") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-jsonl-spec").toString
+    val rt = graft.sources.TextTables.jsonlRoundTrip(docs, dir)
+    assert(rt.schema == docs.schema)
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq)
+    val b = rt.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
   // ---------------- MultimodalOps ----------------
 
   test("payload decode plumbing: typed batches with deterministic stub") {

@@ -71,9 +71,21 @@ class EventStreamSpec extends SparkSpec {
     q.processAllAvailable()
     val last = spark.table("user_stats").filter(col("user_id") === 7)
       .orderBy(col("events").desc).limit(1)
-      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).head
     q.stop()
-    assert(last == ((3L, 7.0)))
+    assert(last == ((3L, 7.0, 700L)))
+  }
+
+  test("streamedUserState final states equal the batch aggregate") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val got = EventStreamOps.streamedUserState(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventStreamOps.readEvents(spark, path)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
   }
 
   test("file-source stream over the events table matches batch counts") {
