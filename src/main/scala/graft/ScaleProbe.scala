@@ -30,6 +30,8 @@ object ScaleProbe {
     time("minhashLsh")(operators.DedupOps.minhashLsh(docs, tau = 0.8).count())
     time("simhash")(operators.DedupOps.simhash(docs, maxDist = 3).count())
     time("exact")(operators.DedupOps.exact(docs).count())
+    time("tokenJaccard")(
+      operators.DedupOps.tokenJaccard(docs, tau = 0.95).count())
     time("nearDupClusters")(
       operators.DedupOps.nearDupClusters(docs, tau = 0.8).count())
     time("tfidfTop")(operators.TextOps.tfidfTop(docs, k = 1).count())

@@ -392,6 +392,10 @@ object SparkEntry {
     // symmetric int8 embedding quantization (summary columns)
     "embed_quantize" -> ((spark, sfDir) =>
       operators.SimilarityOps.quantizeInt8(embs(spark, sfDir))),
+    // sketch-based per-source monitoring (HLL distinct + GK quantiles);
+    // sketches are engine-specific -> rows-only gate, tolerance specs
+    "curation_profile" -> ((spark, sfDir) =>
+      operators.CurationOps.approxSourceProfile(docs(spark, sfDir))),
     // boilerplate-token pruning (drop tokens in > half the corpus),
     // order-preserving re-assembly
     "curation_prune" -> ((spark, sfDir) =>

@@ -292,6 +292,38 @@ object CurationOps {
    * `(doc_id, text, kept, dropped)` — pruned docs can go straight back
    * into the dedup/shingle operators upstream.
    */
+  /**
+   * Sketch-based per-source corpus profile: approximate distinct-text
+   * count (HyperLogLog++) and approximate token-count quantiles
+   * (Greenwald-Khanna) alongside exact doc/char counts.
+   *
+   * This is the 100 TB monitoring pattern: every sketch is a
+   * CONSTANT-SIZE partial aggregate merged map-side, so the shuffle
+   * carries one sketch per (partition, source) regardless of corpus
+   * size — where the exact `sourceTokenQuantiles` sorts full per-group
+   * token counts. Accuracy knobs: `rsd` (relative std-dev of the HLL
+   * distinct estimate), `accuracy` (1/ε of the quantile sketch).
+   * Sketches are engine-specific, so the gate is rows-only; the spec
+   * pins estimates to tolerance bands around the exact answers.
+   */
+  def approxSourceProfile(df: DataFrame, sourceCol: String = "source",
+                          textCol: String = "text", rsd: Double = 0.02,
+                          accuracy: Int = 10000): DataFrame = {
+    val tokens = size(split(trim(col(textCol)), " "))
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("docs"),
+        approx_count_distinct(xxhash64(col(textCol)), rsd)
+          .as("approx_distinct_texts"),
+        percentile_approx(tokens, array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(accuracy)).as("token_quantiles"),
+        sum(length(col(textCol))).as("chars"))
+      .select(col(sourceCol), col("docs"), col("approx_distinct_texts"),
+        col("token_quantiles").getItem(0).as("tokens_p50"),
+        col("token_quantiles").getItem(1).as("tokens_p90"),
+        col("token_quantiles").getItem(2).as("tokens_p99"),
+        col("chars"))
+  }
+
   def pruneFrequentTokens(df: DataFrame, maxDfRatio: Double = 0.5,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {

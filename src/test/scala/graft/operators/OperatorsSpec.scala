@@ -482,6 +482,27 @@ class OperatorsSpec extends SparkSpec {
     assert(pruned(1L) == "" && pruned(3L) == "y")
   }
 
+  test("approxSourceProfile sketches stay inside tolerance of exact") {
+    val prof = CurationOps.approxSourceProfile(docs, rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = docs.groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("d"),
+        expr("percentile(size(split(trim(text), ' ')), 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDouble(2)))).toMap
+    assert(prof.keySet == exact.keySet && prof.nonEmpty)
+    prof.foreach { case (src, row) =>
+      val (d, p50) = exact(src)
+      val approxD = row.getLong(2)
+      // 3 standard deviations of the configured 2% rsd
+      assert(math.abs(approxD - d) <= math.max(3, 0.06 * d),
+        s"$src: approx distinct $approxD vs exact $d")
+      // GK sketch at accuracy 10000 over ≤ thousands of rows is exact
+      assert(math.abs(row.getInt(3) - p50) <= 1,
+        s"$src: p50 ${row.getInt(3)} vs $p50")
+    }
+  }
+
   test("JSONL round-trip preserves rows, schema, and text bytes") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-jsonl-spec").toString
