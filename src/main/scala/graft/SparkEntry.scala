@@ -267,6 +267,19 @@ object SparkEntry {
         .groupBy(col("component").as("root"))
         .agg(count(lit(1)).as("size"))
     }),
+    // weighted SSSP on the same bounded subgraph as graph_components:
+    // integer weights (1 per placed hop, ⌊quantity⌋ per contains hop)
+    // keep path sums exact in both engines; the oracle enumerates
+    // ≤32-hop walks and takes the min (components are tiny, so the
+    // bounded enumeration is tractable and covers every shortest path)
+    "graph_sssp" -> ((spark, sfDir) => {
+      val g0 = sources.GraphStore.tpch(spark, sfDir)
+      val sub = sources.GraphStore(g0.vertices,
+        g0.edges.filter(col("label") === "placed" || col("quantity") >= 52.0))
+      operators.GraphAlgos.weightedShortestPaths(sub, source = 1L,
+        weight = when(col("label") === "placed", lit(1L))
+          .otherwise(floor(col("quantity"))))
+    }),
     // fixed-iteration power method IS oracle-checkable: 3 rounds are 3
     // chained SQL CTEs; round(4) absorbs summation-order ulps (per-dst
     // contribution sums are the only float accumulation)
@@ -788,6 +801,19 @@ object SparkEntry {
         |SELECT comp AS root, count(*) AS size
         |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
         |GROUP BY comp""".stripMargin,
+    "graph_sssp" ->
+      """WITH RECURSIVE
+        | e0 AS (SELECT CAST(o_custkey AS BIGINT) AS u, CAST(o_orderkey + 1000000000 AS BIGINT) AS v, CAST(1 AS BIGINT) AS w FROM orders
+        |   UNION ALL
+        |   SELECT CAST(l_orderkey + 1000000000 AS BIGINT), CAST(l_partkey + 2000000000 AS BIGINT), CAST(floor(q) AS BIGINT)
+        |   FROM (SELECT l_orderkey, l_partkey, sum(l_quantity) AS q FROM lineitem GROUP BY 1, 2) WHERE q >= 52.0),
+        | und AS (SELECT u, v, w FROM e0 UNION SELECT v, u, w FROM e0),
+        | walk(id, d, h) AS (
+        |   SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d, 0 AS h
+        |   UNION
+        |   SELECT e.v, walk.d + e.w, walk.h + 1 FROM walk JOIN und e ON e.u = walk.id WHERE walk.h < 32
+        | )
+        |SELECT id, min(d) AS distance FROM walk GROUP BY id""".stripMargin,
     "graph_pagerank_power" ->
       """WITH nodes AS (
         |   SELECT CAST(c_custkey AS BIGINT) AS id FROM customer

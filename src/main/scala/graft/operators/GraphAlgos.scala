@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.graphx.{Edge, Graph => XGraph}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.GraphStore
 
@@ -194,6 +194,62 @@ object GraphAlgos {
       .map { case (id, d) => (id, d.toLong) }
       .toDF("id", "distance")
     materializeAndFree(df, res, xg)
+  }
+
+  /**
+   * Weighted single-source shortest paths, DataFrame-native
+   * Bellman-Ford with a frontier: each round relaxes only the edges out
+   * of vertices whose distance improved last round, so settled regions
+   * stop costing anything — the per-round work is frontier ⋈ edges plus
+   * a min-merge, two keyed shuffles that scale like any join. Weights
+   * must be non-negative INTEGERS (`weight` is cast to long): integer
+   * path sums are exact and engine-stable, where float accumulation
+   * would drift by addition order. Rounds are bounded by the longest
+   * shortest-path hop count; `maxIters` is a safety cap. Each round
+   * eagerly `localCheckpoint`s the merged table — the loop plan nests
+   * per iteration and analysis time goes exponential otherwise (same
+   * policy as [[connectedComponentsDF]]).
+   *
+   * Reference scope: Grasper has no weighted-path operator; this is
+   * part of the iterative-algorithm extension the Spark rebuild adds
+   * (GraphX `shortestHops` covers the unweighted case).
+   */
+  def weightedShortestPaths(g: GraphStore, source: Long, weight: Column,
+                            undirected: Boolean = true,
+                            maxIters: Int = 64): DataFrame = {
+    val spark = g.vertices.sparkSession
+    val e0 = g.edges.select(col("src").as("u"), col("dst").as("v"),
+      weight.cast("long").as("w"))
+    val edges = (if (undirected)
+        e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+      else e0)
+      .filter(col("w") >= 0).localCheckpoint(false)
+
+    val init = spark.range(1).select(lit(source).as("id"),
+      lit(0L).as("distance"))
+    var dist = init
+    var frontier = init
+    var iter = 0
+    var done = false
+    val unreachable = lit(Long.MaxValue)
+    while (!done && iter < maxIters) {
+      val cand = frontier.join(edges, frontier("id") === edges("u"))
+        .select(col("v").as("id"), (col("distance") + col("w")).as("cand"))
+        .groupBy("id").agg(min(col("cand")).as("cand"))
+      val merged = dist.join(cand, Seq("id"), "full")
+        .select(col("id"),
+          least(coalesce(col("distance"), unreachable),
+            coalesce(col("cand"), unreachable)).as("distance"),
+          (coalesce(col("cand"), unreachable) <
+            coalesce(col("distance"), unreachable)).as("__improved"))
+        .localCheckpoint()
+      frontier = merged.filter(col("__improved"))
+        .select(col("id"), col("distance"))
+      done = frontier.isEmpty
+      dist = merged.select(col("id"), col("distance"))
+      iter += 1
+    }
+    dist
   }
 
   /**

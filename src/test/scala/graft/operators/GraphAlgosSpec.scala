@@ -49,6 +49,30 @@ class GraphAlgosSpec extends SparkSpec {
     assert(!d.contains(6L))
   }
 
+  test("weighted shortest paths: hand-checked weighted graph") {
+    import spark.implicits._
+    // 1 -2- 2 -2- 4;  1 -9- 4 direct;  5 isolated from 1
+    val v = Seq(1L, 2L, 4L, 5L).map(id => (id, "n")).toDF("id", "label")
+    val e = Seq((1L, 2L, 2L), (2L, 4L, 2L), (1L, 4L, 9L), (5L, 5L, 1L))
+      .toDF("src", "dst", "weight")
+      .withColumn("label", lit("w"))
+    val g = GraphStore(v, e)
+    val d = GraphAlgos.weightedShortestPaths(g, 1L, col("weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the 2-hop route (4) beats the direct edge (9)
+    assert(d == Map(1L -> 0L, 2L -> 2L, 4L -> 4L))
+  }
+
+  test("weighted shortest paths with unit weights equal BFS hops") {
+    // directed, like shortestHops (which follows edge direction)
+    val d = GraphAlgos.weightedShortestPaths(modern, 1L, lit(1L),
+      undirected = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hops = GraphAlgos.shortestHops(modern, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d == hops)
+  }
+
   test("pagerank ranks the most-cited vertex highest") {
     val pr = GraphAlgos.pageRank(modern).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
