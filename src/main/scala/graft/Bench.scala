@@ -32,6 +32,7 @@ object Bench {
     "traverse_2hop", "branch_top1_filter", "union_order_limit",
     "dedup_minhash", "dedup_token_jaccard", "neardup_embedding_lsh",
     "ann_topk", "ann_ivf", "graph_components", "graph_pagerank",
+    "graph_sssp",
     "curation_top_ngram", "events_stream_window", "events_sessions",
     "multimodal_meta", "text_quality", "hasvalue_any", "group_collect")
 
