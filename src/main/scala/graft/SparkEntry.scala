@@ -182,6 +182,10 @@ object SparkEntry {
     // with a recursive CTE
     "dedup_cluster" -> ((spark, sfDir) =>
       operators.DedupOps.nearDupClusters(docs(spark, sfDir), tau = 0.8)),
+    // the APPLIED dedup: one survivor per near-dup cluster, full rows
+    "dedup_survivors" -> ((spark, sfDir) =>
+      operators.DedupOps.dedupNearDups(docs(spark, sfDir), tau = 0.8)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
     "ann_cluster" -> ((spark, sfDir) => { // no SQL oracle: k-means fixpoint
       val e = embs(spark, sfDir)
       operators.SimilarityOps.clusterEmbeddings(e, ivfModel(spark, sfDir))
@@ -682,6 +686,24 @@ object SparkEntry {
          |FROM documents d LEFT JOIN
          |  (SELECT id, min(r) AS c FROM reach GROUP BY id) m
          |  ON m.id = d.doc_id""".stripMargin,
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE
+         |pr AS (SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+         |    len(a.sh) AS la, len(b.sh) AS lb
+         |  FROM $SqlTrigramSets a JOIN $SqlTrigramSets b ON a.doc_id < b.doc_id)
+         | WHERE inter / (la + lb - inter) >= 0.8),
+         |und AS (SELECT id_a AS u, id_b AS v FROM pr
+         |        UNION SELECT id_b, id_a FROM pr),
+         |nodes AS (SELECT DISTINCT u AS id FROM und),
+         |reach(id, r) AS (SELECT id, id FROM nodes
+         |  UNION SELECT e.v, r.r FROM reach r JOIN und e ON e.u = r.id)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d LEFT JOIN
+         |  (SELECT id, min(r) AS c FROM reach GROUP BY id) m
+         |  ON m.id = d.doc_id
+         |WHERE coalesce(m.c, d.doc_id) = d.doc_id""".stripMargin,
     "neardup_embedding" ->
       s"""SELECT id_a, id_b, round(ab/(sqrt(aa)*sqrt(bb)), 4) AS cosine
          |FROM $SqlCosPairs WHERE ab/(sqrt(aa)*sqrt(bb)) >= 0.45""".stripMargin,

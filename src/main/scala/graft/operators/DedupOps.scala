@@ -395,4 +395,18 @@ object DedupOps {
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("canonical"))
   }
+
+  /** APPLY the near-dup dedup: keep the full rows of cluster-canonical
+    * documents only (one survivor per near-duplicate cluster, smallest
+    * id — deterministic). The left-semi join keeps the corpus schema
+    * untouched, so the survivor set drops straight into downstream
+    * pipeline stages. */
+  def dedupNearDups(df: DataFrame, tau: Double = 0.8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val canonicals = nearDupClusters(df, tau, idCol, textCol)
+      .filter(col(idCol) === col("canonical"))
+      .select(col(idCol))
+    df.join(canonicals, Seq(idCol), "left_semi")
+  }
 }

@@ -482,6 +482,17 @@ class OperatorsSpec extends SparkSpec {
     assert(pruned(1L) == "" && pruned(3L) == "y")
   }
 
+  test("dedupNearDups keeps exactly the cluster canonicals") {
+    val clusters = DedupOps.nearDupClusters(docs, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val survivors = DedupOps.dedupNearDups(docs, tau = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == clusters.filter { case (id, c) => id == c }.keySet)
+    // every doc's canonical is a survivor; survivors count < corpus
+    assert(clusters.values.toSet.subsetOf(survivors))
+    assert(survivors.size < clusters.size)
+  }
+
   test("approxSourceProfile sketches stay inside tolerance of exact") {
     val prof = CurationOps.approxSourceProfile(docs, rsd = 0.02)
       .collect().map(r => r.getString(0) -> r).toMap
