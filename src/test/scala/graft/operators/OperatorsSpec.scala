@@ -460,6 +460,21 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.minhashLsh(empty).count() == 0)
     assert(DedupOps.tokenJaccard(empty).count() == 0)
     assert(DedupOps.simhash(empty).count() == 0)
+    assert(DedupOps.dedupNearDups(empty).count() == 0)
+    assert(CurationOps.pruneFrequentTokens(empty).count() == 0)
+    assert(CurationOps.approxSourceProfile(
+      empty.withColumn("source", lit("s"))).count() == 0)
+  }
+
+  test("weighted shortest paths from an absent source: just the source") {
+    import spark.implicits._
+    val v = Seq((1L, "n"), (2L, "n")).toDF("id", "label")
+    val e = Seq((1L, 2L, 5L)).toDF("src", "dst", "w")
+      .withColumn("label", lit("w"))
+    val d = GraphAlgos.weightedShortestPaths(
+      graft.sources.GraphStore(v, e), source = 99L, col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d == Map(99L -> 0L))
   }
 
   test("pruneFrequentTokens drops ubiquitous tokens, keeps order") {
