@@ -392,6 +392,14 @@ object SparkEntry {
     "events_stream_state" -> ((spark, sfDir) =>
       streaming.EventStreamOps.streamedUserState(
         spark, s"$sfDir/events.parquet")),
+    // REAL parquet-sink stream (AvailableNow + checkpoint, the
+    // production egress); aggregates are computed on the RE-READ
+    // committed files
+    "events_stream_sink" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedToParquet(
+        spark, s"$sfDir/events.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_streamsink_" +
+          java.lang.Integer.toHexString(sfDir.hashCode))),
 
     // ---- round-5 pipeline operators ----
     // sliding-window token chunking with overlap (RAG / pretraining
@@ -966,6 +974,12 @@ object SparkEntry {
       """SELECT user_id, count(*) AS events,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY user_id""".stripMargin,
+    // the re-read committed parquet-sink files must reproduce the
+    // batch per-type aggregate of the source
+    "events_stream_sink" ->
+      """SELECT event_type, count(*) AS events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type""".stripMargin,
     // chunkSize=32, overlap=8 → step=24; trailing starts kept only when
     // they add an uncovered token (s + overlap < n)
     "curation_chunk" ->

@@ -336,6 +336,46 @@ object EventStreamOps {
   }
 
   /**
+   * REAL file-sink stream — the production egress path (the memory
+   * sink above is gate/test-only): file source → narrow projection →
+   * parquet sink with a checkpoint location, `Trigger.AvailableNow`
+   * (process everything available, then stop — the batch-over-
+   * streaming pattern for scheduled incremental jobs). Exactly-once
+   * comes from the sink's `_spark_metadata` commit log + source offsets
+   * in the checkpoint: a restart on the same checkpoint reprocesses
+   * nothing and re-reading the committed files yields the same table.
+   * The gate re-reads the committed output and aggregates per type on
+   * the integer-cents rendering; the result must equal the batch SQL
+   * over the original parquet.
+   */
+  def streamedToParquet(spark: SparkSession, path: String,
+                        outDir: String): DataFrame = {
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
+    // deterministic gate: fresh output + checkpoint per call (a
+    // production job KEEPS the checkpoint — that is what makes reruns
+    // incremental and exactly-once)
+    rmTree(java.nio.file.Paths.get(outDir))
+    val data = s"$outDir/data"
+    val q = streamFromParquet(spark, path)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .writeStream.format("parquet")
+      .option("path", data)
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(data)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"), sum(col("cents")).as("cents"))
+  }
+
+  /**
    * Incremental STATEFUL dedup: first occurrence of each
    * (user_id, event_type) pair wins, every later one is dropped inside
    * the micro-batch pipeline — the streaming face of the exact-dedup

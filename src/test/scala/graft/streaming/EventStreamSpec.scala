@@ -76,6 +76,33 @@ class EventStreamSpec extends SparkSpec {
     assert(last == ((3L, 7.0, 700L)))
   }
 
+  test("parquet-sink stream commits the batch answer exactly once") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sink-spec").toString + "/run"
+    val got = EventStreamOps.streamedToParquet(spark, path, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventStreamOps.readEvents(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+    // a restart on the SAME checkpoint reprocesses nothing: re-running
+    // the stream against the kept checkpoint leaves the table unchanged
+    val q = EventStreamOps.streamFromParquet(spark, path)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .writeStream.format("parquet").option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val again = spark.read.parquet(s"$dir/data")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("events"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == want.map(t => (t._1, t._2)))
+  }
+
   test("streamedUserState final states equal the batch aggregate") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val got = EventStreamOps.streamedUserState(spark, path)
