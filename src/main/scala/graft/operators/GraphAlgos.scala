@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.graphx.{Edge, Graph => XGraph}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.GraphStore
 
@@ -256,16 +257,28 @@ object GraphAlgos {
    * Link-prediction wedge counting: the top-`k` pairs of destination
    * vertices ranked by how many source vertices point at both
    * (common-neighbor score over `label` edges; ties broken by the pair
-   * ids so the cut is deterministic). One self-equi-join on `src` —
-   * both sides share the shuffle partitioning so Catalyst reuses the
-   * exchange — then a partial-aggregated count and a
-   * TakeOrderedAndProject (never a global sort). Per-source work is
-   * quadratic in out-degree: `maxDegree` drops hub sources above the
-   * bound (a celebrity node contributes O(deg²) pairs of near-zero
+   * ids so the cut is deterministic). Per-source work is quadratic in
+   * out-degree: `maxDegree` drops hub sources above the bound (a
+   * celebrity node contributes O(deg²) pairs of near-zero
    * information); pass 0 to keep every source, as exact gates do.
+   *
+   * Skew guard: a plain self-equi-join on `src` puts ALL O(deg²)
+   * wedge pairs of a hot source in one task — the same skew class as
+   * tokenJaccard's hot-token posting lists (observed 8→47 s swings
+   * there). Salt losslessly with the identical chunk-pair scheme:
+   * split each source's dst list into chunks of `chunkSize` ids
+   * (ordered by dst, so chunk order follows dst order), left side
+   * emits its chunk × every later chunk, right side every earlier
+   * chunk × its chunk, join on (src, left chunk, right chunk). Each
+   * unordered dst pair meets exactly once (same-chunk pairs kept once
+   * by the dst_a < dst_b filter); pairs-per-task is bounded by
+   * chunkSize², and the row duplication factor is ⌈deg/chunk⌉ per
+   * side — sub-linear in the deg² pair count it spreads out. Sources
+   * with ≤ chunkSize dsts (the common case) produce exactly one
+   * (c=0, m=1) cell, so the salt costs nothing off the hubs.
    */
   def commonNeighbors(g: GraphStore, label: String, k: Int,
-                      maxDegree: Int = 0): DataFrame = {
+                      maxDegree: Int = 0, chunkSize: Int = 512): DataFrame = {
     val e0 = g.edges.filter(col("label") === label)
       .select(col("src"), col("dst"))
     val e = if (maxDegree <= 0) e0 else {
@@ -273,9 +286,24 @@ object GraphAlgos {
         .filter(col("__deg") <= maxDegree).select(col("src"))
       e0.join(deg, "src")
     }
-    e.as("a").join(e.as("b"),
-        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
-      .groupBy(col("a.dst").as("id_a"), col("b.dst").as("id_b"))
+    val bySrc = Window.partitionBy("src")
+    // lazy checkpoint: the chunk window computes once and serves both
+    // join sides narrow (src, dst, chunk) rows
+    val chunked = e
+      .withColumn("__c", ((row_number().over(bySrc.orderBy("dst")) - 1)
+        / chunkSize).cast("int"))
+      .withColumn("__m", ceil(count(lit(1)).over(bySrc) /
+        lit(chunkSize.toDouble)).cast("int"))
+      .localCheckpoint(false)
+    val l = chunked.select(col("src"), col("dst").as("dst_a"),
+      col("__c").as("__ci"),
+      explode(sequence(col("__c"), col("__m") - 1)).as("__cj"))
+    val r = chunked.select(col("src"), col("dst").as("dst_b"),
+      explode(sequence(lit(0), col("__c"))).as("__ci"),
+      col("__c").as("__cj"))
+    l.join(r, Seq("src", "__ci", "__cj"))
+      .filter(col("dst_a") < col("dst_b"))
+      .groupBy(col("dst_a").as("id_a"), col("dst_b").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .orderBy(col("shared").desc, col("id_a"), col("id_b"))
       .limit(k)

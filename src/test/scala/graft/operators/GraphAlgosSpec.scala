@@ -129,4 +129,34 @@ class GraphAlgosSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(knows.toSeq == Seq((2L, 4L, 1L)))
   }
+
+  test("commonNeighbors chunk-pair salting is lossless on a hot hub") {
+    import spark.implicits._
+    // one celebrity source pointing at 2000 dsts (2e6 wedge pairs in
+    // one task if unsalted) plus a normal source sharing 3 of them
+    val hub = (1L to 2000L).map(d => (0L, d, "follows")) ++
+      Seq((99L, 5L, "follows"), (99L, 7L, "follows"), (99L, 11L, "follows"))
+    val edges = hub.toDF("src", "dst", "label")
+    val verts = (0L to 2000L).toDF("id")
+    val g = GraphStore(verts, edges)
+    // salted with small chunks (forces the multi-chunk path: m = 16
+    // chunks → 136 salt cells for the hub, ≤128² pairs per cell)
+    val salted = GraphAlgos.commonNeighbors(g, "follows", k = 5,
+        chunkSize = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // top pairs are exactly the dst pairs both sources share (shared=2)
+    assert(salted.take(3).toSeq ==
+      Seq((5L, 7L, 2L), (5L, 11L, 2L), (7L, 11L, 2L)))
+    // one giant chunk (single-cell path) must give the identical cut
+    val single = GraphAlgos.commonNeighbors(g, "follows", k = 5,
+        chunkSize = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq == single.toSeq)
+    // total pair mass is the exact brute-force wedge count:
+    // C(2000,2) from the hub + C(3,2) from src 99
+    val total = GraphAlgos.commonNeighbors(g, "follows",
+        k = 2100 * 2100, chunkSize = 128)
+      .agg(sum("shared")).as[Long].head()
+    assert(total == 2000L * 1999L / 2 + 3L)
+  }
 }
