@@ -274,15 +274,18 @@ object SparkEntry {
     // weighted SSSP on the same bounded subgraph as graph_components:
     // integer weights (1 per placed hop, ⌊quantity⌋ per contains hop)
     // keep path sums exact in both engines; the oracle enumerates
-    // ≤32-hop walks and takes the min (components are tiny, so the
-    // bounded enumeration is tractable and covers every shortest path)
+    // ≤32-hop walks and takes the min. maxIters=32 + requireConverged
+    // pins the Spark side to the SAME hop cap as the oracle walk: if a
+    // shortest path ever needed >32 hops at a larger sf, the entry
+    // throws instead of silently diverging from the bounded oracle
     "graph_sssp" -> ((spark, sfDir) => {
       val g0 = sources.GraphStore.tpch(spark, sfDir)
       val sub = sources.GraphStore(g0.vertices,
         g0.edges.filter(col("label") === "placed" || col("quantity") >= 52.0))
       operators.GraphAlgos.weightedShortestPaths(sub, source = 1L,
         weight = when(col("label") === "placed", lit(1L))
-          .otherwise(floor(col("quantity"))))
+          .otherwise(floor(col("quantity"))),
+        maxIters = 32, requireConverged = true)
     }),
     // fixed-iteration power method IS oracle-checkable: 3 rounds are 3
     // chained SQL CTEs; round(4) absorbs summation-order ulps (per-dst

@@ -279,20 +279,6 @@ object CurationOps {
         count(lit(1)).as("mentions"))
 
   /**
-   * Boilerplate-token pruning: drop every token whose document
-   * frequency exceeds `maxDfRatio` of the corpus (ubiquitous
-   * template/stopword tokens carry no signal and bloat shingle sets),
-   * preserving the surviving tokens' original order.
-   *
-   * Plan shape: posexplode → one grouped count-distinct for the df
-   * table (tiny: one row per distinct token, broadcast back) → ordered
-   * re-assembly under a per-doc window. Two shuffles total (token
-   * aggregate + per-doc regroup); the re-assembly window partitions by
-   * doc id, so it scales like any keyed aggregation. Emits
-   * `(doc_id, text, kept, dropped)` — pruned docs can go straight back
-   * into the dedup/shingle operators upstream.
-   */
-  /**
    * Sketch-based per-source corpus profile: approximate distinct-text
    * count (HyperLogLog++) and approximate token-count quantiles
    * (Greenwald-Khanna) alongside exact doc/char counts.
@@ -324,6 +310,20 @@ object CurationOps {
         col("chars"))
   }
 
+  /**
+   * Boilerplate-token pruning: drop every token whose document
+   * frequency exceeds `maxDfRatio` of the corpus (ubiquitous
+   * template/stopword tokens carry no signal and bloat shingle sets),
+   * preserving the surviving tokens' original order.
+   *
+   * Plan shape: posexplode → one grouped count-distinct for the df
+   * table (tiny: one row per distinct token, broadcast back) → ordered
+   * re-assembly under a per-doc window. Two shuffles total (token
+   * aggregate + per-doc regroup); the re-assembly window partitions by
+   * doc id, so it scales like any keyed aggregation. Emits
+   * `(doc_id, text, kept, dropped)` — pruned docs can go straight back
+   * into the dedup/shingle operators upstream.
+   */
   def pruneFrequentTokens(df: DataFrame, maxDfRatio: Double = 0.5,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {

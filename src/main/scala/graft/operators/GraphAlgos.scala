@@ -217,7 +217,8 @@ object GraphAlgos {
    */
   def weightedShortestPaths(g: GraphStore, source: Long, weight: Column,
                             undirected: Boolean = true,
-                            maxIters: Int = 64): DataFrame = {
+                            maxIters: Int = 64,
+                            requireConverged: Boolean = false): DataFrame = {
     val spark = g.vertices.sparkSession
     val e0 = g.edges.select(col("src").as("u"), col("dst").as("v"),
       weight.cast("long").as("w"))
@@ -250,6 +251,10 @@ object GraphAlgos {
       dist = merged.select(col("id"), col("distance"))
       iter += 1
     }
+    if (requireConverged && !done) throw new IllegalStateException(
+      s"weightedShortestPaths did not converge within $maxIters rounds: " +
+        "some shortest path has more hops than the cap, so a bounded-walk " +
+        "oracle at the same cap would diverge")
     dist
   }
 

@@ -353,20 +353,37 @@ object EventStreamOps {
     def rmTree(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+          s.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
       }
     // deterministic gate: fresh output + checkpoint per call (a
     // production job KEEPS the checkpoint — that is what makes reruns
-    // incremental and exactly-once)
-    rmTree(java.nio.file.Paths.get(outDir))
-    val data = s"$outDir/data"
+    // incremental and exactly-once). The per-process counter keeps
+    // concurrent sessions on the same sfDir from racing a delete
+    // against another session's in-flight checkpoint.
+    val pidPrefix = s"${outDir}_p${ProcessHandle.current().pid()}_"
+    val runDir = s"$pidPrefix${runCounter.incrementAndGet()}"
+    // GC THIS process's earlier runs only (sequential Verify/Bench have
+    // materialized them); other pids' dirs may back in-flight queries
+    val parent = java.nio.file.Paths.get(runDir).getParent
+    if (parent != null && java.nio.file.Files.isDirectory(parent)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(parent)) { s =>
+        s.iterator().asScala.toList
+          .filter(p => p.toString.startsWith(pidPrefix) &&
+            p.toString != runDir)
+          .foreach(rmTree)
+      }
+    }
+    val data = s"$runDir/data"
     val q = streamFromParquet(spark, path)
       .select(col("event_id"), col("event_type"),
         floor(col("value") * 100).cast("long").as("cents"))
       .writeStream.format("parquet")
       .option("path", data)
-      .option("checkpointLocation", s"$outDir/ckpt")
+      .option("checkpointLocation", s"$runDir/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -130,6 +130,22 @@ class GraphAlgosSpec extends SparkSpec {
     assert(knows.toSeq == Seq((2L, 4L, 1L)))
   }
 
+  test("weightedShortestPaths requireConverged throws past the hop cap") {
+    import spark.implicits._
+    // a 6-edge path: shortest path to the far end needs 6 rounds
+    val edges = (1L to 6L).map(i => (i, i + 1, "p")).toDF("src", "dst", "label")
+    val g = GraphStore((1L to 7L).toDF("id"), edges)
+    intercept[IllegalStateException] {
+      GraphAlgos.weightedShortestPaths(g, 1L, lit(1L),
+        maxIters = 3, requireConverged = true).count()
+    }
+    // with enough rounds the same call converges and is exact
+    val d = GraphAlgos.weightedShortestPaths(g, 1L, lit(1L),
+        maxIters = 10, requireConverged = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d(7L) == 6L)
+  }
+
   test("commonNeighbors chunk-pair salting is lossless on a hot hub") {
     import spark.implicits._
     // one celebrity source pointing at 2000 dsts (2e6 wedge pairs in
