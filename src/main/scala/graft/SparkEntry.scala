@@ -440,6 +440,16 @@ object SparkEntry {
           sum(length(col("text"))).as("chars"),
           sum(col("doc_id")).as("id_sum"))
     }),
+
+    // ---- round-6 pipeline operators ----
+    // sub-document exact dedup at 4-token-block granularity: the
+    // corpus-wide first occurrence of each block survives, docs are
+    // re-assembled order-preserving (paragraph dedup for corpora
+    // without blank-line structure; dedupParagraphs is the regex-split
+    // production face of the same core)
+    "dedup_paragraphs" -> ((spark, sfDir) =>
+      operators.DedupOps.dedupTokenBlocks(docs(spark, sfDir),
+        blockSize = 4)),
   )
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -1056,5 +1066,27 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS chars,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY source""".stripMargin,
+    // corpus-wide first occurrence per 4-token block (min (doc_id,pos)
+    // = row_number 1 in that order), order-preserving re-assembly;
+    // fully-deduped docs keep an empty text
+    "dedup_paragraphs" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |  generate_subscripts(w, 1) AS pos FROM t),
+        |blk AS (SELECT doc_id, CAST(floor((pos - 1) / 4) AS BIGINT) AS bpos,
+        |  string_agg(tok, ' ' ORDER BY pos) AS para FROM tok GROUP BY 1, 2),
+        |firsts AS (SELECT doc_id, bpos, para, row_number()
+        |  OVER (PARTITION BY para ORDER BY doc_id, bpos) AS rn FROM blk),
+        |kept AS (SELECT doc_id, bpos, para FROM firsts WHERE rn = 1),
+        |agg AS (SELECT doc_id, string_agg(para, ' ' ORDER BY bpos) AS text,
+        |  count(*) AS kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n FROM blk GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.text, '') AS text,
+        |  CAST(coalesce(agg.kept, 0) AS BIGINT) AS kept,
+        |  CAST(coalesce(tot.n, 0) - coalesce(agg.kept, 0) AS BIGINT)
+        |    AS dropped
+        |FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
   )
 }

@@ -409,4 +409,79 @@ object DedupOps {
       .select(col(idCol))
     df.join(canonicals, Seq(idCol), "left_semi")
   }
+
+  /**
+   * Sub-document exact dedup over (doc_id, position, segment) rows:
+   * the FIRST occurrence of each distinct segment in (doc_id, pos)
+   * order survives; every later repeat — within one document or across
+   * the corpus — is dropped, and each document is re-assembled from
+   * its surviving segments in original order (the corpus-wide face of
+   * what `pruneFrequentTokens` does per token).
+   *
+   * First-occurrence selection is `min(struct(id, pos))` per segment —
+   * a PARTIAL-aggregable min, so a boilerplate paragraph repeated 10⁹
+   * times combines map-side and the reduce sees one candidate per map
+   * task, where a row_number window would drag every copy of the hot
+   * segment into one task. Re-assembly is one keyed aggregation per
+   * doc. Documents whose every segment loses stay in the output with
+   * empty text (right join on the corpus ids).
+   */
+  private def dedupSegments(df: DataFrame, segs: DataFrame,
+                            idCol: String, joinSep: String): DataFrame = {
+    val winners = segs.groupBy(col("__para"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
+      .select(col("__w").getField(idCol).as(idCol),
+        col("__w").getField("__pos").as("__pos"), col("__para"))
+    val reassembled = winners.groupBy(col(idCol))
+      .agg(array_join(array_sort(collect_list(struct(col("__pos"),
+          col("__para")))).getField("__para"), joinSep).as("text"),
+        count(lit(1)).as("kept"))
+    val totals = segs.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        (coalesce(col("__n"), lit(0L)) -
+          coalesce(col("kept"), lit(0L))).as("dropped"))
+  }
+
+  /**
+   * Paragraph-granularity exact dedup: split each document on
+   * `sepPattern` (default blank lines), drop every repeat of a
+   * paragraph already seen earlier in the corpus, re-assemble with
+   * `joinSep`. The production path for template boilerplate (headers,
+   * footers, license blocks) that document-level near-dup cannot
+   * touch because the surrounding text differs.
+   */
+  def dedupParagraphs(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      sepPattern: String = "\\n{2,}",
+                      joinSep: String = "\n\n"): DataFrame = {
+    val segs = df.select(col(idCol),
+        posexplode(split(col(textCol), sepPattern))
+          .as(Seq("__pos", "__para")))
+      .filter(length(trim(col("__para"))) > 0)
+      .withColumn("__para", trim(col("__para")))
+    dedupSegments(df, segs, idCol, joinSep)
+  }
+
+  /**
+   * Fixed-granularity variant for corpora without paragraph structure:
+   * segments are consecutive `blockSize`-token blocks (last block may
+   * be short). Same corpus-wide first-occurrence semantics and
+   * re-assembly as [[dedupParagraphs]]; fully SQL-expressible, so this
+   * is the oracle-gated instance.
+   */
+  def dedupTokenBlocks(df: DataFrame, blockSize: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(split(trim(col(textCol)), " ")).as(Seq("__tp", "__tok")))
+    val segs = toks.groupBy(col(idCol),
+        (col("__tp") / blockSize).cast("long").as("__pos"))
+      .agg(array_join(array_sort(collect_list(struct(col("__tp"),
+        col("__tok")))).getField("__tok"), " ").as("__para"))
+    dedupSegments(df, segs, idCol, " ")
+  }
 }

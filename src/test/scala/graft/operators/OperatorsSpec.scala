@@ -707,4 +707,47 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.groupBy("doc_id").count()
       .filter(col("count") > 4).count() == 0)
   }
+
+  test("dedupParagraphs: corpus-wide first occurrence, order kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta\n\nshared footer\n\ngamma"),
+      (2L, "shared footer\n\ndelta"),       // footer repeats from doc 1
+      (3L, "alpha beta\n\nalpha beta"),     // intra-doc repeat too
+      (4L, "shared footer"),                // loses its only paragraph
+      (5L, "")                              // no paragraphs at all
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupParagraphs(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("alpha beta\n\nshared footer\n\ngamma", 3L, 0L)))
+    assert(out(2L) == (("delta", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 2L))) // both copies lose to doc 1
+    assert(out(4L) == (("", 0L, 1L)))
+    assert(out(5L) == (("", 0L, 0L)))
+  }
+
+  test("dedupTokenBlocks: block granularity, reassembly exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g"),   // blocks: "a b c d", "e f g"
+      (2L, "a b c d x y z w") // first block repeats doc 1's
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupTokenBlocks(df, blockSize = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("a b c d e f g", 2L, 0L)))
+    assert(out(2L) == (("x y z w", 1L, 1L)))
+    // corpus-level invariant on real docs: every distinct block
+    // survives exactly once, so kept-block mass == distinct blocks
+    val real = DedupOps.dedupTokenBlocks(docs, blockSize = 4)
+    val keptMass = real.agg(sum("kept")).as[Long].head()
+    val distinctBlocks = docs.select(col("doc_id"),
+        posexplode(split(trim(col("text")), " ")).as(Seq("p", "t")))
+      .groupBy(col("doc_id"), (col("p") / 4).cast("long").as("b"))
+      .agg(array_join(array_sort(collect_list(struct(col("p"), col("t"))))
+        .getField("t"), " ").as("para"))
+      .select("para").distinct().count()
+    assert(keptMass == distinctBlocks)
+  }
 }
