@@ -16,13 +16,26 @@ import org.apache.spark.sql.SparkSession
  * the full log).
  *
  * Queries are materialised with `.count()` (forces full execution
- * without driver-side result transfer). First a warmup pass on the
- * flagship query amortises session/codegen startup out of the numbers.
- * Each query then runs TWICE: the cold pass (`value`, the
- * round-over-round comparable) and a warm second pass (`warm_total`)
- * that factors out per-query codegen/planning noise — a regression
- * visible in warm numbers is real execution cost, not compilation
- * jitter.
+ * without driver-side result transfer). Each query runs cold once
+ * (`value`, the round-over-round comparable), once warm
+ * (`warm_total`), and the headline set a further `SteadyReps` times
+ * for a per-query steady-state MEDIAN (`queries_steady`) — the
+ * in-JVM number CLAUDE.md says to judge perf from, now carried by the
+ * driver artifact itself so cold-pass variance is visible as the
+ * cold−steady gap instead of silently polluting round-over-round
+ * comparisons.
+ *
+ * Cold-pass stabilizers (both leave per-query cold semantics intact —
+ * no gate's OWN plan executes at `sfDir` before its cold timing):
+ *  - every parquet byte under `sfDir` is pre-read once, so "cold"
+ *    means cold JVM/plan against a warm page cache (this box's VM
+ *    drops the page cache aggressively — an un-warmed first scan
+ *    added up to 1.8× on identical code);
+ *  - a cross-family warmup sweep runs at the SMALLEST sf dir
+ *    (sf0.001) first, JIT-warming the shared machinery — janino,
+ *    parquet reader, shuffle, window, streaming state — that
+ *    otherwise lands arbitrarily in whichever gates the cold pass
+ *    visits first.
  */
 object Bench {
   /** Headline queries for the compact line: every historically-slow or
@@ -35,6 +48,16 @@ object Bench {
     "graph_sssp",
     "curation_top_ngram", "events_stream_window", "events_sessions",
     "multimodal_meta", "text_quality", "hasvalue_any", "group_collect")
+
+  /** Cross-family JIT warmup set (run at the small warmup sf, never at
+    * the benched sf): one gate per shared-infra family. */
+  private val WarmupSweep = Seq(
+    "traverse_2hop", "ic1_3hop", "group_collect", "dedup_minhash",
+    "dedup_token_jaccard", "neardup_embedding_lsh", "ann_topk",
+    "graph_components", "curation_top_ngram", "events_stream_window",
+    "events_sessions", "multimodal_meta", "text_quality")
+
+  private val SteadyReps = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,7 +72,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JVM/codegen/parquet-footer costs land here, not in timings
+    // page-cache pre-touch: stream every parquet byte under sfDir once
+    touchParquet(sfDir)
+
+    // shared-infra JIT warmup at the smallest sf (skipped if it IS the
+    // benched dir — then the plain single-query warmup below suffices)
+    val warmupDir = "/root/testdata/sf0.001"
+    if (warmupDir != sfDir && new java.io.File(warmupDir).isDirectory)
+      WarmupSweep.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+        }
+        Sweep.transientStorage(spark)
+      }
+
+    // session/codegen startup for the benched dir's shared graph cache
     SparkEntry.queries.get("traverse_2hop").foreach { fn =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
@@ -57,29 +94,40 @@ object Bench {
     // optional comma-separated subset for targeted profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    def timeOne(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // free this query's checkpointed intermediates so they can't
+      // evict the shared graph/index caches out from under later
+      // queries (outside the timer: bookkeeping, not query cost)
+      Sweep.transientStorage(spark)
+      dt
+    }
     def timeAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
-        .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // free this query's checkpointed intermediates so they can't
-        // evict the shared graph/index caches out from under later
-        // queries (outside the timer: bookkeeping, not query cost)
-        Sweep.transientStorage(spark)
-        name -> dt
-      }
+        .map { case (name, fn) => name -> timeOne(name, fn) }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
 
     val cold = timeAll()
     val warm = timeAll()
+    // steady state: headline queries only, median of SteadyReps repeats
+    val steady = Headline
+      .filter(n => only.forall(_.contains(n)))
+      .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      .map { case (name, fn) =>
+        val ts = Seq.fill(SteadyReps)(timeOne(name, fn)).sorted
+        name -> ts(ts.size / 2)
+      }
     val total = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    val steadyTotal = steady.map(_._2).sum
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(cold)},"queries_warm":${json(warm)},"warm_total":$warmTotal%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(cold)},"queries_warm":${json(warm)},"queries_steady":${json(steady)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,"sf":"$sfDir"}"""
     // full detail: one early stdout line + a file (survives log tailing)
     println(full)
     try {
@@ -94,6 +142,20 @@ object Bench {
     val headCold = Headline.filter(coldMap.contains).map(k => k -> coldMap(k))
     val headWarm = Headline.filter(warmMap.contains).map(k => k -> warmMap(k))
     spark.stop() // stop BEFORE the compact line so shutdown noise precedes it
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(headCold)},"queries_warm":${json(headWarm)},"warm_total":$warmTotal%.3f,"nq":${cold.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(headCold)},"queries_warm":${json(headWarm)},"queries_steady":${json(steady)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,"nq":${cold.size},"sf":"$sfDir"}""")
   }
+
+  /** Stream every parquet byte under `dir` once so the cold pass runs
+    * against a warm page cache (the timing then measures the engine,
+    * not whether this VM recently dropped its cache). */
+  private def touchParquet(dir: String): Unit =
+    try {
+      val d = new java.io.File(dir)
+      val buf = new Array[Byte](1 << 20)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+    } catch { case _: Throwable => () }
 }

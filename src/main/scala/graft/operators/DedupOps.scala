@@ -272,21 +272,35 @@ object DedupOps {
    * Tuning: the probed fraction of each table's bucket space is
    * Σ C(nBits, ≤probeBits) / 2^nBits — that fraction times n is the
    * expected RANDOM-pair candidate rate per element, so `nBits` must
-   * grow with corpus size (rule of thumb: ≥ log₂(n)). The default
-   * 16 bits × 12 tables × ≤2-bit probes covers 2·10⁻³ of bucket space
-   * and misses a true τ=0.9 pair with p≈2·10⁻⁵ (per-table hit rate
-   * 0.59 from the angle-collision bound). Dropping τ demands coarser
-   * buckets: the sf-fixture gate runs `nBits = 6` because its planted
-   * pairs sit at cosine ≈0.45 — fine for thousands of vectors, an
-   * all-pairs trap at millions.
+   * grow with corpus size (rule of thumb: ≥ log₂(n)). `nBits = 0`
+   * (the default) auto-sizes by that rule from one `count()` of the
+   * corpus — see [[autoBits]] — so calling it on 10⁸ vectors without
+   * tuning gets 27-bit buckets instead of an all-pairs trap; 16 bits
+   * × 12 tables × ≤2-bit probes (the auto floor) covers 2·10⁻³ of
+   * bucket space and misses a true τ=0.9 pair with p≈2·10⁻⁵
+   * (per-table hit rate 0.59 from the angle-collision bound).
+   * Dropping τ demands coarser buckets: the sf-fixture gate runs an
+   * explicit `nBits = 6` because its planted pairs sit at cosine
+   * ≈0.45 — fine for thousands of vectors.
    */
+  /** Auto-sizing rule for sign-bit LSH bucket width: ⌈log₂(n)⌉ bits
+    * (each table's bucket space then has ≥ n cells, so the expected
+    * random-collision rate per element stays O(1) as the corpus
+    * grows), floored at 16 — the documented default geometry — and
+    * capped at 30 to keep bucket ids in positive int range. */
+  def autoBits(n: Long): Int = {
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(30, math.max(16, log2n))
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding", tau: Double = 0.9,
-                       dim: Int = 64, nBits: Int = 16, nTables: Int = 12,
+                       dim: Int = 64, nBits: Int = 0, nTables: Int = 12,
                        probeBits: Int = 2): DataFrame = {
     require(probeBits >= 0 && probeBits <= 2,
       s"probeBits must be 0..2 (got $probeBits): raise recall with more " +
         "tables, not wider probes — probe volume grows C(nBits, p)")
+    val bits = if (nBits > 0) nBits else autoBits(df.count())
     graft.functions.VectorExpressions.register(df.sparkSession)
     val withNorm = df.select(col(idCol).as("__id"),
       col(vecCol).as("__v"),
@@ -299,7 +313,7 @@ object DedupOps {
     // with the DataFrame (cache() would leak a CacheManager entry per
     // call in a long-running service).
     val sigs = withNorm.select(col("__id"),
-      SimilarityOps.signBuckets(col("__v"), dim, nBits, nTables)
+      SimilarityOps.signBuckets(col("__v"), dim, bits, nTables)
         .as("__bs")).localCheckpoint(false)
 
     val corpusSide = sigs.select(col("__id").as("id_b"),
@@ -312,7 +326,7 @@ object DedupOps {
     // join row exists.
     val probeSide = sigs.select(col("__id").as("id_a"),
       explode(graft.functions.VectorExpressions
-        .lshProbes(col("__bs"), nBits, probeBits)).as("__bucket"))
+        .lshProbes(col("__bs"), bits, probeBits)).as("__bucket"))
 
     val candidates = probeSide.join(corpusSide, "__bucket")
       .filter(col("id_a") < col("id_b"))

@@ -136,12 +136,19 @@ object SimilarityOps {
   }
 
   /**
-   * Fit IVF centroids by Lloyd's k-means: deterministic init (first k
-   * vectors by id), fixed iteration count. Cell assignment is the
-   * broadcast-join argmin of [[assignCells]]; element-wise means are
-   * computed distributed (posexplode → groupBy(cluster, dim)). Only the
-   * k·dim model ever reaches the driver, and each iteration plans
-   * fresh from the cached vectors — plan depth stays constant.
+   * Fit IVF centroids by Lloyd's k-means with deterministic
+   * k-means++-style seeding: an md5-ordered pseudo-random sample of
+   * 8·k vectors comes to the driver (bounded, like the k·dim model
+   * itself), and greedy farthest-first traversal over that sample
+   * picks the k seeds — id-order init clumped seeds when vector
+   * content correlates with id. Seeding is fully deterministic (md5
+   * order; ties broken by scan index), so fitted models are
+   * reproducible across runs. Cell assignment is the broadcast-join
+   * argmin of [[assignCells]]; element-wise means are computed
+   * distributed (posexplode → groupBy(cluster, dim)). Only the
+   * k·dim model and the 8·k seed sample ever reach the driver, and
+   * each iteration plans fresh from the cached vectors — plan depth
+   * stays constant.
    */
   def fitIvfCentroids(corpus: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding", dim: Int = 64,
@@ -150,8 +157,13 @@ object SimilarityOps {
     val spark = corpus.sparkSession
     val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .cache()
-    var centroids: Array[Array[Double]] = vecs.orderBy("__id").limit(k)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var centroids: Array[Array[Double]] = {
+      val sample = vecs
+        .orderBy(md5(concat(lit("ivf:"), col("__id").cast("string"))))
+        .limit(math.max(8 * k, 64)).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      farthestFirst(sample, k)
+    }
     for (_ <- 1 to iters) {
       val assigned = assignCells(vecs, centroidsDf(spark, centroids),
         carry = Seq("__v"))
@@ -168,6 +180,34 @@ object SimilarityOps {
     }
     vecs.unpersist()
     centroids
+  }
+
+  /** Greedy farthest-first traversal (the deterministic face of
+    * k-means++): start from the sample's md5-first vector, then
+    * repeatedly take the point farthest from its nearest chosen seed.
+    * O(|sample|·k·dim) driver flops on a bounded sample. */
+  private def farthestFirst(sample: Array[Array[Double]],
+                            k: Int): Array[Array[Double]] = {
+    if (sample.isEmpty) return Array.empty
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    val d2 = Array.fill(sample.length)(Double.MaxValue)
+    while (chosen.size < math.min(k, sample.length)) {
+      val last = chosen.last
+      var best = -1
+      var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        var s = 0.0
+        var j = 0
+        while (j < v.length) { val t = v(j) - last(j); s += t * t; j += 1 }
+        if (s < d2(i)) d2(i) = s
+        if (d2(i) > bestD) { bestD = d2(i); best = i }
+        i += 1
+      }
+      chosen += sample(best)
+    }
+    chosen.toArray
   }
 
   /**

@@ -708,6 +708,16 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("autoBits sizes LSH buckets >= log2(n), floored at 16") {
+    assert(DedupOps.autoBits(0L) == 16)
+    assert(DedupOps.autoBits(1000L) == 16)        // floor regime
+    assert(DedupOps.autoBits(65536L) == 16)       // 2^16 exactly
+    assert(DedupOps.autoBits(65537L) == 17)
+    assert(DedupOps.autoBits(1000000L) == 20)     // ceil(log2 1e6)
+    assert(DedupOps.autoBits(100000000L) == 27)   // 1e8 vectors
+    assert(DedupOps.autoBits(Long.MaxValue) == 30) // cap
+  }
+
   test("dedupParagraphs: corpus-wide first occurrence, order kept") {
     import spark.implicits._
     val df = Seq(
