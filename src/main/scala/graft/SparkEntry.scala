@@ -450,6 +450,15 @@ object SparkEntry {
     "dedup_paragraphs" -> ((spark, sfDir) =>
       operators.DedupOps.dedupTokenBlocks(docs(spark, sfDir),
         blockSize = 4)),
+    // image content op: gradient dHash over the synthesized PNGs —
+    // REAL chunk walk + REAL hash math on the stubbed pixel buffer;
+    // integer-exact (byte sampling + comparisons), so the oracle
+    // recomputes the full 64-bit hash from the same text bytes.
+    // pHash (float DCT) is the spec-verified sibling.
+    "multimodal_dhash" -> ((spark, sfDir) =>
+      operators.MultimodalOps.dHash(
+        operators.MultimodalOps.withPngPayload(docs(spark, sfDir)))
+        .toDF()),
   )
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -1069,6 +1078,36 @@ object SparkEntry {
     // corpus-wide first occurrence per 4-token block (min (doc_id,pos)
     // = row_number 1 in that order), order-preserving re-assembly;
     // fully-deduped docs keep an empty text
+    // dHash oracle: the tEXt chunk data IS the utf-8 text (ASCII
+    // corpus, so ord(substr) == byte); grid cell (x,y) of the 9×8
+    // downscale reads byte ⌊(y·9+x)·n/72⌋; bit y·8+x set iff the cell
+    // right of (x,y) is strictly brighter. Dims re-derive the IHDR
+    // synthesis arithmetic (width/height from the TEXT length).
+    // Unsigned 32-bit halves keep every engine in BIGINT range.
+    "multimodal_dhash" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS n FROM documents),
+        |grid AS (SELECT doc_id, y*8 + x AS b,
+        |  CASE WHEN n = 0 THEN 0 ELSE
+        |    ord(substr(text, CAST((y*9 + x) * n // 72 AS INTEGER) + 1, 1))
+        |  END AS g0,
+        |  CASE WHEN n = 0 THEN 0 ELSE
+        |    ord(substr(text, CAST((y*9 + x + 1) * n // 72 AS INTEGER) + 1, 1))
+        |  END AS g1
+        |  FROM d,
+        |    (SELECT unnest(generate_series(0, 7)) AS x),
+        |    (SELECT unnest(generate_series(0, 7)) AS y)),
+        |h AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN b >= 32 AND g1 > g0
+        |    THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(sum(CASE WHEN b < 32 AND g1 > g0
+        |    THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM grid GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(d.n % 640 + 16 AS INTEGER) AS width,
+        |  CAST(d.n * 7 % 480 + 16 AS INTEGER) AS height,
+        |  h.dhash_hi, h.dhash_lo
+        |FROM d JOIN h ON d.doc_id = h.doc_id""".stripMargin,
     "dedup_paragraphs" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
         |  FROM documents),

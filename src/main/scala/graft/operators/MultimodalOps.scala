@@ -213,4 +213,168 @@ object MultimodalOps {
         sequence(lit(0), col("frame_count") - 1, lit(everyNth)),
         1, maxFrames)))
   }
+
+  // ----------------------------------------------------------------
+  // Perceptual image hashing. The HASH math (gradient dHash, DCT
+  // pHash) is real; the pixel SOURCE is the documented stub — the
+  // grayscale buffer is the PNG's embedded tEXt chunk data, located
+  // by REAL chunk traversal (length-prefixed chunk walking, the same
+  // parsing a pixel decoder starts with). Swapping [[grayBuffer]] for
+  // an IDAT inflate + luma conversion changes nothing downstream.
+  // ----------------------------------------------------------------
+
+  /** Walk the PNG chunk list and return the first tEXt chunk's data —
+    * the synthesized payloads' stand-in for decoded pixel bytes. Any
+    * non-PNG or tEXt-less payload falls back to the raw bytes. */
+  def grayBuffer(p: Array[Byte]): Array[Byte] = {
+    if (p.length < 8 || (p(0) & 0xff) != 0x89 || p(1) != 'P') return p
+    var i = 8
+    while (i + 8 <= p.length) {
+      val len = beInt(p, i)
+      val isText = p(i + 4) == 't' && p(i + 5) == 'E' &&
+        p(i + 6) == 'X' && p(i + 7) == 't'
+      if (isText && len >= 0 && i + 8 + len <= p.length)
+        return java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len)
+      i += 12 + math.max(0, len) // length + type + data + CRC
+    }
+    p
+  }
+
+  /** Deterministic `w`×`h` grayscale sample of a byte buffer: cell
+    * (x,y) reads byte ⌊(y·w+x)·n/(w·h)⌋ (0 for an empty buffer) — a
+    * nearest-neighbor downscale of the buffer viewed as a scanline
+    * image, integer-exact so a SQL oracle can recompute it. */
+  def sampleGray(buf: Array[Byte], w: Int, h: Int): Array[Int] = {
+    val n = buf.length.toLong
+    Array.tabulate(w * h)(cell =>
+      if (n == 0L) 0 else buf(((cell * n) / (w * h)).toInt) & 0xff)
+  }
+
+  /** Per-image hash row: 64 bits split into two unsigned 32-bit
+    * halves (hi = bits 32..63), sign-safe in every engine. */
+  final case class ImageHash(doc_id: Long, width: Int, height: Int,
+                             dhash_hi: Long, dhash_lo: Long)
+
+  /**
+   * Difference hash (dHash): 9×8 grayscale grid, bit (y·8+x) set iff
+   * cell (x+1,y) is strictly brighter than (x,y). Integer-exact —
+   * byte sampling + comparisons only — so the gate has a full DuckDB
+   * oracle. Near-duplicate images differ in few bits; pair them with
+   * [[imageNearDup]]. `mapPartitions` batch shape as [[decodeMeta]];
+   * width/height come from the REAL header parser.
+   */
+  def dHash(df: DataFrame, batchSize: Int = 64): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val meta = realDecode(r.doc_id, r.payload)
+        val g = sampleGray(grayBuffer(r.payload), 9, 8)
+        var hi = 0L; var lo = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (g(y * 9 + x + 1) > g(y * 9 + x)) {
+              val b = y * 8 + x
+              if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+            }
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(r.doc_id, meta.width, meta.height, hi, lo)
+      })
+    }
+  }
+
+  /**
+   * Perceptual hash (pHash): 32×32 grayscale sample → 2-D DCT-II →
+   * top-left 8×8 coefficient block → bit set iff the coefficient
+   * exceeds the block's median. Robust to scaling/brightness where
+   * dHash tracks local gradients. Float DCT is engine-specific, so
+   * this op is spec-verified (determinism, self-similarity,
+   * discrimination) rather than oracle-gated — the same policy as the
+   * sketch profiles.
+   */
+  def pHash(df: DataFrame, batchSize: Int = 64): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = 32
+    df.as[MediaRow].mapPartitions { rows =>
+      val cos = Array.tabulate(8, n)((u, i) =>
+        math.cos((2 * i + 1) * u * math.Pi / (2.0 * n)))
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val meta = realDecode(r.doc_id, r.payload)
+        val g = sampleGray(grayBuffer(r.payload), n, n)
+        // 2-D DCT-II restricted to the 8×8 output block: row pass
+        // (8×32 sums per image) then column pass
+        val rowPass = Array.ofDim[Double](n, 8) // [y][u]
+        var y = 0
+        while (y < n) {
+          var u = 0
+          while (u < 8) {
+            var s = 0.0; var i = 0
+            while (i < n) { s += g(y * n + i) * cos(u)(i); i += 1 }
+            rowPass(y)(u) = s; u += 1
+          }
+          y += 1
+        }
+        val coef = new Array[Double](64) // [v*8+u]
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var s = 0.0; var j = 0
+            while (j < n) { s += rowPass(j)(u) * cos(v)(j); j += 1 }
+            coef(v * 8 + u) = s; u += 1
+          }
+          v += 1
+        }
+        val sorted = coef.sorted
+        val median = (sorted(31) + sorted(32)) / 2.0
+        var hi = 0L; var lo = 0L
+        var b = 0
+        while (b < 64) {
+          if (coef(b) > median) {
+            if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+          }
+          b += 1
+        }
+        ImageHash(r.doc_id, meta.width, meta.height, hi, lo)
+      })
+    }
+  }
+
+  /**
+   * Near-duplicate image pairs at Hamming distance ≤ `maxDist` over a
+   * 64-bit perceptual hash — the pigeonhole band join of
+   * `DedupOps.simhash` applied to image hashes: the 64 bits are cut
+   * into `maxDist+1` blocks; any pair within `maxDist` agrees on at
+   * least one whole block, so the per-block equi-join is lossless.
+   * Input is the output of [[dHash]]/[[pHash]]; candidates are
+   * verified with exact `bit_count` Hamming distance.
+   */
+  def imageNearDup(hashes: DataFrame, maxDist: Int = 4): DataFrame = {
+    val blocks = maxDist + 1
+    val h = shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo"))
+    val width = 64 / blocks
+    val withBlocks = hashes.select(col("doc_id"), h.as("__h"),
+      posexplode(array((0 until blocks).map { b =>
+        // block b covers bits [b*width, next) — last block absorbs
+        // the 64 % blocks remainder
+        val lo = b * width
+        val hi = if (b == blocks - 1) 64 else lo + width
+        shiftrightunsigned(shiftleft(h, 64 - hi), 64 - hi + lo)
+      }: _*)).as(Seq("__blk", "__bv")))
+    val l = withBlocks.select(col("doc_id").as("id_a"),
+      col("__h").as("__ha"), col("__blk"), col("__bv"))
+    val r = withBlocks.select(col("doc_id").as("id_b"),
+      col("__h").as("__hb"), col("__blk"), col("__bv"))
+    l.join(r, Seq("__blk", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
 }

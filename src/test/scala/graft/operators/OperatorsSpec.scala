@@ -708,6 +708,78 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("dHash matches a driver-side model and the header dims") {
+    val media = MultimodalOps.withPngPayload(docs.limit(100))
+    val out = MultimodalOps.dHash(media).collect()
+      .map(h => h.doc_id -> h).toMap
+    val texts = docs.limit(100).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val body = text.getBytes("UTF-8")
+      val g = Array.tabulate(72)(c =>
+        if (body.isEmpty) 0 else body(((c.toLong * body.length) / 72).toInt) & 0xff)
+      var hi = 0L; var lo = 0L
+      for (y <- 0 until 8; x <- 0 until 8
+           if g(y * 9 + x + 1) > g(y * 9 + x)) {
+        val b = y * 8 + x
+        if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+      }
+      val h = out(id)
+      assert((h.dhash_hi, h.dhash_lo) == ((hi, lo)), s"doc $id hash")
+      // header-parsed dims must equal the synthesis arithmetic
+      assert(h.width == body.length % 640 + 16)
+      assert(h.height == (body.length.toLong * 7 % 480 + 16).toInt)
+    }
+  }
+
+  test("perceptual hashes: twins identical, perturbation close, others far") {
+    import spark.implicits._
+    val base = docs.limit(40).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length > 10)
+    // same-length one-char perturbation: few sampled cells change
+    val perturbed = base.map { case (id, t) =>
+      (id + 100000L, t.substring(0, 5) + "Z" + t.substring(6))
+    }
+    val corpus = (base ++ perturbed).toSeq.toDF("doc_id", "text")
+    val media = MultimodalOps.withPngPayload(corpus)
+    for (hashes <- Seq(MultimodalOps.dHash(media), MultimodalOps.pHash(media))) {
+      val m = hashes.collect().map(h =>
+        h.doc_id -> ((h.dhash_hi << 32) | h.dhash_lo)).toMap
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      val near = base.map { case (id, _) => ham(m(id), m(id + 100000L)) }
+      val far = base.take(10).flatMap { case (id, _) =>
+        base.drop(10).take(10).map { case (id2, _) => ham(m(id), m(id2)) }
+      }
+      assert(near.max <= 16, s"perturbed pair too far: ${near.max}")
+      assert(far.sum.toDouble / far.length > near.sum.toDouble / near.length,
+        "unrelated pairs should be farther than perturbed pairs")
+    }
+    // determinism: second run bit-identical
+    val again = MultimodalOps.pHash(media).collect()
+      .map(h => h.doc_id -> ((h.dhash_hi, h.dhash_lo))).toMap
+    val first = MultimodalOps.pHash(media).collect()
+      .map(h => h.doc_id -> ((h.dhash_hi, h.dhash_lo))).toMap
+    assert(again == first)
+  }
+
+  test("imageNearDup pigeonhole join equals brute force") {
+    val media = MultimodalOps.withPngPayload(docs.limit(150))
+    val hashes = MultimodalOps.dHash(media).toDF()
+    for (maxDist <- Seq(0, 4, 6)) {
+      val pairs = MultimodalOps.imageNearDup(hashes, maxDist).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val hs = hashes.collect().map(r =>
+        (r.getLong(0), (r.getLong(3) << 32) | r.getLong(4)))
+      val brute = (for {
+        (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= maxDist
+      } yield (ia, ib, d)).toSet
+      assert(pairs == brute, s"maxDist=$maxDist")
+    }
+  }
+
   test("autoBits sizes LSH buckets >= log2(n), floored at 16") {
     assert(DedupOps.autoBits(0L) == 16)
     assert(DedupOps.autoBits(1000L) == 16)        // floor regime
