@@ -61,17 +61,31 @@ object Server {
     val graph = (if (sfDir == "modern") GraphStore.modern(spark)
                  else GraphStore.tpch(spark, sfDir)).cached()
     graph.vertices.count(); graph.edges.count() // warm the cache
-    val g = Graft(graph)
 
+    val server = start(graph, port)
+    println(s"LISTENING ${server.getLocalPort}")
+    Thread.currentThread().join() // serve until killed
+  }
+
+  /** Bind `port` (0 = ephemeral) and serve connections on daemon
+    * threads; returns the bound socket so tests/embedders can read the
+    * real port and close it to stop accepting. */
+  def start(graph: GraphStore, port: Int): ServerSocket = {
+    val g = Graft(graph)
     val server = new ServerSocket(port)
     val connSeq = new AtomicInteger(0)
-    println(s"LISTENING $port")
-
-    while (true) {
-      val sock = server.accept()
-      val id = connSeq.incrementAndGet()
-      new Thread(() => serve(sock, g, graph), s"graft-conn-$id").start()
-    }
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        val id = connSeq.incrementAndGet()
+        val t = new Thread(() => serve(sock, g, graph), s"graft-conn-$id")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: java.io.IOException => () } // closed: stop accepting
+    }, "graft-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    server
   }
 
   private def serve(sock: Socket, g: Graft, graph: GraphStore): Unit = {

@@ -459,6 +459,10 @@ object SparkEntry {
       operators.MultimodalOps.dHash(
         operators.MultimodalOps.withPngPayload(docs(spark, sfDir)))
         .toDF()),
+    // integer-exact perplexity-proxy: per-doc total/mean corpus bigram
+    // frequency (low mean = transitions the corpus rarely sees)
+    "text_bigram_fit" -> ((spark, sfDir) =>
+      operators.TextOps.bigramFit(docs(spark, sfDir))),
   )
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -1084,6 +1088,26 @@ object SparkEntry {
     // right of (x,y) is strictly brighter. Dims re-derive the IHDR
     // synthesis arithmetic (width/height from the TEXT length).
     // Unsigned 32-bit halves keep every engine in BIGINT range.
+    // bigram corpus-fit: adjacent-pair frequencies summed per doc;
+    // docs with <2 tokens keep 0/0/0; single division at the end
+    "text_bigram_fit" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |  generate_subscripts(w, 1) AS pos FROM t),
+        |bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bgr
+        |  FROM tok a JOIN tok b
+        |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |cnt AS (SELECT bgr, count(*) AS c FROM bg GROUP BY bgr),
+        |per AS (SELECT bg.doc_id, CAST(sum(c) AS BIGINT) AS fit_total,
+        |  count(*) AS n_bigrams FROM bg JOIN cnt USING (bgr)
+        |  GROUP BY bg.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.fit_total, 0) AS BIGINT) AS fit_total,
+        |  CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  round(CAST(coalesce(per.fit_total, 0) AS DOUBLE) /
+        |    greatest(coalesce(per.n_bigrams, 0), 1), 4) AS fit_mean
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     "multimodal_dhash" ->
       """WITH d AS (SELECT doc_id, text,
         |    CAST(length(text) AS BIGINT) AS n FROM documents),

@@ -145,6 +145,49 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /**
+   * Bigram corpus-fit score — the integer-exact face of perplexity
+   * filtering: how "ordinary" a document's token transitions are
+   * relative to the whole corpus. For every adjacent token pair the
+   * corpus-wide bigram frequency is looked up; a document scores its
+   * total and mean hit count (a low mean = transitions the corpus has
+   * rarely seen = gibberish, boilerplate-free OCR noise, wrong-language
+   * leakage — the same docs an LM-perplexity filter drops). All counts
+   * are integers, so unlike a real LM score the result is bit-stable
+   * across engines and fully oracle-checkable; `fit_mean` divides once
+   * at the end (the single-division float rule).
+   *
+   * Scale shape: one explode (narrow) → one bigram groupBy count
+   * (map-side partial agg — the bigram table is vocab²-BOUNDED, far
+   * smaller than the corpus) → one join back on bigram (hot bigrams
+   * are AQE skew territory; the join carries only (bigram, count)) →
+   * one per-doc aggregation. Docs with fewer than 2 tokens score 0
+   * over 0 bigrams (kept, mean 0 — the filter should see them).
+   */
+  def bigramFit(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val bigrams = toks.select(col(idCol),
+        explode(zip_with(col("__toks"),
+          slice(col("__toks"), lit(2),
+            greatest(size(col("__toks")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("__bg"))
+      .filter(col("__bg").contains(" ")) // zip_with pads the tail with null
+    val counts = bigrams.groupBy(col("__bg"))
+      .agg(count(lit(1)).as("__cnt"))
+    bigrams.join(counts, "__bg")
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("fit_total"),
+        count(lit(1)).as("n_bigrams"))
+      .join(df.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("fit_total"), lit(0L)).as("fit_total"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("fit_total"), lit(0L)) /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)), 4)
+          .as("fit_mean"))
+  }
+
   /** Attach all text-analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -708,6 +708,33 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("bigramFit: corpus frequencies summed per doc, edge docs kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"),   // bigrams: "a b", "b c"
+      (2L, "a b d"),   // bigrams: "a b", "b d"
+      (3L, "x"),       // no bigrams
+      (4L, "")         // no tokens
+    ).toDF("doc_id", "text")
+    // corpus counts: "a b"->2, "b c"->1, "b d"->1
+    val out = TextOps.bigramFit(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 2L, 1.5)))  // 2 + 1
+    assert(out(2L) == ((3L, 2L, 1.5)))  // 2 + 1
+    assert(out(3L) == ((0L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    // corpus invariant on real docs: every doc's n_bigrams = tokens-1
+    val real = TextOps.bigramFit(docs)
+      .join(docs.select(col("doc_id"),
+        (size(split(trim(col("text")), " ")) - 1).cast("long").as("exp")),
+        "doc_id")
+    assert(real.filter(col("n_bigrams") =!= greatest(col("exp"), lit(0L)))
+      .count() == 0)
+    // and fit_total >= n_bigrams (every bigram counts itself)
+    assert(real.filter(col("fit_total") < col("n_bigrams")).count() == 0)
+  }
+
   test("dHash matches a driver-side model and the header dims") {
     val media = MultimodalOps.withPngPayload(docs.limit(100))
     val out = MultimodalOps.dHash(media).collect()
