@@ -463,6 +463,19 @@ object SparkEntry {
     // frequency (low mean = transitions the corpus rarely sees)
     "text_bigram_fit" -> ((spark, sfDir) =>
       operators.TextOps.bigramFit(docs(spark, sfDir))),
+    // seedless deterministic shard-shuffle (salted-md5 shard + in-shard
+    // pseudo-random position) for training-data export
+    "curation_shard_shuffle" -> ((spark, sfDir) =>
+      operators.CurationOps.shardShuffle(docs(spark, sfDir), nShards = 8)),
+    // broadcast-bloom decontamination pre-pass (same corpus/heldout cut
+    // as curation_decontaminate); engine-specific hashing -> rows-only
+    // gate, superset-of-exact + FP-count specs
+    "curation_bloom_decontaminate" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      operators.CurationOps.bloomDecontaminate(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0))
+    }),
   )
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -1088,6 +1101,17 @@ object SparkEntry {
     // right of (x,y) is strictly brighter. Dims re-derive the IHDR
     // synthesis arithmetic (width/height from the TEXT length).
     // Unsigned 32-bit halves keep every engine in BIGINT range.
+    // shard = first 8 md5 hex chars as an int mod 8 (always positive);
+    // position = row_number over the full md5 within the shard
+    "curation_shard_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5('shard:' || CAST(doc_id AS VARCHAR)) AS hfull FROM documents)
+        |SELECT doc_id,
+        |  CAST('0x' || substr(hfull, 1, 8) AS BIGINT) % 8 AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST('0x' || substr(hfull, 1, 8) AS BIGINT) % 8
+        |    ORDER BY hfull, doc_id) AS INTEGER) AS pos
+        |FROM h""".stripMargin,
     // bigram corpus-fit: adjacent-pair frequencies summed per doc;
     // docs with <2 tokens keep 0/0/0; single division at the end
     "text_bigram_fit" ->

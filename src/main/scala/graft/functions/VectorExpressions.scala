@@ -380,6 +380,64 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  // Double-hashing position schedule shared by the bloom build and
+  // probe sides (Kirsch–Mitzenmacher: pos_i = h1 + i·h2 mod m, h1/h2
+  // splitmix64 remixes of the input hash; h2 forced odd so the probe
+  // sequence never degenerates).
+  private def bloomSeed(h: Long): (Long, Long) = {
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (mix(h), mix(h ^ 0xA5A5A5A5A5A5A5A5L) | 1L)
+  }
+
+  /** Bit positions a hash sets in a `numBits` bloom filter — the BUILD
+    * side (explode → byte-index aggregation → tiny driver model). */
+  case class BloomPositions(child: Expression, numBits: Int,
+                            numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val (h1, h2) = bloomSeed(input.asInstanceOf[Long])
+      val out = new Array[Long](numHashes)
+      var i = 0
+      while (i < numHashes) {
+        out(i) = java.lang.Math.floorMod(h1 + i * h2, numBits.toLong)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** True iff every one of the hash's [[BloomPositions]] bits is set in
+    * the bloom byte array — the PROBE side. Never false-negative; the
+    * false-positive rate is the standard (1-e^{-kn/m})^k. */
+  case class BloomContains(left: Expression, right: Expression,
+                           numBits: Int, numHashes: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(bloom: Any, hash: Any): Any = {
+      val bytes = bloom.asInstanceOf[Array[Byte]]
+      val (h1, h2) = bloomSeed(hash.asInstanceOf[Long])
+      var i = 0
+      while (i < numHashes) {
+        val pos = java.lang.Math.floorMod(h1 + i * h2, numBits.toLong)
+        if ((bytes(pos.toInt >> 3) & (1 << (pos.toInt & 7))) == 0)
+          return false
+        i += 1
+      }
+      true
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   // ---- Column-level API ----
   // Expressions reach the plan through the session FunctionRegistry
   // (the supported extension point; direct Column construction from an
@@ -393,7 +451,8 @@ object VectorExpressions {
     // WARN-logs once per function per call — noisy in Verify/Bench)
     val names = Seq("graft_dot", "graft_minhash", "graft_simhash",
       "graft_isect_size", "graft_lsh_probes", "graft_sign_buckets",
-      "graft_shingles", "graft_top_shingle_frac")
+      "graft_shingles", "graft_top_shingle_frac", "graft_bloom_pos",
+      "graft_bloom_contains")
     if (names.forall(n => r.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
       return
@@ -443,6 +502,20 @@ object VectorExpressions {
         case other => throw new IllegalArgumentException(
           s"graft_top_shingle_frac n must be an int literal, got $other")
       }), "built-in")
+    def intLitAt(exprs: Seq[Expression], i: Int, what: String): Int =
+      exprs(i) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$what must be an int literal, got $other")
+      }
+    r.createOrReplaceTempFunction("graft_bloom_pos",
+      exprs => BloomPositions(exprs(0),
+        intLitAt(exprs, 1, "graft_bloom_pos numBits"),
+        intLitAt(exprs, 2, "graft_bloom_pos numHashes")), "built-in")
+    r.createOrReplaceTempFunction("graft_bloom_contains",
+      exprs => BloomContains(exprs(0), exprs(1),
+        intLitAt(exprs, 2, "graft_bloom_contains numBits"),
+        intLitAt(exprs, 3, "graft_bloom_contains numHashes")), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -460,4 +533,10 @@ object VectorExpressions {
   def signBuckets(vec: Column, dim: Int, nBits: Int, nTables: Int): Column =
     call_function("graft_sign_buckets", vec, lit(dim), lit(nBits),
       lit(nTables))
+  def bloomPositions(hash: Column, numBits: Int, numHashes: Int): Column =
+    call_function("graft_bloom_pos", hash, lit(numBits), lit(numHashes))
+  def bloomContains(bloom: Column, hash: Column, numBits: Int,
+                    numHashes: Int): Column =
+    call_function("graft_bloom_contains", bloom, hash, lit(numBits),
+      lit(numHashes))
 }

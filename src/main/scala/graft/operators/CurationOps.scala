@@ -117,6 +117,66 @@ object CurationOps {
       .select(col("__id").as(idCol), col("shared_ngrams"))
   }
 
+  /**
+   * Bloom-filter decontamination — the broadcast face of
+   * [[decontaminate]] for the 100 TB case: the held-out shingle set is
+   * compressed into a `numBits` bloom filter (built distributed:
+   * shingle-hash → k bit positions → one byte-index `bit_or`
+   * aggregation; only the ≤ numBits/8-byte model reaches the driver,
+   * broadcast back as DATA in a one-row DataFrame, never a plan
+   * literal), and the corpus probes it with a native constant-time
+   * expression instead of shuffling its full shingle stream into a
+   * join. NEVER false-negative — every document the exact join flags
+   * is flagged here — with false positives at the standard
+   * (1-e^{-kn/m})^k rate, so it is the cheap first pass whose hits
+   * feed the exact [[decontaminate]] on a tiny remainder. Sizing: ~10
+   * bits per held-out shingle keeps FP under 1% at k=5 (default 2²²
+   * bits = 512 KiB covers ~400k shingles).
+   *
+   * Engine-specific hashing (xxhash64 + splitmix schedule) → rows-only
+   * gate; the spec proves the superset property against the exact
+   * join and pins the FP count on a sized fixture.
+   */
+  def bloomDecontaminate(corpus: DataFrame, heldout: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text", n: Int = 8,
+                         numBits: Int = 1 << 22,
+                         numHashes: Int = 5): DataFrame = {
+    require(numBits % 8 == 0 && numBits > 0, "numBits must be a positive multiple of 8")
+    val VE = graft.functions.VectorExpressions
+    VE.register(corpus.sparkSession)
+    def hashes(df: DataFrame) = df.select(col(idCol).as("__id"),
+      explode(VE.wordShingles(col(textCol), n)).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+
+    val bytesSet = hashes(heldout).select(col("__h")).distinct()
+      .select(explode(VE.bloomPositions(col("__h"), numBits, numHashes))
+        .as("__p"))
+      .select((col("__p") / 8).cast("int").as("__i"),
+        // functions.shiftleft takes a literal shift; the SQL form
+        // accepts a column one
+        expr("cast(shiftleft(1, cast(__p % 8 as int)) as int)").as("__m"))
+      .groupBy(col("__i")).agg(bit_or(col("__m")).as("__b"))
+      .collect()
+    val bloom = new Array[Byte](numBits / 8)
+    bytesSet.foreach(r => bloom(r.getInt(0)) = r.getInt(1).toByte)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bloomDf = Seq(Tuple1(bloom)).toDF("__bloom")
+
+    val flagged = hashes(corpus)
+      .crossJoin(broadcast(bloomDf))
+      .filter(VE.bloomContains(col("__bloom"), col("__h"),
+        numBits, numHashes))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("flagged_ngrams"))
+    corpus.select(col(idCol))
+      .join(flagged.select(col("__id").as(idCol), col("flagged_ngrams")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("flagged_ngrams"), lit(0L)).as("flagged_ngrams"))
+  }
+
   /** Confusion counts of the n-gram language heuristic against a
     * ground-truth label column. */
   def langIdEval(df: DataFrame, truthCol: String = "lang",
@@ -256,6 +316,35 @@ object CurationOps {
       when(nibble.isin("d", "e"), lit("val"))
         .when(nibble === "f", lit("test"))
         .otherwise(lit("train")).as("split"))
+  }
+
+  /**
+   * Deterministic shard-shuffle for training-data export: assign every
+   * document a shard (salted-md5 hash mod `nShards`) and a
+   * pseudo-random position within its shard (ordered by the full md5,
+   * id tiebreak) — the global shuffle a data loader needs, without a
+   * seed, reproducible bit-for-bit in any engine (same recipe as
+   * [[assignSplits]]). Growth-stable: adding documents never moves an
+   * existing document to a different shard (its hash is unchanged),
+   * only positions after insertion points shift.
+   *
+   * Plan shape: a narrow hash projection + one row_number window
+   * partitioned by shard — shard cardinality is the parallelism, so
+   * pick `nShards` ≳ cluster cores for export (each shard's window
+   * sorts only corpus/nShards rows). Downstream
+   * `.write.partitionBy("shard")` lands one directory per shard.
+   */
+  def shardShuffle(df: DataFrame, nShards: Int,
+                   idCol: String = "doc_id",
+                   salt: String = "shard"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = md5(concat_ws(":", lit(salt), col(idCol).cast(StringType)))
+    val hv = conv(substring(full, 1, 8), 16, 10).cast("long")
+    df.select(col(idCol), (hv % nShards).as("shard"), full.as("__h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__h"), col(idCol))).cast("int"))
+      .drop("__h")
   }
 
   /** Host part of every URL occurrence (capture group 1 of

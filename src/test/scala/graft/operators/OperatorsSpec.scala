@@ -708,6 +708,50 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("shardShuffle: deterministic, complete, growth-stable") {
+    import spark.implicits._
+    val out = CurationOps.shardShuffle(docs, nShards = 8)
+    // every doc exactly once, shards in range, positions contiguous 1..n
+    assert(out.count() == docs.count())
+    assert(out.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    val posOk = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(posOk.count() == 0)
+    // deterministic across runs
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = CurationOps.shardShuffle(docs, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+    // growth-stable: dropping docs never changes a survivor's shard
+    val half = CurationOps.shardShuffle(
+      docs.filter(col("doc_id") % 2 === 0), nShards = 8)
+      .select(col("doc_id"), col("shard").as("shard2"))
+    assert(out.join(half, "doc_id")
+      .filter(col("shard") =!= col("shard2")).count() == 0)
+  }
+
+  test("bloomDecontaminate: superset of exact, zero FPs when sized") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val heldout = docs.filter(col("doc_id") % 10 === 0)
+    val exact = CurationOps.decontaminate(corpus, heldout)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bloom = CurationOps.bloomDecontaminate(corpus, heldout)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact.nonEmpty, "fixture should contain contamination")
+    // never false-negative: every exact hit flagged with >= its count
+    exact.foreach { case (id, shared) =>
+      assert(bloom(id) >= shared, s"doc $id lost hits: ${bloom(id)} < $shared")
+    }
+    // at 2^22 bits for this fixture's shingle count the FP probability
+    // is ~0: flags must match the exact join exactly
+    val fps = bloom.filter { case (id, f) =>
+      f > 0 && exact.getOrElse(id, 0L) != f }
+    assert(fps.isEmpty, s"unexpected bloom false positives: $fps")
+    // every corpus doc present (zero-flag docs retained)
+    assert(bloom.size == corpus.count())
+  }
+
   test("bigramFit: corpus frequencies summed per doc, edge docs kept") {
     import spark.implicits._
     val df = Seq(
