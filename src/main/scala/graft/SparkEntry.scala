@@ -476,6 +476,10 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0))
     }),
+    // deflate-compressibility signal; zlib output is implementation-
+    // defined -> rows-only gate, ordering/determinism specs
+    "text_compression_ratio" -> ((spark, sfDir) =>
+      operators.TextOps.compressionRatio(docs(spark, sfDir))),
   )
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =

@@ -188,6 +188,46 @@ object TextOps {
           .as("fit_mean"))
   }
 
+  /**
+   * Deflate-compressibility quality signal: highly repetitive or
+   * template text compresses far below natural prose, and random noise
+   * barely compresses at all, so the compressed/raw ratio separates
+   * both tails the way curation pipelines use it (alongside
+   * [[CurationOps.repetitionRatio]], which counts n-grams instead).
+   * One `Deflater` per partition, `reset()` between documents —
+   * partition-local, no shuffle, the [[MultimodalOps.decodeMeta]]
+   * batch shape. zlib output is implementation-defined, so the gate is
+   * rows-only; specs pin the ordering invariants and determinism.
+   */
+  def compressionRatio(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       level: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val raw = if (text == null) Array.empty[Byte]
+            else text.getBytes("UTF-8")
+          if (raw.isEmpty) (id, 0L, 0L, 1.0) // zlib wrapper alone is noise
+          else {
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished())
+              compressed += deflater.deflate(buf)
+            (id, raw.length.toLong, compressed,
+              math.rint(compressed.toDouble / raw.length * 10000) / 10000)
+          }
+        }
+      }
+      .toDF(idCol, "raw_bytes", "compressed_bytes", "compression_ratio")
+  }
+
   /** Attach all text-analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

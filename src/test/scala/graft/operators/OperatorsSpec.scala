@@ -708,6 +708,35 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("compressionRatio orders repetitive < prose < noise") {
+    import spark.implicits._
+    val rep = Array.fill(200)("the cat sat").mkString(" ")
+    val prose = docs.limit(1).select("text").as[String].head()
+    val noise = { // printable pseudo-noise (splitmix64 walk, aperiodic)
+      var z = 0x243F6A8885A308D3L
+      (0 until 2000).map { _ =>
+        z += 0x9E3779B97F4A7C15L
+        var m = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        m = (m ^ (m >>> 27)) * 0x94D049BB133111EBL
+        (java.lang.Math.floorMod(m ^ (m >>> 31), 94L) + 33).toChar
+      }.mkString
+    }
+    val df = Seq((1L, rep), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.compressionRatio(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L)._3 < out(2L)._3 && out(2L)._3 < out(3L)._3)
+    assert(out(4L) == ((0L, 0L, 1.0))) // empty: defined ratio 1
+    out.values.foreach { case (raw, comp, ratio) =>
+      if (raw > 0) assert(math.abs(ratio - comp.toDouble / raw) < 1e-3)
+    }
+    // deterministic across runs
+    val again = TextOps.compressionRatio(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == out.view.mapValues(_._3).toMap)
+  }
+
   test("shardShuffle: deterministic, complete, growth-stable") {
     import spark.implicits._
     val out = CurationOps.shardShuffle(docs, nShards = 8)
