@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
  * the final per-stage counts.
  *
  *   scrub PII → quality gates → exact dedup → MinHash near-dedup →
- *   language/quality annotate → token stats → sequence packing
+ *   paragraph dedup → bloom decontamination → language/quality/
+ *   compressibility/bigram-fit annotate → sequence packing →
+ *   shard-shuffle export assignment
  *
  * Run: `sbt "runMain graft.Pipeline /root/testdata/sf0.01 512"`
  * Prints one JSON line of per-stage survivor counts (the shape a
@@ -59,25 +61,56 @@ object Pipeline {
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
     val nDeduped = deduped.count()
 
-    // 5. annotate language + quality score + token counts (narrow maps)
-    val annotated = deduped
+    // 5. paragraph-level dedup: repeated 16-token blocks across the
+    // surviving corpus keep their first occurrence only; the pruned
+    // text replaces the original (empty docs drop out)
+    val paraDeduped = deduped.drop("text").join(
+      operators.DedupOps.dedupTokenBlocks(deduped, blockSize = 16)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text")), "doc_id")
+    val nPara = paraDeduped.count()
+
+    // 6. bloom decontamination against a held-out cut (cheap broadcast
+    // pre-pass; a production run would exact-join the tiny flagged set)
+    val heldout = docs.filter(col("doc_id") % 97 === 0)
+    val contaminated = operators.CurationOps
+      .bloomDecontaminate(paraDeduped, heldout)
+      .filter(col("flagged_ngrams") > 0).select(col("doc_id"))
+    val clean = paraDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val nClean = clean.count()
+
+    // 7. annotate language + quality + tokens + compressibility +
+    // bigram corpus-fit (narrow maps + two bounded aggregations)
+    val annotated = clean
       .withColumn("lang_pred", operators.TextOps.langId(col("text")))
       .withColumn("quality", operators.TextOps.qualityScore(col("text")))
       .withColumn("tokens", operators.TextOps.tokenCount(col("text")))
+      .join(operators.TextOps.compressionRatio(clean)
+        .select(col("doc_id"), col("compression_ratio")), "doc_id")
+      .join(operators.TextOps.bigramFit(clean)
+        .select(col("doc_id"), col("fit_mean")), "doc_id")
 
-    // 6. pack into fixed-token-budget bins per source
+    // 8. pack into fixed-token-budget bins per source
     val packed = operators.CurationOps.packSequences(annotated, budget)
     val nBins = packed.agg(countDistinct(col("source"), col("bin_id")))
       .head().getLong(0)
 
-    // 7. final corpus stats
+    // 9. shard-shuffle export assignment (what .write.partitionBy
+    // would consume)
+    val sharded = operators.CurationOps.shardShuffle(annotated, nShards = 8)
+    val nShardsOut = sharded.select(col("shard")).distinct().count()
+
+    // 10. final corpus stats
     val stats = annotated.agg(
       sum(col("tokens")).as("tokens"),
-      round(avg(col("quality")), 4).as("avg_quality")).head()
+      round(avg(col("quality")), 4).as("avg_quality"),
+      round(avg(col("compression_ratio")), 4).as("avg_ratio")).head()
 
     println(s"""{"metric":"pipeline","input":$total,"quality":$nQuality,""" +
-      s""""exact":$nExact,"near_dedup":$nDeduped,"bins":$nBins,""" +
+      s""""exact":$nExact,"near_dedup":$nDeduped,"para_dedup":$nPara,""" +
+      s""""decontaminated":$nClean,"bins":$nBins,"shards":$nShardsOut,""" +
       s""""tokens":${stats.getLong(0)},"avg_quality":${stats.getDouble(1)},""" +
+      s""""avg_ratio":${stats.getDouble(2)},""" +
       s""""budget":$budget,"sf":"$sfDir"}""")
     spark.stop()
   }
