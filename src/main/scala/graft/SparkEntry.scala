@@ -480,6 +480,12 @@ object SparkEntry {
     // defined -> rows-only gate, ordering/determinism specs
     "text_compression_ratio" -> ((spark, sfDir) =>
       operators.TextOps.compressionRatio(docs(spark, sfDir))),
+    // rolling-window exact substring dedup: tokens covered by any
+    // later duplicate 8-token window drop, first occurrence survives;
+    // md5 window keys group identically in both engines
+    "dedup_substrings" -> ((spark, sfDir) =>
+      operators.DedupOps.dedupSubstrings(docs(spark, sfDir),
+        windowTokens = 8)),
   )
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -1105,6 +1111,34 @@ object SparkEntry {
     // right of (x,y) is strictly brighter. Dims re-derive the IHDR
     // synthesis arithmetic (width/height from the TEXT length).
     // Unsigned 32-bit halves keep every engine in BIGINT range.
+    // overlapping 8-token windows keyed by md5; windows past the first
+    // occurrence (by doc_id, wpos) cover their 8 token positions;
+    // covered tokens drop, survivors re-join in order (1-based token
+    // positions: window wpos covers wpos+1..wpos+8)
+    "dedup_substrings" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |wins AS (SELECT doc_id, CAST(s AS BIGINT) AS wpos,
+        |  md5(array_to_string(
+        |    w[CAST(s + 1 AS INTEGER):CAST(s + 8 AS INTEGER)], ' ')) AS wh
+        |  FROM t, unnest(generate_series(0, CAST(len(w) - 8 AS BIGINT)))
+        |    AS g(s)),
+        |rk AS (SELECT doc_id, wpos, wh, row_number()
+        |  OVER (PARTITION BY wh ORDER BY doc_id, wpos) AS rn FROM wins),
+        |cov AS (SELECT DISTINCT doc_id, wpos + o AS pos
+        |  FROM (SELECT doc_id, wpos FROM rk WHERE rn > 1),
+        |    unnest(generate_series(1, 8)) AS u(o)),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |  generate_subscripts(w, 1) AS pos FROM t),
+        |kept AS (SELECT k.doc_id, k.tok, k.pos FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |    WHERE cov.doc_id = k.doc_id AND cov.pos = k.pos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |  count(*) AS kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.text, '') AS text,
+        |  CAST(coalesce(agg.kept, 0) AS BIGINT) AS kept,
+        |  CAST(len(t.w) - coalesce(agg.kept, 0) AS BIGINT) AS dropped
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
     // shard = first 8 md5 hex chars as an int mod 8 (always positive);
     // position = row_number over the full md5 within the shard
     "curation_shard_shuffle" ->

@@ -481,6 +481,62 @@ object DedupOps {
   }
 
   /**
+   * Exact substring-span dedup — the rolling-window face of
+   * sub-document dedup (the "dedup training data" pattern): every
+   * `windowTokens`-token OVERLAPPING window is keyed; for each
+   * distinct window content only the corpus-wide first occurrence (by
+   * (doc_id, window pos)) stays, and every token covered by any LATER
+   * duplicate window is dropped; documents re-assemble from surviving
+   * tokens in original order. Catches long verbatim spans that
+   * paragraph/block boundaries split and doc-level near-dup misses.
+   *
+   * Scale shape: window keys travel as md5 digests (32 chars) rather
+   * than k-token strings, so shuffle width is constant in
+   * `windowTokens`; first-occurrence per key is the same
+   * partial-aggregable min(struct) as [[dedupParagraphs]]; duplicate
+   * windows explode into at most dup·k covered-position rows
+   * (bounded by the duplication actually present); every join is an
+   * equi-join. md5 is engine-universal, so grouping is identical in
+   * the SQL oracle.
+   */
+  def dedupSubstrings(df: DataFrame, windowTokens: Int = 50,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val k = windowTokens
+    val t = df.select(col(idCol), split(trim(col(textCol)), " ").as("__w"))
+    val wins = t.filter(size(col("__w")) >= k).select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__w")) - k),
+          s => struct(s.as("wpos"),
+            md5(array_join(slice(col("__w"), s + 1, lit(k)), " "))
+              .as("wh")))).as("__x"))
+      .select(col(idCol), col("__x.wpos").as("__wpos"),
+        col("__x.wh").as("__wh"))
+    val firsts = wins.groupBy(col("__wh"))
+      .agg(min(struct(col(idCol), col("__wpos"))).as("__f"))
+      .select(col("__wh"), col("__f").getField(idCol).as("__fid"),
+        col("__f").getField("__wpos").as("__fpos"))
+    val dups = wins.join(firsts, "__wh")
+      .filter(col(idCol) =!= col("__fid") || col("__wpos") =!= col("__fpos"))
+    val covered = dups.select(col(idCol),
+        explode(sequence(col("__wpos"), col("__wpos") + (k - 1)))
+          .as("__pos"))
+      .distinct()
+    val toks = df.select(col(idCol),
+      posexplode(split(trim(col(textCol)), " ")).as(Seq("__pos", "__tok")))
+    val kept = toks.join(covered, Seq(idCol, "__pos"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(array_join(array_sort(collect_list(struct(col("__pos"),
+          col("__tok")))).getField("__tok"), " ").as("text"),
+        count(lit(1)).as("kept"))
+    df.select(col(idCol),
+        size(split(trim(col(textCol)), " ")).cast("long").as("__n"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        (col("__n") - coalesce(col("kept"), lit(0L))).as("dropped"))
+  }
+
+  /**
    * Fixed-granularity variant for corpora without paragraph structure:
    * segments are consecutive `blockSize`-token blocks (last block may
    * be short). Same corpus-wide first-occurrence semantics and

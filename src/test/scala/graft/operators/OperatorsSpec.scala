@@ -708,6 +708,57 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("dedupSubstrings removes later copies of planted spans") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token span
+    val df = Seq(
+      (1L, s"a b $span c d"),
+      (2L, s"x y z $span q"), // span repeats -> its tokens drop
+      (3L, "u v w")           // too short for any window
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupSubstrings(df, windowTokens = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((s"a b $span c d", 14L, 0L))) // first copy intact
+    // doc 2: all three 8-windows inside the span are dups; they cover
+    // exactly the 10 span tokens, so "x y z ... q" survive
+    assert(out(2L) == (("x y z q", 4L, 10L)))
+    assert(out(3L) == (("u v w", 3L, 0L)))
+  }
+
+  test("dedupSubstrings equals a driver-side reference model") {
+    val k = 8
+    val rows = docs.limit(120).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // reference: first occurrence per window content in (doc, pos)
+    // order; tokens covered by later duplicates drop
+    val firsts = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    rows.sortBy(_._1).foreach { case (id, text) =>
+      val w = text.trim.split(" ")
+      for (s <- 0 to w.length - k) {
+        val key = w.slice(s, s + k).mkString(" ")
+        if (!firsts.contains(key)) firsts(key) = (id, s)
+      }
+    }
+    val expect = rows.map { case (id, text) =>
+      val w = text.trim.split(" ")
+      val covered = Array.fill(w.length)(false)
+      for (s <- 0 to w.length - k) {
+        val key = w.slice(s, s + k).mkString(" ")
+        if (firsts(key) != ((id, s)))
+          (s until s + k).foreach(covered(_) = true)
+      }
+      val kept = w.indices.filterNot(covered).map(w)
+      id -> ((kept.mkString(" "), kept.size.toLong,
+        (w.length - kept.size).toLong))
+    }.toMap
+    val out = DedupOps.dedupSubstrings(
+      docs.limit(120), windowTokens = k).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == expect)
+  }
+
   test("compressionRatio orders repetitive < prose < noise") {
     import spark.implicits._
     val rep = Array.fill(200)("the cat sat").mkString(" ")
