@@ -486,6 +486,19 @@ object SparkEntry {
     "dedup_substrings" -> ((spark, sfDir) =>
       operators.DedupOps.dedupSubstrings(docs(spark, sfDir),
         windowTokens = 8)),
+    // sharded parquet export: write partitionBy(shard), RE-READ the
+    // files, per-shard aggregates must equal SQL from the source table
+    "source_sharded_export" -> ((spark, sfDir) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      sources.TextTables
+        .shardedParquetRoundTrip(docs(spark, sfDir), dir, nShards = 8)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("chars"),
+          max(col("pos")).cast("long").as("max_pos"))
+    }),
   )
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -1111,6 +1124,18 @@ object SparkEntry {
     // right of (x,y) is strictly brighter. Dims re-derive the IHDR
     // synthesis arithmetic (width/height from the TEXT length).
     // Unsigned 32-bit halves keep every engine in BIGINT range.
+    // per-shard aggregates recomputed from the SOURCE table with the
+    // same md5 shard arithmetic the export used — verifies the files
+    // round-tripped complete and correctly partitioned
+    "source_sharded_export" ->
+      """WITH h AS (SELECT doc_id, text,
+        |  CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+        |    1, 8) AS BIGINT) % 8 AS shard FROM documents)
+        |SELECT shard, count(*) AS docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(count(*) AS BIGINT) AS max_pos
+        |FROM h GROUP BY shard""".stripMargin,
     // overlapping 8-token windows keyed by md5; windows past the first
     // occurrence (by doc_id, wpos) cover their 8 token positions;
     // covered tokens drop, survivors re-join in order (1-based token

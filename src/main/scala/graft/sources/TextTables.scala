@@ -37,4 +37,25 @@ object TextTables {
     writeJsonl(df, dir)
     readJsonl(df.sparkSession, dir, df.schema)
   }
+
+  /**
+   * Sharded training-data export: attach
+   * [[graft.operators.CurationOps.shardShuffle]]'s deterministic
+   * shard/position, write parquet partitioned by shard (one directory
+   * per shard — what a data-loader fleet consumes, each worker reading
+   * only its `shard=K/` prefix), and return the RE-READ table. The
+   * write is one narrow projection + the shard window; partition
+   * pruning on the read side is free (`shard` is a partition column).
+   * Deterministic shard math means the gate can verify the re-read
+   * per-shard aggregates against SQL computed from the source table —
+   * the sink round-trips through real files under an oracle.
+   */
+  def shardedParquetRoundTrip(df: DataFrame, dir: String,
+                              nShards: Int,
+                              idCol: String = "doc_id"): DataFrame = {
+    val sharded = df.join(
+      graft.operators.CurationOps.shardShuffle(df, nShards, idCol), idCol)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
 }

@@ -708,6 +708,26 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("sharded parquet export round-trips complete with shard dirs") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shards-spec").toString
+    val back = graft.sources.TextTables
+      .shardedParquetRoundTrip(docs, dir, nShards = 4)
+    assert(back.count() == docs.count())
+    // every row keeps its payload and lands in its md5 shard
+    val expected = CurationOps.shardShuffle(docs, nShards = 4)
+      .select(col("doc_id"), col("shard").as("expected_shard"))
+    assert(back.join(expected, "doc_id")
+      .filter(col("shard") =!= col("expected_shard")).count() == 0)
+    // physical layout: one directory per shard (partition pruning path)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.length == 4, dirs.mkString(","))
+    // text survives byte-for-byte
+    assert(back.select("doc_id", "text").except(
+      docs.select("doc_id", "text")).count() == 0)
+  }
+
   test("dedupSubstrings removes later copies of planted spans") {
     import spark.implicits._
     val span = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token span
