@@ -486,6 +486,12 @@ object SparkEntry {
     "dedup_substrings" -> ((spark, sfDir) =>
       operators.DedupOps.dedupSubstrings(docs(spark, sfDir),
         windowTokens = 8)),
+    // audio content op: frame energies over synthesized WAV payloads —
+    // REAL RIFF chunk walk + integer math, fully oracle-recomputable
+    "multimodal_audio" -> ((spark, sfDir) =>
+      operators.MultimodalOps.audioProfile(
+        operators.MultimodalOps.withWavPayload(docs(spark, sfDir)))
+        .toDF()),
     // sharded parquet export: write partitionBy(shard), RE-READ the
     // files, per-shard aggregates must equal SQL from the source table
     "source_sharded_export" -> ((spark, sfDir) => {
@@ -1124,6 +1130,31 @@ object SparkEntry {
     // right of (x,y) is strictly brighter. Dims re-derive the IHDR
     // synthesis arithmetic (width/height from the TEXT length).
     // Unsigned 32-bit halves keep every engine in BIGINT range.
+    // WAV data chunk = utf-8 text bytes (8-bit PCM, center 128);
+    // 256-sample frames; peak ties to the earliest frame; empty docs
+    // keep 0 frames / 0 energy; sample rate re-derives the synthesis
+    "multimodal_audio" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS n FROM documents),
+        |ch AS (SELECT doc_id, (i - 1) // 256 AS f,
+        |  abs(ord(substr(text, CAST(i AS INTEGER), 1)) - 128) AS e
+        |  FROM d, unnest(generate_series(1, n)) AS g(i)),
+        |fr AS (SELECT doc_id, f, CAST(sum(e) AS BIGINT) AS fe
+        |  FROM ch GROUP BY doc_id, f),
+        |pk AS (SELECT doc_id, f, fe, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY fe DESC, f) AS rn FROM fr),
+        |agg AS (SELECT doc_id, CAST(sum(fe) AS BIGINT) AS total_energy,
+        |  count(*) AS n_frames FROM fr GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(d.n % 32000 + 8000 AS INTEGER) AS sample_rate,
+        |  d.n AS n_samples,
+        |  CAST(coalesce(agg.n_frames, 0) AS BIGINT) AS n_frames,
+        |  CAST(coalesce(agg.total_energy, 0) AS BIGINT) AS total_energy,
+        |  CAST(coalesce(pk.f, 0) AS BIGINT) AS peak_frame,
+        |  CAST(coalesce(pk.fe, 0) AS BIGINT) AS peak_energy
+        |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |LEFT JOIN (SELECT doc_id, f, fe FROM pk WHERE rn = 1) pk
+        |  ON d.doc_id = pk.doc_id""".stripMargin,
     // per-shard aggregates recomputed from the SOURCE table with the
     // same md5 shard arithmetic the export used — verifies the files
     // round-tripped complete and correctly partitioned

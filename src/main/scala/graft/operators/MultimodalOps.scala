@@ -214,6 +214,104 @@ object MultimodalOps {
         1, maxFrames)))
   }
 
+  /**
+   * Synthesize a REAL (RIFF/fmt/data) 8-bit mono PCM WAV payload per
+   * document: the sample stream is the UTF-8 text bytes, the sample
+   * rate derives from the text length (rate = len%32000+8000) — so an
+   * oracle can recompute everything the audio ops extract. The 44-byte
+   * canonical header is fully populated (sizes, rates, block align);
+   * [[realDecode]] parses it back like any WAV.
+   */
+  def withWavPayload(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val rate = body.length % 32000 + 8000
+        val out = java.nio.ByteBuffer.allocate(44 + body.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes("US-ASCII")).putInt(36 + body.length)
+          .put("WAVE".getBytes("US-ASCII"))
+        out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1)          // PCM
+          .putShort(1)          // mono
+          .putInt(rate)
+          .putInt(rate)         // byte rate (8-bit mono)
+          .putShort(1)          // block align
+          .putShort(8)          // bits per sample
+        out.put("data".getBytes("US-ASCII")).putInt(body.length).put(body)
+        MediaRow(id, out.array())
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Per-audio analysis row: integer frame energies over the 8-bit
+    * PCM stream (|sample − 128| summed per `frameSamples` block). */
+  final case class AudioProfile(doc_id: Long, sample_rate: Int,
+                                n_samples: Long, n_frames: Long,
+                                total_energy: Long, peak_frame: Long,
+                                peak_energy: Long)
+
+  /** Locate the RIFF `data` chunk by real chunk traversal (fall back
+    * to the raw payload for non-WAV input — dirty-data contract). */
+  def pcmData(p: Array[Byte]): Array[Byte] = {
+    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+        p(3) != 'F') return p
+    var i = 12
+    while (i + 8 <= p.length) {
+      val len = leInt(p, i + 4)
+      if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' &&
+          p(i + 3) == 'a' && len >= 0 && i + 8 + len <= p.length)
+        return java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len)
+      i += 8 + math.max(0, len) + (len & 1) // chunks are word-aligned
+    }
+    p
+  }
+
+  /**
+   * Frame-energy audio analysis — the audio face of [[dHash]]'s
+   * "real math over the stubbed stream" stance: REAL RIFF chunk
+   * traversal finds the PCM data, and the per-frame energies
+   * (Σ|sample−128| over `frameSamples`-sample blocks, 8-bit unsigned
+   * center 128) are the integer-exact signal a silence/clipping
+   * filter would gate on. Peak frame ties break to the earliest.
+   * `mapPartitions` batch shape; sample rate from the real header
+   * parser. All integers → full SQL oracle.
+   */
+  def audioProfile(df: DataFrame, frameSamples: Int = 256,
+                   batchSize: Int = 64): Dataset[AudioProfile] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val meta = realDecode(r.doc_id, r.payload)
+        val pcm = pcmData(r.payload)
+        val n = pcm.length
+        val nFrames = (n + frameSamples - 1) / frameSamples
+        var total = 0L
+        var peakFrame = 0L
+        var peakEnergy = -1L
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L
+          var i = f * frameSamples
+          val end = math.min(n, i + frameSamples)
+          while (i < end) {
+            e += math.abs((pcm(i) & 0xff) - 128)
+            i += 1
+          }
+          total += e
+          if (e > peakEnergy) { peakEnergy = e; peakFrame = f }
+          f += 1
+        }
+        AudioProfile(r.doc_id, meta.width, n.toLong, nFrames.toLong,
+          total, peakFrame, math.max(0L, peakEnergy))
+      })
+    }
+  }
+
   // ----------------------------------------------------------------
   // Perceptual image hashing. The HASH math (gradient dHash, DCT
   // pHash) is real; the pixel SOURCE is the documented stub — the

@@ -708,6 +708,32 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("audioProfile: WAV synthesis parses back; energies match model") {
+    val media = MultimodalOps.withWavPayload(docs.limit(80))
+    // the synthesized container is a REAL WAV to the header parser
+    val meta = MultimodalOps.decodeMeta(media).collect()
+    assert(meta.nonEmpty && meta.forall(_.format == "wav"))
+    val out = MultimodalOps.audioProfile(media).collect()
+      .map(a => a.doc_id -> a).toMap
+    docs.limit(80).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .foreach { case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val frames = body.grouped(256)
+          .map(_.map(b => math.abs((b & 0xff) - 128).toLong).sum).toArray
+        val a = out(id)
+        assert(a.sample_rate == body.length % 32000 + 8000)
+        assert(a.n_samples == body.length.toLong)
+        assert(a.n_frames == frames.length.toLong)
+        assert(a.total_energy == frames.sum)
+        if (frames.nonEmpty) {
+          val peak = frames.indexOf(frames.max)
+          assert(a.peak_frame == peak.toLong &&
+            a.peak_energy == frames.max)
+        } else assert(a.peak_frame == 0L && a.peak_energy == 0L)
+      }
+  }
+
   test("sharded parquet export round-trips complete with shard dirs") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-shards-spec").toString
