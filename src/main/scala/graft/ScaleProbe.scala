@@ -36,6 +36,22 @@ object ScaleProbe {
       operators.DedupOps.nearDupClusters(docs, tau = 0.8).count())
     time("tfidfTop")(operators.TextOps.tfidfTop(docs, k = 1).count())
     time("domainStats")(operators.CurationOps.domainStats(docs).count())
+    time("dedupTokenBlocks")(
+      operators.DedupOps.dedupTokenBlocks(docs, blockSize = 16).count())
+    time("dedupSubstrings")(
+      operators.DedupOps.dedupSubstrings(docs, windowTokens = 32).count())
+    time("bigramFit")(operators.TextOps.bigramFit(docs).count())
+    time("shardShuffle")(
+      operators.CurationOps.shardShuffle(docs, nShards = 64).count())
+    time("compressionRatio")(
+      operators.TextOps.compressionRatio(docs).count())
+    time("dhash")(operators.MultimodalOps.dHash(
+      operators.MultimodalOps.withPngPayload(docs)).count())
+    time("audioProfile")(operators.MultimodalOps.audioProfile(
+      operators.MultimodalOps.withWavPayload(docs)).count())
+    time("bloomDecontaminate")(operators.CurationOps.bloomDecontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0)).count())
 
     val evbase = streaming.EventStreamOps.readEvents(
       spark, "/root/testdata/sf0.1/events.parquet")
