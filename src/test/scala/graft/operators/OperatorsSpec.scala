@@ -464,6 +464,28 @@ class OperatorsSpec extends SparkSpec {
     assert(CurationOps.pruneFrequentTokens(empty).count() == 0)
     assert(CurationOps.approxSourceProfile(
       empty.withColumn("source", lit("s"))).count() == 0)
+    // round-6 ops on the same dirty/empty corpora: every doc retained
+    // (or dropped) deterministically, nothing throws
+    val clean = dirty.select(col("doc_id"),
+      coalesce(col("text"), lit("")).as("text"))
+    assert(DedupOps.dedupTokenBlocks(clean, blockSize = 4).count() == 4)
+    assert(DedupOps.dedupSubstrings(clean, windowTokens = 8).count() == 4)
+    assert(DedupOps.dedupParagraphs(clean).count() == 4)
+    assert(TextOps.bigramFit(clean).count() == 4)
+    assert(TextOps.compressionRatio(dirty).count() == 4) // nulls ok
+    assert(CurationOps.shardShuffle(clean, nShards = 4).count() == 4)
+    val media = MultimodalOps.withPngPayload(clean)
+    assert(MultimodalOps.dHash(media).count() == 4)
+    assert(MultimodalOps.pHash(media).count() == 4)
+    assert(MultimodalOps.audioProfile(
+      MultimodalOps.withWavPayload(clean)).count() == 4)
+    assert(DedupOps.dedupTokenBlocks(empty, blockSize = 4).count() == 0)
+    assert(DedupOps.dedupSubstrings(empty, windowTokens = 8).count() == 0)
+    assert(TextOps.bigramFit(empty).count() == 0)
+    assert(CurationOps.bloomDecontaminate(empty, clean).count() == 0)
+    // held-out side empty: bloom is all-zeros, nothing flags
+    val noFlags = CurationOps.bloomDecontaminate(clean, empty)
+    assert(noFlags.filter(col("flagged_ngrams") > 0).count() == 0)
   }
 
   test("weighted shortest paths from an absent source: just the source") {
