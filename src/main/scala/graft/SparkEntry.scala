@@ -486,6 +486,12 @@ object SparkEntry {
     "dedup_substrings" -> ((spark, sfDir) =>
       operators.DedupOps.dedupSubstrings(docs(spark, sfDir),
         windowTokens = 8)),
+    // corpus-global deterministic sample (salted-md5 top-n,
+    // TakeOrderedAndProject — no global sort)
+    "curation_global_sample" -> ((spark, sfDir) =>
+      operators.CurationOps.globalSample(docs(spark, sfDir), n = 100)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("chars"))),
     // audio content op: frame energies over synthesized WAV payloads —
     // REAL RIFF chunk walk + integer math, fully oracle-recomputable
     "multimodal_audio" -> ((spark, sfDir) =>
@@ -1130,6 +1136,11 @@ object SparkEntry {
     // right of (x,y) is strictly brighter. Dims re-derive the IHDR
     // synthesis arithmetic (width/height from the TEXT length).
     // Unsigned 32-bit halves keep every engine in BIGINT range.
+    "curation_global_sample" ->
+      """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS chars
+        |FROM documents
+        |ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id
+        |LIMIT 100""".stripMargin,
     // WAV data chunk = utf-8 text bytes (8-bit PCM, center 128);
     // 256-sample frames; peak ties to the earliest frame; empty docs
     // keep 0 frames / 0 energy; sample rate re-derives the synthesis

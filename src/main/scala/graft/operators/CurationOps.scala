@@ -202,6 +202,19 @@ object CurationOps {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Corpus-GLOBAL deterministic pseudo-random sample: the `n` rows
+    * with the smallest salted md5(id) — eval-subset selection that any
+    * engine reproduces and that is STABLE UNDER GROWTH in expectation
+    * (a doc's rank only moves when smaller hashes arrive). A plain
+    * `orderBy(...).limit(n)` = TakeOrderedAndProject: per-partition
+    * top-n heaps, no global sort. */
+  def globalSample(df: DataFrame, n: Int,
+                   idCol: String = "doc_id",
+                   salt: String = "sample"): DataFrame =
+    df.withColumn("__h",
+        md5(concat_ws(":", lit(salt), col(idCol).cast(StringType))))
+      .orderBy(col("__h"), col(idCol)).limit(n).drop("__h")
+
   /**
    * Sequence packing for pretraining batches: lay each group's docs
    * out in id order and assign bin ids by cumulative token budget —

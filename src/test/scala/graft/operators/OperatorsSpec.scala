@@ -730,6 +730,23 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("globalSample: deterministic top-n by salted hash, growth-stable") {
+    val s1 = CurationOps.globalSample(docs, n = 50).collect()
+      .map(_.getLong(0)).toSet
+    assert(s1.size == 50)
+    // deterministic across runs
+    assert(CurationOps.globalSample(docs, n = 50).collect()
+      .map(_.getLong(0)).toSet == s1)
+    // a smaller n is a prefix of a larger n (same hash order)
+    val s20 = CurationOps.globalSample(docs, n = 20).collect()
+      .map(_.getLong(0)).toSet
+    assert(s20.subsetOf(s1))
+    // no global sort in the plan
+    val plan = CurationOps.globalSample(docs, n = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("audioProfile: WAV synthesis parses back; energies match model") {
     val media = MultimodalOps.withWavPayload(docs.limit(80))
     // the synthesized container is a REAL WAV to the header parser
