@@ -148,14 +148,17 @@ object Bench {
   /** Stream every parquet byte under `dir` once so the cold pass runs
     * against a warm page cache (the timing then measures the engine,
     * not whether this VM recently dropped its cache). */
-  private def touchParquet(dir: String): Unit =
-    try {
-      val d = new java.io.File(dir)
-      val buf = new Array[Byte](1 << 20)
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+  private def touchParquet(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    val buf = new Array[Byte](1 << 20)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        // per-file guard: one unreadable file must not abort warming
+        // the rest (that would silently re-admit the 1.8× cold skew)
+        try {
           val in = new java.io.FileInputStream(f)
           try { while (in.read(buf) >= 0) () } finally in.close()
-        }
-    } catch { case _: Throwable => () }
+        } catch { case _: Throwable => () }
+      }
+  }
 }

@@ -76,7 +76,12 @@ object Pipeline {
     val contaminated = operators.CurationOps
       .bloomDecontaminate(paraDeduped, heldout)
       .filter(col("flagged_ngrams") > 0).select(col("doc_id"))
+    // lazy checkpoint: `clean` is self-joined three ways below and then
+    // materialized by three separate actions — without it the whole
+    // dedup+bloom lineage recomputes once per join side per action
+    // (CLAUDE.md self-joined-intermediates invariant)
     val clean = paraDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
     val nClean = clean.count()
 
     // 7. annotate language + quality + tokens + compressibility +
@@ -89,6 +94,7 @@ object Pipeline {
         .select(col("doc_id"), col("compression_ratio")), "doc_id")
       .join(operators.TextOps.bigramFit(clean)
         .select(col("doc_id"), col("fit_mean")), "doc_id")
+      .localCheckpoint(false) // consumed by three downstream actions
 
     // 8. pack into fixed-token-budget bins per source
     val packed = operators.CurationOps.packSequences(annotated, budget)

@@ -174,8 +174,12 @@ object NetEmu {
     val (ctl, cin, cout) = connect()
     keys.foreach(k => roundTrip(cin, cout, s"BuildIndex(V, '$k')"))
     val pools: Map[String, Array[String]] = keys.map { k =>
-      k -> roundTrip(cin, cout, s"#pool $k")._1
+      val vals = roundTrip(cin, cout, s"#pool $k")._1
         .map(_.stripPrefix("=>")).toArray
+      require(vals.nonEmpty,
+        s"$$RAND($k): server returned no values for property '$k' — " +
+          "misspelled key or all-null column?")
+      k -> vals
     }.toMap
     cout.println("exit"); cout.flush(); ctl.close()
 

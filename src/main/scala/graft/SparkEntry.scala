@@ -274,10 +274,12 @@ object SparkEntry {
     // weighted SSSP on the same bounded subgraph as graph_components:
     // integer weights (1 per placed hop, ⌊quantity⌋ per contains hop)
     // keep path sums exact in both engines; the oracle enumerates
-    // ≤32-hop walks and takes the min. maxIters=32 + requireConverged
-    // pins the Spark side to the SAME hop cap as the oracle walk: if a
-    // shortest path ever needed >32 hops at a larger sf, the entry
-    // throws instead of silently diverging from the bounded oracle
+    // ≤32-hop walks and takes the min. maxIters=33 + requireConverged
+    // pins the Spark side to the SAME hop cap as the oracle walk:
+    // convergence needs one EXTRA empty-frontier round beyond the
+    // longest shortest path's hop count, so 33 rounds certify every
+    // shortest path has ≤32 hops; a >32-hop path at a larger sf makes
+    // the entry throw instead of silently diverging from the oracle
     "graph_sssp" -> ((spark, sfDir) => {
       val g0 = sources.GraphStore.tpch(spark, sfDir)
       val sub = sources.GraphStore(g0.vertices,
@@ -285,7 +287,7 @@ object SparkEntry {
       operators.GraphAlgos.weightedShortestPaths(sub, source = 1L,
         weight = when(col("label") === "placed", lit(1L))
           .otherwise(floor(col("quantity"))),
-        maxIters = 32, requireConverged = true)
+        maxIters = 33, requireConverged = true)
     }),
     // fixed-iteration power method IS oracle-checkable: 3 rounds are 3
     // chained SQL CTEs; round(4) absorbs summation-order ulps (per-dst
@@ -501,8 +503,12 @@ object SparkEntry {
     // sharded parquet export: write partitionBy(shard), RE-READ the
     // files, per-shard aggregates must equal SQL from the source table
     "source_sharded_export" -> ((spark, sfDir) => {
+      // pid-keyed like streamedToParquet: two processes on one sfDir
+      // must not overwrite-delete each other's files mid-read (within
+      // one process the sequential re-runs reuse the dir via overwrite)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
-        java.lang.Integer.toHexString(sfDir.hashCode)
+        java.lang.Integer.toHexString(sfDir.hashCode) +
+        s"_p${ProcessHandle.current().pid()}"
       sources.TextTables
         .shardedParquetRoundTrip(docs(spark, sfDir), dir, nShards = 8)
         .groupBy(col("shard").cast("long").as("shard"))

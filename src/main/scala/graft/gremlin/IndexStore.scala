@@ -68,8 +68,14 @@ final class IndexStore {
     }
   }
 
-  /** (isVertex, key) -> index */
-  private var indexes = Map.empty[(Boolean, String), Index]
+  /** (isVertex, key) -> index. @volatile: read by concurrent serving
+    * threads (Server/Emu) that must observe a completed build; the
+    * read-modify-write in [[build]] is additionally serialized by
+    * `buildLock` so two concurrent BuildIndex DDLs cannot lose one
+    * another's entry (the map itself stays an immutable snapshot, so
+    * readers are never locked). */
+  @volatile private var indexes = Map.empty[(Boolean, String), Index]
+  private val buildLock = new Object
 
   /** Reference gate: use the index only if the matched posting lists
     * cover < 20% of elements (`index_ratio = 0.2`,
@@ -115,12 +121,15 @@ final class IndexStore {
     val total = nonNullTotal + noKeyCount
     // release the replaced index's cached blocks only AFTER the new one
     // materialized — a failed rebuild must not leave a registered index
-    // serving uncached postings
-    indexes.get((isVertex, key)).foreach { old =>
-      old.postings.unpersist(); old.noKey.unpersist()
+    // serving uncached postings. The swap is locked: concurrent DDLs
+    // from different serving connections each land their entry.
+    buildLock.synchronized {
+      indexes.get((isVertex, key)).foreach { old =>
+        old.postings.unpersist(); old.noKey.unpersist()
+      }
+      indexes += (isVertex, key) -> Index(posting, noKey, counts,
+        noKeyCount, total, residualTotal, residualMax)
     }
-    indexes += (isVertex, key) -> Index(posting, noKey, counts,
-      noKeyCount, total, residualTotal, residualMax)
   }
 
   def get(isVertex: Boolean, key: String): Option[Index] =

@@ -251,10 +251,14 @@ object GraphAlgos {
       dist = merged.select(col("id"), col("distance"))
       iter += 1
     }
+    // convergence (an empty-frontier round) within maxIters rounds
+    // certifies every shortest path has at most maxIters-1 hops — the
+    // empty round itself consumes one iteration, so callers pinning a
+    // bounded-walk oracle at H hops must pass maxIters = H + 1
     if (requireConverged && !done) throw new IllegalStateException(
       s"weightedShortestPaths did not converge within $maxIters rounds: " +
-        "some shortest path has more hops than the cap, so a bounded-walk " +
-        "oracle at the same cap would diverge")
+        s"some shortest path has ≥ $maxIters hops, so a bounded-walk " +
+        s"oracle capped at ${maxIters - 1} hops would diverge")
     dist
   }
 

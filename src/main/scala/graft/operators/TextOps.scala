@@ -209,7 +209,7 @@ object TextOps {
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(level)
         val buf = new Array[Byte](1 << 16)
-        rows.map { case (id, text) =>
+        val mapped = rows.map { case (id, text) =>
           val raw = if (text == null) Array.empty[Byte]
             else text.getBytes("UTF-8")
           if (raw.isEmpty) (id, 0L, 0L, 1.0) // zlib wrapper alone is noise
@@ -223,6 +223,17 @@ object TextOps {
             (id, raw.length.toLong, compressed,
               math.rint(compressed.toDouble / raw.length * 10000) / 10000)
           }
+        }
+        // release the native zlib buffers when the partition drains —
+        // GC finalization is too late for long-lived sessions (end()
+        // is idempotent, so the extra hasNext probes are safe)
+        new Iterator[(Long, Long, Long, Double)] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): (Long, Long, Long, Double) = mapped.next()
         }
       }
       .toDF(idCol, "raw_bytes", "compressed_bytes", "compression_ratio")

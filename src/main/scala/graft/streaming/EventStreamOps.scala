@@ -365,15 +365,24 @@ object EventStreamOps {
     // against another session's in-flight checkpoint.
     val pidPrefix = s"${outDir}_p${ProcessHandle.current().pid()}_"
     val runDir = s"$pidPrefix${runCounter.incrementAndGet()}"
-    // GC THIS process's earlier runs only (sequential Verify/Bench have
-    // materialized them); other pids' dirs may back in-flight queries
+    // GC THIS process's earlier runs (sequential Verify/Bench have
+    // materialized them) plus any DEAD process's leftovers — a live
+    // pid's dirs may back in-flight queries and are never touched
+    val deadPidDir = s"^${java.util.regex.Pattern.quote(outDir)}_p(\\d+)_".r
     val parent = java.nio.file.Paths.get(runDir).getParent
     if (parent != null && java.nio.file.Files.isDirectory(parent)) {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(java.nio.file.Files.list(parent)) { s =>
         s.iterator().asScala.toList
-          .filter(p => p.toString.startsWith(pidPrefix) &&
-            p.toString != runDir)
+          .filter { p =>
+            val str = p.toString
+            str != runDir && (str.startsWith(pidPrefix) ||
+              deadPidDir.findPrefixMatchOf(str).exists { m =>
+                val pid = m.group(1).toLong
+                ProcessHandle.of(pid).map[Boolean](h => !h.isAlive)
+                  .orElse(true)
+              })
+          }
           .foreach(rmTree)
       }
     }
