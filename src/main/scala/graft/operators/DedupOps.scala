@@ -517,10 +517,27 @@ object DedupOps {
         col("__f").getField("__wpos").as("__fpos"))
     val dups = wins.join(firsts, "__wh")
       .filter(col(idCol) =!= col("__fid") || col("__wpos") =!= col("__fpos"))
-    val covered = dups.select(col(idCol),
-        explode(sequence(col("__wpos"), col("__wpos") + (k - 1)))
+    // merge each doc's duplicate windows into DISJOINT runs before
+    // expanding to covered positions: inside a long duplicated span
+    // every token is covered by up to k overlapping windows, so a
+    // naive explode+distinct carries a k× duplicated shuffle. A window
+    // starts a new run iff it begins past the previous window's last
+    // covered token (prev + k - 1); runs then expand to exactly the
+    // dropped positions, no distinct needed. The window function runs
+    // over duplicate windows only — already bounded by the dup mass.
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__wpos"))
+    val covered = dups.select(col(idCol), col("__wpos"))
+      .withColumn("__prev", lag(col("__wpos"), 1).over(byDoc))
+      .withColumn("__newRun",
+        (col("__prev").isNull || col("__wpos") > col("__prev") + (k - 1))
+          .cast("int"))
+      .withColumn("__run", sum(col("__newRun")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__run"))
+      .agg(min(col("__wpos")).as("__start"), max(col("__wpos")).as("__end"))
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__end") + (k - 1)))
           .as("__pos"))
-      .distinct()
     val toks = df.select(col(idCol),
       posexplode(split(trim(col(textCol)), " ")).as(Seq("__pos", "__tok")))
     val kept = toks.join(covered, Seq(idCol, "__pos"), "left_anti")

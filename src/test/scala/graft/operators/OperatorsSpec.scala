@@ -809,6 +809,18 @@ class OperatorsSpec extends SparkSpec {
     // exactly the 10 span tokens, so "x y z ... q" survive
     assert(out(2L) == (("x y z q", 4L, 10L)))
     assert(out(3L) == (("u v w", 3L, 0L)))
+    // fully-duplicated long docs: every window of docs 11-12 repeats
+    // doc 10, so one merged run covers the whole doc (the heavy-dup
+    // path where windows overlap maximally)
+    val long = (1 to 100).map(i => s"t$i").mkString(" ")
+    val trip = Seq((10L, long), (11L, long), (12L, long))
+      .toDF("doc_id", "text")
+    val t = DedupOps.dedupSubstrings(trip, windowTokens = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(t(10L) == ((long, 100L, 0L)))
+    assert(t(11L) == (("", 0L, 100L)))
+    assert(t(12L) == (("", 0L, 100L)))
   }
 
   test("dedupSubstrings equals a driver-side reference model") {
