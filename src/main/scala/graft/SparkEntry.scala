@@ -488,6 +488,10 @@ object SparkEntry {
     "dedup_substrings" -> ((spark, sfDir) =>
       operators.DedupOps.dedupSubstrings(docs(spark, sfDir),
         windowTokens = 8)),
+    // vocabulary for tokenizer training: top-50 tokens by
+    // (occurrences desc, token) with doc frequencies and ranks
+    "text_vocabulary" -> ((spark, sfDir) =>
+      operators.TextOps.vocabulary(docs(spark, sfDir), maxSize = 50)),
     // corpus-global deterministic sample (salted-md5 top-n,
     // TakeOrderedAndProject — no global sort)
     "curation_global_sample" -> ((spark, sfDir) =>
@@ -1142,6 +1146,17 @@ object SparkEntry {
     // right of (x,y) is strictly brighter. Dims re-derive the IHDR
     // synthesis arithmetic (width/height from the TEXT length).
     // Unsigned 32-bit halves keep every engine in BIGINT range.
+    "text_vocabulary" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split(trim(text), ' ')) AS token FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE length(token) > 0),
+        |c AS (SELECT token, count(*) AS occurrences,
+        |  count(DISTINCT doc_id) AS docs FROM t2 GROUP BY token),
+        |top AS (SELECT token, occurrences, docs FROM c
+        |  ORDER BY occurrences DESC, token LIMIT 50)
+        |SELECT token, occurrences, docs, CAST(row_number() OVER (
+        |  ORDER BY occurrences DESC, token) AS INTEGER) AS rank
+        |FROM top""".stripMargin,
     "curation_global_sample" ->
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS chars
         |FROM documents

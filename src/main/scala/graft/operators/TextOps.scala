@@ -239,6 +239,31 @@ object TextOps {
       .toDF(idCol, "raw_bytes", "compressed_bytes", "compression_ratio")
   }
 
+  /**
+   * Corpus vocabulary for tokenizer training: the `maxSize` most
+   * frequent tokens with occurrence and document-frequency counts,
+   * ranked by (count desc, token asc) so the cut is deterministic.
+   * One grouped aggregation (map-side partial — the reduce side is
+   * vocab-bounded, not corpus-bounded) plus a top-k that plans as
+   * TakeOrderedAndProject, never a global sort. The BPE-prep
+   * counterpart of [[bigramFit]]'s pair table.
+   */
+  def vocabulary(df: DataFrame, maxSize: Int,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col(idCol)).as("docs"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(maxSize)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("occurrences").desc, col("token"))).cast("int"))
+  }
+
   /** Attach all text-analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

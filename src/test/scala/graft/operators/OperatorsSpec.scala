@@ -730,6 +730,19 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("vocabulary: deterministic top-k with exact counts") {
+    import spark.implicits._
+    val df = Seq((1L, "a b b c c c"), (2L, "c b")).toDF("doc_id", "text")
+    val v = TextOps.vocabulary(df, maxSize = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(v.toSeq == Seq(("c", 4L, 2L, 1), ("b", 3L, 2L, 2)))
+    // real corpus: ranks contiguous, counts non-increasing
+    val real = TextOps.vocabulary(docs, maxSize = 30).collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(real.map(_._2).toSeq == (1 to real.length))
+    assert(real.map(_._1).toSeq == real.map(_._1).sortBy(-_).toSeq)
+  }
+
   test("globalSample: deterministic top-n by salted hash, growth-stable") {
     val s1 = CurationOps.globalSample(docs, n = 50).collect()
       .map(_.getLong(0)).toSet
