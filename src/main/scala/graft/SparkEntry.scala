@@ -488,6 +488,9 @@ object SparkEntry {
     "dedup_substrings" -> ((spark, sfDir) =>
       operators.DedupOps.dedupSubstrings(docs(spark, sfDir),
         windowTokens = 8)),
+    // per-dimension embedding normalization stats (dim-bounded reduce)
+    "embed_stats" -> ((spark, sfDir) =>
+      operators.SimilarityOps.embedStats(embs(spark, sfDir))),
     // vocabulary for tokenizer training: top-50 tokens by
     // (occurrences desc, token) with doc frequencies and ranks
     "text_vocabulary" -> ((spark, sfDir) =>
@@ -1146,6 +1149,18 @@ object SparkEntry {
     // right of (x,y) is strictly brighter. Dims re-derive the IHDR
     // synthesis arithmetic (width/height from the TEXT length).
     // Unsigned 32-bit halves keep every engine in BIGINT range.
+    // dims are 0-based in both engines (posexplode / ordinality-1);
+    // DOUBLE casts before aggregating (list floats are float32)
+    "embed_stats" ->
+      """WITH x AS (SELECT
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT dim, count(*) AS n,
+        |  round(avg(x), 4) AS mean,
+        |  round(stddev_samp(x), 4) AS std,
+        |  min(x) AS min, max(x) AS max
+        |FROM x GROUP BY dim""".stripMargin,
     "text_vocabulary" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(string_split(trim(text), ' ')) AS token FROM documents),

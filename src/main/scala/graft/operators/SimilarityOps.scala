@@ -322,6 +322,26 @@ object SimilarityOps {
       round(quantScale(col(vecCol)), 4).as("scale"))
   }
 
+  /**
+   * Per-dimension corpus statistics over an embedding column — the
+   * normalization model (mean-centering, scaling, whitening prep) a
+   * pipeline fits before indexing. posexplode → one grouped
+   * aggregation whose reduce side is `dim`-bounded regardless of
+   * corpus size (map-side partial aggregation carries dim·4 doubles
+   * per task). Elements cast to DOUBLE before accumulating (float32
+   * summation would drift); mean/std rounded to 4 for the
+   * cross-engine gate, min/max exact (float→double is exact).
+   */
+  def embedStats(df: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("dim"), col("__x").cast(DoubleType).as("__x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__x")), 4).as("mean"),
+        round(stddev_samp(col("__x")), 4).as("std"),
+        min(col("__x")).as("min"), max(col("__x")).as("max"))
+
   /** `127 / max|xᵢ|` (0 for the zero vector), accumulated exactly. */
   def quantScale(vec: Column): Column = {
     val mx = array_max(transform(vec, x => abs(x.cast(DoubleType))))

@@ -730,6 +730,27 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("embedStats: per-dimension stats match a driver model") {
+    val stats = SimilarityOps.embedStats(embs).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    val vecs = embs.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = vecs.head.length
+    assert(stats.size == dim)
+    for (d <- Seq(0, dim / 2, dim - 1)) {
+      val xs = vecs.map(_(d))
+      val (n, mean, std, mn, mx) = stats(d)
+      assert(n == xs.length.toLong)
+      val m = xs.sum / xs.length
+      assert(math.abs(mean - m) < 5e-4)
+      val s = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      assert(math.abs(std - s) < 5e-4)
+      assert(mn == xs.min && mx == xs.max)
+    }
+  }
+
   test("vocabulary: deterministic top-k with exact counts") {
     import spark.implicits._
     val df = Seq((1L, "a b b c c c"), (2L, "c b")).toDF("doc_id", "text")
