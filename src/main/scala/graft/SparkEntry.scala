@@ -524,6 +524,50 @@ object SparkEntry {
           sum(length(col("text"))).as("chars"),
           max(col("pos")).cast("long").as("max_pos"))
     }),
+
+    // ---- round-7 operators ----
+    // market-basket projection (parts co-purchased in ≥2 orders) →
+    // degree-oriented per-vertex triangle counts; orientation bounds
+    // wedge work at O(m^1.5), the wedge join is chunk-salted
+    "graph_triangles" -> ((spark, sfDir) =>
+      operators.GraphAlgos.triangleCounts(
+        operators.GraphAlgos.coOccurrencePairs(
+          sources.GraphStore.tpch(spark, sfDir), label = "contains",
+          minShared = 2))),
+    // 2-core of the same projection by iterative peeling; maxRounds=12
+    // matches the oracle's unrolled peel chain exactly, and
+    // requireConverged throws past it rather than silently diverging
+    "graph_kcore" -> ((spark, sfDir) =>
+      operators.GraphAlgos.kCore(
+        operators.GraphAlgos.coOccurrencePairs(
+          sources.GraphStore.tpch(spark, sfDir), label = "contains",
+          minShared = 2), k = 2, maxRounds = 12)),
+    // weighted source mixing: per-mille integer keep test over a
+    // broadcast weight table; epochs 0..⌈w⌉-1 with independent
+    // deterministic fractional cuts
+    "curation_mix" -> ((spark, sfDir) =>
+      operators.CurationOps.mixSources(docs(spark, sfDir),
+        weights = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 1.25))),
+    // token-span decontamination: per-doc clean fraction after
+    // dilating every heldout-matching 8-gram ±4 tokens (same
+    // corpus/heldout cut as curation_decontaminate)
+    "curation_contamination" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      operators.CurationOps.contaminationSpans(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0))
+    }),
+    // first-iteration BPE pair table over the word-frequency table
+    "text_bpe_pairs" -> ((spark, sfDir) =>
+      operators.TextOps.bpePairStats(docs(spark, sfDir), k = 50)),
+    // train 16 merges on the corpus, encode it, report per-doc
+    // fertility; training is an engine-side iterative fixpoint ->
+    // rows-only gate (specs pin the merge sequence + roundtrip)
+    "text_bpe_encode" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      operators.TextOps.bpeEncode(d,
+        operators.TextOps.bpeTrain(d, numMerges = 16))
+    }),
   )
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -1316,5 +1360,96 @@ object SparkEntry {
         |    AS dropped
         |FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
         |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    // a<b<c edge-chain enumeration finds each triangle once; the Spark
+    // side's degree orientation is an execution detail the oracle
+    // doesn't need to mirror
+    "graph_triangles" ->
+      """WITH ce AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT a.p AS id_a, b.p AS id_b
+        |  FROM ce a JOIN ce b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        |  FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a
+        |  JOIN e e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b)
+        |SELECT v + 2000000000 AS id, count(*) AS triangles
+        |FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |GROUP BY 1""".stripMargin,
+    // 12 unrolled peel rounds (matches kCore maxRounds; converged
+    // rounds are no-ops, and the Spark side THROWS if 12 don't reach
+    // the fixpoint, so both engines describe the same set)
+    "graph_kcore" -> {
+      val base =
+        """WITH ce AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+          |    l_partkey AS p FROM lineitem),
+          |r0 AS MATERIALIZED (SELECT a.p AS id_a, b.p AS id_b
+          |  FROM ce a JOIN ce b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+      val rounds = (1 to 12).map { i =>
+        s""",
+           |k$i AS MATERIALIZED (SELECT v FROM (
+           |  SELECT v, count(*) AS d FROM (
+           |    SELECT id_a AS v FROM r${i - 1}
+           |    UNION ALL SELECT id_b FROM r${i - 1}) GROUP BY v)
+           |  WHERE d >= 2),
+           |r$i AS MATERIALIZED (SELECT id_a, id_b FROM r${i - 1}
+           |  WHERE id_a IN (SELECT v FROM k$i)
+           |    AND id_b IN (SELECT v FROM k$i))""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT v + 2000000000 AS id, count(*) AS core_degree
+          |FROM (SELECT id_a AS v FROM r12 UNION ALL SELECT id_b FROM r12)
+          |GROUP BY 1""".stripMargin
+    },
+    // per-mille weights keep the epoch-inclusion test pure int64:
+    // u·1000 < (wpm − e·1000)·2³², u = first 8 md5 hex digits
+    "curation_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 400
+        |      WHEN 'src2' THEN 1250 ELSE 1000 END AS wpm
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, wpm,
+        |    unnest(range(0, greatest(CAST(ceil(wpm / 1000.0) AS BIGINT),
+        |      1))) AS e
+        |  FROM d WHERE wpm > 0),
+        |u AS (SELECT doc_id, source, wpm, e,
+        |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)
+        |      || ':' || CAST(e AS VARCHAR)), 1, 8) AS BIGINT) AS u
+        |  FROM e)
+        |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+        |FROM u WHERE u * 1000 < (wpm - e * 1000) * 4294967296""".stripMargin,
+    "curation_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+        |    len(string_split(trim(text), ' ')) AS n FROM documents),
+        |sh AS (SELECT doc_id, n, i AS p,
+        |    array_to_string(w[i:i+7], ' ') AS s
+        |  FROM t, unnest(range(1, n - 7 + 1)) AS u(i) WHERE n >= 8),
+        |h AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |m AS (SELECT c.doc_id,
+        |    unnest(range(greatest(c.p - 4, 1),
+        |      least(c.p + 11, c.n) + 1)) AS pos
+        |  FROM sh c JOIN h ON c.s = h.s WHERE c.doc_id % 10 != 0),
+        |cov AS (SELECT doc_id, count(DISTINCT pos) AS covered
+        |  FROM m GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(t.n AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered,
+        |  round(1.0 - coalesce(cov.covered, 0) / greatest(t.n, 1), 4)
+        |    AS clean_frac
+        |FROM documents d JOIN t ON d.doc_id = t.doc_id
+        |LEFT JOIN cov ON d.doc_id = cov.doc_id
+        |WHERE d.doc_id % 10 != 0""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH words AS (SELECT unnest(string_split(trim(text), ' ')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM words WHERE len(w) >= 2
+        |  GROUP BY w),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, f
+        |  FROM wf, unnest(range(1, len(w))) AS u(i))
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS occurrences
+        |FROM p GROUP BY pair
+        |ORDER BY occurrences DESC, pair LIMIT 50""".stripMargin,
   )
 }

@@ -360,6 +360,109 @@ object CurationOps {
       .drop("__h")
   }
 
+  /**
+   * Weighted source mixing: replicate each document `weight(source)`
+   * times — the up/down-sampling step that turns curated sources into
+   * a training mixture (2.5 epochs of wiki, 0.3 of web, …). A weight
+   * `w` emits every integer epoch `e < ⌊w⌋` unconditionally plus epoch
+   * `⌊w⌋` for a deterministic `frac(w)` fraction of documents, so the
+   * realized token share converges to the requested ratio without a
+   * seed. Inclusion of (doc, epoch) is decided by a salted-md5 uniform
+   * — growth-stable (a document's epochs never change as the corpus
+   * grows), reproducible bit-for-bit in any engine, and INDEPENDENT
+   * across epochs (each fractional epoch drops a fresh subset, not a
+   * prefix of the previous one). Weights are held to per-mille
+   * precision so the keep test is pure 64-bit integer arithmetic —
+   * no float threshold to drift across engines.
+   *
+   * Plan shape: broadcast-join the (tiny) weight table, explode ≤⌈w⌉
+   * epoch ordinals, one narrow filter — no shuffle at any corpus size.
+   * Weights are DATA (a broadcast DataFrame), not plan literals, so
+   * the compiled plan is weight-table-size independent.
+   * Output: `(doc_id, source, epoch)`, one row per kept replica.
+   */
+  def mixSources(df: DataFrame, weights: Map[String, Double],
+                 defaultWeight: Double = 1.0,
+                 idCol: String = "doc_id", sourceCol: String = "source",
+                 salt: String = "mix"): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "mix weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def permille(w: Double): Long = math.round(w * 1000)
+    val wdf = weights.toSeq.map { case (s, w) => (s, permille(w)) }
+      .toDF(sourceCol, "__wpm")
+    val epochs = explode(sequence(lit(0),
+      greatest(ceil(col("__wpm") / 1000.0).cast("int") - 1, lit(0))))
+    // uniform in [0, 2³²) from the first 8 md5 hex digits (the
+    // assignSplits/shardShuffle recipe); keep epoch e of weight w iff
+    // u/2³² < w − e  ⟺  u·1000 < (wpm − e·1000)·2³²  — exact in int64
+    val u = conv(substring(md5(concat_ws(":", lit(salt),
+      col(idCol).cast(StringType), col("__e").cast(StringType))),
+      1, 8), 16, 10).cast(LongType)
+    df.join(broadcast(wdf), Seq(sourceCol), "left")
+      .withColumn("__wpm", coalesce(col("__wpm"),
+        lit(permille(defaultWeight))))
+      .filter(col("__wpm") > 0)
+      .withColumn("__e", epochs)
+      .filter(u * 1000L < (col("__wpm") - col("__e") * 1000L) *
+        4294967296L)
+      .select(col(idCol), col(sourceCol),
+        col("__e").cast(LongType).as("epoch"))
+  }
+
+  /**
+   * Token-span decontamination (the Llama-3-style refinement of
+   * [[decontaminate]]): instead of flagging a whole document for one
+   * shared n-gram, mark the CONTAMINATED TOKEN POSITIONS — every token
+   * inside a held-out-matching n-gram window, dilated by `radius`
+   * tokens each side — and report the per-document clean fraction, so
+   * the pipeline can drop only documents that are mostly-contaminated
+   * (`clean_frac < 0.8` in the Llama recipe) rather than everything an
+   * eval n-gram grazes.
+   *
+   * All arithmetic is integer (position sets, counts) — fully
+   * oracle-checkable. Plan shape: positional shingles (narrow), one
+   * equi-join against the distinct-pruned (usually broadcastable)
+   * held-out shingle set, dilated match windows expand through a
+   * `sequence` explode bounded by `n + 2·radius`, and a distinct-count
+   * per doc — one shuffle over matched positions only, never over the
+   * full token stream.
+   * Output: `(doc_id, n_tokens, covered, clean_frac)` per corpus doc,
+   * clean_frac rounded(4) for cross-engine float display parity.
+   */
+  def contaminationSpans(corpus: DataFrame, heldout: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text", n: Int = 8,
+                         radius: Int = 4): DataFrame = {
+    val toks = split(trim(col(textCol)), " ")
+    // (__id, __p, __s): n-gram starting at 1-based token position __p
+    def sh(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("__id"), toks.as("__t"),
+          size(toks).as("__n"))
+        .filter(col("__n") >= n)
+        .select(col("__id"), col("__n"), col("__t"),
+          explode(sequence(lit(1), col("__n") - (n - 1))).as("__p"))
+        .select(col("__id"), col("__n"), col("__p"),
+          concat_ws(" ", slice(col("__t"), col("__p"), lit(n))).as("__s"))
+    val dirty = sh(heldout).select(col("__s")).distinct()
+    val covered = sh(corpus).join(dirty, "__s")
+      .select(col("__id"), col("__n"),
+        explode(sequence(greatest(col("__p") - radius, lit(1)),
+          least(col("__p") + lit(n - 1 + radius), col("__n"))))
+          .as("__pos"))
+      .groupBy(col("__id"))
+      .agg(count_distinct(col("__pos")).as("covered"))
+    corpus.select(col(idCol),
+        size(toks).cast(LongType).as("n_tokens"))
+      .join(covered.select(col("__id").as(idCol), col("covered")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        round(lit(1.0) - coalesce(col("covered"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1L)), 4).as("clean_frac"))
+  }
+
   /** Host part of every URL occurrence (capture group 1 of
     * [[UrlPattern]]'s host segment) — RE2-safe, shared with the oracle. */
   val DomainPattern = "https?://([^/ ]+)"

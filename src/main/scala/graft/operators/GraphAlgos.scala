@@ -295,6 +295,25 @@ object GraphAlgos {
         .filter(col("__deg") <= maxDegree).select(col("src"))
       e0.join(deg, "src")
     }
+    saltedDstPairs(e, chunkSize)
+      .groupBy(col("dst_a").as("id_a"), col("dst_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .orderBy(col("shared").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  /**
+   * All unordered `dst` pairs sharing a `src`, chunk-pair salted (the
+   * skew scheme documented on [[commonNeighbors]]): each source's dst
+   * list splits into id-ordered `chunkSize` chunks, the left side emits
+   * its chunk × every later chunk, the right side every earlier chunk ×
+   * its own, and the join key is (src, chunk, chunk) — every pair meets
+   * exactly once, pairs-per-task ≤ chunkSize², and a source with one
+   * chunk pays nothing. Input edges must be distinct per (src, dst).
+   * Output: `(src, dst_a, dst_b)` with `dst_a < dst_b`.
+   */
+  private[graft] def saltedDstPairs(e: DataFrame,
+                                    chunkSize: Int): DataFrame = {
     val bySrc = Window.partitionBy("src")
     // lazy checkpoint: the chunk window computes once and serves both
     // join sides narrow (src, dst, chunk) rows
@@ -312,9 +331,118 @@ object GraphAlgos {
       col("__c").as("__cj"))
     l.join(r, Seq("src", "__ci", "__cj"))
       .filter(col("dst_a") < col("dst_b"))
+      .select(col("src"), col("dst_a"), col("dst_b"))
+  }
+
+  /**
+   * Undirected co-occurrence projection: pairs of `dst` vertices that
+   * share at least `minShared` distinct `src` vertices over `label`
+   * edges (e.g. parts bought together in ≥2 orders — the market-basket
+   * graph that link-prediction and community detection run on).
+   * [[commonNeighbors]] without the top-k cut; same salted wedge join,
+   * so a hub source never concentrates its O(deg²) pairs in one task.
+   * The `minShared` threshold is what keeps the projection sparse at
+   * scale — co-occurring ≥2 times is quadratically rarer than once.
+   * Output: `(id_a, id_b, shared)` with `id_a < id_b`, unique per pair.
+   */
+  def coOccurrencePairs(g: GraphStore, label: String, minShared: Int = 2,
+                        chunkSize: Int = 512): DataFrame = {
+    val e = g.edges.filter(col("label") === label)
+      .select(col("src"), col("dst"))
+    saltedDstPairs(e, chunkSize)
       .groupBy(col("dst_a").as("id_a"), col("dst_b").as("id_b"))
       .agg(count(lit(1)).as("shared"))
-      .orderBy(col("shared").desc, col("id_a"), col("id_b"))
-      .limit(k)
+      .filter(col("shared") >= minShared)
+  }
+
+  /**
+   * Per-vertex triangle counts over an undirected edge list
+   * (`id_a < id_b`, unique per pair — [[coOccurrencePairs]] output
+   * shape). Degree-oriented enumeration (the compact-forward /
+   * Latapy scheme every serious triangle counter uses): orient each
+   * edge toward the higher-(degree, id) endpoint, generate wedges only
+   * from each vertex's OUT-neighbours, and close them against the
+   * original id-ordered edge set. Orientation bounds out-degree by
+   * O(√m) on any graph, so the wedge count is O(m^1.5) total instead
+   * of Σdeg² — the difference between hours and minutes on a
+   * power-law graph — and each triangle {a,b,c} is generated exactly
+   * once (at its unique out-degree-2 apex). The wedge self-join is
+   * additionally chunk-salted via [[saltedDstPairs]], so even the
+   * post-orientation max-degree hub spreads across tasks. Both joins
+   * are equi-joins; closing probes the edge set semi-style.
+   * Output: `(id, triangles)` for vertices in ≥1 triangle.
+   */
+  def triangleCounts(pairs: DataFrame, chunkSize: Int = 512): DataFrame = {
+    // pairs feeds degree counting, orientation, and the closing probe —
+    // lazy-checkpoint so the (possibly expensive) pair lineage runs once
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val deg = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__d"))
+    val oriented = p
+      .join(deg.select(col("id").as("id_a"), col("__d").as("__da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("__d").as("__db")), "id_b")
+      .select(
+        when(col("__da") < col("__db") ||
+            (col("__da") === col("__db") && col("id_a") < col("id_b")),
+          struct(col("id_a").as("s"), col("id_b").as("d")))
+          .otherwise(struct(col("id_b").as("s"), col("id_a").as("d")))
+          .as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    // wedge pairs come out id-ordered (dst_a < dst_b), which is exactly
+    // the closing edge's canonical form — no rank bookkeeping needed
+    val tri = saltedDstPairs(oriented, chunkSize)
+      .withColumnRenamed("dst_a", "id_a").withColumnRenamed("dst_b", "id_b")
+      .join(p, Seq("id_a", "id_b"), "left_semi")
+    tri.select(explode(array(col("src"), col("id_a"), col("id_b")))
+        .as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
+
+  /**
+   * k-core: the maximal subgraph in which every vertex keeps degree
+   * ≥ k, by iterative peeling — drop sub-k vertices, recompute
+   * degrees, repeat to fixpoint. Input is an undirected edge list
+   * (`id_a < id_b`, unique per pair). Each round is one aggregation +
+   * two semi-joins; rounds localCheckpoint (the iterative-loop
+   * invariant: cache truncates execution but not the logical plan).
+   * Convergence is certified by edge-count stability — peeling only
+   * removes edges, so an unchanged count means an unchanged set.
+   * `requireConverged` throws if the fixpoint needs > `maxRounds`
+   * rounds (the DuckDB oracle unrolls exactly `maxRounds` peels, so a
+   * slower-converging graph at a larger sf must fail loudly rather
+   * than silently diverge — the graph_sssp pattern). Peeling rounds
+   * are O(longest degeneracy chain); real graphs converge in tens of
+   * rounds, and each round shrinks the data it shuffles.
+   * Output: `(id, core_degree)` — degree within the k-core.
+   */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 12,
+            requireConverged: Boolean = true): DataFrame = {
+    var e = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    var prev = e.count()
+    var round = 0
+    var converged = prev == 0L
+    while (!converged && round < maxRounds) {
+      val keep = e.select(col("id_a").as("id"))
+        .union(e.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("id"))
+      val next = e
+        .join(keep.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(keep.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val n = next.count()
+      converged = n == prev || n == 0L
+      prev = n
+      e = next
+      round += 1
+    }
+    if (!converged && requireConverged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxRounds rounds — a " +
+        s"$maxRounds-round unrolled oracle would diverge")
+    e.select(col("id_a").as("id")).union(e.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_degree"))
   }
 }

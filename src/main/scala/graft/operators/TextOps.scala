@@ -264,6 +264,139 @@ object TextOps {
         col("occurrences").desc, col("token"))).cast("int"))
   }
 
+  /**
+   * First-iteration BPE pair statistics: adjacent character-pair
+   * occurrence counts over the corpus, weighted by word frequency —
+   * exactly the table the first merge of byte-pair-encoding training
+   * reads. Computed on the word-FREQUENCY table, not the token stream
+   * (the trick that makes BPE training corpus-size-independent: a
+   * 100 TB corpus has bounded distinct words, and every later
+   * iteration touches only that compact table). Top-`k` by
+   * (occurrences desc, pair asc) so the cut is deterministic and
+   * SQL-mirrorable.
+   */
+  def bpePairStats(df: DataFrame, k: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    val wf = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    wf.select(col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("f")).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("pair"))
+      .limit(k)
+  }
+
+  /**
+   * BPE merge training. Learns `numMerges` merges from the corpus by
+   * the textbook loop — count adjacent symbol pairs weighted by word
+   * frequency, merge the most frequent (count desc, pair asc tiebreak
+   * keeps it deterministic), repeat — run ENTIRELY on the distributed
+   * word-frequency table: one corpus-wide shuffle builds it, then each
+   * iteration is an aggregation over distinct-word rows only (the
+   * standard trick — Sennrich et al.'s reference trainer does the
+   * same on a dict). Words are represented as space-joined symbol
+   * strings ("h e l l o"), so a merge is one `regexp_replace` with
+   * non-consuming boundary lookarounds — left-to-right greedy,
+   * matching the BPE merge pass. Each round localCheckpoints (the
+   * iterative-loop invariant). Returns merges in rank order.
+   */
+  def bpeTrain(df: DataFrame, numMerges: Int,
+               textCol: String = "text"): Seq[(String, String)] = {
+    var wf = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      // spaced symbol string: "hello" -> "h e l l o"
+      .select(expr("concat_ws(' ', transform(sequence(1, length(w))," +
+        " i -> substring(w, i, 1)))").as("w"), col("f"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val top = wf.select(col("f"), explode(expr(
+          "transform(slice(split(w, ' '), 1, size(split(w, ' ')) - 1)," +
+          " (s, i) -> struct(s as a, element_at(split(w, ' '), i + 2) as b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((a, b))
+        val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+          java.util.regex.Pattern.quote(b) + "(?= |$)"
+        // no Sweep here: operators may run under a concurrent server,
+        // where freeing checkpoint blocks kills other in-flight plans;
+        // the handful of per-round blocks are reclaimed by periodicGC
+        wf = wf
+          .select(regexp_replace(col("w"), pat, a + b).as("w"), col("f"))
+          .localCheckpoint()
+      }
+    }
+    merges.toList
+  }
+
+  /**
+   * Apply trained BPE merges: per-document token segmentation counts.
+   * The merge table is a closure-captured broadcast (model-as-data —
+   * `numMerges` never changes the plan), applied per partition with a
+   * per-partition word→segmentation memo, so a word repeated across a
+   * partition encodes once. Emits `(idCol, n_words, n_bpe_tokens)` —
+   * the fertility statistics a tokenizer-training pipeline monitors.
+   * Narrow map, no shuffle.
+   */
+  def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    val src = df.select(col(idCol).cast(LongType),
+      coalesce(col(textCol), lit("")).cast(StringType))
+      .as[(Long, String)]
+    src.mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Int]
+      def segments(word: String): Int = memo.getOrElseUpdate(word, {
+        var syms = word.map(_.toString).toBuffer
+        var more = syms.length > 1
+        while (more) {
+          // lowest-rank adjacent pair present
+          var best = Int.MaxValue
+          var at = -1
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (r < best) { best = r; at = i }
+            i += 1
+          }
+          if (at < 0) more = false
+          else {
+            // merge EVERY occurrence of the winning pair, left to right
+            val (a, b) = (syms(at), syms(at + 1))
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            syms = out
+            more = syms.length > 1
+          }
+        }
+        syms.length
+      })
+      it.map { case (id, text) =>
+        val words = text.trim.split(" ").filter(_.nonEmpty)
+        (id, words.length.toLong,
+          words.map(w => segments(w).toLong).sum)
+      }
+    }.toDF(idCol, "n_words", "n_bpe_tokens")
+  }
+
   /** Attach all text-analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

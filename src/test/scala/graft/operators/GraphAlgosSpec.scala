@@ -175,4 +175,92 @@ class GraphAlgosSpec extends SparkSpec {
       .agg(sum("shared")).as[Long].head()
     assert(total == 2000L * 1999L / 2 + 3L)
   }
+
+  private def pairsDf(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    edges.toDF("id_a", "id_b")
+  }
+
+  test("triangleCounts: hand-checked graph") {
+    // triangles {1,2,3} and {2,3,4}; (5,6) is triangle-free
+    val p = pairsDf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L)))
+    val t = GraphAlgos.triangleCounts(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(t == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts equals brute-force a<b<c enumeration at sf0.001") {
+    val g = GraphStore.tpch(spark, "/root/testdata/sf0.001")
+    val p = GraphAlgos.coOccurrencePairs(g, "contains", minShared = 1)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val fast = GraphAlgos.triangleCounts(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // unoriented three-way join: every (a<b<c) closed triple once
+    val e1 = p.select(col("id_a").as("a"), col("id_b").as("b"))
+    val e2 = p.select(col("id_a").as("b"), col("id_b").as("c"))
+    val e3 = p.select(col("id_a").as("a"), col("id_b").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    val brute = tri.select(explode(array(col("a"), col("b"), col("c")))
+        .as("id"))
+      .groupBy("id").agg(count(lit(1)).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == brute, "oriented counts diverge from brute force")
+    assert(fast.nonEmpty, "fixture graph has no triangles — weak test")
+  }
+
+  test("triangleCounts salting is lossless on a hot hub") {
+    // wheel graph: hub 0 joined to every rim vertex, rim is a cycle —
+    // n triangles, the hub in all of them, each rim vertex in exactly
+    // two (one per adjacent rim edge)
+    val n = 600L
+    val rim = (1L to n).map(i => (i, if (i == n) 1L else i + 1))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val spokes = (1L to n).map(i => (0L, i))
+    val p = pairsDf(spokes ++ rim)
+    val salted = GraphAlgos.triangleCounts(p, chunkSize = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val single = GraphAlgos.triangleCounts(p, chunkSize = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(salted == single)
+    assert(salted(0L) == n)
+    assert((1L to n).forall(i => salted(i) == 2L))
+  }
+
+  test("kCore: hand-checked peel and empty core") {
+    // triangle + pendant chain: 2-core is exactly the triangle
+    val p = pairsDf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val core = GraphAlgos.kCore(p, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // no 3-core anywhere in this graph
+    assert(GraphAlgos.kCore(p, k = 3).count() == 0L)
+  }
+
+  test("kCore requireConverged throws past the round cap") {
+    // a 40-node path peels one vertex per end per round: ~20 rounds to
+    // empty, so a 3-round cap must fail loudly (the oracle's unrolled
+    // peel chain would diverge), and an ample cap converges to empty
+    val chain = pairsDf((1L to 39L).map(i => (i, i + 1)))
+    intercept[IllegalStateException] {
+      GraphAlgos.kCore(chain, k = 2, maxRounds = 3)
+    }
+    assert(GraphAlgos.kCore(chain, k = 2, maxRounds = 30).count() == 0L)
+  }
+
+  test("coOccurrencePairs thresholds shared sources") {
+    import spark.implicits._
+    // orders 10/11 both contain parts {1,2}; order 12 contains {1,3}
+    val e = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L),
+      (12L, 3L)).map { case (s, d) => (s, d, "contains") }
+      .toDF("src", "dst", "label")
+    val g = GraphStore((1L to 12L).toDF("id"), e)
+    val ms2 = GraphAlgos.coOccurrencePairs(g, "contains", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ms2.toSeq == Seq((1L, 2L, 2L)))
+    val ms1 = GraphAlgos.coOccurrencePairs(g, "contains", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(ms1 == Set((1L, 2L, 2L), (1L, 3L, 1L)))
+  }
 }

@@ -1114,4 +1114,116 @@ class OperatorsSpec extends SparkSpec {
       .select("para").distinct().count()
     assert(keptMass == distinctBlocks)
   }
+
+  test("mixSources: integer epochs exact, fractional epochs converge") {
+    import spark.implicits._
+    val mixed = CurationOps.mixSources(docs,
+      weights = Map("src0" -> 3.0, "src1" -> 0.5, "src2" -> 0.0),
+      defaultWeight = 1.0)
+    val bySrc = mixed.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    val n = docs.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    // integer weights replicate exactly; zero drops the source
+    assert(bySrc("src0") == 3 * n("src0"))
+    assert(!bySrc.contains("src2"))
+    assert(n.keySet.filterNot(Set("src0", "src1", "src2"))
+      .forall(s => bySrc(s) == n(s)))
+    // fractional epoch keeps a hash-uniform subset: binomial(n, 0.5)
+    // stays within 4 sigma of the mean
+    val k = bySrc("src1").toDouble
+    val m = n("src1").toDouble
+    assert(math.abs(k - 0.5 * m) <= 4 * math.sqrt(m * 0.25),
+      s"src1 kept $k of $m at weight 0.5")
+    // deterministic: a rerun emits the identical replica set
+    val again = CurationOps.mixSources(docs,
+      weights = Map("src0" -> 3.0, "src1" -> 0.5, "src2" -> 0.0))
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+    // growth-stable: on a half corpus every surviving doc keeps the
+    // exact same epoch set
+    val half = CurationOps.mixSources(docs.filter(col("doc_id") % 2 === 0),
+      weights = Map("src0" -> 3.0, "src1" -> 0.5, "src2" -> 0.0))
+    assert(half.exceptAll(mixed.filter(col("doc_id") % 2 === 0)).isEmpty)
+  }
+
+  test("contaminationSpans: hand-checked dilation and clean fraction") {
+    import spark.implicits._
+    val toks = (1 to 40).map(i => s"t$i")
+    // corpus doc 1 embeds heldout doc 100's full 8-gram at pos 17..24
+    val dirty8 = toks.slice(16, 24).mkString(" ")
+    val corpus = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, (1 to 10).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val heldout = Seq((100L, dirty8)).toDF("doc_id", "text")
+    val out = CurationOps.contaminationSpans(corpus, heldout,
+        n = 8, radius = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // match at p=17 dilates to [13, 28]: 16 covered positions of 40
+    assert(out(1L) == ((40L, 16L, 0.6)))
+    assert(out(2L) == ((10L, 0L, 1.0)))
+    // clipping: a match at the very start cannot dilate below pos 1
+    val atStart = Seq((3L, (toks.slice(16, 24) ++ Seq("x", "y"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val clipped = CurationOps.contaminationSpans(atStart, heldout,
+        n = 8, radius = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(clipped == ((10L, 10L))) // [1, 8] dilated to [1, 10]
+  }
+
+  test("bpePairStats counts frequency-weighted adjacent char pairs") {
+    import spark.implicits._
+    val df = Seq((1L, "low low low lower lower newest newest"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.bpePairStats(df, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // l-o: 3 lows + 2 lowers = 5; o-w likewise; then the tie at 4 (we)
+    assert(rows.take(2).toSeq == Seq(("lo", 5L), ("ow", 5L)))
+  }
+
+  test("bpeTrain learns the textbook merge sequence") {
+    import spark.implicits._
+    val df = Seq((1L, "low low low lower lower newest newest"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(df, numMerges = 4)
+    // (l,o) and (o,w) tie at 5 — pair-asc tiebreak picks (l,o), and
+    // after merging, (lo,w) inherits the full count
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("e", "s")))
+    // more merges than pairs exist: training stops at exhaustion
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(tiny, numMerges = 10) == Seq(("a", "b")))
+  }
+
+  test("bpeEncode applies merges by rank; counts reconcile") {
+    import spark.implicits._
+    val corpus = Seq((1L, "low low low lower lower newest newest"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(corpus, numMerges = 4)
+    val df = Seq((1L, "low lower newest"), (2L, ""), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bpeEncode(df, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // low -> [low]; lower -> [low, er]; newest -> [n, e, w, es, t]
+    assert(out(1L) == ((3L, 8L)))
+    assert(out(2L) == ((0L, 0L)))
+    assert(out(3L) == ((1L, 3L))) // no merge applies to unseen chars
+    // corpus-level sanity: fertility between word count and char count
+    val real = TextOps.bpeEncode(docs, merges)
+    assert(real.filter(col("n_bpe_tokens") < col("n_words")).count() == 0)
+  }
+
+  test("contaminationSpans covers whole overlap region, not per-match") {
+    import spark.implicits._
+    // two overlapping dirty 8-grams: covered positions form one run,
+    // counted once (distinct positions, not summed windows)
+    val toks = (1 to 20).map(i => s"w$i")
+    val corpus = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val heldout = Seq(
+      (100L, toks.slice(0, 8).mkString(" ")),
+      (101L, toks.slice(4, 12).mkString(" "))).toDF("doc_id", "text")
+    val Array(r) = CurationOps.contaminationSpans(corpus, heldout,
+      n = 8, radius = 0).collect()
+    // positions 1..8 and 5..12 union to 1..12
+    assert((r.getLong(1), r.getLong(2)) == ((20L, 12L)))
+  }
 }
