@@ -205,6 +205,11 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), e, ivfModel(spark, sfDir),
         nprobe = 4, k = 5)
     }),
+    "ann_pq" -> ((spark, sfDir) => { // no SQL oracle: k-means codebooks
+      val e = embs(spark, sfDir)
+      operators.SimilarityOps.pqTopK(
+        e.filter(col("vec_id") < 10), e, pqModel(spark, sfDir), k = 5)
+    }),
     // synthesize REAL PNG bytes per doc, then PARSE their headers back
     // (pure-JVM IHDR decode in mapPartitions batches); the oracle
     // recomputes what the parser must extract from the synthesis math
@@ -590,6 +595,14 @@ object SparkEntry {
     ivfCache.getOrElseUpdate((spark, sfDir),
       operators.SimilarityOps.fitIvfCentroids(
         embs(spark, sfDir), k = 16, iters = 3))
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Array[Double]]]]
+  private def pqModel(spark: SparkSession,
+                      sfDir: String): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate((spark, sfDir),
+      operators.SimilarityOps.fitPq(
+        embs(spark, sfDir), m = 8, k = 16, iters = 3))
 
   // Shared SQL fragments: the derived graph in relational form.
   private val EdgesContains =

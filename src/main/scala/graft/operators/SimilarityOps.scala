@@ -249,6 +249,156 @@ object SimilarityOps {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): split each vector into `m` subspaces,
+  // k-means each subspace into `k` codes, store m small codes per
+  // vector (m·log₂k bits instead of dim·32) and search by asymmetric
+  // distance (ADC). This is the memory face of ANN — at 100 TB the
+  // index must be ~50× smaller than the vectors, which neither IVF
+  // (full vectors in cells) nor LSH (full vectors re-scored) gives.
+  // Like the IVF model, codebooks are DATA (a broadcast table keyed by
+  // subspace), never plan literals.
+  // ------------------------------------------------------------------
+
+  /** Codebook model as a broadcastable table:
+    * `(__sub, __cell, __cvec, __cnorm2)` — [[centroidsDf]] with a
+    * subspace key. */
+  private def codebooksDf(spark: org.apache.spark.sql.SparkSession,
+                          books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, i) =>
+        (s, i, c.toSeq, c.map(x => x * x).sum) }
+    }.toSeq.toDF("__sub", "__cell", "__cvec", "__cnorm2")
+  }
+
+  /** `(__id, __sub, __v)` rows: each vector exploded into its `m`
+    * `dim/m`-element subvectors. Narrow map — the explode multiplies
+    * rows by m but shrinks them by the same factor. */
+  private def subVectors(df: DataFrame, dim: Int, m: Int): DataFrame = {
+    val sd = dim / m
+    df.select(col("__id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+        s"struct(s AS sub, slice(__v, s * $sd + 1, $sd) AS sv))")).as("__p"))
+      .select(col("__id"), col("__p.sub").as("__sub"),
+        col("__p.sv").as("__v"))
+  }
+
+  /** Nearest code per (element, subspace): broadcast-join on the
+    * subspace key + the same map-side partial argmin as
+    * [[assignCells]]. */
+  private def assignCodes(sub: DataFrame, bdf: DataFrame): DataFrame =
+    sub.join(broadcast(bdf), "__sub").withColumn("__d", cellDist)
+      .groupBy(col("__id"), col("__sub"), col("__v"))
+      .agg(min(struct(col("__d"), col("__cell")))
+        .getField("__cell").as("__code"))
+
+  /**
+   * Fit PQ codebooks: Lloyd's k-means in every subspace SIMULTANEOUSLY
+   * — one exploded-subvector table, one broadcast-join argmin and one
+   * grouped mean per iteration cover all `m` subspaces (m separate
+   * fits would scan the corpus m times). Seeding is the deterministic
+   * farthest-first of [[fitIvfCentroids]], run per subspace over one
+   * md5-ordered driver sample. Only the 8·k sample and the k·dim
+   * model reach the driver.
+   */
+  def fitPq(corpus: DataFrame, idCol: String = "vec_id",
+            vecCol: String = "embedding", dim: Int = 64, m: Int = 8,
+            k: Int = 16, iters: Int = 4): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    val sd = dim / m
+    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .cache()
+    val sample = vecs
+      .orderBy(md5(concat(lit("pq:"), col("__id").cast("string"))))
+      .limit(math.max(8 * k, 64)).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      farthestFirst(sample.map(_.slice(s * sd, (s + 1) * sd)), k))
+    val sub = subVectors(vecs, dim, m).cache()
+    for (_ <- 1 to iters) {
+      val means = assignCodes(sub, codebooksDf(spark, books))
+        .select(col("__sub"), col("__code"),
+          posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__sub", "__code", "__pos").agg(avg(col("__x")).as("__m"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+    }
+    sub.unpersist()
+    vecs.unpersist()
+    books
+  }
+
+  /**
+   * Encode vectors to PQ codes: `(idCol, codes)` with `codes(s)` = the
+   * nearest codebook entry of subspace `s`. The compressed corpus
+   * representation [[pqTopK]] searches — m·log₂k bits of payload per
+   * vector. One broadcast join + one grouped collect, no shuffle wider
+   * than the output.
+   */
+  def pqEncode(df: DataFrame, books: Array[Array[Array[Double]]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val dim = books.length * books.head.head.length
+    val sub = subVectors(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      dim, books.length)
+    assignCodes(sub, codebooksDf(df.sparkSession, books))
+      .groupBy(col("__id"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("__sub"), col("__code")))),
+        s => s.getField("__code")).as("codes"))
+      .select(col("__id").as(idCol), col("codes"))
+  }
+
+  /**
+   * PQ asymmetric-distance top-k: queries keep their exact vectors,
+   * the corpus is its PQ codes. Per query, a lookup table of
+   * ‖q_s − c‖² surrogates (the per-rank constant ‖q_s‖² dropped, as
+   * in [[cellDist]]) over all m·k codebook entries is computed by one
+   * broadcast join — q·m·k rows, tiny — then corpus codes fold the
+   * LUT: explode to (neighbor, sub, code), equi-join the LUT on
+   * (sub, code), sum per (query, neighbor). The per-neighbor work is
+   * m LUT lookups + one partial-aggregable sum — never a dim-wide dot
+   * product — which is the whole point of PQ at scale. Top-k by
+   * (distance asc, neighbor_id) through the standard window.
+   */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             books: Array[Array[Array[Double]]],
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             k: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val spark = queries.sparkSession
+    val m = books.length
+    val dim = m * books.head.head.length
+    val bdf = codebooksDf(spark, books)
+    val lut = subVectors(
+        queries.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+        dim, m)
+      .join(broadcast(bdf), "__sub").withColumn("__d", cellDist)
+      .select(col("__id").as("query_id"), col("__sub"),
+        col("__cell").as("__code"), col("__d"))
+    val codes = pqEncode(corpus, books, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("__sub", "__code")))
+    codes.join(broadcast(lut), Seq("__sub", "__code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__d")).as("__dist"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("__dist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__dist"), 4).as("pq_dist"), col("rank"))
+  }
+
   /** Sign-bit LSH bucket id from `nBits` fixed hyperplanes; `table`
     * selects an independent plane family. Single-table convenience
     * around the fused [[signBuckets]] kernel (bit-identical planes from

@@ -265,6 +265,48 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("pq: deterministic codebooks, bounded codes, twin-stable") {
+    val books = SimilarityOps.fitPq(embs, m = 8, k = 16, iters = 2)
+    val books2 = SimilarityOps.fitPq(embs, m = 8, k = 16, iters = 2)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq ==
+      books2.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    val codes = SimilarityOps.pqEncode(embs, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == embs.count())
+    assert(codes.values.forall(c => c.length == 8 &&
+      c.forall(x => x >= 0 && x < 16)))
+    // identical vectors must encode identically
+    val twin = embs.filter(col("vec_id") === 3)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val withTwin = SimilarityOps.pqEncode(
+      embs.select("vec_id", "embedding").unionByName(twin), books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(withTwin(9999L) == withTwin(3L))
+  }
+
+  test("pq top-k: reasonable recall vs brute force") {
+    val books = SimilarityOps.fitPq(embs, m = 8, k = 16, iters = 3)
+    val queries = embs.filter(col("vec_id") < 20).cache()
+    val k = 10
+    def pairs(df: DataFrame): Set[(Long, Long)] = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityOps.bruteForceTopK(queries, embs, k = k))
+    val pq = pairs(SimilarityOps.pqTopK(queries, embs, books, k = k))
+    // PQ ranks by L2 surrogate while brute force ranks by cosine, and
+    // 8x16 codes quantize hard — a loose floor still catches a broken
+    // LUT join or a wrong-subspace encode, which score near random
+    // (recall ~k/n = 0.02)
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall too low: $recall")
+    // every query returns exactly k ranked neighbors
+    val perQ = SimilarityOps.pqTopK(queries, embs, books, k = k)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQ.forall(_ == k))
+  }
+
   // ---------------- CurationOps ----------------
 
   test("scrubPii redacts urls and emails with counts") {
