@@ -562,6 +562,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0))
     }),
+    // stream-static dimension enrichment: the events stream broadcast-
+    // joins the customer dim INSIDE the streaming plan (stateless),
+    // then aggregates per market segment; drained to completion, so
+    // the answer must equal the batch join the oracle runs
+    "events_stream_enrich" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedEnrich(spark,
+        s"$sfDir/events.parquet",
+        spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("user_id"),
+            col("c_mktsegment").as("mktsegment")))),
     // first-iteration BPE pair table over the word-frequency table
     "text_bpe_pairs" -> ((spark, sfDir) =>
       operators.TextOps.bpePairStats(docs(spark, sfDir), k = 50)),
@@ -1454,6 +1464,12 @@ object SparkEntry {
         |FROM documents d JOIN t ON d.doc_id = t.doc_id
         |LEFT JOIN cov ON d.doc_id = cov.doc_id
         |WHERE d.doc_id % 10 != 0""".stripMargin,
+    "events_stream_enrich" ->
+      """SELECT c.c_mktsegment AS mktsegment, count(*) AS events,
+        |  CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     "text_bpe_pairs" ->
       """WITH words AS (SELECT unnest(string_split(trim(text), ' ')) AS w
         |  FROM documents),

@@ -336,6 +336,38 @@ object EventStreamOps {
   }
 
   /**
+   * Stream-static enrichment — the dimension-join shape every event
+   * pipeline runs: file-source stream joined INSIDE the streaming plan
+   * to a static (batch) dimension table, then aggregated per dimension
+   * attribute. The stream-static join is stateless — Spark re-plans
+   * the static side per micro-batch and keeps no join state — and the
+   * static side is broadcast, so the stream never shuffles before the
+   * final vocabulary-bounded aggregation. At 100 TB/day of events and
+   * a dimension in the millions this is exactly the plan you want
+   * (broadcast dim, map-side partial agg); a billion-row dimension
+   * would switch to a pre-bucketed sort-merge join, same query shape.
+   * `dim` must carry `joinKey` and the `attr` column. Drained to
+   * completion via the memory sink; cents per the engine-stable
+   * integer rendering (Σ floor(value·100)).
+   */
+  def streamedEnrich(spark: SparkSession, path: String, dim: DataFrame,
+                     joinKey: String = "user_id",
+                     attr: String = "mktsegment"): DataFrame = {
+    val name = s"graft_stream_en_${runCounter.incrementAndGet()}"
+    val enriched = streamFromParquet(spark, path)
+      .join(broadcast(dim), Seq(joinKey))
+      .groupBy(col(attr))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+    withStatePartitions(spark, 8) {
+      val q = enriched.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+  }
+
+  /**
    * REAL file-sink stream — the production egress path (the memory
    * sink above is gate/test-only): file source → narrow projection →
    * parquet sink with a checkpoint location, `Trigger.AvailableNow`

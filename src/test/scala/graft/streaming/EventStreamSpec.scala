@@ -227,4 +227,28 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("stream-static enrichment equals the batch dimension join") {
+    import spark.implicits._
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").cast("long").as("user_id"),
+        col("c_mktsegment").as("mktsegment"))
+    val streamed = EventStreamOps.streamedEnrich(spark, path, dim)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val batch = readEvents(spark, path).join(dim, "user_id")
+      .groupBy(col("mktsegment"))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // inner-join semantics: users outside the dim contribute nothing
+    val dimHalf = dim.filter(col("user_id") % 2 === 0)
+    val total = EventStreamOps.streamedEnrich(spark, path, dimHalf)
+      .agg(sum("events")).as[Long].head()
+    val expected = readEvents(spark, path).join(dimHalf, "user_id").count()
+    assert(total == expected)
+  }
 }
