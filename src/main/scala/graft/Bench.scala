@@ -47,7 +47,9 @@ object Bench {
     "ann_topk", "ann_ivf", "graph_components", "graph_pagerank",
     "graph_sssp",
     "curation_top_ngram", "events_stream_window", "events_sessions",
-    "multimodal_meta", "text_quality", "hasvalue_any", "group_collect")
+    "multimodal_meta", "text_quality", "hasvalue_any", "group_collect",
+    // round-7 additions: the structurally-heavy new operators
+    "graph_triangles", "graph_kcore", "ann_pq", "text_bpe_encode")
 
   /** Cross-family JIT warmup set (run at the small warmup sf, never at
     * the benched sf): one gate per shared-infra family. */

@@ -547,6 +547,13 @@ object SparkEntry {
         operators.GraphAlgos.coOccurrencePairs(
           sources.GraphStore.tpch(spark, sfDir), label = "contains",
           minShared = 2), k = 2, maxRounds = 12)),
+    // local clustering coefficient over the same projection: integer
+    // wedge/triangle counts up to one final rounded division
+    "graph_clustering" -> ((spark, sfDir) =>
+      operators.GraphAlgos.clusteringCoefficients(
+        operators.GraphAlgos.coOccurrencePairs(
+          sources.GraphStore.tpch(spark, sfDir), label = "contains",
+          minShared = 2))),
     // weighted source mixing: per-mille integer keep test over a
     // broadcast weight table; epochs 0..⌈w⌉-1 with independent
     // deterministic fractional cuts
@@ -1426,6 +1433,27 @@ object SparkEntry {
           |FROM (SELECT id_a AS v FROM r12 UNION ALL SELECT id_b FROM r12)
           |GROUP BY 1""".stripMargin
     },
+    "graph_clustering" ->
+      """WITH ce AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+        |    l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.p AS id_a, b.p AS id_b
+        |  FROM ce a JOIN ce b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        |  FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a
+        |  JOIN e e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b),
+        |tc AS (SELECT v, count(*) AS t
+        |  FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri) GROUP BY v),
+        |deg AS (SELECT v, count(*) AS d
+        |  FROM (SELECT id_a AS v FROM e UNION ALL SELECT id_b FROM e)
+        |  GROUP BY v)
+        |SELECT deg.v + 2000000000 AS id, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(coalesce(tc.t, 0) AS BIGINT) AS triangles,
+        |  round(2.0 * coalesce(tc.t, 0) / (deg.d * (deg.d - 1)), 4)
+        |    AS coeff
+        |FROM deg LEFT JOIN tc ON deg.v = tc.v
+        |WHERE deg.d >= 2""".stripMargin,
     // per-mille weights keep the epoch-inclusion test pure int64:
     // u·1000 < (wpm − e·1000)·2³², u = first 8 md5 hex digits
     "curation_mix" ->

@@ -372,10 +372,16 @@ object GraphAlgos {
    * are equi-joins; closing probes the edge set semi-style.
    * Output: `(id, triangles)` for vertices in ≥1 triangle.
    */
-  def triangleCounts(pairs: DataFrame, chunkSize: Int = 512): DataFrame = {
+  def triangleCounts(pairs: DataFrame, chunkSize: Int = 512): DataFrame =
     // pairs feeds degree counting, orientation, and the closing probe —
     // lazy-checkpoint so the (possibly expensive) pair lineage runs once
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    triangleCountsOn(
+      pairs.select(col("id_a"), col("id_b")).localCheckpoint(false),
+      chunkSize)
+
+  /** [[triangleCounts]] body over an already-materialization-safe `p`
+    * (callers that reuse the pair set pass their own checkpoint). */
+  private def triangleCountsOn(p: DataFrame, chunkSize: Int): DataFrame = {
     val deg = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("__d"))
@@ -397,6 +403,31 @@ object GraphAlgos {
     tri.select(explode(array(col("src"), col("id_a"), col("id_b")))
         .as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
+
+  /**
+   * Local clustering coefficient: for every vertex of degree ≥ 2,
+   * `2·triangles / (degree·(degree−1))` — the fraction of its
+   * neighbour pairs that are themselves connected, the standard
+   * small-world/community signal. Rides [[triangleCounts]]'s oriented
+   * enumeration over ONE shared checkpoint of the pair set; the only
+   * extra work is a degree aggregation and one join. Integer counts
+   * up to the single final division (rounded 4 for display), so the
+   * oracle reproduces it exactly.
+   * Output: `(id, degree, triangles, coeff)`.
+   */
+  def clusteringCoefficients(pairs: DataFrame,
+                             chunkSize: Int = 512): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val deg = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangleCountsOn(p, chunkSize), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+          (col("degree") * (col("degree") - 1)), 4).as("coeff"))
   }
 
   /**

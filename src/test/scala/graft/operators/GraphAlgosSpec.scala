@@ -248,6 +248,25 @@ class GraphAlgosSpec extends SparkSpec {
     assert(GraphAlgos.kCore(chain, k = 2, maxRounds = 30).count() == 0L)
   }
 
+  test("clusteringCoefficients: hand-checked wheel and chain") {
+    // triangle + pendant: 1,2 have coeff 1 (their only pair closes);
+    // 3 has degree 3 with one closed pair of three -> 1/3
+    val p = pairsDf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    val cc = GraphAlgos.clusteringCoefficients(p).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(cc(1L) == ((2L, 1L, 1.0)))
+    assert(cc(2L) == ((2L, 1L, 1.0)))
+    assert(cc(3L) == ((3L, 1L, 0.3333)))
+    // degree-1 vertex 4 is excluded (coefficient undefined)
+    assert(!cc.contains(4L))
+    // a triangle-free path has coefficient 0 at its middle vertex
+    val chain = GraphAlgos.clusteringCoefficients(
+      pairsDf(Seq((1L, 2L), (2L, 3L)))).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(chain == Map(2L -> 0.0))
+  }
+
   test("coOccurrencePairs thresholds shared sources") {
     import spark.implicits._
     // orders 10/11 both contain parts {1,2}; order 12 contains {1,3}

@@ -57,4 +57,44 @@ class OperatorPlanSpec extends SparkSpec {
     val p = plan(TextOps.compressionRatio(docs))
     assert(!p.contains("Exchange"), p.take(1200))
   }
+
+  test("triangleCounts: equi-joins only, salted wedge keys") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val p = plan(GraphAlgos.triangleCounts(pairs))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("__ci") && p.contains("__cj"),
+      "wedge join must run on the salt-chunk keys")
+    // closing probe is a semi join — never materializes non-triangles
+    assert(p.contains("LeftSemi"), p.take(1500))
+  }
+
+  test("mixSources: broadcast weight table, no shuffle") {
+    val p = plan(CurationOps.mixSources(docs, Map("src0" -> 2.5)))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning")),
+      "weighted mixing must stay a narrow map:\n" + p.take(1200))
+  }
+
+  test("contaminationSpans: heldout side broadcast, partial agg") {
+    val heldout = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val p = plan(CurationOps.contaminationSpans(corpus, heldout))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // covered-position count combines map-side before the per-doc shuffle
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("pqTopK: LUT folds via broadcast equi-join + partial sum") {
+    val books = Array.tabulate(8, 4, 8)((_, c, d) => (c * 8 + d).toDouble)
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(SimilarityOps.pqTopK(
+      embs.filter(col("vec_id") < 5), embs, books, k = 3))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
 }
