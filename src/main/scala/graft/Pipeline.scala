@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
  * the final per-stage counts.
  *
  *   scrub PII → quality gates → exact dedup → MinHash near-dedup →
- *   paragraph dedup → bloom decontamination → language/quality/
- *   compressibility/bigram-fit annotate → sequence packing →
+ *   paragraph dedup → bloom decontamination → token-span contamination
+ *   cut → language/quality/compressibility/bigram-fit annotate →
+ *   weighted source mixing → BPE fertility → sequence packing →
  *   shard-shuffle export assignment
  *
  * Run: `sbt "runMain graft.Pipeline /root/testdata/sf0.01 512"`
@@ -96,25 +97,48 @@ object Pipeline {
         .select(col("doc_id"), col("fit_mean")), "doc_id")
       .localCheckpoint(false) // consumed by three downstream actions
 
-    // 8. pack into fixed-token-budget bins per source
-    val packed = operators.CurationOps.packSequences(annotated, budget)
+    // 8. token-span contamination cut: drop documents that are less
+    // than 80% clean after dilating held-out 8-gram matches (the
+    // span-level refinement of the bloom pre-pass above)
+    val cleanEnough = operators.CurationOps
+      .contaminationSpans(annotated, heldout)
+      .filter(col("clean_frac") >= 0.8).select(col("doc_id"))
+    val spanned = annotated.join(cleanEnough, "doc_id")
+      .localCheckpoint(false) // consumed by mixing + packing + stats
+    val nSpanClean = spanned.count()
+
+    // 9. weighted source mixing into training epochs (upsample the
+    // two best-fitting sources, keep the rest at one epoch)
+    val mixed = operators.CurationOps.mixSources(spanned,
+      weights = Map("src0" -> 2.0, "src1" -> 1.5))
+    val nMixed = mixed.count()
+
+    // 10. BPE fertility over the final corpus (merges trained on it)
+    val merges = operators.TextOps.bpeTrain(spanned, numMerges = 16)
+    val bpeTokens = operators.TextOps.bpeEncode(spanned, merges)
+      .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+
+    // 11. pack into fixed-token-budget bins per source
+    val packed = operators.CurationOps.packSequences(spanned, budget)
     val nBins = packed.agg(countDistinct(col("source"), col("bin_id")))
       .head().getLong(0)
 
-    // 9. shard-shuffle export assignment (what .write.partitionBy
+    // 12. shard-shuffle export assignment (what .write.partitionBy
     // would consume)
-    val sharded = operators.CurationOps.shardShuffle(annotated, nShards = 8)
+    val sharded = operators.CurationOps.shardShuffle(spanned, nShards = 8)
     val nShardsOut = sharded.select(col("shard")).distinct().count()
 
-    // 10. final corpus stats
-    val stats = annotated.agg(
+    // 13. final corpus stats
+    val stats = spanned.agg(
       sum(col("tokens")).as("tokens"),
       round(avg(col("quality")), 4).as("avg_quality"),
       round(avg(col("compression_ratio")), 4).as("avg_ratio")).head()
 
     println(s"""{"metric":"pipeline","input":$total,"quality":$nQuality,""" +
       s""""exact":$nExact,"near_dedup":$nDeduped,"para_dedup":$nPara,""" +
-      s""""decontaminated":$nClean,"bins":$nBins,"shards":$nShardsOut,""" +
+      s""""decontaminated":$nClean,"span_clean":$nSpanClean,""" +
+      s""""mixed_epochs":$nMixed,"bpe_tokens":$bpeTokens,""" +
+      s""""bins":$nBins,"shards":$nShardsOut,""" +
       s""""tokens":${stats.getLong(0)},"avg_quality":${stats.getDouble(1)},""" +
       s""""avg_ratio":${stats.getDouble(2)},""" +
       s""""budget":$budget,"sf":"$sfDir"}""")
