@@ -582,6 +582,11 @@ object SparkEntry {
     // first-iteration BPE pair table over the word-frequency table
     "text_bpe_pairs" -> ((spark, sfDir) =>
       operators.TextOps.bpePairStats(docs(spark, sfDir), k = 50)),
+    // id-ification against the trained top-50 vocabulary: per-doc
+    // token/OOV counts + integer id-stream checksum
+    "text_tokenize_ids" -> ((spark, sfDir) =>
+      operators.TextOps.tokenizeWithVocab(docs(spark, sfDir),
+        vocabSize = 50)),
     // train 16 merges on the corpus, encode it, report per-doc
     // fertility; training is an engine-side iterative fixpoint ->
     // rows-only gate (specs pin the merge sequence + roundtrip)
@@ -1498,6 +1503,25 @@ object SparkEntry {
         |    AS cents
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1""".stripMargin,
+    "text_tokenize_ids" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(trim(text), ' ')) AS token
+        |  FROM documents),
+        |t AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+        |v AS (SELECT token, rank FROM (
+        |    SELECT token, row_number() OVER
+        |      (ORDER BY count(*) DESC, token) AS rank
+        |    FROM t GROUP BY token) WHERE rank <= 50),
+        |s AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_unk,
+        |    CAST(sum(coalesce(v.rank, 0)) AS BIGINT) AS id_sum
+        |  FROM t LEFT JOIN v ON t.token = v.token GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(coalesce(s.n_unk, 0) AS BIGINT) AS n_unk,
+        |  CAST(coalesce(s.id_sum, 0) AS BIGINT) AS id_sum
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin,
     "text_bpe_pairs" ->
       """WITH words AS (SELECT unnest(string_split(trim(text), ' ')) AS w
         |  FROM documents),

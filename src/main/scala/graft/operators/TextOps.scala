@@ -265,6 +265,37 @@ object TextOps {
   }
 
   /**
+   * Tokenize against the trained [[vocabulary]]: every whitespace
+   * token maps to its vocab rank (1-based), out-of-vocabulary tokens
+   * to `<unk>` (id 0) — the id-ification step between curation and
+   * model ingestion. Emits per-document fertility/coverage stats the
+   * pipeline monitors (`n_tokens`, `n_unk`, and `id_sum`, an integer
+   * checksum of the emitted id stream): OOV rate is THE signal for
+   * sizing `vocabSize`. Plan: one vocab aggregation (vocab-bounded),
+   * broadcast-joined to the exploded token stream, one per-doc
+   * aggregation — the token shuffle is the only corpus-wide exchange.
+   */
+  def tokenizeWithVocab(df: DataFrame, vocabSize: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val vocab = vocabulary(df, vocabSize, idCol, textCol)
+      .select(col("token"), col("rank"))
+    val toks = df.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val stats = toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rank").isNull, 1L).otherwise(0L)).as("n_unk"),
+        sum(coalesce(col("rank").cast(LongType), lit(0L))).as("id_sum"))
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+  }
+
+  /**
    * First-iteration BPE pair statistics: adjacent character-pair
    * occurrence counts over the corpus, weighted by word frequency —
    * exactly the table the first merge of byte-pair-encoding training

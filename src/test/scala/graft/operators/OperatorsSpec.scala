@@ -1213,6 +1213,19 @@ class OperatorsSpec extends SparkSpec {
     assert(clipped == ((10L, 10L))) // [1, 8] dilated to [1, 10]
   }
 
+  test("tokenizeWithVocab: ranks, unk counting, id checksum") {
+    import spark.implicits._
+    // counts: a=4, b=2, c=1, d=1 -> top-2 vocab is a(1), b(2)
+    val df = Seq((1L, "a a a b b c"), (2L, "a d"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenizeWithVocab(df, vocabSize = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((6L, 1L, 7L))) // 3·a + 2·b + unk; 3+4 = 7
+    assert(out(2L) == ((2L, 1L, 1L)))
+    assert(out(3L) == ((0L, 0L, 0L))) // empty doc kept with zeros
+  }
+
   test("bpePairStats counts frequency-weighted adjacent char pairs") {
     import spark.implicits._
     val df = Seq((1L, "low low low lower lower newest newest"))
