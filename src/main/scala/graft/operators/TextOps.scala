@@ -359,11 +359,14 @@ object TextOps {
         merges += ((a, b))
         val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
           java.util.regex.Pattern.quote(b) + "(?= |$)"
+        // quoteReplacement: a merged symbol containing `$`/`\` must not
+        // be read as a group reference by the replacement engine
+        val rep = java.util.regex.Matcher.quoteReplacement(a + b)
         // no Sweep here: operators may run under a concurrent server,
         // where freeing checkpoint blocks kills other in-flight plans;
         // the handful of per-round blocks are reclaimed by periodicGC
         wf = wf
-          .select(regexp_replace(col("w"), pat, a + b).as("w"), col("f"))
+          .select(regexp_replace(col("w"), pat, rep).as("w"), col("f"))
           .localCheckpoint()
       }
     }

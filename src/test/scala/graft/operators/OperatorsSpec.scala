@@ -1247,6 +1247,15 @@ class OperatorsSpec extends SparkSpec {
     // more merges than pairs exist: training stops at exhaustion
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     assert(TextOps.bpeTrain(tiny, numMerges = 10) == Seq(("a", "b")))
+    // regex-special symbols survive both the pattern and the
+    // replacement side of the merge pass
+    val special = Seq((1L, "a$ a$ x\\y x\\y")).toDF("doc_id", "text")
+    val sm = TextOps.bpeTrain(special, numMerges = 2)
+    // ties at 2 resolve by pair asc: '\' (0x5c) < 'a' < 'x'
+    assert(sm == Seq(("\\", "y"), ("a", "$")))
+    val enc = TextOps.bpeEncode(special, sm).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(enc == ((4L, 6L))) // a$, a$, x + \y, x + \y
   }
 
   test("bpeEncode applies merges by rank; counts reconcile") {
