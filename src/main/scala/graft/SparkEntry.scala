@@ -547,6 +547,26 @@ object SparkEntry {
         operators.GraphAlgos.coOccurrencePairs(
           sources.GraphStore.tpch(spark, sfDir), label = "contains",
           minShared = 2), k = 2, maxRounds = 12)),
+    // personalized PageRank from customer 1: fixed 3-iteration power
+    // method -> chained-CTE oracle (pageRankPower's personalized face);
+    // only the positive-rank forward neighborhood is emitted
+    "graph_ppr" -> ((spark, sfDir) =>
+      operators.GraphAlgos.personalizedPageRankPower(
+        sources.GraphStore.tpch(spark, sfDir), source = 1L, iters = 3)
+        // floor-scaled display: PPR's sparse chains land EXACTLY on
+        // .xxxx5 decimal boundaries (0.85*(0.15/10)=0.01275) where
+        // HALF_UP vs multiply-round disagree across engines; the op
+        // chains themselves are bit-identical, so floor is stable
+        .select(col("id"),
+          floor(col("rank") * 10000).cast("long").as("rank_e4"))),
+    // label-propagation communities over the co-purchase projection;
+    // engine-seeded labels -> rows-only gate, structural specs
+    "graph_communities" -> ((spark, sfDir) =>
+      operators.GraphAlgos.labelCommunities(
+        operators.GraphAlgos.coOccurrencePairs(
+          sources.GraphStore.tpch(spark, sfDir), label = "contains",
+          minShared = 2))
+        .groupBy(col("community")).agg(count(lit(1)).as("size"))),
     // local clustering coefficient over the same projection: integer
     // wedge/triangle counts up to one final rounded division
     "graph_clustering" -> ((spark, sfDir) =>
@@ -1438,6 +1458,43 @@ object SparkEntry {
           |FROM (SELECT id_a AS v FROM r12 UNION ALL SELECT id_b FROM r12)
           |GROUP BY 1""".stripMargin
     },
+    // the pageRankPower CTE chain with restart mass pinned to id 1;
+    // round(4) absorbs summation-order ulps as in graph_pagerank_power
+    "graph_ppr" ->
+      """WITH nodes AS (
+        |   SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+        |   UNION ALL SELECT CAST(o_orderkey + 1000000000 AS BIGINT)
+        |     FROM orders
+        |   UNION ALL SELECT CAST(p_partkey + 2000000000 AS BIGINT)
+        |     FROM part),
+        | e AS (
+        |   SELECT CAST(o_custkey AS BIGINT) AS src,
+        |     CAST(o_orderkey + 1000000000 AS BIGINT) AS dst FROM orders
+        |   UNION ALL SELECT CAST(l_orderkey + 1000000000 AS BIGINT),
+        |     CAST(l_partkey + 2000000000 AS BIGINT)
+        |   FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)),
+        | ed AS (SELECT e.src, e.dst, d.d FROM e JOIN
+        |   (SELECT src, count(*) AS d FROM e GROUP BY src) d
+        |   ON d.src = e.src),
+        | r0 AS (SELECT id, CAST(CASE WHEN id = 1 THEN 1.0 ELSE 0.0 END
+        |   AS DOUBLE) AS rank FROM nodes),
+        | r1 AS (SELECT n.id, CASE WHEN n.id = 1 THEN 0.15 ELSE 0.0 END
+        |     + 0.85 * coalesce(s.sm, 0.0) AS rank FROM nodes n
+        |   LEFT JOIN (SELECT ed.dst AS id, sum(r0.rank / ed.d) AS sm
+        |     FROM ed JOIN r0 ON r0.id = ed.src GROUP BY ed.dst) s
+        |   ON s.id = n.id),
+        | r2 AS (SELECT n.id, CASE WHEN n.id = 1 THEN 0.15 ELSE 0.0 END
+        |     + 0.85 * coalesce(s.sm, 0.0) AS rank FROM nodes n
+        |   LEFT JOIN (SELECT ed.dst AS id, sum(r1.rank / ed.d) AS sm
+        |     FROM ed JOIN r1 ON r1.id = ed.src GROUP BY ed.dst) s
+        |   ON s.id = n.id),
+        | r3 AS (SELECT n.id, CASE WHEN n.id = 1 THEN 0.15 ELSE 0.0 END
+        |     + 0.85 * coalesce(s.sm, 0.0) AS rank FROM nodes n
+        |   LEFT JOIN (SELECT ed.dst AS id, sum(r2.rank / ed.d) AS sm
+        |     FROM ed JOIN r2 ON r2.id = ed.src GROUP BY ed.dst) s
+        |   ON s.id = n.id)
+        |SELECT id, CAST(floor(rank * 10000) AS BIGINT) AS rank_e4
+        |FROM r3 WHERE rank > 0""".stripMargin,
     "graph_clustering" ->
       """WITH ce AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
         |    l_partkey AS p FROM lineitem),

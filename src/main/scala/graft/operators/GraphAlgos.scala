@@ -166,6 +166,66 @@ object GraphAlgos {
     ranks
   }
 
+  /**
+   * Fixed-iteration PERSONALIZED PageRank (random walk with restart):
+   * all restart mass returns to `source`, so ranks measure proximity
+   * to it — the recommendation/expansion query ("parts related to
+   * this customer's neighborhood") that global PageRank can't answer.
+   * Same chained-CTE-expressible shape as [[pageRankPower]] (fixed
+   * `iters`, one join + one aggregation per round), which is what
+   * keeps it oracle-checkable; only vertices with positive rank (the
+   * ≤`iters`-hop forward neighborhood — exactly zero elsewhere, no
+   * float fuzz) are emitted, so the output is neighborhood-sized, not
+   * graph-sized.
+   */
+  def personalizedPageRankPower(g: GraphStore, source: Long,
+                                iters: Int = 3,
+                                resetProb: Double = 0.15): DataFrame = {
+    val edges = g.edges.select(col("src"), col("dst"))
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val withDeg = edges.join(outDeg, "src")
+    var ranks = g.vertices.select(col("id"),
+      when(col("id") === source, lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          (col("rank") / col("__deg")).as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__sum"))
+      ranks = g.vertices.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("id") === source, lit(resetProb))
+            .otherwise(lit(0.0)) +
+           lit(1.0 - resetProb) * coalesce(col("__sum"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks.filter(col("rank") > 0)
+  }
+
+  /**
+   * Label-propagation communities over an undirected edge list
+   * (`id_a`, `id_b` — [[coOccurrencePairs]] output shape): every
+   * vertex starts as its own label, then adopts its neighbors'
+   * majority label for `maxSteps` synchronous rounds (GraphX LPA —
+   * messages flow both directions, so direction is ignored). The
+   * workhorse community detector at scale: each round is one
+   * Pregel superstep, no global state. Labels are engine-seeded
+   * (initial label = vertex id) and sync LPA can oscillate on
+   * bipartite structure, so gates are rows-only; specs assert the
+   * structural invariant (clique-mates agree, bridged cliques split).
+   * Output: `(id, community)`.
+   */
+  def labelCommunities(pairs: DataFrame, maxSteps: Int = 5): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.select(col("id_a"), col("id_b")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val xg = XGraph.fromEdges(es, ()).cache()
+    val lp = org.apache.spark.graphx.lib.LabelPropagation.run(xg, maxSteps)
+    materializeAndFree(lp.vertices.toDF("id", "community"), lp, xg)
+  }
+
   /** PageRank to `tol` convergence: `(id, rank)`. */
   def pageRank(g: GraphStore, tol: Double = 1e-4,
                resetProb: Double = 0.15): DataFrame = {

@@ -267,6 +267,39 @@ class GraphAlgosSpec extends SparkSpec {
     assert(chain == Map(2L -> 0.0))
   }
 
+  test("personalizedPageRankPower: hand-computed neighborhood ranks") {
+    val pr = GraphAlgos.personalizedPageRankPower(modern, 1L, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // mass reaches exactly marko's 3-hop forward neighborhood
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // nothing points at the source: its rank is the pure restart mass
+    assert(math.abs(pr(1L) - 0.15) < 1e-12)
+    // hand-rolled power iteration (outdeg(1)=3, outdeg(4)=2):
+    // r3(2)=r3(4)=0.85·(0.15/3); r3(5)=0.85·(r2(4)/2) with r2(4)=0.0425
+    assert(math.abs(pr(2L) - 0.0425) < 1e-12)
+    assert(math.abs(pr(4L) - 0.0425) < 1e-12)
+    assert(math.abs(pr(5L) - 0.0180625) < 1e-12)
+    assert(math.abs(pr(3L) - 0.0605625) < 1e-12)
+  }
+
+  test("labelCommunities: bridged cliques keep distinct cores") {
+    // two 4-cliques bridged by a single edge (4, 11)
+    val clique = (s: Long) => for {
+      a <- 0 to 3; b <- a + 1 to 3 } yield (s + a, s + b)
+    val p = pairsDf(clique(1L) ++ clique(11L) :+ (4L, 11L))
+    val out = GraphAlgos.labelCommunities(p, maxSteps = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == (1L to 4L).toSet ++ (11L to 14L).toSet)
+    // the far sides of the bridge never merge into one community
+    val a = Set(1L, 2L, 3L).map(out)
+    val b = Set(12L, 13L, 14L).map(out)
+    assert((a & b).isEmpty, s"cliques collapsed: $out")
+    // deterministic across runs in one session
+    val again = GraphAlgos.labelCommunities(p, maxSteps = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == out)
+  }
+
   test("coOccurrencePairs thresholds shared sources") {
     import spark.implicits._
     // orders 10/11 both contain parts {1,2}; order 12 contains {1,3}
