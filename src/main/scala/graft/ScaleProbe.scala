@@ -52,6 +52,22 @@ object ScaleProbe {
     time("bloomDecontaminate")(operators.CurationOps.bloomDecontaminate(
       docs.filter(col("doc_id") % 10 =!= 0),
       docs.filter(col("doc_id") % 10 === 0)).count())
+    // round-7 document operators (graph ops probe separately: the
+    // co-purchase projection SHRINKS with sf, so 10x docs is the
+    // meaningful axis only for these)
+    time("mixSources")(operators.CurationOps.mixSources(
+      docs.withColumn("source",
+        concat(lit("src"), (col("doc_id") % 20).cast("string"))),
+      weights = Map("src0" -> 2.5, "src1" -> 0.4)).count())
+    time("contaminationSpans")(operators.CurationOps.contaminationSpans(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0)).count())
+    time("tokenizeWithVocab")(
+      operators.TextOps.tokenizeWithVocab(docs, vocabSize = 50).count())
+    time("bpeTrain16+encode") {
+      val merges = operators.TextOps.bpeTrain(docs, numMerges = 16)
+      operators.TextOps.bpeEncode(docs, merges).count()
+    }
 
     val evbase = streaming.EventStreamOps.readEvents(
       spark, "/root/testdata/sf0.1/events.parquet")
