@@ -86,6 +86,24 @@ class OperatorPlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1500))
   }
 
+  test("tokenizeWithVocab: vocab broadcast, per-doc partial agg") {
+    val p = plan(TextOps.tokenizeWithVocab(docs, vocabSize = 50))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("personalizedPageRankPower: equi-joins only, no global sort") {
+    val g = graft.sources.GraphStore.tpch(spark, "/root/testdata/sf0.001")
+    val p = plan(GraphAlgos.personalizedPageRankPower(g, 1L, iters = 3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // SMJ's per-partition sorts print ", false, 0" — only a GLOBAL
+    // sort (", true, 0") would be a scale bug here
+    assert(!p.contains("], true, 0"), "rank iteration must not global-sort")
+  }
+
   test("pqTopK: LUT folds via broadcast equi-join + partial sum") {
     val books = Array.tabulate(8, 4, 8)((_, c, d) => (c * 8 + d).toDouble)
     val embs = spark.read
