@@ -548,17 +548,15 @@ object SparkEntry {
           sources.GraphStore.tpch(spark, sfDir), label = "contains",
           minShared = 2), k = 2, maxRounds = 12)),
     // personalized PageRank from customer 1: fixed 3-iteration power
-    // method -> chained-CTE oracle (pageRankPower's personalized face);
-    // only the positive-rank forward neighborhood is emitted
+    // method -> chained-CTE oracle. FIXED-POINT int64 face: every
+    // contribution is an integral division and every rank a pure
+    // int64 sum, so the compared values are bit-identical across
+    // engines and summation orders — no float boundary can flip a
+    // floor/round (the float variant's floor(rank*1e4) was 1-ulp
+    // fragile once a vertex accumulates multiple contribution paths)
     "graph_ppr" -> ((spark, sfDir) =>
-      operators.GraphAlgos.personalizedPageRankPower(
-        sources.GraphStore.tpch(spark, sfDir), source = 1L, iters = 3)
-        // floor-scaled display: PPR's sparse chains land EXACTLY on
-        // .xxxx5 decimal boundaries (0.85*(0.15/10)=0.01275) where
-        // HALF_UP vs multiply-round disagree across engines; the op
-        // chains themselves are bit-identical, so floor is stable
-        .select(col("id"),
-          floor(col("rank") * 10000).cast("long").as("rank_e4"))),
+      operators.GraphAlgos.personalizedPageRankFixedPoint(
+        sources.GraphStore.tpch(spark, sfDir), source = 1L, iters = 3)),
     // label-propagation communities over the co-purchase projection;
     // engine-seeded labels -> rows-only gate, structural specs
     "graph_communities" -> ((spark, sfDir) =>
@@ -1458,8 +1456,12 @@ object SparkEntry {
           |FROM (SELECT id_a AS v FROM r12 UNION ALL SELECT id_b FROM r12)
           |GROUP BY 1""".stripMargin
     },
-    // the pageRankPower CTE chain with restart mass pinned to id 1;
-    // round(4) absorbs summation-order ulps as in graph_pagerank_power
+    // the pageRankPower CTE chain with restart mass pinned to id 1,
+    // carried in FIXED-POINT int64 (units of 1e-12): per-edge
+    // contribution is `(rank_q * 85) // (100 * d)` — DuckDB's `//`
+    // floor-div and Spark's `div` truncation agree on nonnegative
+    // int64 — and the per-dst sum is integer, so the compared values
+    // are exact whatever the summation order in either engine
     "graph_ppr" ->
       """WITH nodes AS (
         |   SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
@@ -1476,25 +1478,31 @@ object SparkEntry {
         | ed AS (SELECT e.src, e.dst, d.d FROM e JOIN
         |   (SELECT src, count(*) AS d FROM e GROUP BY src) d
         |   ON d.src = e.src),
-        | r0 AS (SELECT id, CAST(CASE WHEN id = 1 THEN 1.0 ELSE 0.0 END
-        |   AS DOUBLE) AS rank FROM nodes),
-        | r1 AS (SELECT n.id, CASE WHEN n.id = 1 THEN 0.15 ELSE 0.0 END
-        |     + 0.85 * coalesce(s.sm, 0.0) AS rank FROM nodes n
-        |   LEFT JOIN (SELECT ed.dst AS id, sum(r0.rank / ed.d) AS sm
+        | r0 AS (SELECT id, CAST(CASE WHEN id = 1
+        |   THEN 1000000000000 ELSE 0 END AS BIGINT) AS rank_q
+        |   FROM nodes),
+        | r1 AS (SELECT n.id, CAST(CASE WHEN n.id = 1
+        |     THEN 150000000000 ELSE 0 END
+        |     + coalesce(s.sm, 0) AS BIGINT) AS rank_q FROM nodes n
+        |   LEFT JOIN (SELECT ed.dst AS id,
+        |     sum((r0.rank_q * 85) // (100 * ed.d)) AS sm
         |     FROM ed JOIN r0 ON r0.id = ed.src GROUP BY ed.dst) s
         |   ON s.id = n.id),
-        | r2 AS (SELECT n.id, CASE WHEN n.id = 1 THEN 0.15 ELSE 0.0 END
-        |     + 0.85 * coalesce(s.sm, 0.0) AS rank FROM nodes n
-        |   LEFT JOIN (SELECT ed.dst AS id, sum(r1.rank / ed.d) AS sm
+        | r2 AS (SELECT n.id, CAST(CASE WHEN n.id = 1
+        |     THEN 150000000000 ELSE 0 END
+        |     + coalesce(s.sm, 0) AS BIGINT) AS rank_q FROM nodes n
+        |   LEFT JOIN (SELECT ed.dst AS id,
+        |     sum((r1.rank_q * 85) // (100 * ed.d)) AS sm
         |     FROM ed JOIN r1 ON r1.id = ed.src GROUP BY ed.dst) s
         |   ON s.id = n.id),
-        | r3 AS (SELECT n.id, CASE WHEN n.id = 1 THEN 0.15 ELSE 0.0 END
-        |     + 0.85 * coalesce(s.sm, 0.0) AS rank FROM nodes n
-        |   LEFT JOIN (SELECT ed.dst AS id, sum(r2.rank / ed.d) AS sm
+        | r3 AS (SELECT n.id, CAST(CASE WHEN n.id = 1
+        |     THEN 150000000000 ELSE 0 END
+        |     + coalesce(s.sm, 0) AS BIGINT) AS rank_q FROM nodes n
+        |   LEFT JOIN (SELECT ed.dst AS id,
+        |     sum((r2.rank_q * 85) // (100 * ed.d)) AS sm
         |     FROM ed JOIN r2 ON r2.id = ed.src GROUP BY ed.dst) s
         |   ON s.id = n.id)
-        |SELECT id, CAST(floor(rank * 10000) AS BIGINT) AS rank_e4
-        |FROM r3 WHERE rank > 0""".stripMargin,
+        |SELECT id, rank_q FROM r3 WHERE rank_q > 0""".stripMargin,
     "graph_clustering" ->
       """WITH ce AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
         |    l_partkey AS p FROM lineitem),

@@ -204,6 +204,51 @@ object GraphAlgos {
   }
 
   /**
+   * [[personalizedPageRankPower]] in FIXED-POINT integer arithmetic:
+   * ranks are carried as int64 multiples of `1/scale` and every
+   * per-edge contribution is an integral division
+   * (`rank_q * 85 div (100 * deg)`, all nonnegative), so each round is
+   * pure int64 — addition is associative, which makes the result
+   * independent of Spark's partial-aggregation order AND bit-identical
+   * across engines (the cross-engine float-parity invariant: a float
+   * restart-plus-weighted-sum can land within 1 ulp of a display
+   * boundary and flip floor/round between Spark and the oracle; an
+   * integer sum cannot). Quantization truncates ≤ 1/scale per edge per
+   * round — at the default scale 10¹² that is noise for any ranking
+   * use — and the gate face compares these exact integers directly.
+   * Overflow-safe: total mass ≤ scale, so `rank_q * 85 ≤ 8.5e13` and
+   * `100 * deg` fits comfortably in int64.
+   * Output: `(id, rank_q)` for vertices with positive quantized rank.
+   */
+  def personalizedPageRankFixedPoint(g: GraphStore, source: Long,
+                                     iters: Int = 3,
+                                     scale: Long = 1000000000000L)
+      : DataFrame = {
+    require(scale % 100 == 0, "scale must be divisible by 100 so the " +
+      "0.15 restart and 0.85 damping terms are exact integers")
+    val edges = g.edges.select(col("src"), col("dst"))
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val withDeg = edges.join(outDeg, "src")
+    var ranks = g.vertices.select(col("id"),
+      when(col("id") === source, lit(scale)).otherwise(lit(0L))
+        .cast("long").as("rank_q"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          expr("(rank_q * 85) div (100 * __deg)").as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__sum"))
+      ranks = g.vertices.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("id") === source, lit(scale / 100 * 15))
+            .otherwise(lit(0L)) + coalesce(col("__sum"), lit(0L)))
+            .cast("long").as("rank_q"))
+    }
+    ranks.filter(col("rank_q") > 0)
+  }
+
+  /**
    * Label-propagation communities over an undirected edge list
    * (`id_a`, `id_b` — [[coOccurrencePairs]] output shape): every
    * vertex starts as its own label, then adopts its neighbors'
@@ -509,30 +554,41 @@ object GraphAlgos {
    */
   def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 12,
             requireConverged: Boolean = true): DataFrame = {
+    def peel(in: DataFrame): DataFrame = {
+      val keep = in.select(col("id_a").as("id"))
+        .union(in.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("id"))
+      in.join(keep.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(keep.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+    }
     var e = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     var prev = e.count()
     var round = 0
     var converged = prev == 0L
     while (!converged && round < maxRounds) {
-      val keep = e.select(col("id_a").as("id"))
-        .union(e.select(col("id_b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("__d"))
-        .filter(col("__d") >= k).select(col("id"))
-      val next = e
-        .join(keep.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
-        .join(keep.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
-        .select(col("id_a"), col("id_b"))
-        .localCheckpoint()
+      val next = peel(e)
       val n = next.count()
       converged = n == prev || n == 0L
       prev = n
       e = next
       round += 1
     }
-    if (!converged && requireConverged)
-      throw new IllegalStateException(
-        s"kCore(k=$k) did not converge in $maxRounds rounds — a " +
-        s"$maxRounds-round unrolled oracle would diverge")
+    if (!converged && requireConverged) {
+      // One extra CERTIFICATION round before failing: a peel chain that
+      // shrank on every round can still reach the fixpoint exactly at
+      // round maxRounds, and peeling is monotone, so a no-op round here
+      // proves `e` — the maxRounds-round set the unrolled oracle
+      // describes — is already final. The extra round is check-only;
+      // the returned set is `e` either way it passes.
+      converged = peel(e).count() == prev
+      if (!converged)
+        throw new IllegalStateException(
+          s"kCore(k=$k) did not converge in $maxRounds rounds — a " +
+          s"$maxRounds-round unrolled oracle would diverge")
+    }
     e.select(col("id_a").as("id")).union(e.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
   }

@@ -369,11 +369,18 @@ object SimilarityOps {
    * m LUT lookups + one partial-aggregable sum — never a dim-wide dot
    * product — which is the whole point of PQ at scale. Top-k by
    * (distance asc, neighbor_id) through the standard window.
+   *
+   * The LUT is q·m·k rows, so the `broadcastLut` hint (default on) is
+   * right only for bounded query batches — it grows linearly in the
+   * query count and a huge batch would blow the broadcast/driver
+   * limits. Rule of thumb: keep q·m·k under ~10⁷ rows (q ≲ 10⁵ at the
+   * default m=8,k=16); above that pass `broadcastLut = false` so AQE
+   * picks the join side/strategy from runtime stats instead.
    */
   def pqTopK(queries: DataFrame, corpus: DataFrame,
              books: Array[Array[Array[Double]]],
              idCol: String = "vec_id", vecCol: String = "embedding",
-             k: Int = 10): DataFrame = {
+             k: Int = 10, broadcastLut: Boolean = true): DataFrame = {
     graft.functions.VectorExpressions.register(queries.sparkSession)
     val spark = queries.sparkSession
     val m = books.length
@@ -388,7 +395,8 @@ object SimilarityOps {
     val codes = pqEncode(corpus, books, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"),
         posexplode(col("codes")).as(Seq("__sub", "__code")))
-    codes.join(broadcast(lut), Seq("__sub", "__code"))
+    codes.join(if (broadcastLut) broadcast(lut) else lut,
+        Seq("__sub", "__code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__d")).as("__dist"))

@@ -248,6 +248,22 @@ class GraphAlgosSpec extends SparkSpec {
     assert(GraphAlgos.kCore(chain, k = 2, maxRounds = 30).count() == 0L)
   }
 
+  test("kCore: fixpoint reached exactly at maxRounds certifies, not throws") {
+    // triangle + 3-edge pendant chain: rounds 1..3 each strip one chain
+    // edge (the count shrinks EVERY round), and the set after round 3
+    // is already the 2-core — the extra certification round must prove
+    // that instead of failing at the boundary
+    val p = pairsDf(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)))
+    val core = GraphAlgos.kCore(p, k = 2, maxRounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round short of the fixpoint still fails loudly
+    intercept[IllegalStateException] {
+      GraphAlgos.kCore(p, k = 2, maxRounds = 2)
+    }
+  }
+
   test("clusteringCoefficients: hand-checked wheel and chain") {
     // triangle + pendant: 1,2 have coeff 1 (their only pair closes);
     // 3 has degree 3 with one closed pair of three -> 1/3
@@ -280,6 +296,28 @@ class GraphAlgosSpec extends SparkSpec {
     assert(math.abs(pr(4L) - 0.0425) < 1e-12)
     assert(math.abs(pr(5L) - 0.0180625) < 1e-12)
     assert(math.abs(pr(3L) - 0.0605625) < 1e-12)
+  }
+
+  test("personalizedPageRankFixedPoint: exact int64 ranks, no float") {
+    val pr = GraphAlgos.personalizedPageRankFixedPoint(modern, 1L,
+      iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // hand-rolled in units of 1e-12 with per-edge integral division:
+    // source keeps the pure restart 0.15·1e12; 2 and 4 get
+    // (15e10·85) div 300; 5 gets (42.5e9·85) div 200; 3 sums both
+    // paths — exactly the float test's chain, floor-quantized
+    assert(pr(1L) == 150000000000L)
+    assert(pr(2L) == 42500000000L)
+    assert(pr(4L) == 42500000000L)
+    assert(pr(5L) == 18062500000L)
+    assert(pr(3L) == 60562500000L)
+    // quantization stays within 1 unit-in-the-last-digit of the float
+    // chain on every vertex (here the chain divides exactly)
+    val fl = GraphAlgos.personalizedPageRankPower(modern, 1L, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    pr.foreach { case (id, q) =>
+      assert(math.abs(q - fl(id) * 1e12) <= 8.0, s"vertex $id drifted") }
   }
 
   test("labelCommunities: bridged cliques keep distinct cores") {

@@ -102,6 +102,11 @@ class OperatorPlanSpec extends SparkSpec {
     // SMJ's per-partition sorts print ", false, 0" — only a GLOBAL
     // sort (", true, 0") would be a scale bug here
     assert(!p.contains("], true, 0"), "rank iteration must not global-sort")
+    // the fixed-point gate face keeps the identical shape
+    val q = plan(GraphAlgos.personalizedPageRankFixedPoint(g, 1L, iters = 3))
+    assert(!q.contains("CartesianProduct") &&
+      !q.contains("BroadcastNestedLoopJoin"), q.take(1500))
+    assert(!q.contains("], true, 0"), "rank iteration must not global-sort")
   }
 
   test("pqTopK: LUT folds via broadcast equi-join + partial sum") {
