@@ -493,6 +493,18 @@ object SparkEntry {
     "dedup_substrings" -> ((spark, sfDir) =>
       operators.DedupOps.dedupSubstrings(docs(spark, sfDir),
         windowTokens = 8)),
+    // suffix-array-grade report: every maximal token run covered by a
+    // ≥8-token substring occurring twice anywhere in the corpus, at
+    // arbitrary alignment; spans sliced from the original text
+    "dedup_suffix_spans" -> ((spark, sfDir) =>
+      operators.DedupOps.repeatedSpans(docs(spark, sfDir),
+        minTokens = 8)),
+    // ExactSubstr strip-ALL-occurrences dedup over the same spans (no
+    // first-occurrence exemption — dedup_substrings is the keep-first
+    // face)
+    "dedup_suffix" -> ((spark, sfDir) =>
+      operators.DedupOps.dedupSuffix(docs(spark, sfDir),
+        minTokens = 8)),
     // per-dimension embedding normalization stats (dim-bounded reduce)
     "embed_stats" -> ((spark, sfDir) =>
       operators.SimilarityOps.embedStats(embs(spark, sfDir))),
@@ -1327,6 +1339,59 @@ object SparkEntry {
         |  OVER (PARTITION BY wh ORDER BY doc_id, wpos) AS rn FROM wins),
         |cov AS (SELECT DISTINCT doc_id, wpos + o AS pos
         |  FROM (SELECT doc_id, wpos FROM rk WHERE rn > 1),
+        |    unnest(generate_series(1, 8)) AS u(o)),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |  generate_subscripts(w, 1) AS pos FROM t),
+        |kept AS (SELECT k.doc_id, k.tok, k.pos FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |    WHERE cov.doc_id = k.doc_id AND cov.pos = k.pos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |  count(*) AS kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.text, '') AS text,
+        |  CAST(coalesce(agg.kept, 0) AS BIGINT) AS kept,
+        |  CAST(len(t.w) - coalesce(agg.kept, 0) AS BIGINT) AS dropped
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+    // maximal runs of positions covered by duplicated 8-token windows
+    // (count >= 2 corpus-wide, NO first-occurrence exemption), merged
+    // while starts are <= 8 apart (adjacent coverage is contiguous);
+    // span text sliced from the token array exactly as the Spark side
+    "dedup_suffix_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |wins AS (SELECT doc_id, CAST(s AS BIGINT) AS wpos,
+        |  md5(array_to_string(
+        |    w[CAST(s + 1 AS INTEGER):CAST(s + 8 AS INTEGER)], ' ')) AS wh
+        |  FROM t, unnest(generate_series(0, CAST(len(w) - 8 AS BIGINT)))
+        |    AS g(s)),
+        |dh AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, wpos FROM wins JOIN dh USING (wh)),
+        |m AS (SELECT doc_id, wpos, CASE WHEN
+        |    lag(wpos) OVER (PARTITION BY doc_id ORDER BY wpos) IS NULL
+        |    OR wpos > lag(wpos) OVER (PARTITION BY doc_id ORDER BY wpos)
+        |      + 8 THEN 1 ELSE 0 END AS nr FROM d),
+        |r AS (SELECT doc_id, wpos, sum(nr) OVER (PARTITION BY doc_id
+        |    ORDER BY wpos ROWS UNBOUNDED PRECEDING) AS run FROM m),
+        |runs AS (SELECT doc_id, min(wpos) AS s, max(wpos) AS e
+        |  FROM r GROUP BY doc_id, run)
+        |SELECT runs.doc_id, CAST(s AS BIGINT) AS span_start,
+        |  CAST(e - s + 8 AS BIGINT) AS span_tokens,
+        |  array_to_string(
+        |    w[CAST(s + 1 AS INTEGER):CAST(e + 8 AS INTEGER)], ' ')
+        |    AS span_text
+        |FROM runs JOIN t ON runs.doc_id = t.doc_id""".stripMargin,
+    // strip-ALL variant: every position covered by any duplicated
+    // window drops, both/all copies included
+    "dedup_suffix" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |wins AS (SELECT doc_id, CAST(s AS BIGINT) AS wpos,
+        |  md5(array_to_string(
+        |    w[CAST(s + 1 AS INTEGER):CAST(s + 8 AS INTEGER)], ' ')) AS wh
+        |  FROM t, unnest(generate_series(0, CAST(len(w) - 8 AS BIGINT)))
+        |    AS g(s)),
+        |dh AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, wpos + o AS pos
+        |  FROM (SELECT doc_id, wpos FROM wins JOIN dh USING (wh)),
         |    unnest(generate_series(1, 8)) AS u(o)),
         |tok AS (SELECT doc_id, unnest(w) AS tok,
         |  generate_subscripts(w, 1) AS pos FROM t),

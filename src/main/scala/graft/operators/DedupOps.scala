@@ -503,41 +503,65 @@ object DedupOps {
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val k = windowTokens
-    val t = df.select(col(idCol), split(trim(col(textCol)), " ").as("__w"))
-    val wins = t.filter(size(col("__w")) >= k).select(col(idCol),
-        explode(transform(sequence(lit(0), size(col("__w")) - k),
-          s => struct(s.as("wpos"),
-            md5(array_join(slice(col("__w"), s + 1, lit(k)), " "))
-              .as("wh")))).as("__x"))
-      .select(col(idCol), col("__x.wpos").as("__wpos"),
-        col("__x.wh").as("__wh"))
+    val wins = tokenWindows(df, k, idCol, textCol)
     val firsts = wins.groupBy(col("__wh"))
       .agg(min(struct(col(idCol), col("__wpos"))).as("__f"))
       .select(col("__wh"), col("__f").getField(idCol).as("__fid"),
         col("__f").getField("__wpos").as("__fpos"))
     val dups = wins.join(firsts, "__wh")
       .filter(col(idCol) =!= col("__fid") || col("__wpos") =!= col("__fpos"))
-    // merge each doc's duplicate windows into DISJOINT runs before
-    // expanding to covered positions: inside a long duplicated span
-    // every token is covered by up to k overlapping windows, so a
-    // naive explode+distinct carries a k× duplicated shuffle. A window
-    // starts a new run iff it begins past the previous window's last
-    // covered token (prev + k - 1); runs then expand to exactly the
-    // dropped positions, no distinct needed. The window function runs
-    // over duplicate windows only — already bounded by the dup mass.
+    val covered = mergeRuns(dups, k, idCol, gap = k - 1)
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__end") + (k - 1)))
+          .as("__pos"))
+    cutCovered(df, covered, idCol, textCol)
+  }
+
+  /** Stride-1 overlapping `k`-token window keys per (doc, window
+    * start): `(idCol, __wpos, __wh)`. Window keys travel as md5
+    * digests (32 chars) so shuffle width is constant in `k`; md5 is
+    * engine-universal, so grouping is identical in SQL oracles. */
+  private def tokenWindows(df: DataFrame, k: Int, idCol: String,
+                           textCol: String): DataFrame =
+    df.select(col(idCol), split(trim(col(textCol)), " ").as("__w"))
+      .filter(size(col("__w")) >= k).select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__w")) - k),
+          s => struct(s.as("wpos"),
+            md5(array_join(slice(col("__w"), s + 1, lit(k)), " "))
+              .as("wh")))).as("__x"))
+      .select(col(idCol), col("__x.wpos").as("__wpos"),
+        col("__x.wh").as("__wh"))
+
+  /** Merge each doc's matched window starts into DISJOINT runs before
+    * any per-position expansion: inside a long duplicated span every
+    * token is covered by up to k overlapping windows, so a naive
+    * explode+distinct carries a k× duplicated shuffle. A window starts
+    * a new run iff it begins more than `gap` past the previous start
+    * (`gap = k-1`: strictly-overlapping coverage; `gap = k`: adjacent
+    * windows also merge, giving contiguous covered text one maximal
+    * run). The window function runs over matched windows only —
+    * already bounded by the dup mass. Output `(idCol, __start, __end)`
+    * with `__end` the run's LAST window start (last covered token is
+    * `__end + k - 1`). */
+  private def mergeRuns(matched: DataFrame, k: Int, idCol: String,
+                        gap: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__wpos"))
-    val covered = dups.select(col(idCol), col("__wpos"))
+    matched.select(col(idCol), col("__wpos"))
       .withColumn("__prev", lag(col("__wpos"), 1).over(byDoc))
       .withColumn("__newRun",
-        (col("__prev").isNull || col("__wpos") > col("__prev") + (k - 1))
+        (col("__prev").isNull || col("__wpos") > col("__prev") + gap)
           .cast("int"))
       .withColumn("__run", sum(col("__newRun")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("__run"))
       .agg(min(col("__wpos")).as("__start"), max(col("__wpos")).as("__end"))
-      .select(col(idCol),
-        explode(sequence(col("__start"), col("__end") + (k - 1)))
-          .as("__pos"))
+  }
+
+  /** Drop `covered` `(idCol, __pos)` token positions from every doc
+    * and re-assemble the survivors in original order; docs losing all
+    * tokens stay with empty text. `(idCol, text, kept, dropped)`. */
+  private def cutCovered(df: DataFrame, covered: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       posexplode(split(trim(col(textCol)), " ")).as(Seq("__pos", "__tok")))
     val kept = toks.join(covered, Seq(idCol, "__pos"), "left_anti")
@@ -551,6 +575,70 @@ object DedupOps {
       .select(col(idCol), coalesce(col("text"), lit("")).as("text"),
         coalesce(col("kept"), lit(0L)).as("kept"),
         (col("__n") - coalesce(col("kept"), lit(0L))).as("dropped"))
+  }
+
+  /**
+   * Maximal repeated spans — the suffix-array guarantee (Lee et al.,
+   * "Deduplicating Training Data Makes Language Models Better")
+   * expressed Spark-first: report, per document, every maximal token
+   * run covered by SOME substring of ≥ `minTokens` tokens that occurs
+   * at least twice corpus-wide (any document, any alignment;
+   * self-repeats count). The window face makes this exact without a
+   * suffix array: a substring of length ≥ k repeats iff each of its
+   * stride-1 k-windows repeats at the aligned offset, so the union of
+   * `[p, p+k)` over duplicated window starts `p` is EXACTLY the text
+   * covered by repeated substrings ≥ k — found at arbitrary alignment
+   * because every start offset has its own window. Adjacent and
+   * overlapping matches merge (`gap = k`) into maximal runs, so each
+   * output row is one maximal repeated region, with its text sliced
+   * from the original (never reassembled from hashes).
+   *
+   * Scale: one corpus-wide count per md5 window key (partial-agg),
+   * one equi-join back, one bounded window function over matched
+   * windows only. Every shuffle is on the window key or doc id.
+   * Output: `(idCol, span_start, span_tokens, span_text)` —
+   * `span_start` 0-based in tokens.
+   */
+  def repeatedSpans(df: DataFrame, minTokens: Int = 50,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val k = minTokens
+    val wins = tokenWindows(df, k, idCol, textCol)
+    val dupKeys = wins.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+      .select(col("__wh"))
+    val runs = mergeRuns(wins.join(dupKeys, "__wh"), k, idCol, gap = k)
+    val t = df.select(col(idCol), split(trim(col(textCol)), " ").as("__w"))
+    runs.join(t, idCol)
+      .select(col(idCol), col("__start").cast("long").as("span_start"),
+        (col("__end") - col("__start") + k).cast("long").as("span_tokens"),
+        array_join(slice(col("__w"), col("__start") + 1,
+          col("__end") - col("__start") + lit(k)), " ").as("span_text"))
+  }
+
+  /**
+   * ExactSubstr-style dedup: strip EVERY occurrence of every repeated
+   * substring ≥ `minTokens` tokens (the Lee-et-al default — no
+   * first-occurrence exemption; [[dedupSubstrings]] is the keep-first
+   * variant). Covered regions are [[repeatedSpans]]' maximal runs;
+   * survivors re-assemble in original order. The production shape for
+   * "no memorized span survives anywhere" guarantees (e.g. benchmark
+   * decontamination where both sides must lose the span).
+   * Output: `(idCol, text, kept, dropped)`.
+   */
+  def dedupSuffix(df: DataFrame, minTokens: Int = 50,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val k = minTokens
+    val wins = tokenWindows(df, k, idCol, textCol)
+    val dupKeys = wins.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+      .select(col("__wh"))
+    val covered = mergeRuns(wins.join(dupKeys, "__wh"), k, idCol, gap = k)
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__end") + (k - 1)))
+          .as("__pos"))
+    cutCovered(df, covered, idCol, textCol)
   }
 
   /**

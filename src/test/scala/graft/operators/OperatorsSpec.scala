@@ -932,6 +932,98 @@ class OperatorsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("dedupSuffix/repeatedSpans: arbitrary alignment, strip all copies") {
+    import spark.implicits._
+    val span = (1 to 12).map(i => s"s$i").mkString(" ") // 12-token span
+    val df = Seq(
+      (1L, s"a b $span c d"),          // span at offset 2
+      (2L, s"x $span y z q r t u v"),  // same span at offset 1
+      (3L, "u v w")                    // too short for any window
+    ).toDF("doc_id", "text")
+    // spans: each copy is reported as ONE maximal 12-token run at its
+    // own alignment, text sliced from the original
+    val spans = DedupOps.repeatedSpans(df, minTokens = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(spans(1L) == ((2L, 12L, span)))
+    assert(spans(2L) == ((1L, 12L, span)))
+    assert(!spans.contains(3L))
+    // strip-all: BOTH copies lose the span (dedupSubstrings would
+    // exempt doc 1's first occurrence)
+    val out = DedupOps.dedupSuffix(df, minTokens = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d", 4L, 12L)))
+    assert(out(2L) == (("x y z q r t u v", 8L, 12L)))
+    assert(out(3L) == (("u v w", 3L, 0L)))
+    // two repeats OVERLAPPING inside one doc merge into one maximal
+    // run: "alpha" block and "beta" block share 4 tokens in doc 20
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val ov = Seq(
+      (20L, s"$a $b tail1 tail2"),
+      (21L, s"pre1 pre2 $a end"),
+      (22L, s"$b fin")).toDF("doc_id", "text")
+    val so = DedupOps.repeatedSpans(ov, minTokens = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 20: a-block [0,10) and b-block [10,20) coverage is
+    // contiguous -> ONE maximal 20-token span
+    assert(so.contains((20L, 0L, 20L)), so)
+    assert(so.count(_._1 == 20L) == 1, so)
+  }
+
+  test("dedupSuffix/repeatedSpans equal a driver-side reference model") {
+    val k = 8
+    val rows = docs.limit(120).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // window-content counts over the whole (sub)corpus, no exemption
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    rows.foreach { case (_, text) =>
+      val w = text.trim.split(" ")
+      for (s <- 0 to w.length - k)
+        counts(w.slice(s, s + k).mkString(" ")) =
+          counts.getOrElse(w.slice(s, s + k).mkString(" "), 0) + 1
+    }
+    val expectCut = rows.map { case (id, text) =>
+      val w = text.trim.split(" ")
+      val covered = Array.fill(w.length)(false)
+      for (s <- 0 to w.length - k)
+        if (counts(w.slice(s, s + k).mkString(" ")) >= 2)
+          (s until s + k).foreach(covered(_) = true)
+      val kept = w.indices.filterNot(covered).map(w)
+      id -> ((kept.mkString(" "), kept.size.toLong,
+        (w.length - kept.size).toLong))
+    }.toMap
+    val outCut = DedupOps.dedupSuffix(docs.limit(120), minTokens = k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(outCut == expectCut)
+    // spans = maximal covered runs of the same model
+    val expectSpans = rows.flatMap { case (id, text) =>
+      val w = text.trim.split(" ")
+      val covered = Array.fill(w.length)(false)
+      for (s <- 0 to w.length - k)
+        if (counts(w.slice(s, s + k).mkString(" ")) >= 2)
+          (s until s + k).foreach(covered(_) = true)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < w.length) {
+        if (covered(i)) {
+          var j = i; while (j + 1 < w.length && covered(j + 1)) j += 1
+          runs += ((i, j)); i = j + 1
+        } else i += 1
+      }
+      runs.map { case (s, e) => (id, s.toLong, (e - s + 1).toLong,
+        w.slice(s, e + 1).mkString(" ")) }
+    }.toSet
+    val outSpans = DedupOps.repeatedSpans(docs.limit(120), minTokens = k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(outSpans == expectSpans)
+  }
+
   test("compressionRatio orders repetitive < prose < noise") {
     import spark.implicits._
     val rep = Array.fill(200)("the cat sat").mkString(" ")
