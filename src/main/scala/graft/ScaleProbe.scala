@@ -68,6 +68,10 @@ object ScaleProbe {
       val merges = operators.TextOps.bpeTrain(docs, numMerges = 16)
       operators.TextOps.bpeEncode(docs, merges).count()
     }
+    // deep-merge training rides the driver fast path: one Spark job to
+    // build the word table, then the in-process incremental loop
+    time("bpeTrain256")(
+      operators.TextOps.bpeTrain(docs, numMerges = 256).length.toLong)
 
     val evbase = streaming.EventStreamOps.readEvents(
       spark, "/root/testdata/sf0.1/events.parquet")

@@ -332,9 +332,25 @@ object TextOps {
    * non-consuming boundary lookarounds — left-to-right greedy,
    * matching the BPE merge pass. Each round localCheckpoints (the
    * iterative-loop invariant). Returns merges in rank order.
+   *
+   * Per-MERGE scaling: the distributed loop costs ~2 Spark jobs per
+   * merge, which is fine for data scale but pathological for a real
+   * 32k-merge tokenizer run (~64k sequential jobs of pure scheduler
+   * overhead). Since the word-frequency table is bounded by DISTINCT
+   * words — corpus-size-independent, and small in practice — when it
+   * has ≤ `driverSideLimit` rows it is collected ONCE (a single job)
+   * and the merge loop runs in-process with incrementally-maintained
+   * pair counts (the Sennrich reference trainer's structure),
+   * producing the IDENTICAL merge sequence: same frequency-weighted
+   * counts, same (count desc, pair asc) tiebreak compared as UTF-8
+   * bytes (Spark orders strings by binary UTF-8, which differs from
+   * Java's UTF-16 compareTo above the BMP), same left-to-right
+   * non-overlapping merge application. Corpora whose distinct-word
+   * table exceeds the limit fall back to the distributed loop.
    */
   def bpeTrain(df: DataFrame, numMerges: Int,
-               textCol: String = "text"): Seq[(String, String)] = {
+               textCol: String = "text",
+               driverSideLimit: Long = 1000000L): Seq[(String, String)] = {
     var wf = df.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("f"))
@@ -342,6 +358,11 @@ object TextOps {
       .select(expr("concat_ws(' ', transform(sequence(1, length(w))," +
         " i -> substring(w, i, 1)))").as("w"), col("f"))
       .localCheckpoint()
+    if (wf.count() <= driverSideLimit) {
+      val words = wf.collect().map(r =>
+        (r.getString(0).split(" "), r.getLong(1)))
+      return bpeTrainInProcess(words, numMerges)
+    }
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.size < numMerges) {
@@ -368,6 +389,88 @@ object TextOps {
         wf = wf
           .select(regexp_replace(col("w"), pat, rep).as("w"), col("f"))
           .localCheckpoint()
+      }
+    }
+    merges.toList
+  }
+
+  /** Unsigned lexicographic comparison of UTF-8 bytes — Spark's (and
+    * DuckDB's) string ordering, which Java's UTF-16 `compareTo`
+    * diverges from for supplementary characters. */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The in-process BPE merge loop over a collected word-frequency
+    * table: pair counts are maintained INCREMENTALLY (only words
+    * containing the winning pair are re-scanned, found through a
+    * lazily-validated pair→word index), so 32k merges cost minutes of
+    * CPU, not 64k Spark jobs. Merge selection and application are
+    * bit-compatible with the distributed loop (see [[bpeTrain]]). */
+  private def bpeTrainInProcess(words: Array[(Array[String], Long)],
+                                numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val syms = words.map(_._1.toBuffer)
+    val freq = words.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // pair → word indices that contained the pair when last scanned;
+    // entries go stale after merges and are re-validated on use
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def tally(i: Int, sign: Long): Unit = {
+      val s = syms(i); val f = freq(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * f
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L) index.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(tally(_, 1L))
+    val merges = mutable.ListBuffer.empty[(String, String)]
+    while (merges.size < numMerges && counts.nonEmpty) {
+      var best: (String, String) = null
+      var bc = Long.MinValue
+      counts.foreach { case (p, c) =>
+        if (c > bc || (c == bc && (utf8Less(p._1, best._1) ||
+            (p._1 == best._1 && utf8Less(p._2, best._2))))) {
+          best = p; bc = c
+        }
+      }
+      merges += best
+      val (a, b) = best
+      val touched = index.remove(best).getOrElse(mutable.Set.empty)
+      touched.foreach { i =>
+        val s = syms(i)
+        var has = false
+        var j = 0
+        while (!has && j < s.length - 1) {
+          if (s(j) == a && s(j + 1) == b) has = true
+          j += 1
+        }
+        if (has) {
+          tally(i, -1L)
+          // left-to-right non-overlapping, as the regexp pass
+          val out = mutable.ArrayBuffer.empty[String]
+          j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += s(j); j += 1 }
+          }
+          syms(i) = out
+          tally(i, 1L)
+        }
       }
     }
     merges.toList

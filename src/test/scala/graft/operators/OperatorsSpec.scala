@@ -1350,6 +1350,32 @@ class OperatorsSpec extends SparkSpec {
     assert(enc == ((4L, 6L))) // a$, a$, x + \y, x + \y
   }
 
+  test("bpeTrain: driver fast path equals the distributed loop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "low low low lower lower newest newest widest"),
+      (2L, "newest widest low wider wide wide"),
+      (3L, "a$ x\\y a$ x\\y banana bandana")).toDF("doc_id", "text")
+    // driverSideLimit=0 forces the distributed regexp_replace loop;
+    // the default collects the word table and merges in-process —
+    // sequences must be IDENTICAL merge for merge
+    val distributed = TextOps.bpeTrain(df, numMerges = 12,
+      driverSideLimit = 0L)
+    val driver = TextOps.bpeTrain(df, numMerges = 12)
+    assert(driver == distributed)
+    // both stop at pair exhaustion the same way
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(tiny, numMerges = 10, driverSideLimit = 0L) ==
+      TextOps.bpeTrain(tiny, numMerges = 10))
+    // the fast path makes deep-merge runs cheap: corpus-scale check
+    // rides ScaleProbe; here prove it trains deep (the 200-doc fixture
+    // exhausts at 89 merges — stopping there, with no repeats, is the
+    // exhaustion semantics shared with the distributed loop)
+    val deep = TextOps.bpeTrain(docs.limit(200), numMerges = 256)
+    assert(deep.size == 89, s"got ${deep.size}")
+    assert(deep.distinct.size == deep.size) // no merge repeats
+  }
+
   test("bpeEncode applies merges by rank; counts reconcile") {
     import spark.implicits._
     val corpus = Seq((1L, "low low low lower lower newest newest"))
