@@ -210,6 +210,38 @@ object SparkEntry {
       operators.SimilarityOps.pqTopK(
         e.filter(col("vec_id") < 10), e, pqModel(spark, sfDir), k = 5)
     }),
+    // recall-floor gates: per query, the approximate method must
+    // retrieve >= floor of the exact top-5 — an oracle-checkable
+    // CORRECTNESS face for quality (the methods themselves stay
+    // rows-only by nature). Floors sit with margin below the measured
+    // per-query minimum at the verified sf (lsh min 3, ivf@nprobe8
+    // min 2, pq+rerank50 min 2).
+    "ann_recall_lsh" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      operators.SimilarityOps.recallAtK(
+        operators.SimilarityOps.lshTopK(q, e, k = 5),
+        operators.SimilarityOps.bruteForceTopK(q, e, k = 5),
+        k = 5, floor = 2)
+    }),
+    "ann_recall_ivf" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      operators.SimilarityOps.recallAtK(
+        operators.SimilarityOps.ivfTopK(q, e, ivfModel(spark, sfDir),
+          nprobe = 8, k = 5),
+        operators.SimilarityOps.bruteForceTopK(q, e, k = 5),
+        k = 5, floor = 1)
+    }),
+    "ann_recall_pq" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      operators.SimilarityOps.recallAtK(
+        operators.SimilarityOps.pqRerank(q, e, pqModel(spark, sfDir),
+          k = 5, shortlist = 50),
+        operators.SimilarityOps.bruteForceTopK(q, e, k = 5),
+        k = 5, floor = 1)
+    }),
     // synthesize REAL PNG bytes per doc, then PARSE their headers back
     // (pure-JVM IHDR decode in mapPartitions batches); the oracle
     // recomputes what the parser must extract from the synthesis math
@@ -921,6 +953,21 @@ object SparkEntry {
          |r AS (SELECT query_id, neighbor_id, ab/(sqrt(aa)*sqrt(bb)) AS cos,
          |  row_number() OVER (PARTITION BY query_id ORDER BY ab/(sqrt(aa)*sqrt(bb)) DESC, neighbor_id) AS rank FROM d)
          |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    // the recall gates assert "every query meets its floor": the
+    // oracle is the constant all-ones table over the query set, so a
+    // dropped query (rows) or a floor miss (hash) fails the row
+    "ann_recall_lsh" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(2 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "ann_recall_ivf" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "ann_recall_pq" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "multimodal_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) + 57 AS BIGINT) AS bytes, " +
         "CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width, " +

@@ -407,6 +407,70 @@ object SimilarityOps {
         round(col("__dist"), 4).as("pq_dist"), col("rank"))
   }
 
+  /**
+   * PQ search with exact re-ranking — the production PQ shape: an ADC
+   * shortlist of `shortlist` candidates per query ([[pqTopK]]'s
+   * LUT-folded scan, never a dim-wide dot product corpus-wide), then
+   * the TRUE cosine on only those q·shortlist pairs, top-`k`. Recall
+   * approaches exact as `shortlist`/`k` grows while full vectors are
+   * touched for a per-query CONSTANT number of rows — at 100 TB the
+   * corpus is scanned as m-byte codes and the expensive kernel runs on
+   * a bounded candidate set (the standard IVF-ADC+rerank deployment).
+   * Output matches [[bruteForceTopK]]: `(query_id, neighbor_id,
+   * cosine, rank)`.
+   */
+  def pqRerank(queries: DataFrame, corpus: DataFrame,
+               books: Array[Array[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               k: Int = 10, shortlist: Int = 100): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val cand = pqTopK(queries, corpus, books, idCol, vecCol,
+        k = shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
+    cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /**
+   * Recall-floor gate face: per query, whether an approximate top-k
+   * (`approx`) retrieved at least `floor` of the exact top-k
+   * (`exact`) — both in the `(query_id, neighbor_id, …)` shape. Emits
+   * one row PER QUERY of the exact side (a query the approximate
+   * method dropped entirely — empty bucket, unprobed cell — surfaces
+   * as `meets_floor = 0`, it cannot vanish), so the driver's
+   * rows+hash comparison against the constant all-ones oracle turns
+   * "every query meets the recall floor" into a CORRECTNESS row even
+   * though the approximate methods themselves are not
+   * SQL-expressible. Floors are set with margin below the measured
+   * per-query minimum: hit counts are deterministic per
+   * (data, seedless fit), and the margin absorbs the ±1 a float
+   * partial-aggregation ulp could flip near a rank boundary.
+   * Output: `(query_id, k, floor, meets_floor)`.
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+                floor: Int): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k).cast("long").as("k"),
+        lit(floor).cast("long").as("floor"),
+        (coalesce(col("__hits"), lit(0L)) >= floor).cast("long")
+          .as("meets_floor"))
+  }
+
   /** Sign-bit LSH bucket id from `nBits` fixed hyperplanes; `table`
     * selects an independent plane family. Single-table convenience
     * around the fused [[signBuckets]] kernel (bit-identical planes from

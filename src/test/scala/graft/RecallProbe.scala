@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Test-scope probe: per-query ANN hit counts vs brute force at a
+  * given sfDir, in the three recall-gate configurations — used to
+  * pick (and re-check) the gates' safe floors. Floors must sit with
+  * margin below the minimum printed here at the driver's verify sf. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = operators.SimilarityOps.bruteForceTopK(q, e, k = 5)
+      .select("query_id", "neighbor_id").cache()
+    def hits(name: String, approx: org.apache.spark.sql.DataFrame): Unit = {
+      val h = exact.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      println(s"$name: ${h.mkString(" ")}")
+    }
+    hits("lsh(floor=2)", operators.SimilarityOps.lshTopK(q, e, k = 5))
+    val ivf = operators.SimilarityOps.fitIvfCentroids(e, k = 16, iters = 3)
+    hits("ivf_nprobe8(floor=1)",
+      operators.SimilarityOps.ivfTopK(q, e, ivf, nprobe = 8, k = 5))
+    val pq = operators.SimilarityOps.fitPq(e, m = 8, k = 16, iters = 3)
+    hits("pq_rerank50(floor=1)",
+      operators.SimilarityOps.pqRerank(q, e, pq, k = 5, shortlist = 50))
+    spark.stop()
+  }
+}

@@ -307,6 +307,50 @@ class OperatorsSpec extends SparkSpec {
     assert(perQ.forall(_ == k))
   }
 
+  test("pqRerank: shortlist rerank beats raw ADC; full shortlist = brute") {
+    val books = SimilarityOps.fitPq(embs, m = 8, k = 16, iters = 3)
+    val queries = embs.filter(col("vec_id") < 20).cache()
+    val k = 10
+    def pairs(df: DataFrame): Set[(Long, Long)] = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityOps.bruteForceTopK(queries, embs, k = k))
+    val adc = pairs(SimilarityOps.pqTopK(queries, embs, books, k = k))
+    val rer = pairs(SimilarityOps.pqRerank(queries, embs, books, k = k,
+      shortlist = 100))
+    // exact re-scoring of a 10x shortlist can only improve on raw ADC
+    assert((exact & rer).size >= (exact & adc).size,
+      s"rerank ${(exact & rer).size} < adc ${(exact & adc).size}")
+    assert((exact & rer).size.toDouble / exact.size >= 0.5)
+    // a corpus-wide shortlist makes rerank EXACTLY brute force
+    val n = embs.count().toInt
+    val full = SimilarityOps.pqRerank(queries, embs, books, k = k,
+      shortlist = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = SimilarityOps.bruteForceTopK(queries, embs, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == brute)
+  }
+
+  test("recallAtK: floor flags per query, dropped queries surface") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "neighbor_id")
+    // query 1: both hit; query 2: one hit; query 3: absent entirely
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val out = SimilarityOps.recallAtK(approx, exact, k = 2, floor = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((2L, 2L, 1L)), 2L -> ((2L, 2L, 0L)),
+      3L -> ((2L, 2L, 0L))))
+    // floor 1: the partial query passes, the dropped one still fails
+    val f1 = SimilarityOps.recallAtK(approx, exact, k = 2, floor = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(f1 == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
   // ---------------- CurationOps ----------------
 
   test("scrubPii redacts urls and emails with counts") {
