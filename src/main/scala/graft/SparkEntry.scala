@@ -287,6 +287,15 @@ object SparkEntry {
           concat(col("text"), lit(" http://site"), col("doc_id") % 50,
             lit(".com/p"), col("doc_id"), lit(" see https://mirror"),
             col("doc_id") % 7, lit(".org/x"))))),
+    // per-domain quota enforcement over the same planted link
+    // structure: site7.com is blocklisted, every other domain keeps
+    // its 40 smallest-md5 docs (the C4 blocklist/cap step)
+    "curation_domain_quota" -> ((spark, sfDir) =>
+      operators.CurationOps.domainQuota(
+        docs(spark, sfDir).withColumn("text",
+          concat(lit("http://site"), col("doc_id") % 50,
+            lit(".com/p"), col("doc_id"), lit(" "), col("text"))),
+        cap = 40, blocklist = Seq("site7.com"))),
     "text_tfidf_top" -> ((spark, sfDir) =>
       operators.TextOps.tfidfTop(docs(spark, sfDir), k = 1)),
 
@@ -1179,6 +1188,20 @@ object SparkEntry {
         | FROM t)
         |SELECT domain, count(DISTINCT doc_id) AS docs, count(*) AS mentions
         |FROM d GROUP BY domain""".stripMargin,
+    // primary domain = FIRST url host; md5-ordered quota of 40 per
+    // domain after dropping the blocklisted one
+    "curation_domain_quota" ->
+      """WITH t AS (SELECT doc_id, 'http://site' || (doc_id % 50) ||
+        |    '.com/p' || doc_id || ' ' || text AS text FROM documents),
+        |d AS (SELECT doc_id,
+        |  regexp_extract(text, 'https?://([^/ ]+)', 1) AS domain FROM t),
+        |a AS (SELECT * FROM d WHERE domain != 'site7.com'),
+        |r AS (SELECT doc_id, domain, row_number() OVER (
+        |  PARTITION BY domain
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS quota_rank
+        | FROM a)
+        |SELECT doc_id, domain, CAST(quota_rank AS BIGINT) AS quota_rank
+        |FROM r WHERE quota_rank <= 40""".stripMargin,
     // operation order mirrored exactly: (cnt/len) * ln(N/df), ranking
     // on round(score, 6) with the term as tiebreak
     "text_tfidf_top" ->

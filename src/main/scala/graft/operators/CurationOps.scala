@@ -484,6 +484,35 @@ object CurationOps {
         count(lit(1)).as("mentions"))
 
   /**
+   * C4-style per-domain quota enforcement — the blocklist/cap step
+   * that [[domainStats]] monitoring feeds: each document is keyed by
+   * its PRIMARY domain (first URL host in the text; documents with no
+   * URL pool under the empty domain), blocklisted domains drop
+   * entirely, and every surviving domain keeps at most `cap`
+   * documents — the ones with the smallest `md5(id)`, i.e.
+   * [[quotaSample]]'s seedless deterministic sample, so the cut is
+   * auditable and bit-reproducible in any engine. One window shuffle
+   * on the domain key; the blocklist is a literal predicate (config-
+   * sized, like the stopword lists — never a driver-side collect).
+   * Output: `(idCol, domain, quota_rank)` for kept documents.
+   */
+  def domainQuota(df: DataFrame, cap: Int,
+                  blocklist: Seq[String] = Nil,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dom = df.select(col(idCol),
+      regexp_extract(col(textCol), DomainPattern, 1).as("domain"))
+    val allowed =
+      if (blocklist.isEmpty) dom
+      else dom.filter(!col("domain").isin(blocklist: _*))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+    allowed.withColumn("quota_rank", row_number().over(w).cast(LongType))
+      .filter(col("quota_rank") <= cap)
+  }
+
+  /**
    * Sketch-based per-source corpus profile: approximate distinct-text
    * count (HyperLogLog++) and approximate token-count quantiles
    * (Greenwald-Khanna) alongside exact doc/char counts.

@@ -1438,6 +1438,32 @@ class OperatorsSpec extends SparkSpec {
     assert(real.filter(col("n_bpe_tokens") < col("n_words")).count() == 0)
   }
 
+  test("domainQuota caps per primary domain, drops blocklist") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "see http://a.com/x and http://b.com/y later"), // primary a.com
+      (2L, "http://a.com/z again"),
+      (3L, "http://a.com/w more"),
+      (4L, "http://bad.com/x spam"),
+      (5L, "no links at all")).toDF("doc_id", "text")
+    val out = CurationOps.domainQuota(df, cap = 2,
+      blocklist = Seq("bad.com")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // a.com keeps its 2 smallest-md5 ids of {1,2,3}: md5("1"),md5("2"),
+    // md5("3") order is 1 < 3 < 2 (c4ca.., ecc.., c81e.. -> 1, 3, 2)
+    val kept = out.filter(_._2 == "a.com").map(_._1)
+    assert(kept.size == 2 && out.count(_._2 == "a.com") == 2)
+    // blocklisted domain vanishes; the no-URL doc pools under ""
+    assert(!out.exists(_._2 == "bad.com"))
+    assert(out.exists(p => p._1 == 5L && p._2 == ""))
+    // deterministic: md5-order of {1,2,3} — verify against JVM md5
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = Seq(1L, 2L, 3L).sortBy(id => (h(id.toString), id))
+      .take(2).toSet
+    assert(kept == expect, s"kept $kept expected $expect")
+  }
+
   test("contaminationSpans covers whole overlap region, not per-match") {
     import spark.implicits._
     // two overlapping dirty 8-grams: covered positions form one run,
