@@ -618,6 +618,13 @@ object SparkEntry {
           sources.GraphStore.tpch(spark, sfDir), label = "contains",
           minShared = 2))
         .groupBy(col("community")).agg(count(lit(1)).as("size"))),
+    // deterministic synchronous LPA (count desc, label asc adoption,
+    // 4 fixed rounds) -> fully unrollable integer oracle
+    "graph_lpa_sync" -> ((spark, sfDir) =>
+      operators.GraphAlgos.labelPropagationSync(
+        operators.GraphAlgos.coOccurrencePairs(
+          sources.GraphStore.tpch(spark, sfDir), label = "contains",
+          minShared = 2), rounds = 4)),
     // local clustering coefficient over the same projection: integer
     // wedge/triangle counts up to one final rounded division
     "graph_clustering" -> ((spark, sfDir) =>
@@ -1590,6 +1597,36 @@ object SparkEntry {
           |SELECT v + 2000000000 AS id, count(*) AS core_degree
           |FROM (SELECT id_a AS v FROM r12 UNION ALL SELECT id_b FROM r12)
           |GROUP BY 1""".stripMargin
+    },
+    // sync-LPA unroll: 4 MATERIALIZED label rounds over the
+    // bidirectional projection; adoption = row_number over (count
+    // desc, label asc) — all integers, so the unroll is exact
+    "graph_lpa_sync" -> {
+      val base =
+        """WITH ce AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+          |    l_partkey AS p FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.p AS id_a, b.p AS id_b
+          |  FROM ce a JOIN ce b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM e0
+          |  UNION ALL SELECT id_b, id_a FROM e0),
+          |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl
+          |  FROM e)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s""",
+           |l$i AS MATERIALIZED (SELECT id, lbl FROM (
+           |  SELECT id, lbl,
+           |    row_number() OVER (PARTITION BY id
+           |      ORDER BY c DESC, lbl) AS rn
+           |  FROM (SELECT e.dst AS id, l.lbl AS lbl, count(*) AS c
+           |        FROM e JOIN l${i - 1} l ON l.id = e.src
+           |        GROUP BY e.dst, l.lbl)) WHERE rn = 1)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT CAST(id + 2000000000 AS BIGINT) AS id,
+          |  CAST(lbl + 2000000000 AS BIGINT) AS community FROM l4"""
+          .stripMargin
     },
     // the pageRankPower CTE chain with restart mass pinned to id 1,
     // carried in FIXED-POINT int64 (units of 1e-12): per-edge

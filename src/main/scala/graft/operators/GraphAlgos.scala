@@ -271,6 +271,44 @@ object GraphAlgos {
     materializeAndFree(lp.vertices.toDF("id", "community"), lp, xg)
   }
 
+  /**
+   * Synchronous label propagation with a DETERMINISTIC adoption rule —
+   * the oracle-checkable face of [[labelCommunities]]: labels start as
+   * vertex ids and every round each vertex adopts the label held by
+   * the most neighbors, ties to the SMALLEST label (count desc, label
+   * asc — pure integer comparisons, no seeds, no floats), so a fixed
+   * `rounds` fully determines the output and an unrolled SQL oracle
+   * reproduces it exactly (the graph_kcore pattern; the oracle's CTEs
+   * must be MATERIALIZED or each round re-expands its predecessors).
+   * Sync LPA can oscillate on bipartite structure, so the contract is
+   * "labels after exactly `rounds` rounds", not a fixpoint — the
+   * GraphX [[labelCommunities]] stays the at-scale tol-free variant.
+   * Each round is one equi-join + two integer aggregations over the
+   * bidirectional edge list, localCheckpointed (iterative-loop
+   * invariant). Input `(id_a, id_b)` unique undirected pairs.
+   * Output: `(id, community)`.
+   */
+  def labelPropagationSync(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("src") === labels("id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        // lexicographic min of (-count, label) = most votes, then
+        // smallest label — all int64
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("__c")).as("n"), col("label").as("l")))
+          .as("__w"))
+        .select(col("dst").as("id"), col("__w.l").as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
+
   /** PageRank to `tol` convergence: `(id, rank)`. */
   def pageRank(g: GraphStore, tol: Double = 1e-4,
                resetProb: Double = 0.15): DataFrame = {

@@ -320,6 +320,36 @@ class GraphAlgosSpec extends SparkSpec {
       assert(math.abs(q - fl(id) * 1e12) <= 8.0, s"vertex $id drifted") }
   }
 
+  test("labelPropagationSync: deterministic, equals reference model") {
+    // reference: sync rounds, adopt (count desc, label asc)
+    def model(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      var lbl = adj.keys.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        lbl = adj.map { case (v, ns) =>
+          val votes = ns.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+          v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lbl
+    }
+    val clique = (s: Long) => for {
+      a <- 0 to 3; b <- a + 1 to 3 } yield (s + a, s + b)
+    val edges = clique(1L) ++ clique(11L) :+ (4L, 11L)
+    val out = GraphAlgos.labelPropagationSync(pairsDf(edges), rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == model(edges, 4))
+    // min-label convergence: each clique's core lands on its min id
+    assert(Set(1L, 2L, 3L).map(out) == Set(1L))
+    assert(Set(12L, 13L, 14L).map(out).forall(_ >= 11L))
+    // a second shape: path + triangle, still exactly the model
+    val mix = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L))
+    val out2 = GraphAlgos.labelPropagationSync(pairsDf(mix), rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out2 == model(mix, 4))
+  }
+
   test("labelCommunities: bridged cliques keep distinct cores") {
     // two 4-cliques bridged by a single edge (4, 11)
     val clique = (s: Long) => for {
