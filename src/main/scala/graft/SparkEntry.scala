@@ -657,6 +657,15 @@ object SparkEntry {
         spark.read.parquet(s"$sfDir/customer.parquet")
           .select(col("c_custkey").cast("long").as("user_id"),
             col("c_mktsegment").as("mktsegment")))),
+    // rate-limited backlog drain: events sharded into 4 files,
+    // maxFilesPerTrigger=1 -> >= 4 data micro-batches (the operator
+    // THROWS below 3); the drained aggregate must equal the batch SQL
+    "events_stream_throttled" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedThrottled(spark,
+        s"$sfDir/events.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_evshards_" +
+          java.lang.Integer.toHexString(sfDir.hashCode) +
+          s"_p${ProcessHandle.current().pid()}")),
     // first-iteration BPE pair table over the word-frequency table
     "text_bpe_pairs" -> ((spark, sfDir) =>
       operators.TextOps.bpePairStats(docs(spark, sfDir), k = 50)),
@@ -1740,6 +1749,11 @@ object SparkEntry {
         |    AS cents
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1""".stripMargin,
+    "events_stream_throttled" ->
+      """SELECT event_type, count(*) AS events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events GROUP BY 1""".stripMargin,
     "text_tokenize_ids" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(string_split(trim(text), ' ')) AS token

@@ -368,6 +368,51 @@ object EventStreamOps {
   }
 
   /**
+   * RATE-LIMITED incremental run — the backlog-drain shape of a
+   * production file stream: the source is split into `shards` files
+   * and the stream is throttled with `maxFilesPerTrigger = 1`, so
+   * draining the backlog takes at least `shards` separate
+   * micro-batches (Spark's source-side flow control: each trigger
+   * admits a bounded slice of the pending files; the same knob that
+   * keeps a restarted 100 TB-backlog job from committing one giant
+   * catch-up batch). The aggregate after the drain must equal the
+   * batch SQL over all events — per-batch partial aggregation in
+   * Complete mode folds increments across triggers, which is exactly
+   * what the gate certifies. Throws if fewer than
+   * `minTriggers` data-carrying micro-batches actually ran (the
+   * throttle not taking effect must fail loudly, not pass silently
+   * as one big batch).
+   * Output: `(event_type, events, cents)`.
+   */
+  def streamedThrottled(spark: SparkSession, path: String,
+                        shardDir: String, shards: Int = 4,
+                        minTriggers: Int = 3): DataFrame = {
+    val name = s"graft_stream_th_${runCounter.incrementAndGet()}"
+    // shard the source so file-granular admission has >= `shards`
+    // units to meter; overwrite keeps sequential re-runs deterministic
+    readEvents(spark, path).repartition(shards)
+      .write.mode("overwrite").parquet(shardDir)
+    val schema = spark.read.parquet(shardDir).schema
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(shardDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        q.processAllAvailable()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= minTriggers,
+          s"throttled drain ran $dataBatches data batches; " +
+          s"expected >= $minTriggers (maxFilesPerTrigger ignored?)")
+      } finally q.stop()
+    }
+    spark.table(name)
+  }
+
+  /**
    * REAL file-sink stream — the production egress path (the memory
    * sink above is gate/test-only): file source → narrow projection →
    * parquet sink with a checkpoint location, `Trigger.AvailableNow`

@@ -251,4 +251,27 @@ class EventStreamSpec extends SparkSpec {
     val expected = readEvents(spark, path).join(dimHalf, "user_id").count()
     assert(total == expected)
   }
+
+  test("throttled drain: >=3 metered micro-batches, equals batch agg") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft_throttle_spec").toString + "/shards"
+    val streamed = EventStreamOps.streamedThrottled(spark, path, shardDir,
+        shards = 4, minTriggers = 3)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val batch = readEvents(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // the throttle guard itself: demanding more data batches than
+    // shards exist must fail loudly, not silently under-meter
+    intercept[IllegalArgumentException] {
+      EventStreamOps.streamedThrottled(spark, path, shardDir,
+        shards = 2, minTriggers = 5)
+    }
+  }
 }
