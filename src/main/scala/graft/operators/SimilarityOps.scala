@@ -408,6 +408,91 @@ object SimilarityOps {
   }
 
   /**
+   * Deterministic OPQ-style rotation (the parametric "PCA +
+   * eigenvalue allocation" variant of Ge et al.'s Optimized Product
+   * Quantization): rotate onto the corpus principal axes, then deal
+   * the components to the `m` subspaces greedily balancing the summed
+   * log-eigenvalues — subspaces end up with near-equal variance
+   * PRODUCTS, which is the OPQ objective for Gaussian-ish data, so
+   * the per-subspace k-means codebooks spend their bits evenly
+   * instead of starving low-variance subspaces. The result is a
+   * `dim×dim` orthonormal matrix (rows = permuted principal axes);
+   * permutation+rotation preserve dots and norms exactly, so exact
+   * rankings are unchanged and only the quantization improves. PCA
+   * rides mllib's RowMatrix (one corpus pass for the covariance; the
+   * dim×dim eigenproblem is driver-side, model-as-data like the
+   * centroids). Apply with [[applyOpqRotation]] to BOTH corpus and
+   * queries before [[fitPq]]/[[pqTopK]].
+   */
+  def fitOpqRotation(corpus: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding", dim: Int = 64,
+                     m: Int = 8): Array[Array[Double]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = corpus.select(col(vecCol)).rdd
+      .map(r => MlVectors.dense(
+        r.getSeq[Float](0).map(_.toDouble).toArray))
+    val (pc, varFrac) = new RowMatrix(rows)
+      .computePrincipalComponentsAndExplainedVariance(dim)
+    val sd = dim / m
+    val sums = Array.fill(m)(0.0)
+    val slots = Array.fill(m)(0)
+    val assign = Array.fill(m)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    // components arrive in descending-eigenvalue order; give the next
+    // (largest remaining) one to the free subspace whose log-variance
+    // sum is currently LARGEST — log fractions are negative, so that
+    // is the least-loaded bucket (ties to the lowest index). The
+    // greedy eigenvalue-allocation heuristic of the OPQ paper.
+    for (c <- 0 until dim) {
+      val s = (0 until m).filter(slots(_) < sd)
+        .maxBy(j => (sums(j), -j))
+      assign(s) += c
+      slots(s) += 1
+      sums(s) += math.log(math.max(varFrac(c), 1e-12))
+    }
+    val rot = Array.ofDim[Double](dim, dim)
+    for (s <- 0 until m; p <- 0 until sd) {
+      val cIdx = assign(s)(p)
+      val t = s * sd + p
+      var i = 0
+      while (i < dim) { rot(t)(i) = pc(i, cIdx); i += 1 }
+    }
+    rot
+  }
+
+  /** Apply a [[fitOpqRotation]] matrix: `y = R·x` per row, emitted in
+    * the same `(idCol, vecCol)` float-array shape so every downstream
+    * operator is unchanged. Narrow map, no shuffle; the 32 KB matrix
+    * travels in the task closure (model-as-data — never a dim² literal
+    * expression tree). */
+  def applyOpqRotation(df: DataFrame, rot: Array[Array[Double]],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = rot.length
+    df.select(col(idCol).cast(LongType), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val y = new Array[Float](dim)
+          var t = 0
+          while (t < dim) {
+            val r = rot(t)
+            var acc = 0.0
+            var i = 0
+            while (i < dim) { acc += r(i) * v(i); i += 1 }
+            y(t) = acc.toFloat
+            t += 1
+          }
+          (id, y.toSeq)
+        }
+      }.toDF(idCol, vecCol)
+  }
+
+  /**
    * PQ search with exact re-ranking — the production PQ shape: an ADC
    * shortlist of `shortlist` candidates per query ([[pqTopK]]'s
    * LUT-folded scan, never a dim-wide dot product corpus-wide), then

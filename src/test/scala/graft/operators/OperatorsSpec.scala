@@ -332,6 +332,52 @@ class OperatorsSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("OPQ rotation: orthonormal, ranking-preserving, recall holds floor") {
+    val dim = 64
+    val rot = SimilarityOps.fitOpqRotation(embs, dim = dim, m = 8)
+    // orthonormal rows: R·Rt = I (so dots/norms — hence every exact
+    // ranking — are preserved up to float noise)
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = (0 until dim).map(t => rot(i)(t) * rot(j)(t)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-6, s"($i,$j)")
+    }
+    val re = SimilarityOps.applyOpqRotation(embs, rot).cache()
+    val queries = embs.filter(col("vec_id") < 20).cache()
+    val qr = re.filter(col("vec_id") < 20).cache()
+    def pairs(df: DataFrame): Set[(Long, Long)] = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k = 10
+    val exact = pairs(SimilarityOps.bruteForceTopK(queries, embs, k = k))
+    val exactR = pairs(SimilarityOps.bruteForceTopK(qr, re, k = k))
+    // rotation-side brute force agrees with the original up to float
+    // ties at the rank-k boundary
+    assert((exact & exactR).size.toDouble / exact.size >= 0.95)
+    // OPQ's premise is ANISOTROPIC variance (on the near-isotropic
+    // fixture a rotation is a wash by construction): skew one
+    // subspace's dims 8x so plain PQ's codebooks starve the rest,
+    // then the rotation must win the recall back and hold the floor
+    val skew = embs.select(col("vec_id"), expr(
+      "transform(embedding, (x, i) -> " +
+      "cast(x * (case when i < 8 then 8.0 else 1.0 end) as float))")
+      .as("embedding")).cache()
+    val sq = skew.filter(col("vec_id") < 20).cache()
+    val sExact = pairs(SimilarityOps.bruteForceTopK(sq, skew, k = k))
+    val sBooks = SimilarityOps.fitPq(skew, m = 8, k = 16, iters = 3)
+    val sPlain = pairs(SimilarityOps.pqTopK(sq, skew, sBooks, k = k))
+    val sRot = SimilarityOps.fitOpqRotation(skew, dim = dim, m = 8)
+    val sRe = SimilarityOps.applyOpqRotation(skew, sRot).cache()
+    val sQr = sRe.filter(col("vec_id") < 20).cache()
+    val oBooks = SimilarityOps.fitPq(sRe, m = 8, k = 16, iters = 3)
+    val sOpq = pairs(SimilarityOps.pqTopK(sQr, sRe, oBooks, k = k))
+    val rPlain = (sExact & sPlain).size.toDouble / sExact.size
+    val rOpq = (sExact & sOpq).size.toDouble / sExact.size
+    info(f"skewed-corpus recall plain=$rPlain%.3f opq=$rOpq%.3f")
+    assert(rOpq > rPlain,
+      s"OPQ recall $rOpq not above plain PQ $rPlain on skewed corpus")
+    assert(rOpq >= 0.3, s"OPQ recall $rOpq below the plain-PQ floor")
+  }
+
   test("recallAtK: floor flags per query, dropped queries surface") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
