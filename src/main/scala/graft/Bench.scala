@@ -49,7 +49,10 @@ object Bench {
     "curation_top_ngram", "events_stream_window", "events_sessions",
     "multimodal_meta", "text_quality", "hasvalue_any", "group_collect",
     // round-7 additions: the structurally-heavy new operators
-    "graph_triangles", "graph_kcore", "ann_pq", "text_bpe_encode")
+    "graph_triangles", "graph_kcore", "ann_pq", "text_bpe_encode",
+    // round-8 additions
+    "dedup_suffix", "graph_lpa_sync", "ann_recall_pq",
+    "events_stream_throttled")
 
   /** Cross-family JIT warmup set (run at the small warmup sf, never at
     * the benched sf): one gate per shared-infra family. */
@@ -74,8 +77,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // page-cache pre-touch: stream every parquet byte under sfDir once
-    touchParquet(sfDir)
+    // ---- machine-health probe (self-diagnosing artifact: a degraded
+    // VM run is identifiable from the JSON alone, without a rerun) ----
+    // (1) single-thread CPU: fixed splitmix64 spin — contention/steal
+    //     shows up directly (healthy box ≲0.5s)
+    val cpuT0 = System.nanoTime()
+    var acc = 0L
+    var z = 0x243F6A8885A308D3L
+    var it = 0
+    while (it < 200000000) {
+      z += 0x9E3779B97F4A7C15L
+      var m = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      m = (m ^ (m >>> 27)) * 0x94D049BB133111EBL
+      acc ^= m ^ (m >>> 31)
+      it += 1
+    }
+    val cpuSpinSec = (System.nanoTime() - cpuT0) / 1e9
+    // (2) trivial Spark job on the COLD JVM: scheduler + codegen floor
+    val jitT0 = System.nanoTime()
+    spark.range(1L << 20).selectExpr("sum(id)").collect()
+    val trivialJobSec = (System.nanoTime() - jitT0) / 1e9
+    // (3) sequential disk MB/s, measured by the page-cache pre-touch
+    //     itself (stream every parquet byte under sfDir once)
+    val (diskBytes, diskSec) = touchParquet(sfDir)
+    val diskMbps =
+      if (diskSec > 0) diskBytes / 1e6 / diskSec else 0.0
+    // spin_check pins `acc` as observed output so the JIT cannot
+    // dead-code the CPU spin
+    val health =
+      f""""health":{"cpu_spin_sec":$cpuSpinSec%.2f,"trivial_job_sec":$trivialJobSec%.2f,"disk_mbps":$diskMbps%.0f,"spin_check":${acc & 1}}"""
 
     // shared-infra JIT warmup at the smallest sf (skipped if it IS the
     // benched dir — then the plain single-query warmup below suffices)
@@ -129,7 +159,7 @@ object Bench {
     val warmTotal = warm.map(_._2).sum
     val steadyTotal = steady.map(_._2).sum
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(cold)},"queries_warm":${json(warm)},"queries_steady":${json(steady)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(cold)},"queries_warm":${json(warm)},"queries_steady":${json(steady)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,$health,"sf":"$sfDir"}"""
     // full detail: one early stdout line + a file (survives log tailing)
     println(full)
     try {
@@ -144,23 +174,31 @@ object Bench {
     val headCold = Headline.filter(coldMap.contains).map(k => k -> coldMap(k))
     val headWarm = Headline.filter(warmMap.contains).map(k => k -> warmMap(k))
     spark.stop() // stop BEFORE the compact line so shutdown noise precedes it
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(headCold)},"queries_warm":${json(headWarm)},"queries_steady":${json(steady)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,"nq":${cold.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(headCold)},"queries_warm":${json(headWarm)},"queries_steady":${json(steady)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,$health,"nq":${cold.size},"sf":"$sfDir"}""")
   }
 
   /** Stream every parquet byte under `dir` once so the cold pass runs
     * against a warm page cache (the timing then measures the engine,
-    * not whether this VM recently dropped its cache). */
-  private def touchParquet(dir: String): Unit = {
+    * not whether this VM recently dropped its cache). Returns
+    * (bytes read, seconds) — the health probe's sequential-read
+    * figure falls out of the warming pass for free. */
+  private def touchParquet(dir: String): (Long, Double) = {
     val d = new java.io.File(dir)
     val buf = new Array[Byte](1 << 20)
+    var bytes = 0L
+    val t0 = System.nanoTime()
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).foreach { f =>
         // per-file guard: one unreadable file must not abort warming
         // the rest (that would silently re-admit the 1.8× cold skew)
         try {
           val in = new java.io.FileInputStream(f)
-          try { while (in.read(buf) >= 0) () } finally in.close()
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { bytes += n; n = in.read(buf) }
+          } finally in.close()
         } catch { case _: Throwable => () }
       }
+    (bytes, (System.nanoTime() - t0) / 1e9)
   }
 }
