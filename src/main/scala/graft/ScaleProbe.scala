@@ -72,6 +72,16 @@ object ScaleProbe {
     // build the word table, then the in-process incremental loop
     time("bpeTrain256")(
       operators.TextOps.bpeTrain(docs, numMerges = 256).length.toLong)
+    // round-8 document operators
+    time("dedupSuffix")(
+      operators.DedupOps.dedupSuffix(docs, minTokens = 32).count())
+    time("repeatedSpans")(
+      operators.DedupOps.repeatedSpans(docs, minTokens = 32).count())
+    time("domainQuota")(operators.CurationOps.domainQuota(
+      docs.withColumn("text",
+        concat(lit("http://site"), col("doc_id") % 500, lit(".com/p"),
+          col("doc_id"), lit(" "), col("text"))),
+      cap = 40, blocklist = Seq("site7.com")).count())
 
     val evbase = streaming.EventStreamOps.readEvents(
       spark, "/root/testdata/sf0.1/events.parquet")
@@ -102,6 +112,11 @@ object ScaleProbe {
     val cents256 = operators.SimilarityOps.fitIvfCentroids(embs, k = 256, iters = 1)
     time("ivfTopK_k256")(operators.SimilarityOps.ivfTopK(q, embs, cents256, nprobe = 16, k = 10).count())
     time("bruteTopK")(operators.SimilarityOps.bruteForceTopK(q, embs, k = 10).count())
+    time("pqRerank") {
+      val books = operators.SimilarityOps.fitPq(embs, m = 8, k = 16, iters = 3)
+      operators.SimilarityOps.pqRerank(q, embs, books, k = 10,
+        shortlist = 100).count()
+    }
     // pair dedup, default fine-bucket regime (τ=0.9): replicated copies
     // are exact twins, so every copy-pair must surface; candidates stay
     // collision-bounded because 16-bit tables keep buckets sparse

@@ -289,8 +289,15 @@ object GraphAlgos {
    * Output: `(id, community)`.
    */
   def labelPropagationSync(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    // pre-partition the (big) edge side by the join key ONCE —
+    // localCheckpoint preserves the partitioning, and each round's
+    // label table leaves its aggregation hash-partitioned on the same
+    // key, so the per-round join plans with NO exchange on either
+    // side (at 100 TB the edge re-shuffle would dominate every round;
+    // the labels side is vertex-sized, never broadcastable)
     val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()

@@ -120,4 +120,57 @@ class OperatorPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
+
+  // ---------------- round-8 operators ----------------
+
+  test("dedupSuffix/repeatedSpans: partial window counts, no cartesian") {
+    val p = plan(DedupOps.dedupSuffix(docs, minTokens = 8))
+    // corpus-wide window-key counts must combine map-side (a hot
+    // boilerplate window collapses per map task before the shuffle)
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    val q = plan(DedupOps.repeatedSpans(docs, minTokens = 8))
+    assert(q.contains("partial_count"), q.take(1500))
+    assert(!q.contains("CartesianProduct") &&
+      !q.contains("BroadcastNestedLoopJoin"), q.take(1500))
+  }
+
+  test("domainQuota: one window exchange on the domain key, no join") {
+    val p = plan(CurationOps.domainQuota(docs, cap = 5,
+      blocklist = Seq("x.com")))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(1200))
+    val exchanges =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"$exchanges exchanges:\n${p.take(1200)}")
+  }
+
+  test("labelPropagationSync: no per-round exchange on the edge side") {
+    import spark.implicits._
+    val pairs = (1L to 400L).flatMap(i => Seq((i, i % 97 + 1000L)))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val p = plan(GraphAlgos.labelPropagationSync(pairs, rounds = 2))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the checkpointed edge list is pre-partitioned on the join key;
+    // a round's plan (the part after the last checkpoint) must not
+    // re-exchange it — at most the two vote-aggregation exchanges
+    val exchanges =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(2000)}")
+  }
+
+  test("pqRerank: rerank kernel runs on an equi-joined candidate set") {
+    val books = Array.tabulate(8, 4, 8)((_, c, d) => (c * 8 + d).toDouble)
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(SimilarityOps.pqRerank(
+      embs.filter(col("vec_id") < 5), embs, books, k = 3, shortlist = 10))
+    // the full-vector cosine must ride joins keyed on candidate ids —
+    // never a corpus-wide nested loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
 }
