@@ -117,6 +117,12 @@ object ScaleProbe {
       operators.SimilarityOps.pqRerank(q, embs, books, k = 10,
         shortlist = 100).count()
     }
+    // cluster-scoped semantic dedup: quadratic term bounded per cell,
+    // chunk-salted — k=64 keeps cells ~n/64 at this probe scale
+    time("semanticDedup") {
+      val cents = operators.SimilarityOps.fitIvfCentroids(embs, k = 64, iters = 2)
+      operators.DedupOps.semanticDedup(embs, cents, tau = 0.9).count()
+    }
     // pair dedup, default fine-bucket regime (τ=0.9): replicated copies
     // are exact twins, so every copy-pair must surface; candidates stay
     // collision-bounded because 16-bit tables keep buckets sparse

@@ -190,6 +190,12 @@ object SparkEntry {
       val e = embs(spark, sfDir)
       operators.SimilarityOps.clusterEmbeddings(e, ivfModel(spark, sfDir))
     }),
+    // SemDeDup: cluster-scoped semantic dedup (within-cell cosine
+    // pairs -> CC -> min-id canonical); k-means cells are
+    // engine-seeded -> rows-only gate, driver-model-equality specs
+    "dedup_semantic" -> ((spark, sfDir) =>
+      operators.DedupOps.semanticDedup(embs(spark, sfDir),
+        ivfModel(spark, sfDir), tau = 0.45)),
     "ann_topk" -> ((spark, sfDir) => {
       val e = embs(spark, sfDir)
       operators.SimilarityOps.bruteForceTopK(

@@ -410,6 +410,76 @@ object DedupOps {
         coalesce(col("component"), col(idCol)).as("canonical"))
   }
 
+  /**
+   * SemDeDup (Abbas et al., 2023) — cluster-scoped SEMANTIC dedup over
+   * an embedding column: every vector is assigned to its nearest
+   * fitted centroid's cluster, cosine ≥ `tau` pairs form WITHIN
+   * clusters only, pairs connect into components, and the smallest id
+   * per component is the canonical survivor (singletons canonicalise
+   * to themselves). Cluster scoping is what makes semantic dedup
+   * tractable at 100 TB: the quadratic term drops from n² to
+   * Σ(cluster size)², every cluster's pairs compute independently,
+   * and the centroid count k is the knob that bounds it — while the
+   * recall loss vs exact all-pairs is exactly the near-dups the
+   * coarse quantizer already separates (spec documents the
+   * cross-cluster caveat explicitly). The within-cluster self-join is
+   * chunk-salted like [[tokenJaccard]]'s posting lists (the hot-key
+   * self-join invariant): each cluster's members chunk in id order
+   * and join on (cluster, chunk pair), so pairs-per-task ≤ chunk² —
+   * lossless. Similarity filters on the RAW cosine (cross-engine
+   * float invariant); the centroid model is data
+   * ([[SimilarityOps.fitIvfCentroids]]), so gates stay rows-only
+   * (engine-seeded fit) with driver-model-equality specs.
+   * Output: `(idCol, cluster, canonical)` for EVERY input row;
+   * downstream keeps `idCol == canonical`.
+   */
+  def semanticDedup(df: DataFrame, centroids: Array[Array[Double]],
+                    tau: Double = 0.95, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    chunkSize: Int = 1024): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val cells = SimilarityOps
+      .clusterEmbeddings(df, centroids, idCol, vecCol)
+      .select(col(idCol).as("__id"), col("cluster"))
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(cells, "__id")
+    val byCell = Window.partitionBy("cluster")
+    // lazy cache: the chunked table feeds BOTH sides of the self-join
+    // (the self-joined-intermediates invariant)
+    val chunked = v
+      .withColumn("__c",
+        ((row_number().over(byCell.orderBy("__id")) - 1) / chunkSize)
+          .cast("int"))
+      .withColumn("__m",
+        ceil(count(lit(1)).over(byCell) / lit(chunkSize.toDouble))
+          .cast("int"))
+      .localCheckpoint(false)
+    val l = chunked.select(col("cluster"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__c").as("__ci"),
+      explode(sequence(col("__c"), col("__m") - 1)).as("__cj"))
+    val r = chunked.select(col("cluster"), col("__id").as("id_b"),
+      col("__v").as("__vb"),
+      explode(sequence(lit(0), col("__c"))).as("__ci"),
+      col("__c").as("__cj"))
+    val pairs = l.join(r, Seq("cluster", "__ci", "__cj"))
+      .filter(col("id_a") < col("id_b") &&
+        SimilarityOps.cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val verts = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b")))
+      .distinct().withColumn("label", lit("vec"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .withColumn("label", lit("semdup"))
+    val cc = GraphAlgos.connectedComponents(
+        graft.sources.GraphStore(verts, edges))
+      .withColumnRenamed("id", "__ccid")
+    df.select(col(idCol))
+      .join(cells.select(col("__id").as(idCol), col("cluster")), Seq(idCol))
+      .join(cc, col(idCol) === col("__ccid"), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("component"), col(idCol)).as("canonical"))
+  }
+
   /** APPLY the near-dup dedup: keep the full rows of cluster-canonical
     * documents only (one survivor per near-duplicate cluster, smallest
     * id — deterministic). The left-semi join keeps the corpus schema

@@ -332,6 +332,78 @@ class OperatorsSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("semanticDedup: cluster-scoped groups, transitivity, caveat") {
+    import spark.implicits._
+    val dim = 64
+    def vec(cs: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      cs.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    val cents = Array(
+      Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0),
+      Array.tabulate(dim)(i => if (i == 1) 1.0 else 0.0))
+    val th = math.toRadians(18) // cos 18° ≈ .951 ≥ τ; cos 36° ≈ .809 < τ
+    val df = Seq(
+      1L -> vec(0 -> 1.0), 2L -> vec(0 -> 1.0), // exact twins, cluster 0
+      // transitive chain in the (0,2) plane: 3~4 and 4~5 pass τ=.95,
+      // 3~5 does not — CC must still merge all three
+      3L -> vec(0 -> 1.0),
+      4L -> vec(0 -> math.cos(th), 2 -> math.sin(th)),
+      5L -> vec(0 -> math.cos(2 * th), 2 -> math.sin(2 * th)),
+      6L -> vec(1 -> 1.0),                       // singleton, cluster 1
+      // near-identical pair SPLIT by the quantizer (the documented
+      // cross-cluster recall caveat): both survive
+      7L -> vec(0 -> 1.0, 1 -> 0.99),
+      8L -> vec(0 -> 0.99, 1 -> 1.0)
+    ).toDF("vec_id", "embedding")
+    val out = DedupOps.semanticDedup(df, cents, tau = 0.95).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out.keySet == (1L to 8L).toSet) // every row emitted
+    // twins + chain all collapse to the smallest id in cluster 0
+    assert(Seq(1L, 2L, 3L, 4L, 5L).map(out(_)._2).toSet == Set(1L),
+      out.toString)
+    assert(out(6L) == ((1, 6L)))
+    assert(out(7L)._2 == 7L && out(8L)._2 == 8L) // split pair survives
+    assert(out(7L)._1 != out(8L)._1)             // because clusters differ
+  }
+
+  test("semanticDedup equals a driver-side within-cluster model") {
+    val cents = SimilarityOps.fitIvfCentroids(embs, k = 8, iters = 2)
+    val out = DedupOps.semanticDedup(embs, cents, tau = 0.45,
+        chunkSize = 64) // force multi-chunk salting on the real data
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // driver model: nearest centroid, within-cluster pairs, union-find
+    val rows = embs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cell(v: Array[Double]): Int =
+      cents.indices.minBy { c =>
+        val d = cents(c).zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, c)
+      }
+    val cellOf = rows.map { case (id, v) => id -> cell(v) }.toMap
+    val parent = scala.collection.mutable.Map(
+      rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val ab = a.zip(b).map { case (x, y) => x * y }.sum
+      ab / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      if cellOf(rows(i)._1) == cellOf(rows(j)._1)
+      if cos(rows(i)._2, rows(j)._2) >= 0.45
+    } {
+      val (a, b) = (find(rows(i)._1), find(rows(j)._1))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val expect = rows.map { case (id, _) =>
+      (id, cellOf(id), find(id)) }.toSet
+    assert(out.toSet == expect)
+  }
+
   test("OPQ rotation: orthonormal, ranking-preserving, recall holds floor") {
     val dim = 64
     val rot = SimilarityOps.fitOpqRotation(embs, dim = dim, m = 8)
