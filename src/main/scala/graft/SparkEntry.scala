@@ -494,6 +494,21 @@ object SparkEntry {
           sum(length(col("text"))).as("chars"),
           sum(col("doc_id")).as("id_sum"))
     }),
+    // CSV (RFC-4180) sink → source fidelity: quoted/escaped text with
+    // embedded newlines must survive byte-for-byte — the md5-prefix
+    // checksum over the RE-READ text equals the oracle's over parquet
+    "source_csv" -> ((spark, sfDir) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      sources.TextTables.csvRoundTrip(docs(spark, sfDir), dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(expr(
+            "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+            .as("text_h"))
+    }),
 
     // ---- round-6 pipeline operators ----
     // sub-document exact dedup at 4-token-block granularity: the
@@ -1340,6 +1355,15 @@ object SparkEntry {
       """SELECT source, count(*) AS docs,
         |  CAST(sum(length(text)) AS BIGINT) AS chars,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY source""".stripMargin,
+    // CSV fidelity adds the unsigned-32-bit md5-prefix checksum (the
+    // hi/lo BIGINT cross-engine hash invariant)
+    "source_csv" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS text_h
         |FROM documents GROUP BY source""".stripMargin,
     // corpus-wide first occurrence per 4-token block (min (doc_id,pos)
     // = row_number 1 in that order), order-preserving re-assembly;

@@ -38,6 +38,43 @@ object TextTables {
     readJsonl(df.sparkSession, dir, df.schema)
   }
 
+  /** Write `df` as RFC-4180 CSV: every field quoted, quotes escaped by
+    * doubling (`escape = "`), header row — the interchange dialect
+    * every external tool parses. Embedded newlines in text survive
+    * inside quotes. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .option("escape", "\"")
+      // the WRITER trims field whitespace by default — byte fidelity
+      // demands it off on both sides
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+
+  /** Read CSV written by [[writeCsv]] with a caller-supplied schema.
+    * `multiLine` re-assembles quoted embedded newlines; FAILFAST
+    * surfaces any malformed row instead of nulling it; the impossible
+    * `nullValue` sentinel keeps empty strings as empty strings (the
+    * default turns them into nulls, which breaks byte fidelity). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("mode", "FAILFAST")
+      .option("nullValue", "\u0000")
+      .csv(path)
+
+  /** Round-trip `df` through CSV under `dir` and return the re-read
+    * DataFrame — fidelity harness for the gate. */
+  def csvRoundTrip(df: DataFrame, dir: String): DataFrame = {
+    writeCsv(df, dir)
+    readCsv(df.sparkSession, dir, df.schema)
+  }
+
   /**
    * Sharded training-data export: attach
    * [[graft.operators.CurationOps.shardShuffle]]'s deterministic

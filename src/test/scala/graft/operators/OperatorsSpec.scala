@@ -765,6 +765,31 @@ class OperatorsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("CSV round-trip preserves bytes incl. quotes/newlines/commas") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-csv-spec").toString
+    // real corpus fidelity
+    val rt = graft.sources.TextTables.csvRoundTrip(docs, dir + "/corpus")
+    assert(rt.schema == docs.schema)
+    assert(rt.orderBy("doc_id").collect().map(_.toSeq)
+      .sameElements(docs.orderBy("doc_id").collect().map(_.toSeq)))
+    // adversarial CSV content: delimiters, RFC quote-doubling,
+    // embedded newlines (multiLine), empty string (NOT null)
+    val nasty = Seq(
+      (1L, "plain"),
+      (2L, "comma, separated, values"),
+      (3L, "a \"quoted\" word and \"\"double\"\""),
+      (4L, "line one\nline two\n\nline four"),
+      (5L, ""),
+      (6L, " leading and trailing ")).toDF("doc_id", "text")
+    val back = graft.sources.TextTables
+      .csvRoundTrip(nasty, dir + "/nasty")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = nasty.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want, back.toString)
+  }
+
   // ---------------- MultimodalOps ----------------
 
   test("payload decode plumbing: typed batches with deterministic stub") {
