@@ -278,6 +278,11 @@ object SparkEntry {
       operators.CurationOps.quotaSample(docs(spark, sfDir), n = 20)),
     "curation_pack" -> ((spark, sfDir) =>
       operators.CurationOps.packSequences(docs(spark, sfDir), budget = 512)),
+    // token-exact fixed blocks with docs spilling across boundaries
+    // (the GPT-style layout); block content pinned by in-order md5
+    "curation_pack_tokens" -> ((spark, sfDir) =>
+      operators.CurationOps.packTokenBlocks(docs(spark, sfDir),
+        blockSize = 256)),
     "curation_source_stats" -> ((spark, sfDir) =>
       operators.CurationOps.sourceStats(docs(spark, sfDir))),
     "curation_top_ngram" -> ((spark, sfDir) =>
@@ -1078,6 +1083,20 @@ object SparkEntry {
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS DOUBLE) / 512) AS BIGINT) AS bin_id
         |FROM t""".stripMargin,
+    "curation_pack_tokens" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  string_split(trim(text), ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, source, unnest(w) AS tok,
+        |  generate_subscripts(w, 1) AS tp FROM t),
+        |f AS (SELECT * FROM tok WHERE tok != ''),
+        |p AS (SELECT source, doc_id, tp, tok,
+        |  CAST((row_number() OVER (PARTITION BY source
+        |    ORDER BY doc_id, tp) - 1) // 256 AS BIGINT) AS block_id
+        | FROM f)
+        |SELECT source, block_id, count(*) AS n_tokens,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  md5(string_agg(tok, ' ' ORDER BY doc_id, tp)) AS block_md5
+        |FROM p GROUP BY source, block_id""".stripMargin,
     "curation_top_ngram" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-2, 1)+1)]) AS gram FROM w),

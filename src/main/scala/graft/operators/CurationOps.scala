@@ -238,6 +238,46 @@ object CurationOps {
   }
 
   /**
+   * TOKEN-EXACT block packing — the final pretraining layout step
+   * [[packSequences]] stops short of: lay each group's token stream
+   * out in (doc id, position) order and cut it into consecutive
+   * `blockSize`-token blocks, documents SPILLING across block
+   * boundaries (the GPT-style "concatenate with EOS, chop into fixed
+   * windows" layout; packSequences bins whole docs). Every block but
+   * each group's last has exactly `blockSize` tokens. Emits one row
+   * per block with its token count, how many documents contribute to
+   * it, and an md5 over the in-order space-joined tokens — the
+   * content checksum a loader can verify shards against.
+   *
+   * Scale: the global position is one ranking window PER GROUP, so
+   * groups are the parallelism unit — at 100 TB pack within
+   * [[shardShuffle]] shards (pass `groupCol = "shard"`), which also
+   * makes block layout independent of total corpus growth. The block
+   * re-assembly is one grouped aggregation.
+   * Output: `(groupCol, block_id, n_tokens, n_docs, block_md5)`.
+   */
+  def packTokenBlocks(df: DataFrame, blockSize: Int,
+                      groupCol: String = "source",
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(groupCol), col(idCol),
+        posexplode(split(trim(col(textCol)), " ")).as(Seq("__tp", "__tok")))
+      .filter(length(col("__tok")) > 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(idCol), col("__tp"))
+    toks
+      .withColumn("block_id",
+        ((row_number().over(w) - 1) / blockSize).cast(LongType))
+      .groupBy(col(groupCol), col("block_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        md5(array_join(array_sort(collect_list(
+            struct(col(idCol), col("__tp"), col("__tok"))))
+          .getField("__tok"), " ")).as("block_md5"))
+  }
+
+  /**
    * Fraction of a doc's word n-grams occupied by its single most
    * common n-gram — the Gopher "most common n-gram" repetition signal
    * ([[repetitionRatio]] is the companion "any duplicate" signal).

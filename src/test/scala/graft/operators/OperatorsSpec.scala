@@ -1607,6 +1607,39 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == expect, s"kept $kept expected $expect")
   }
 
+  test("packTokenBlocks: exact blocks, docs spill across boundaries") {
+    import spark.implicits._
+    // group g: docs of 3, 4, 2 tokens; blockSize 4 → blocks
+    // [a1 a2 a3 | b1], [b2 b3 b4 | c1], [c2]
+    val df = Seq(
+      (1L, "g", "a1 a2 a3"),
+      (2L, "g", "b1 b2 b3 b4"),
+      (3L, "g", "c1 c2"),
+      (9L, "h", "x1 x2")).toDF("doc_id", "source", "text")
+    val out = CurationOps.packTokenBlocks(df, blockSize = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(("g", 0L)) == ((4L, 2L, h("a1 a2 a3 b1"))))
+    assert(out(("g", 1L)) == ((4L, 2L, h("b2 b3 b4 c1"))))
+    assert(out(("g", 2L)) == ((1L, 1L, h("c2")))) // trailing partial
+    assert(out(("h", 0L)) == ((2L, 1L, h("x1 x2"))))
+    assert(out.size == 4)
+    // corpus-level invariant: every block except each group's last is
+    // exactly blockSize tokens, and token mass is conserved
+    val blocks = CurationOps.packTokenBlocks(docs, blockSize = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lastPerGroup = blocks.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    blocks.foreach { case (g, b, n) =>
+      if (b < lastPerGroup(g)) assert(n == 64L, s"($g,$b)=$n") }
+    val totalTokens = docs.select(
+      sum(size(split(trim(col("text")), " ")))).head().getLong(0)
+    assert(blocks.map(_._3).sum == totalTokens)
+  }
+
   test("contaminationSpans covers whole overlap region, not per-match") {
     import spark.implicits._
     // two overlapping dirty 8-grams: covered positions form one run,
