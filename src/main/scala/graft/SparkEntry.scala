@@ -651,6 +651,13 @@ object SparkEntry {
         operators.GraphAlgos.coOccurrencePairs(
           sources.GraphStore.tpch(spark, sfDir), label = "contains",
           minShared = 2), rounds = 4)),
+    // weighted variant: votes carry the co-purchase count (tie
+    // strength) — still pure int64, same unrolled-oracle shape
+    "graph_lpa_weighted" -> ((spark, sfDir) =>
+      operators.GraphAlgos.labelPropagationSync(
+        operators.GraphAlgos.coOccurrencePairs(
+          sources.GraphStore.tpch(spark, sfDir), label = "contains",
+          minShared = 2), rounds = 4, weightCol = Some("shared"))),
     // local clustering coefficient over the same projection: integer
     // wedge/triangle counts up to one final rounded division
     "graph_clustering" -> ((spark, sfDir) =>
@@ -1677,6 +1684,35 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY id
            |      ORDER BY c DESC, lbl) AS rn
            |  FROM (SELECT e.dst AS id, l.lbl AS lbl, count(*) AS c
+           |        FROM e JOIN l${i - 1} l ON l.id = e.src
+           |        GROUP BY e.dst, l.lbl)) WHERE rn = 1)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT CAST(id + 2000000000 AS BIGINT) AS id,
+          |  CAST(lbl + 2000000000 AS BIGINT) AS community FROM l4"""
+          .stripMargin
+    },
+    // weighted unroll: identical chain with votes summing the pair's
+    // co-purchase count (e0's shared) instead of 1
+    "graph_lpa_weighted" -> {
+      val base =
+        """WITH ce AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+          |    l_partkey AS p FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.p AS id_a, b.p AS id_b,
+          |  count(*) AS w FROM ce a JOIN ce b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst, w FROM e0
+          |  UNION ALL SELECT id_b, id_a, w FROM e0),
+          |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl
+          |  FROM e)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s""",
+           |l$i AS MATERIALIZED (SELECT id, lbl FROM (
+           |  SELECT id, lbl,
+           |    row_number() OVER (PARTITION BY id
+           |      ORDER BY c DESC, lbl) AS rn
+           |  FROM (SELECT e.dst AS id, l.lbl AS lbl, sum(e.w) AS c
            |        FROM e JOIN l${i - 1} l ON l.id = e.src
            |        GROUP BY e.dst, l.lbl)) WHERE rn = 1)""".stripMargin
       }.mkString

@@ -285,18 +285,25 @@ object GraphAlgos {
    * GraphX [[labelCommunities]] stays the at-scale tol-free variant.
    * Each round is one equi-join + two integer aggregations over the
    * bidirectional edge list, localCheckpointed (iterative-loop
-   * invariant). Input `(id_a, id_b)` unique undirected pairs.
-   * Output: `(id, community)`.
+   * invariant). Input `(id_a, id_b)` unique undirected pairs;
+   * `weightCol` (e.g. [[coOccurrencePairs]]' `shared` count) switches
+   * to WEIGHTED voting — tie strength decides adoption — and stays
+   * oracle-exact because the weights are integer counts summed in
+   * int64. Output: `(id, community)`.
    */
-  def labelPropagationSync(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+  def labelPropagationSync(pairs: DataFrame, rounds: Int = 4,
+                           weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     // pre-partition the (big) edge side by the join key ONCE —
     // localCheckpoint preserves the partitioning, and each round's
     // label table leaves its aggregation hash-partitioned on the same
     // key, so the per-round join plans with NO exchange on either
     // side (at 100 TB the edge re-shuffle would dominate every round;
     // the labels side is vertex-sized, never broadcastable)
-    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val e = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), w.as("__w"))
+      .union(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), w.as("__w")))
       .repartition(col("src"))
       .localCheckpoint()
     var labels = e.select(col("src").as("id")).distinct()
@@ -304,7 +311,7 @@ object GraphAlgos {
     for (_ <- 1 to rounds) {
       labels = e.join(labels, e("src") === labels("id"))
         .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__w")).as("__c"))
         // lexicographic min of (-count, label) = most votes, then
         // smallest label — all int64
         .groupBy(col("dst"))

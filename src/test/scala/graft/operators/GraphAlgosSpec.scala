@@ -350,6 +350,22 @@ class GraphAlgosSpec extends SparkSpec {
     assert(out2 == model(mix, 4))
   }
 
+  test("labelPropagationSync weighted: tie strength beats tie count") {
+    import spark.implicits._
+    // vertex 3 has TWO unit ties into the {1,2} side and ONE heavy
+    // (w=5) tie to 4: unweighted adopts the {1,2} majority, weighted
+    // follows the heavy edge
+    val p = Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 5L), (1L, 2L, 1L))
+      .toDF("id_a", "id_b", "shared")
+    val unw = GraphAlgos.labelPropagationSync(p, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(unw(3L) == 1L) // two unit votes {1,2} -> min label 1
+    val wtd = GraphAlgos.labelPropagationSync(p, rounds = 1,
+        weightCol = Some("shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(wtd(3L) == 4L) // 5 > 1+1
+  }
+
   test("labelCommunities: bridged cliques keep distinct cores") {
     // two 4-cliques bridged by a single edge (4, 11)
     val clique = (s: Long) => for {
