@@ -680,6 +680,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0))
     }),
+    // quality classifier: fit integer odds-ratio token weights from a
+    // deterministic seed labeling (long docs positive), score every
+    // doc — the fastText/C4 quality-filter stage, float-free so the
+    // whole fit+score chain is oracle-exact
+    "curation_quality_classifier" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val weights = operators.CurationOps.fitQualityWeights(
+        d.withColumn("pos", length(col("text")) >= 500), "pos")
+      operators.CurationOps.scoreQuality(d, weights)
+    }),
     // stream-static dimension enrichment: the events stream broadcast-
     // joins the customer dim INSIDE the streaming plan (stateless),
     // then aggregates per market segment; drained to completion, so
@@ -1828,6 +1838,32 @@ object SparkEntry {
         |FROM documents d JOIN t ON d.doc_id = t.doc_id
         |LEFT JOIN cov ON d.doc_id = cov.doc_id
         |WHERE d.doc_id % 10 != 0""".stripMargin,
+    // weights = Laplace-smoothed doc-frequency odds ratio in integer
+    // micro-units; DuckDB // floor == Spark div truncation on
+    // nonnegative int64; unseen-token neutral weight 1e6
+    "curation_quality_classifier" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(trim(text), ' ')) AS token
+        |  FROM documents),
+        |t AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+        |lab AS (SELECT doc_id, length(text) >= 500 AS pos
+        |  FROM documents),
+        |pres AS (SELECT DISTINCT t.token, t.doc_id, lab.pos
+        |  FROM t JOIN lab USING (doc_id)),
+        |w AS (SELECT token,
+        |    ((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) * 1000000)
+        |      // (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1)
+        |      AS weight_micro
+        |  FROM pres GROUP BY token),
+        |sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |    sum(coalesce(w.weight_micro, 1000000)) AS score_micro
+        |  FROM t LEFT JOIN w USING (token) GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sc.score_micro, 0) AS BIGINT) AS score_micro,
+        |  coalesce(sc.score_micro, 0) >
+        |    1000000 * coalesce(sc.n_tokens, 0) AS above_prior
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
     "events_stream_enrich" ->
       """SELECT c.c_mktsegment AS mktsegment, count(*) AS events,
         |  CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)

@@ -97,6 +97,70 @@ object CurationOps {
   }
 
   /**
+   * Fit a naive-Bayes-style token quality model from a labeled seed
+   * (the fastText/C4 "quality classifier" curation stage: label a
+   * seed corpus — reference pages vs crawl noise — fit per-token
+   * evidence, score everything). Per token the weight is the
+   * Laplace-smoothed document-frequency odds ratio in MICRO-units,
+   * computed with 64-bit integer division only:
+   *
+   *   weight_micro = ((pos_docs + 1) * 1,000,000) div (neg_docs + 1)
+   *
+   * so weights are bit-identical across engines (no float log-odds;
+   * `div` truncation == floor for nonnegative int64). A token seen
+   * only in positive docs gets a large weight, only in negative a
+   * small one, balanced evidence ≈ 1,000,000 (odds 1). Presence is
+   * per-DOCUMENT (binarized NB), partial-aggregable counts; output is
+   * vocab-bounded. Output: `(token, pos_docs, neg_docs,
+   * weight_micro)`.
+   */
+  def fitQualityWeights(df: DataFrame, labelCol: String,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    df.select(col(idCol), col(labelCol).cast(BooleanType).as("__pos"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col(idCol), col("__pos"), col("token")).distinct()
+      .groupBy(col("token"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("pos_docs"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("neg_docs"))
+      .withColumn("weight_micro",
+        expr("((pos_docs + 1L) * 1000000L) div (neg_docs + 1L)"))
+
+  /**
+   * Score documents against a fitted [[fitQualityWeights]] model: the
+   * doc score is the sum of its token-INSTANCE weights (micro-units),
+   * unseen tokens count as neutral evidence (1,000,000). `above_prior`
+   * flags docs whose mean token weight exceeds odds 1 — the
+   * cross-multiplied integer test `score_micro > 1e6 * n_tokens`, so
+   * the verdict is float-free. The model is vocab-bounded and
+   * broadcast; the corpus-side token explode is the only wide work,
+   * and the per-doc aggregation is partial-aggregable — the shape
+   * that survives a 100 TB corpus. Docs with no tokens score 0 and
+   * never pass. Output: `(idCol, n_tokens, score_micro,
+   * above_prior)`.
+   */
+  def scoreQuality(df: DataFrame, weights: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val w = weights.select(col("token"), col("weight_micro"))
+    val stats = df.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(w), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight_micro"), lit(1000000L)))
+          .as("score_micro"))
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+      .withColumn("above_prior",
+        col("score_micro") > lit(1000000L) * col("n_tokens"))
+  }
+
+  /**
    * Training/eval contamination: corpus docs sharing at least one word
    * n-gram with the held-out set, with the count of distinct shared
    * n-grams. One equi-join on the shingle; the held-out side is

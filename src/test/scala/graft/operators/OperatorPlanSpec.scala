@@ -86,6 +86,18 @@ class OperatorPlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1500))
   }
 
+  test("scoreQuality: model broadcast, per-doc partial agg") {
+    val weights = CurationOps.fitQualityWeights(
+      docs.withColumn("pos", length(col("text")) >= 500), "pos")
+    val p = plan(CurationOps.scoreQuality(docs, weights))
+    // the vocab-bounded weight table must ship to the corpus, never
+    // the reverse, and the doc score must combine map-side
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("tokenizeWithVocab: vocab broadcast, per-doc partial agg") {
     val p = plan(TextOps.tokenizeWithVocab(docs, vocabSize = 50))
     assert(p.contains("BroadcastHashJoin"), p.take(1500))

@@ -518,6 +518,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L)._3 && !out(4L)._4)            // word_len_high
   }
 
+  test("quality classifier: odds weights exact, signal separates docs") {
+    import spark.implicits._
+    val seed = Seq(
+      (1L, "excellent prose with careful structure", true),
+      (2L, "excellent writing and careful editing", true),
+      (3L, "spam spam buy now", false),
+      (4L, "buy cheap now", false)).toDF("doc_id", "text", "pos")
+    val w = CurationOps.fitQualityWeights(seed, "pos").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // "excellent": 2 pos docs, 0 neg -> (2+1)*1e6 div (0+1)
+    assert(w("excellent") == ((2L, 0L, 3000000L)))
+    // "spam": repeated in one doc but presence is per-DOC -> 1 neg doc
+    assert(w("spam") == ((0L, 1L, 500000L)))
+    // "buy": 0 pos, 2 neg -> 1e6 div 3
+    assert(w("buy") == ((0L, 2L, 333333L)))
+
+    val weights = CurationOps.fitQualityWeights(seed, "pos")
+    val score = Seq(
+      (10L, "excellent careful report"),   // positive-ish tokens
+      (11L, "buy spam now"),               // negative-ish tokens
+      (12L, "")).toDF("doc_id", "text")    // no tokens
+    val out = CurationOps.scoreQuality(score, weights).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // 3000000 (excellent) + 3000000 (careful) + 1000000 (unseen)
+    assert(out(10L) == ((3L, 7000000L, true)))
+    // 333333 (buy) + 500000 (spam) + 333333 (now: 0 pos, 2 neg)
+    assert(out(11L) == ((3L, 1166666L, false)))
+    assert(out(12L) == ((0L, 0L, false)))
+  }
+
   test("decontaminate finds held-out n-gram overlap exactly") {
     import spark.implicits._
     val corpus = Seq(
