@@ -444,78 +444,52 @@ object VectorExpressions {
   // Expression is private[sql] in Spark 4). register() is idempotent —
   // operators call it on their input's session before using these.
 
+  private def intLitAt(exprs: Seq[Expression], i: Int, what: String): Int =
+    exprs(i) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an int literal, got $other")
+    }
+
+  /** name → builder for every kernel — the single source for both the
+    * per-session [[register]] path and the application-wide
+    * [[graft.GraftExtensions]] injection path, so a session reached
+    * either way resolves identical expressions. */
+  private[graft] val kernelBuilders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_minhash" -> (exprs => MinHashSig(exprs(0),
+      intLitAt(exprs, 1, "graft_minhash numHashes"))),
+    "graft_simhash" -> (exprs => SimHash64(exprs(0))),
+    "graft_isect_size" -> (exprs => SetIntersectSize(exprs(0), exprs(1))),
+    "graft_lsh_probes" -> (exprs => LshProbes(exprs(0),
+      intLitAt(exprs, 1, "graft_lsh_probes nBits"),
+      intLitAt(exprs, 2, "graft_lsh_probes probeBits"))),
+    "graft_sign_buckets" -> (exprs => SignBuckets(exprs(0),
+      intLitAt(exprs, 1, "graft_sign_buckets dim"),
+      intLitAt(exprs, 2, "graft_sign_buckets nBits"),
+      intLitAt(exprs, 3, "graft_sign_buckets nTables"))),
+    "graft_shingles" -> (exprs => WordShingles(exprs(0),
+      intLitAt(exprs, 1, "graft_shingles n"))),
+    "graft_top_shingle_frac" -> (exprs => TopShingleFraction(exprs(0),
+      intLitAt(exprs, 1, "graft_top_shingle_frac n"))),
+    "graft_bloom_pos" -> (exprs => BloomPositions(exprs(0),
+      intLitAt(exprs, 1, "graft_bloom_pos numBits"),
+      intLitAt(exprs, 2, "graft_bloom_pos numHashes"))),
+    "graft_bloom_contains" -> (exprs => BloomContains(exprs(0), exprs(1),
+      intLitAt(exprs, 2, "graft_bloom_contains numBits"),
+      intLitAt(exprs, 3, "graft_bloom_contains numHashes"))))
+
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
     // every operator entry point calls register(); skip when this
     // session already has ALL kernels (re-registration is harmless but
     // WARN-logs once per function per call — noisy in Verify/Bench)
-    val names = Seq("graft_dot", "graft_minhash", "graft_simhash",
-      "graft_isect_size", "graft_lsh_probes", "graft_sign_buckets",
-      "graft_shingles", "graft_top_shingle_frac", "graft_bloom_pos",
-      "graft_bloom_contains")
-    if (names.forall(n => r.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
+    if (kernelBuilders.forall { case (n, _) => r.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)) })
       return
-    r.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    r.createOrReplaceTempFunction("graft_minhash",
-      exprs => MinHashSig(exprs(0), exprs(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(
-          s"graft_minhash numHashes must be an int literal, got $other")
-      }), "built-in")
-    r.createOrReplaceTempFunction("graft_simhash",
-      exprs => SimHash64(exprs(0)), "built-in")
-    r.createOrReplaceTempFunction("graft_isect_size",
-      exprs => SetIntersectSize(exprs(0), exprs(1)), "built-in")
-    r.createOrReplaceTempFunction("graft_lsh_probes",
-      exprs => LshProbes(exprs(0),
-        exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_lsh_probes nBits must be an int literal, got $other")
-        },
-        exprs(2) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_lsh_probes probeBits must be an int literal, got $other")
-        }), "built-in")
-    r.createOrReplaceTempFunction("graft_sign_buckets",
-      exprs => {
-        def intLit(e: Expression, what: String): Int = e match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_sign_buckets $what must be an int literal, got $other")
-        }
-        SignBuckets(exprs(0), intLit(exprs(1), "dim"),
-          intLit(exprs(2), "nBits"), intLit(exprs(3), "nTables"))
-      }, "built-in")
-    r.createOrReplaceTempFunction("graft_shingles",
-      exprs => WordShingles(exprs(0), exprs(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(
-          s"graft_shingles n must be an int literal, got $other")
-      }), "built-in")
-    r.createOrReplaceTempFunction("graft_top_shingle_frac",
-      exprs => TopShingleFraction(exprs(0), exprs(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(
-          s"graft_top_shingle_frac n must be an int literal, got $other")
-      }), "built-in")
-    def intLitAt(exprs: Seq[Expression], i: Int, what: String): Int =
-      exprs(i) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(
-          s"$what must be an int literal, got $other")
-      }
-    r.createOrReplaceTempFunction("graft_bloom_pos",
-      exprs => BloomPositions(exprs(0),
-        intLitAt(exprs, 1, "graft_bloom_pos numBits"),
-        intLitAt(exprs, 2, "graft_bloom_pos numHashes")), "built-in")
-    r.createOrReplaceTempFunction("graft_bloom_contains",
-      exprs => BloomContains(exprs(0), exprs(1),
-        intLitAt(exprs, 2, "graft_bloom_contains numBits"),
-        intLitAt(exprs, 3, "graft_bloom_contains numHashes")), "built-in")
+    kernelBuilders.foreach { case (n, b) =>
+      r.createOrReplaceTempFunction(n, b, "built-in") }
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
