@@ -82,6 +82,16 @@ object ScaleProbe {
         concat(lit("http://site"), col("doc_id") % 500, lit(".com/p"),
           col("doc_id"), lit(" "), col("text"))),
       cap = 40, blocklist = Seq("site7.com")).count())
+    // planted hot domain: 99% of docs share one host — the bounded
+    // top-cap aggregate must stay flat vs the uniform-domain probe
+    // (a row_number window would serialise on the hot key's one task)
+    time("domainQuotaHot")(operators.CurationOps.domainQuota(
+      docs.withColumn("text",
+        concat(when(col("doc_id") % 100 < 99, lit("http://hot.example.com/p"))
+          .otherwise(concat(lit("http://site"), (col("doc_id") % 500)
+            .cast("string"), lit(".com/p"))),
+          col("doc_id"), lit(" "), col("text"))),
+      cap = 40).count())
 
     val evbase = streaming.EventStreamOps.readEvents(
       spark, "/root/testdata/sf0.1/events.parquet")

@@ -478,7 +478,11 @@ object VectorExpressions {
       intLitAt(exprs, 2, "graft_bloom_pos numHashes"))),
     "graft_bloom_contains" -> (exprs => BloomContains(exprs(0), exprs(1),
       intLitAt(exprs, 2, "graft_bloom_contains numBits"),
-      intLitAt(exprs, 3, "graft_bloom_contains numHashes"))))
+      intLitAt(exprs, 3, "graft_bloom_contains numHashes"))),
+    // aggregate: the analyzer wraps a bare AggregateFunction returned
+    // by a registry builder in an AggregateExpression (Complete)
+    "graft_bounded_min_ids" -> (exprs => BoundedMinIds(exprs(0), exprs(1),
+      intLitAt(exprs, 2, "graft_bounded_min_ids cap"))))
 
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
@@ -513,4 +517,6 @@ object VectorExpressions {
                     numHashes: Int): Column =
     call_function("graft_bloom_contains", bloom, hash, lit(numBits),
       lit(numHashes))
+  def boundedMinIds(sortKey: Column, id: Column, cap: Int): Column =
+    call_function("graft_bounded_min_ids", sortKey, id, lit(cap))
 }

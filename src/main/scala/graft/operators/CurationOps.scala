@@ -254,16 +254,28 @@ object CurationOps {
    * with the smallest `md5(id)` — a seedless pseudo-random sample any
    * engine reproduces bit-for-bit (md5 of the same string is
    * universal), so downsampling decisions are auditable and stable
-   * across reruns. One window shuffle on the group key; no global
-   * sort.
+   * across reruns.
+   *
+   * Scale shape: the cut rides [[graft.functions.BoundedMinIds]] — a
+   * partial-aggregable bounded top-`n` (each map task keeps ≤n ids per
+   * group, the shuffle carries ≤n entries per (partition, group)) —
+   * NOT a `row_number` window, which would drag every row of a hot
+   * group through one task's sort. The n·groups survivor set is then a
+   * broadcastable semi-join back to the full rows.
    */
   def quotaSample(df: DataFrame, n: Int, groupCol: String = "source",
                   idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n).drop("__rn")
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val idT = df.schema(idCol).dataType
+    val kept = df
+      .groupBy(col(groupCol))
+      .agg(graft.functions.VectorExpressions.boundedMinIds(
+        md5(col(idCol).cast(StringType)), col(idCol).cast(StringType), n)
+        .as("__kept"))
+      .select(col(groupCol), explode(col("__kept")).as("__id"))
+      .select(col(groupCol), col("__id").cast(idT).as(idCol))
+    df.join(kept, Seq(groupCol, idCol), "left_semi")
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Corpus-GLOBAL deterministic pseudo-random sample: the `n` rows
@@ -595,25 +607,38 @@ object CurationOps {
    * entirely, and every surviving domain keeps at most `cap`
    * documents — the ones with the smallest `md5(id)`, i.e.
    * [[quotaSample]]'s seedless deterministic sample, so the cut is
-   * auditable and bit-reproducible in any engine. One window shuffle
-   * on the domain key; the blocklist is a literal predicate (config-
-   * sized, like the stopword lists — never a driver-side collect).
+   * auditable and bit-reproducible in any engine. The blocklist is a
+   * literal predicate (config-sized, like the stopword lists — never a
+   * driver-side collect).
+   *
+   * Scale shape: the per-domain cut is [[graft.functions.BoundedMinIds]]
+   * — a partial-aggregable bounded top-`cap` (map tasks keep ≤cap ids
+   * per domain; the shuffle carries ≤cap entries per (partition,
+   * domain)). A `row_number` window here would pull every document of
+   * a mega-domain (wikipedia.org at crawl scale: 10^8-10^9 rows)
+   * through ONE task's sort; with the bounded aggregate the hot-domain
+   * work stays flat across map tasks.
    * Output: `(idCol, domain, quota_rank)` for kept documents.
    */
   def domainQuota(df: DataFrame, cap: Int,
                   blocklist: Seq[String] = Nil,
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val idT = df.schema(idCol).dataType
     val dom = df.select(col(idCol),
       regexp_extract(col(textCol), DomainPattern, 1).as("domain"))
     val allowed =
       if (blocklist.isEmpty) dom
       else dom.filter(!col("domain").isin(blocklist: _*))
-    val w = Window.partitionBy(col("domain"))
-      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
-    allowed.withColumn("quota_rank", row_number().over(w).cast(LongType))
-      .filter(col("quota_rank") <= cap)
+    allowed
+      .groupBy(col("domain"))
+      .agg(graft.functions.VectorExpressions.boundedMinIds(
+        md5(col(idCol).cast(StringType)), col(idCol).cast(StringType), cap)
+        .as("__kept"))
+      .select(col("domain"), posexplode(col("__kept")).as(Seq("__pos", "__id")))
+      .select(col("__id").cast(idT).as(idCol), col("domain"),
+        (col("__pos") + 1).cast(LongType).as("quota_rank"))
   }
 
   /**

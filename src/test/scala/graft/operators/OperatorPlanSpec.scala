@@ -148,14 +148,26 @@ class OperatorPlanSpec extends SparkSpec {
       !q.contains("BroadcastNestedLoopJoin"), q.take(1500))
   }
 
-  test("domainQuota: one window exchange on the domain key, no join") {
+  test("domainQuota: partial-aggregable top-cap, no hot-key window sort") {
     val p = plan(CurationOps.domainQuota(docs, cap = 5,
       blocklist = Seq("x.com")))
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       p.take(1200))
+    // the cut must combine map-side (bounded buffer per domain per
+    // task) — a mega-domain then collapses per map task, never through
+    // one task's full-partition sort
+    assert(p.contains("partial_graft_bounded_min_ids"), p.take(1500))
+    assert(!p.contains("Window"), "no row_number window:\n" + p.take(1500))
     val exchanges =
       p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 1, s"$exchanges exchanges:\n${p.take(1200)}")
+  }
+
+  test("quotaSample: partial top-cap + semi-join, no window sort") {
+    val p = plan(CurationOps.quotaSample(docs, n = 5))
+    assert(p.contains("partial_graft_bounded_min_ids"), p.take(1500))
+    assert(!p.contains("Window"), "no row_number window:\n" + p.take(1500))
+    assert(p.contains("LeftSemi"), p.take(1500))
   }
 
   test("labelPropagationSync: no per-round exchange on the edge side") {

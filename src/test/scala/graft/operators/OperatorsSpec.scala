@@ -574,6 +574,18 @@ class OperatorsSpec extends SparkSpec {
     assert(perGroup.forall(_ <= 7) && perGroup.nonEmpty)
   }
 
+  test("quotaSample: bounded top-cap agg == row_number window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val windowed = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 7).drop("__rn")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val agg = CurationOps.quotaSample(docs, n = 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(agg == windowed, "partial-agg cut must equal the window cut")
+  }
+
   test("packSequences: greedy cumulative bins match a driver model") {
     val out = CurationOps.packSequences(docs, budget = 300).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
