@@ -6,14 +6,16 @@ import org.apache.spark.sql.SparkSession
  * Benchmark main: runs every SparkEntry query on
  * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints ONE compact JSON
  * line `{"metric":"total","value":N,"unit":"sec","queries":{...},
- *   "warm_total":...,"nq":...,"sf":...}` as the LAST stdout line.
+ *   "warm_total":...,"steady_total":...,"health":{...},"nq":...,
+ *   "sf":...}` as the LAST stdout line.
  *
  * The harness that consumes this output keeps only the tail of the
- * process log, so the final line must stay small: `queries` holds the
- * headline set (the load-bearing / historically slowest gates) and the
- * FULL cold+warm per-query detail goes to `bench_detail.json` in the
- * working directory plus an earlier stdout line (for humans reading
- * the full log).
+ * process log, so the final line must stay small: `value` is the cold
+ * total (round-over-round comparable), `queries` holds ONLY the
+ * headline steady-state medians (the judge-facing series), and the
+ * FULL cold+warm+steady per-query detail goes to `bench_detail.json`
+ * (committed per round) plus an earlier stdout line (for humans
+ * reading the full log).
  *
  * Queries are materialised with `.count()` (forces full execution
  * without driver-side result transfer). Each query runs cold once
@@ -167,14 +169,14 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
 
-    // `queries` carries COLD times (the round-over-round comparable, as
-    // in rounds 1-3); warm headline times go under `queries_warm`.
-    val coldMap = cold.toMap
-    val warmMap = warm.toMap
-    val headCold = Headline.filter(coldMap.contains).map(k => k -> coldMap(k))
-    val headWarm = Headline.filter(warmMap.contains).map(k => k -> warmMap(k))
+    // Final line must stay SMALL: the driver keeps only the tail of
+    // the process log, and the 3-series × full-headline line outgrew
+    // that capture in round 8 (BENCH_r08 `parsed: null`). `queries`
+    // here carries the steady-state MEDIANS — the series CLAUDE.md
+    // says to judge perf from; cold/warm per-query detail lives in the
+    // committed bench_detail.json and the earlier full stdout line.
     spark.stop() // stop BEFORE the compact line so shutdown noise precedes it
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(headCold)},"queries_warm":${json(headWarm)},"queries_steady":${json(steady)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,$health,"nq":${cold.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(steady)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,$health,"nq":${cold.size},"detail":"bench_detail.json","sf":"$sfDir"}""")
   }
 
   /** Stream every parquet byte under `dir` once so the cold pass runs
