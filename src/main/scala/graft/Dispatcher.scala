@@ -2,7 +2,8 @@ package graft
 
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
 import java.net.{ServerSocket, Socket}
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+import scala.collection.mutable.ArrayBuffer
 
 /**
  * Master-style query dispatcher — the Spark rendering of the
@@ -22,18 +23,29 @@ import java.util.concurrent.atomic.AtomicInteger
  *   sbt "runMain graft.NetEmu localhost 9180 32 200"
  *
  * Routing rules (master.hpp parity, adapted to our DDL):
- *  - Gremlin queries and `#pool` go to the least-loaded backend
+ *  - Gremlin queries and `#pool` go to the least-loaded LIVE backend
  *    (global in-flight counters, the progress map).
- *  - DDL (`BuildIndex`, `SetConfig`) BROADCASTS to every backend —
- *    index/config state must agree on all workers; the first
- *    backend's response block is relayed, the rest are drained.
+ *  - DDL (`BuildIndex`, `SetConfig`) BROADCASTS to every live
+ *    backend — index/config state must agree on all workers; the
+ *    first backend's response block is relayed, the rest are drained.
  *  - `exit`/`quit`/EOF closes the client's backend connections.
  *
- * Each client connection holds one socket per backend (the protocol
- * is in-order per connection), so per-query routing costs no
- * connection setup; concurrency across clients is what the in-flight
- * counters balance. Prints `LISTENING <port>` when every backend
- * answered a probe and the socket is bound.
+ * Failover (master parity — the reference re-picks a worker per query
+ * from whoever is alive, never routing to a dead one): a backend that
+ * fails mid-query is marked dead GLOBALLY and dropped from rotation
+ * for every connection; the in-flight query is re-routed to a
+ * surviving backend. Relay is exactly-once — a backend's response
+ * block is buffered until its `#done` arrives, so a mid-response
+ * crash re-runs the query on a survivor without duplicating partial
+ * output to the client. Only when NO backend survives does the client
+ * see an `ERROR` line.
+ *
+ * Each client connection opens one socket per backend LAZILY (first
+ * query routed there; the protocol is in-order per connection), so
+ * per-query routing costs no connection setup and dead backends cost
+ * nothing; concurrency across clients is what the in-flight counters
+ * balance. Prints `LISTENING <port>` when every backend answered a
+ * probe and the socket is bound.
  */
 object Dispatcher {
   def main(args: Array[String]): Unit = {
@@ -70,11 +82,13 @@ object Dispatcher {
     }
     val inflight = Array.fill(backends.length)(new AtomicInteger(0))
     val routed = Array.fill(backends.length)(new AtomicInteger(0))
+    val alive = Array.fill(backends.length)(new AtomicBoolean(true))
     val server = new ServerSocket(port)
     val acceptor = new Thread(() => {
       try while (true) {
         val sock = server.accept()
-        val t = new Thread(() => serve(sock, backends, inflight, routed))
+        val t = new Thread(() =>
+          serve(sock, backends, inflight, routed, alive))
         t.setDaemon(true)
         t.start()
       } catch { case _: java.io.IOException => () }
@@ -89,30 +103,82 @@ object Dispatcher {
 
   private def serve(client: Socket, backends: Seq[(String, Int)],
                     inflight: Array[AtomicInteger],
-                    routed: Array[AtomicInteger]): Unit = {
+                    routed: Array[AtomicInteger],
+                    alive: Array[AtomicBoolean]): Unit = {
     val cin = new BufferedReader(
       new InputStreamReader(client.getInputStream, "UTF-8"))
     val cout = new PrintWriter(new java.io.OutputStreamWriter(
       client.getOutputStream, "UTF-8"), false)
-    val socks = backends.map { case (h, p) =>
-      val s = new Socket(h, p)
-      s.setTcpNoDelay(true)
-      (s, new BufferedReader(
-        new InputStreamReader(s.getInputStream, "UTF-8")),
-        new PrintWriter(new java.io.OutputStreamWriter(
-          s.getOutputStream, "UTF-8"), false))
-    }
-    // forward one query to backend `i`; relay its lines to the client
-    // unless `quiet` (the drained copies of a broadcast)
-    def forward(i: Int, q: String, quiet: Boolean): Unit = {
-      val (_, bin, bout) = socks(i)
-      bout.println(q); bout.flush()
-      var l = bin.readLine()
-      while (l != null && l != "#done") {
-        if (!quiet) cout.println(l)
-        l = bin.readLine()
+    val socks =
+      Array.fill[Option[(Socket, BufferedReader, PrintWriter)]](
+        backends.length)(None)
+    def conn(i: Int): (Socket, BufferedReader, PrintWriter) =
+      socks(i).getOrElse {
+        val (h, p) = backends(i)
+        val s = new Socket(h, p) // throws IOException if unreachable
+        s.setTcpNoDelay(true)
+        val c = (s, new BufferedReader(
+          new InputStreamReader(s.getInputStream, "UTF-8")),
+          new PrintWriter(new java.io.OutputStreamWriter(
+            s.getOutputStream, "UTF-8"), false))
+        socks(i) = Some(c)
+        c
       }
+    def markDead(i: Int): Unit = {
+      alive(i).set(false)
+      socks(i).foreach { case (s, _, _) =>
+        try s.close() catch { case _: Throwable => () } }
+      socks(i) = None
+    }
+    // forward one query to backend `i`, returning its BUFFERED
+    // response block — nothing reaches the client until the backend's
+    // `#done` proves the block complete (exactly-once under failover)
+    def forward(i: Int, q: String): Seq[String] = {
+      val (_, bin, bout) = conn(i)
+      bout.println(q); bout.flush()
+      if (bout.checkError()) // PrintWriter swallows IOExceptions
+        throw new java.io.IOException(s"backend $i write failed")
+      val buf = new ArrayBuffer[String]()
+      var l = bin.readLine()
+      while (l != null && l != "#done") { buf += l; l = bin.readLine() }
       if (l == null) throw new java.io.IOException(s"backend $i closed")
+      buf.toSeq
+    }
+    def liveIdx: Seq[Int] = backends.indices.filter(alive(_).get())
+    // the progress map: route to the emptiest live backend; a failed
+    // backend is dropped from rotation and the query re-routed
+    def route(q: String): Unit = {
+      var done = false
+      while (!done) {
+        val cand = liveIdx
+        if (cand.isEmpty) {
+          cout.println("ERROR: no live backends"); done = true
+        } else {
+          val i = cand.minBy(j => (inflight(j).get(), j))
+          inflight(i).incrementAndGet()
+          val res =
+            try Some(forward(i, q))
+            catch { case _: java.io.IOException => None }
+            finally inflight(i).decrementAndGet()
+          res match {
+            case Some(lines) =>
+              lines.foreach(cout.println)
+              routed(i).incrementAndGet()
+              done = true
+            case None => markDead(i)
+          }
+        }
+      }
+    }
+    def routeDdl(q: String): Unit = {
+      var relayed = false
+      liveIdx.foreach { i =>
+        try {
+          val lines = forward(i, q)
+          if (!relayed) { lines.foreach(cout.println); relayed = true }
+        } catch { case _: java.io.IOException => markDead(i) }
+      }
+      if (!relayed) cout.println("ERROR: no live backends")
     }
     try {
       var line = cin.readLine()
@@ -121,16 +187,7 @@ object Dispatcher {
         if (q == "exit" || q == "quit") line = null
         else {
           if (q.nonEmpty) {
-            if (isDdl(q)) {
-              socks.indices.foreach(i => forward(i, q, quiet = i > 0))
-            } else {
-              // the progress map: route to the emptiest backend
-              val i = socks.indices.minBy(j => (inflight(j).get(), j))
-              inflight(i).incrementAndGet()
-              try forward(i, q, quiet = false)
-              finally inflight(i).decrementAndGet()
-              routed(i).incrementAndGet()
-            }
+            if (isDdl(q)) routeDdl(q) else route(q)
           }
           cout.println("#done")
           cout.flush()
@@ -139,7 +196,7 @@ object Dispatcher {
       }
     } catch { case _: java.io.IOException => () }
     finally {
-      socks.foreach { case (s, _, out) =>
+      socks.flatten.foreach { case (s, _, out) =>
         try { out.println("exit"); out.flush() } catch { case _: Throwable => () }
         try s.close() catch { case _: Throwable => () }
       }

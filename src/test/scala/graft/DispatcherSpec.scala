@@ -76,4 +76,72 @@ class DispatcherSpec extends SparkSpec {
     // least-loaded routing must use BOTH backends under concurrency
     assert(delta.forall(_ > 0), s"one-sided routing: ${delta.mkString(",")}")
   }
+
+  test("backend crash mid-response: dropped from rotation, rerouted, " +
+      "zero client-visible errors") {
+    // flaky fake backend: answers the startup probe, serves 2 queries
+    // per connection, then crashes MID-RESPONSE on the 3rd (a result
+    // line with no #done, socket closed) — the worst failover case,
+    // because a naive relay would have already leaked partial output
+    val flaky = new java.net.ServerSocket(0)
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val s = flaky.accept()
+        val t = new Thread(() => {
+          val in = new BufferedReader(
+            new InputStreamReader(s.getInputStream, "UTF-8"))
+          val out = new PrintWriter(new java.io.OutputStreamWriter(
+            s.getOutputStream, "UTF-8"), false)
+          var served = 0
+          try {
+            var line = in.readLine()
+            var run = true
+            while (run && line != null) {
+              if (line == "exit" || line == "quit") run = false
+              else if (line.startsWith("#pool")) {
+                out.println("=>probe"); out.println("#done"); out.flush()
+                line = in.readLine()
+              } else {
+                served += 1
+                if (served >= 3) {
+                  out.println("=>6"); out.flush() // partial block, then die
+                  s.close(); run = false
+                } else {
+                  out.println("=>6"); out.println("#done"); out.flush()
+                  line = in.readLine()
+                }
+              }
+            }
+          } catch { case _: Throwable => () }
+          finally { try s.close() catch { case _: Throwable => () } }
+        })
+        t.setDaemon(true); t.start()
+      } catch { case _: java.io.IOException => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+
+    val (front2, routed2) = Dispatcher.start(
+      Seq(("localhost", flaky.getLocalPort),
+        ("localhost", backendA.getLocalPort)), port = 0)
+    val (sock, in, out) = connect(front2.getLocalPort)
+    try {
+      // a sequential client ties on in-flight → routes to backend 0
+      // (the flaky one) until it dies; every answer must stay correct
+      // and single — no duplicated partial line, no ERROR
+      (1 to 6).foreach { k =>
+        assert(roundTrip(in, out, "g.V().count()") == Seq("=>6"),
+          s"query $k")
+      }
+      assert(routed2(0).get() == 2,
+        s"flaky completed ${routed2(0).get()} before dying")
+      assert(routed2(1).get() == 4, "crashed + later queries reroute")
+      // a NEW connection must skip the dead backend (global liveness)
+      val (s2, in2, out2) = connect(front2.getLocalPort)
+      try assert(roundTrip(in2, out2, "g.V().count()") == Seq("=>6"))
+      finally s2.close()
+      assert(routed2(1).get() == 5, "survivor serves new connections")
+    } finally {
+      sock.close(); front2.close(); flaky.close()
+    }
+  }
 }
