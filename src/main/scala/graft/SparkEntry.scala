@@ -196,6 +196,19 @@ object SparkEntry {
     "dedup_semantic" -> ((spark, sfDir) =>
       operators.DedupOps.semanticDedup(embs(spark, sfDir),
         ivfModel(spark, sfDir), tau = 0.45)),
+    // the same chain with FIXED centroids (the first 8 corpus vectors,
+    // a bounded 8-row collect) — every stage (argmin assign -> salted
+    // within-cluster pairs -> connected components -> min-id
+    // canonical) is then SQL-expressible, so the full SemDeDup
+    // pipeline gets a hash-checked oracle; the k-means-seeded variant
+    // above stays rows-only by nature
+    "dedup_semantic_fixed" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      operators.DedupOps.semanticDedup(e, cents, tau = 0.45)
+    }),
     "ann_topk" -> ((spark, sfDir) => {
       val e = embs(spark, sfDir)
       operators.SimilarityOps.bruteForceTopK(
@@ -248,6 +261,23 @@ object SparkEntry {
         operators.SimilarityOps.bruteForceTopK(q, e, k = 5),
         k = 5, floor = 1)
     }),
+    // the full OPQ chain (rotate corpus+queries -> PQ in the rotated
+    // space -> ADC shortlist -> exact rerank) behind the same
+    // recall-floor face: rotation preserves cosine exactly, so the
+    // UNROTATED brute force stays the ground truth (probed min hits 2
+    // at sf0.01; floor 1 = the plain-PQ floor, with the same margin)
+    "ann_recall_opq" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val (rot, books) = opqModel(spark, sfDir)
+      val er = operators.SimilarityOps.applyOpqRotation(e, rot)
+      operators.SimilarityOps.recallAtK(
+        operators.SimilarityOps.pqRerank(
+          er.filter(col("vec_id") < 10), er, books, k = 5,
+          shortlist = 50),
+        operators.SimilarityOps.bruteForceTopK(
+          e.filter(col("vec_id") < 10), e, k = 5),
+        k = 5, floor = 1)
+    }),
     // synthesize REAL PNG bytes per doc, then PARSE their headers back
     // (pure-JVM IHDR decode in mapPartitions batches); the oracle
     // recomputes what the parser must extract from the synthesis math
@@ -279,10 +309,17 @@ object SparkEntry {
     "curation_pack" -> ((spark, sfDir) =>
       operators.CurationOps.packSequences(docs(spark, sfDir), budget = 512)),
     // token-exact fixed blocks with docs spilling across boundaries
-    // (the GPT-style layout); block content pinned by in-order md5
-    "curation_pack_tokens" -> ((spark, sfDir) =>
-      operators.CurationOps.packTokenBlocks(docs(spark, sfDir),
-        blockSize = 256)),
+    // (the GPT-style layout); block content pinned by in-order md5.
+    // Gated in the documented 100 TB shape: shardShuffle assigns the
+    // grouping unit (8 hash shards here; thousands at scale), so the
+    // per-group ranking window never sees more than corpus/nShards
+    "curation_pack_tokens" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      operators.CurationOps.packTokenBlocks(
+        d.join(operators.CurationOps.shardShuffle(d, nShards = 8)
+          .select("doc_id", "shard"), Seq("doc_id")),
+        blockSize = 256, groupCol = "shard")
+    }),
     "curation_source_stats" -> ((spark, sfDir) =>
       operators.CurationOps.sourceStats(docs(spark, sfDir))),
     "curation_top_ngram" -> ((spark, sfDir) =>
@@ -756,6 +793,22 @@ object SparkEntry {
       operators.SimilarityOps.fitPq(
         embs(spark, sfDir), m = 8, k = 16, iters = 3))
 
+  // OPQ model = (rotation, codebooks fitted in the rotated space);
+  // both deterministic, cached like the other index-build-time models
+  private val opqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (Array[Array[Double]], Array[Array[Array[Double]]])]
+  private def opqModel(spark: SparkSession, sfDir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    opqCache.getOrElseUpdate((spark, sfDir), {
+      val rot = operators.SimilarityOps.fitOpqRotation(
+        embs(spark, sfDir), dim = 64, m = 8)
+      val books = operators.SimilarityOps.fitPq(
+        operators.SimilarityOps.applyOpqRotation(embs(spark, sfDir), rot),
+        m = 8, k = 16, iters = 3)
+      (rot, books)
+    })
+
   // Shared SQL fragments: the derived graph in relational form.
   private val EdgesContains =
     "(SELECT l_orderkey, l_partkey, sum(l_quantity) AS quantity, sum(l_extendedprice) AS extendedprice FROM lineitem GROUP BY l_orderkey, l_partkey)"
@@ -1008,6 +1061,50 @@ object SparkEntry {
          |  (SELECT id, min(r) AS c FROM reach GROUP BY id) m
          |  ON m.id = d.doc_id
          |WHERE coalesce(m.c, d.doc_id) = d.doc_id""".stripMargin,
+    // fixed-centroid SemDeDup: argmin cell assign (ties to lowest
+    // cell), within-cell pairs on RAW cosine, undirected reach,
+    // min-id canonical — mirrors semanticDedup stage for stage. The
+    // centroid norm is a sequential double sum on both sides
+    // (driver-side Scala sum == list_sum over DOUBLE casts)
+    "dedup_semantic_fixed" ->
+      """WITH RECURSIVE
+        |cent AS (SELECT vec_id AS cell, embedding FROM embeddings
+        |  WHERE vec_id < 8),
+        |cn AS (SELECT cell, list_sum([CAST(embedding[i] AS DOUBLE) *
+        |    CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]) AS cnorm2
+        |  FROM cent),
+        |sc AS (SELECT e.vec_id, c.cell,
+        |  cn.cnorm2 - 2 * list_sum([CAST(e.embedding[i] AS DOUBLE) *
+        |    CAST(c.embedding[i] AS DOUBLE) for i in range(1, 65)]) AS d
+        | FROM embeddings e CROSS JOIN cent c JOIN cn ON cn.cell = c.cell),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d, cell) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |pr AS (SELECT sa.vec_id AS id_a, sb.vec_id AS id_b,
+        |  list_sum([CAST(a.embedding[i] AS DOUBLE) *
+        |    CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]) AS ab,
+        |  list_sum([CAST(a.embedding[i] AS DOUBLE) *
+        |    CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)]) AS aa,
+        |  list_sum([CAST(b.embedding[i] AS DOUBLE) *
+        |    CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]) AS bb
+        | FROM asg sa JOIN asg sb
+        |   ON sa.cell = sb.cell AND sa.vec_id < sb.vec_id
+        |  JOIN embeddings a ON a.vec_id = sa.vec_id
+        |  JOIN embeddings b ON b.vec_id = sb.vec_id),
+        |p AS (SELECT id_a, id_b FROM pr
+        |  WHERE ab/(sqrt(aa)*sqrt(bb)) >= 0.45),
+        |und AS (SELECT id_a AS u, id_b AS v FROM p
+        |        UNION SELECT id_b, id_a FROM p),
+        |verts AS (SELECT DISTINCT u AS id FROM und),
+        |reach(id, r) AS (SELECT id, id FROM verts
+        |  UNION SELECT e2.v, r.r FROM reach r JOIN und e2 ON e2.u = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+        |  CAST(g.cell AS INTEGER) AS cluster,
+        |  CAST(coalesce(comp.component, e.vec_id) AS BIGINT) AS canonical
+        |FROM embeddings e JOIN asg g ON g.vec_id = e.vec_id
+        |LEFT JOIN comp ON comp.id = e.vec_id""".stripMargin,
     "neardup_embedding" ->
       s"""SELECT id_a, id_b, round(ab/(sqrt(aa)*sqrt(bb)), 4) AS cosine
          |FROM $SqlCosPairs WHERE ab/(sqrt(aa)*sqrt(bb)) >= 0.45""".stripMargin,
@@ -1033,6 +1130,10 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "ann_recall_pq" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "ann_recall_opq" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
@@ -1101,19 +1202,22 @@ object SparkEntry {
         |    AS DOUBLE) / 512) AS BIGINT) AS bin_id
         |FROM t""".stripMargin,
     "curation_pack_tokens" ->
-      """WITH t AS (SELECT doc_id, source,
-        |  string_split(trim(text), ' ') AS w FROM documents),
-        |tok AS (SELECT doc_id, source, unnest(w) AS tok,
+      """WITH h AS (SELECT doc_id, text,
+        |  CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT) % 8 AS shard FROM documents),
+        |t AS (SELECT doc_id, shard,
+        |  string_split(trim(text), ' ') AS w FROM h),
+        |tok AS (SELECT doc_id, shard, unnest(w) AS tok,
         |  generate_subscripts(w, 1) AS tp FROM t),
         |f AS (SELECT * FROM tok WHERE tok != ''),
-        |p AS (SELECT source, doc_id, tp, tok,
-        |  CAST((row_number() OVER (PARTITION BY source
+        |p AS (SELECT shard, doc_id, tp, tok,
+        |  CAST((row_number() OVER (PARTITION BY shard
         |    ORDER BY doc_id, tp) - 1) // 256 AS BIGINT) AS block_id
         | FROM f)
-        |SELECT source, block_id, count(*) AS n_tokens,
+        |SELECT shard, block_id, count(*) AS n_tokens,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  md5(string_agg(tok, ' ' ORDER BY doc_id, tp)) AS block_md5
-        |FROM p GROUP BY source, block_id""".stripMargin,
+        |FROM p GROUP BY shard, block_id""".stripMargin,
     "curation_top_ngram" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-2, 1)+1)]) AS gram FROM w),

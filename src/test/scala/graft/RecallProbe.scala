@@ -32,6 +32,16 @@ object RecallProbe {
     val pq = operators.SimilarityOps.fitPq(e, m = 8, k = 16, iters = 3)
     hits("pq_rerank50(floor=1)",
       operators.SimilarityOps.pqRerank(q, e, pq, k = 5, shortlist = 50))
+    // OPQ face: rotate corpus+queries, fit PQ in the rotated space,
+    // rerank — rotation preserves exact cosine, so the unrotated brute
+    // force stays the ground truth
+    val rot = operators.SimilarityOps.fitOpqRotation(e, dim = 64, m = 8)
+    val er = operators.SimilarityOps.applyOpqRotation(e, rot).cache()
+    val qr = er.filter(col("vec_id") < 10)
+    val opqBooks = operators.SimilarityOps.fitPq(er, m = 8, k = 16, iters = 3)
+    hits("opq_rerank50",
+      operators.SimilarityOps.pqRerank(qr, er, opqBooks, k = 5,
+        shortlist = 50))
     spark.stop()
   }
 }
