@@ -304,6 +304,14 @@ object SparkEntry {
     }),
     "curation_lang_eval" -> ((spark, sfDir) =>
       operators.CurationOps.langIdEval(docs(spark, sfDir))),
+    // crawl stage 0: synthesize a full HTML page around each doc
+    // (head/script/style, link-only nav, escaped <p> body, link-heavy
+    // footer), then rule-based extraction must recover EXACTLY the
+    // whitespace-normalized text — boilerplate dropped by link density
+    "curation_html_extract" -> ((spark, sfDir) =>
+      operators.ExtractOps.htmlExtract(
+        operators.ExtractOps.withHtmlPayload(docs(spark, sfDir)))
+        .select("doc_id", "extracted")),
     "curation_quota_sample" -> ((spark, sfDir) =>
       operators.CurationOps.quotaSample(docs(spark, sfDir), n = 20)),
     "curation_pack" -> ((spark, sfDir) =>
@@ -1187,6 +1195,13 @@ object SparkEntry {
          |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM s)
          |SELECT d.lang, p.lang_pred, count(*) AS n FROM documents d
          |JOIN p ON d.doc_id = p.doc_id GROUP BY d.lang, p.lang_pred""".stripMargin,
+    // construction oracle: the synthesized page's only content blocks
+    // are the escaped 20-word <p> chunks of `text`, so extraction must
+    // return exactly the whitespace-normalized text ('g' flag: DuckDB
+    // replaces first match only by default)
+    "curation_html_extract" ->
+      """SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g')
+        |  AS extracted FROM documents""".stripMargin,
     "curation_quota_sample" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY source

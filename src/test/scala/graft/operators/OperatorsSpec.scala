@@ -1698,4 +1698,53 @@ class OperatorsSpec extends SparkSpec {
     // positions 1..8 and 5..12 union to 1..12
     assert((r.getLong(1), r.getLong(2)) == ((20L, 12L)))
   }
+
+  // ---------------- ExtractOps ----------------
+
+  test("htmlExtract: boilerplate dropped by link density, entities restored") {
+    import spark.implicits._
+    val html =
+      "<html><head><title>T</title><style>p{}</style>" +
+        "<script>track()</script></head><body>" +
+        "<nav><ul><li><a href=\"/a\">Home</a></li>" +
+        "<li><a href=\"/b\">More</a></li></ul></nav>" +
+        "<div>Real content with a &lt;tag&gt; &amp; ampersand plus " +
+        "<a href=\"/x\">one link</a> inside a long enough sentence</div>" +
+        "<footer><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a> c" +
+        "</footer></body></html>"
+    val out = ExtractOps.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html")).collect().head
+    assert(out.getString(1) == "Real content with a <tag> & ampersand " +
+      "plus one link inside a long enough sentence")
+    // head/script/style/nav/footer all gone
+    assert(!out.getString(1).contains("Home") &&
+      !out.getString(1).contains("Privacy") &&
+      !out.getString(1).contains("track") && !out.getString(1).contains("T "))
+    assert(out.getInt(2) == 1, "one content block kept")
+    assert(out.getInt(3) >= 3, "nav links + footer dropped")
+  }
+
+  test("htmlExtract: majority-link block dropped, balanced block kept") {
+    import spark.implicits._
+    val df = Seq(
+      // links are 2/3 of the visible chars -> boilerplate
+      (1L, "<div><a href=\"/1\">aaaaaa</a> bb <a href=\"/2\">cccccc</a></div>"),
+      // links are under half -> content
+      (2L, "<div><a href=\"/1\">aaa</a> plenty of plain prose here</div>"))
+      .toDF("doc_id", "html")
+    val out = ExtractOps.htmlExtract(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "")
+    assert(out(2L) == "aaa plenty of plain prose here")
+  }
+
+  test("htmlExtract(withHtmlPayload) round-trips the corpus text") {
+    val want = docs.select(col("doc_id"),
+      regexp_replace(trim(col("text")), "\\s+", " ").as("want"))
+    val rt = ExtractOps.htmlExtract(ExtractOps.withHtmlPayload(docs))
+      .join(want, "doc_id")
+    assert(rt.filter(col("extracted") =!= col("want")).count() == 0)
+    // every page must actually have dropped boilerplate blocks
+    assert(rt.count() == docs.count())
+  }
 }
