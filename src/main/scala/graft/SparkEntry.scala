@@ -162,6 +162,20 @@ object SparkEntry {
       operators.DedupOps.exact(docs(spark, sfDir))),
     "dedup_minhash" -> ((spark, sfDir) =>
       operators.DedupOps.minhashLsh(docs(spark, sfDir), tau = 0.8)),
+    // cross-snapshot incremental dedup: the corpus arrives as TWO
+    // increments against persisted band-posting state, and the union
+    // of the two runs' outputs must equal one full recompute — the
+    // same exact-Jaccard oracle as dedup_minhash certifies exactly
+    // that (evens pair only within evens in run 1; run 2 emits every
+    // pair touching an odd id; old-old pairs never re-emit)
+    "dedup_minhash_incremental" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val state = freshStateDir("graft_mhstate")
+      operators.DedupOps.minhashLshIncremental(
+        d.filter(col("doc_id") % 2 === 0), state, tau = 0.8)
+        .unionByName(operators.DedupOps.minhashLshIncremental(
+          d.filter(col("doc_id") % 2 === 1), state, tau = 0.8))
+    }),
     "dedup_token_jaccard" -> ((spark, sfDir) =>
       operators.DedupOps.tokenJaccard(docs(spark, sfDir), tau = 0.95)),
     "dedup_simhash" -> ((spark, sfDir) => // no SQL oracle: xxhash64 seeds differ across engines
@@ -595,6 +609,30 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0))
     }),
+    // cross-snapshot bloom state: two held-out drops merged into
+    // persisted filter bytes must flag EXACTLY what one build over
+    // their union flags (bit_or is associative — bit-identical bytes).
+    // The equality is hash-checked: the gate emits the comparison
+    // (docs_compared, mismatches) and the oracle pins mismatches = 0
+    "curation_bloom_incremental" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val state = freshStateDir("graft_bloomstate")
+      operators.CurationOps.bloomStateAdd(
+        d.filter(col("doc_id") % 20 === 0), state)
+      operators.CurationOps.bloomStateAdd(
+        d.filter(col("doc_id") % 20 === 10), state)
+      val inc = operators.CurationOps
+        .bloomDecontaminateStateful(corpus, state)
+        .withColumnRenamed("flagged_ngrams", "inc_flagged")
+      val full = operators.CurationOps.bloomDecontaminate(
+        corpus, d.filter(col("doc_id") % 10 === 0))
+        .withColumnRenamed("flagged_ngrams", "full_flagged")
+      inc.join(full, Seq("doc_id"))
+        .agg(count(lit(1)).as("docs_compared"),
+          sum(when(col("inc_flagged") =!= col("full_flagged"), 1L)
+            .otherwise(0L)).as("mismatches"))
+    }),
     // deflate-compressibility signal; zlib output is implementation-
     // defined -> rows-only gate, ordering/determinism specs
     "text_compression_ratio" -> ((spark, sfDir) =>
@@ -779,6 +817,45 @@ object SparkEntry {
     spark.read.parquet(s"$sfDir/documents.parquet")
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // Fresh per-invocation local state root for the incremental
+  // (cross-snapshot) gates. The returned dir must outlive the gate
+  // lambda (the result DataFrame reads the state parquet lazily), so
+  // cleanup is deferred: dirs are pid-keyed, earlier dirs of THIS pid
+  // (materialized by prior sequential passes) and any DEAD pid's
+  // leftovers are GC'd on the next call — the streamedToParquet sink
+  // pattern. A live foreign pid's dirs are never touched.
+  private val stateCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+        s.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+  private def freshStateDir(tag: String): String = {
+    val base = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), tag).toString
+    val pidPrefix = s"${base}_p${ProcessHandle.current().pid()}_"
+    val dir = s"$pidPrefix${stateCounter.incrementAndGet()}"
+    val deadPid = s"^${java.util.regex.Pattern.quote(base)}_p(\\d+)_".r
+    val parent = java.nio.file.Paths.get(dir).getParent
+    if (parent != null && java.nio.file.Files.isDirectory(parent)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(parent)) { s =>
+        s.iterator().asScala.toList.filter { p =>
+          val str = p.toString
+          str != dir && (str.startsWith(pidPrefix) ||
+            deadPid.findPrefixMatchOf(str).exists { m =>
+              ProcessHandle.of(m.group(1).toLong)
+                .map[Boolean](h => !h.isAlive).orElse(true)
+            })
+        }.foreach(rmTree)
+      }
+    }
+    dir
+  }
 
   // IVF model fitted once per (session, dataset) — the serving pattern,
   // same as the pre-built gremlin indexes: a production deployment fits
@@ -1026,6 +1103,18 @@ object SparkEntry {
          |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, len(a.sh) AS la, len(b.sh) AS lb
          | FROM $SqlTrigramSets a JOIN $SqlTrigramSets b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(inter/(la + lb - inter), 4) AS jaccard FROM p WHERE inter/(la + lb - inter) >= 0.8""".stripMargin,
+    // increment-mode == full-recompute: the union of the two
+    // incremental runs' pairs must equal the one-shot answer, so the
+    // oracle is IDENTICAL to dedup_minhash's exact all-pairs Jaccard
+    "dedup_minhash_incremental" ->
+      s"""WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+         | FROM $SqlTrigramSets a JOIN $SqlTrigramSets b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(inter/(la + lb - inter), 4) AS jaccard FROM p WHERE inter/(la + lb - inter) >= 0.8""".stripMargin,
+    "curation_bloom_incremental" ->
+      """SELECT CAST(count(*) AS BIGINT) AS docs_compared,
+        |  CAST(0 AS BIGINT) AS mismatches
+        |FROM documents WHERE doc_id % 10 <> 0""".stripMargin,
     "dedup_token_jaccard" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

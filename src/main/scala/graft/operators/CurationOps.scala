@@ -205,15 +205,32 @@ object CurationOps {
                          idCol: String = "doc_id",
                          textCol: String = "text", n: Int = 8,
                          numBits: Int = 1 << 22,
-                         numHashes: Int = 5): DataFrame = {
-    require(numBits % 8 == 0 && numBits > 0, "numBits must be a positive multiple of 8")
+                         numHashes: Int = 5): DataFrame =
+    bloomProbe(corpus,
+      bloomBuild(heldout, idCol, textCol, n, numBits, numHashes),
+      idCol, textCol, n, numBits, numHashes)
+
+  /** Shingle-hash stream of a corpus: one `(__id, __h)` row per
+    * (doc, distinct word n-gram). */
+  private def shingleHashes(df: DataFrame, idCol: String,
+                            textCol: String, n: Int): DataFrame = {
     val VE = graft.functions.VectorExpressions
-    VE.register(corpus.sparkSession)
-    def hashes(df: DataFrame) = df.select(col(idCol).as("__id"),
+    df.select(col(idCol).as("__id"),
       explode(VE.wordShingles(col(textCol), n)).as("__s"))
       .select(col("__id"), xxhash64(col("__s")).as("__h"))
+  }
 
-    val bytesSet = hashes(heldout).select(col("__h")).distinct()
+  /** Distributed bloom build over a held-out set's shingle hashes:
+    * positions → byte-index `bit_or` aggregation, only the ≤ numBits/8
+    * bytes reach the driver. */
+  private def bloomBuild(heldout: DataFrame, idCol: String,
+                         textCol: String, n: Int, numBits: Int,
+                         numHashes: Int): Array[Byte] = {
+    require(numBits % 8 == 0 && numBits > 0, "numBits must be a positive multiple of 8")
+    val VE = graft.functions.VectorExpressions
+    VE.register(heldout.sparkSession)
+    val bytesSet = shingleHashes(heldout, idCol, textCol, n)
+      .select(col("__h")).distinct()
       .select(explode(VE.bloomPositions(col("__h"), numBits, numHashes))
         .as("__p"))
       .select((col("__p") / 8).cast("int").as("__i"),
@@ -224,11 +241,20 @@ object CurationOps {
       .collect()
     val bloom = new Array[Byte](numBits / 8)
     bytesSet.foreach(r => bloom(r.getInt(0)) = r.getInt(1).toByte)
+    bloom
+  }
+
+  /** Probe a corpus against bloom bytes broadcast as DATA (one-row
+    * DataFrame, never a plan literal). */
+  private def bloomProbe(corpus: DataFrame, bloom: Array[Byte],
+                         idCol: String, textCol: String, n: Int,
+                         numBits: Int, numHashes: Int): DataFrame = {
+    val VE = graft.functions.VectorExpressions
+    VE.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
     val bloomDf = Seq(Tuple1(bloom)).toDF("__bloom")
-
-    val flagged = hashes(corpus)
+    val flagged = shingleHashes(corpus, idCol, textCol, n)
       .crossJoin(broadcast(bloomDf))
       .filter(VE.bloomContains(col("__bloom"), col("__h"),
         numBits, numHashes))
@@ -239,6 +265,62 @@ object CurationOps {
         Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("flagged_ngrams"), lit(0L)).as("flagged_ngrams"))
+  }
+
+  /**
+   * Persist (merge) a held-out increment's bloom bits under
+   * `statePath` — the cross-snapshot face of [[bloomDecontaminate]]:
+   * a nightly pipeline adds each new eval/benchmark drop to the stored
+   * filter instead of rebuilding from every held-out set it has ever
+   * seen. Each committed increment dir stores the MERGED bytes (bit_or
+   * of the stored filter with the increment's), so reads touch only
+   * the latest dir, and because bit positions are a pure function of
+   * the shingle and `bit_or` is associative-commutative, the
+   * incrementally-merged filter is BIT-IDENTICAL to one built over the
+   * union of all held-out sets — same flags, same FP rate (spec
+   * asserts byte equality). Re-adding an already-merged set is a no-op
+   * by the same algebra, and a crash before COMMIT leaves the previous
+   * version live ([[StateStore]] idempotence). Returns the merged
+   * bytes.
+   */
+  def bloomStateAdd(heldout: DataFrame, statePath: String,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 8, numBits: Int = 1 << 22,
+                    numHashes: Int = 5): Array[Byte] = {
+    val spark = heldout.sparkSession
+    val add = bloomBuild(heldout, idCol, textCol, n, numBits, numHashes)
+    val prior = StateStore.committed(spark, statePath)
+    val merged = if (prior.isEmpty) add else {
+      val old = spark.read.parquet(prior.last + "/bloom")
+        .head.getAs[Array[Byte]](0)
+      require(old.length == add.length,
+        s"stored bloom has ${old.length * 8} bits, caller asked $numBits")
+      Array.tabulate(old.length)(i => (old(i) | add(i)).toByte)
+    }
+    val dir = StateStore.nextDir(spark, statePath)
+    import spark.implicits._
+    Seq(Tuple1(merged)).toDF("__bloom").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+    StateStore.commit(spark, dir)
+    merged
+  }
+
+  /** Probe a corpus against the bloom state accumulated by
+    * [[bloomStateAdd]] — equals [[bloomDecontaminate]] against the
+    * union of every added held-out set. */
+  def bloomDecontaminateStateful(corpus: DataFrame, statePath: String,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text", n: Int = 8,
+                                 numBits: Int = 1 << 22,
+                                 numHashes: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val prior = StateStore.committed(spark, statePath)
+    require(prior.nonEmpty, s"no committed bloom state under $statePath")
+    val bloom = spark.read.parquet(prior.last + "/bloom")
+      .head.getAs[Array[Byte]](0)
+    require(bloom.length * 8 == numBits,
+      s"stored bloom has ${bloom.length * 8} bits, caller asked $numBits")
+    bloomProbe(corpus, bloom, idCol, textCol, n, numBits, numHashes)
   }
 
   /** Confusion counts of the n-gram language heuristic against a

@@ -85,17 +85,8 @@ object DedupOps {
                  tau: Double = 0.8, maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.VectorExpressions.register(df.sparkSession)
-    val rows = numHashes / bands
-    val docs = df.select(col(idCol).as("__id"),
-      wordShingles(col(textCol), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-
-    val sig = docs.withColumn("__sig",
-      minhashSignature(col("__sh"), numHashes))
-    val banded0 = sig.select(col("__id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("__sig"), b * rows + 1, rows))): _*))
-        .as(Seq("__band", "__bh")))
+    val docs = shingleDocs(df, idCol, textCol, shingleN)
+    val banded0 = bandHashes(docs, numHashes, bands)
     // rank within bucket; the (band, bh) shuffle this needs is the same
     // distribution the self-join below uses, so it is not an extra pass
     val ranked = banded0.withColumn("__brn", row_number().over(
@@ -120,6 +111,114 @@ object DedupOps {
       .select("id_a", "id_b").distinct()
 
     verifyPairs(candidates, docs, tau)
+  }
+
+  /** Shingle projection shared by the one-shot and incremental LSH
+    * paths: `(__id, __sh)`, empty-shingle docs dropped (they cannot
+    * pair). */
+  private def shingleDocs(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      wordShingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+
+  /** Band projection shared by the one-shot and incremental LSH paths:
+    * one `(__id, __band, __bh)` posting per (doc, band), the band hash
+    * folding that band's signature slice. */
+  private def bandHashes(docs: DataFrame, numHashes: Int,
+                         bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    docs.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .select(col("__id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("__sig"), b * rows + 1, rows))): _*))
+          .as(Seq("__band", "__bh")))
+  }
+
+  /**
+   * Cross-snapshot INCREMENTAL MinHash+LSH dedup — the nightly-crawl
+   * shape: each call persists the increment's rows and raw band
+   * postings under `statePath` (via [[StateStore]]'s committed
+   * increment dirs) and emits only the near-dup pairs that TOUCH the
+   * increment (new-new and new-old); old-old pairs were emitted when
+   * their increment was ingested. The union of outputs across a run
+   * sequence equals one [[minhashLsh]] recompute over the union corpus
+   * (the equality gate), because the pair query is a pure function of
+   * the committed state: stored postings are UNCAPPED, and every call
+   * re-ranks buckets over the FULL posting union by id before applying
+   * `maxBucket` — exactly the ranking the one-shot run computes.
+   * (Under actual truncation the per-run cap can differ from the
+   * union-run cap when increment ids interleave old ids; a degenerate
+   * bucket past `maxBucket` postings is already an observed/warn-logged
+   * recall loss in the one-shot path — see [[minhashLsh]].)
+   *
+   * Restart-idempotent twice over: ids already in state are anti-joined
+   * out (re-presenting an ingested increment is a no-op returning zero
+   * pairs), and a crash between the parquet writes and the COMMIT
+   * marker leaves an uncommitted dir the retry overwrites.
+   *
+   * Scale: state i/o is one narrow write + one columnar re-read of
+   * (id, band, bucket) postings; the quadratic work (bucket self-join +
+   * exact verify) only ever touches pairs involving the increment, so a
+   * nightly crawl pays for its increment, not the archive.
+   */
+  def minhashLshIncremental(newDocs: DataFrame, statePath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      tau: Double = 0.8, maxBucket: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = newDocs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val prior = StateStore.committed(spark, statePath)
+
+    val incoming0 = newDocs.select(col(idCol).as("__id"),
+      col(textCol).as("__text"))
+    val incoming = if (prior.isEmpty) incoming0 else
+      incoming0.join(
+        spark.read.parquet(prior.map(_ + "/docs"): _*).select("__id"),
+        Seq("__id"), "left_anti")
+    val idType = newDocs.schema(idCol).dataType
+    if (incoming.isEmpty) // re-presented increment: no-op
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id_a", idType),
+          StructField("id_b", idType),
+          StructField("jaccard", DoubleType))))
+
+    // ingest: rows + RAW (uncapped) postings; COMMIT only after both
+    val dir = StateStore.nextDir(spark, statePath)
+    incoming.write.mode("overwrite").parquet(s"$dir/docs")
+    val incRead = spark.read.parquet(s"$dir/docs")
+    bandHashes(shingleDocs(incRead, "__id", "__text", shingleN),
+      numHashes, bands)
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    StateStore.commit(spark, dir)
+
+    // pair query over the committed state: union postings, rank + cap
+    // per bucket exactly as the one-shot run would on the union corpus,
+    // keep pairs with >= 1 side in this increment. The ranked postings
+    // back BOTH sides of the self-join (lazy-cache invariant).
+    val all = prior :+ dir
+    val ranked = spark.read.parquet(all.map(_ + "/postings"): _*)
+      .withColumn("__brn", row_number().over(
+        Window.partitionBy(col("__band"), col("__bh"))
+          .orderBy(col("__id"))))
+      .filter(col("__brn") <= maxBucket)
+      .localCheckpoint(false)
+    val freshIds = spark.read.parquet(s"$dir/docs").select("__id")
+    val l = ranked.join(freshIds, Seq("__id"), "left_semi")
+      .select(col("__band"), col("__bh"), col("__id").as("id_a"))
+    val r = ranked
+      .select(col("__band"), col("__bh"), col("__id").as("id_b"))
+    val candidates = l.join(r, Seq("__band", "__bh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val docsAll = shingleDocs(
+      spark.read.parquet(all.map(_ + "/docs"): _*),
+      "__id", "__text", shingleN)
+    verifyPairs(candidates, docsAll, tau)
   }
 
   /** Join candidate pairs back to shingle sets and keep true-Jaccard ≥ τ. */

@@ -28,11 +28,18 @@ object EventStreamOps {
   final case class UserStats(user_id: Long, events: Long, total: Double,
                              cents: Long)
 
-  /** Convert a nanosecond-epoch LONG `ts` to a proper timestamp. */
+  /** Normalize `ts` to a proper TIMESTAMP: nanosecond-epoch LONG
+    * (TIMESTAMP(NANOS) parquet read via nanosAsLong) divides to micros;
+    * TIMESTAMP_NTZ (plain `timestamp[us]` parquet) casts — a no-op on
+    * the underlying micros under the UTC session timezone every main
+    * and spec pins. Watermarks/windows require TIMESTAMP, not NTZ. */
   private def fixTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 

@@ -100,6 +100,99 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ------------- incremental (cross-snapshot) state -------------
+
+  /** Fresh empty state root under /tmp for one spec run. */
+  private def tmpState(name: String): String = {
+    val d = new java.io.File(
+      s"/tmp/graft_spec_state_${ProcessHandle.current().pid()}_$name")
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete()
+    }
+    if (d.exists()) rm(d)
+    d.toString
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental minhash: increments union to the full recompute, disjointly") {
+    val state = tmpState("mh_eq")
+    val full = pairSet(DedupOps.minhashLsh(docs, tau = 0.8))
+    val p1 = pairSet(DedupOps.minhashLshIncremental(
+      docs.filter(col("doc_id") % 2 === 0), state, tau = 0.8))
+    val p2 = pairSet(DedupOps.minhashLshIncremental(
+      docs.filter(col("doc_id") % 2 === 1), state, tau = 0.8))
+    assert(full.nonEmpty, "fixture should contain planted near-dups")
+    assert((p1 ++ p2) == full)
+    // run 1 pairs are even-even; every run-2 pair touches an odd id —
+    // no pair is ever emitted twice across a run sequence
+    assert(p1.intersect(p2).isEmpty)
+    assert(StateStore.committed(spark, state).size == 2)
+  }
+
+  test("incremental minhash: re-presenting an ingested increment is a no-op") {
+    val state = tmpState("mh_idem")
+    val inc1 = docs.filter(col("doc_id") % 2 === 0)
+    val p1 = pairSet(DedupOps.minhashLshIncremental(inc1, state, tau = 0.8))
+    val again = DedupOps.minhashLshIncremental(inc1, state, tau = 0.8)
+    assert(again.count() == 0)
+    assert(StateStore.committed(spark, state).size == 1,
+      "a no-op re-run must not grow the state")
+    // and the state is untouched: the next real increment still
+    // completes the full answer
+    val p2 = pairSet(DedupOps.minhashLshIncremental(
+      docs.filter(col("doc_id") % 2 === 1), state, tau = 0.8))
+    assert((p1 ++ p2) == pairSet(DedupOps.minhashLsh(docs, tau = 0.8)))
+  }
+
+  test("incremental minhash: uncommitted leftover dir is ignored and overwritten") {
+    val state = tmpState("mh_crash")
+    val p1 = pairSet(DedupOps.minhashLshIncremental(
+      docs.filter(col("doc_id") % 2 === 0), state, tau = 0.8))
+    // simulate a crash mid-ingest: garbage under the NEXT index, no COMMIT
+    val crashed = new java.io.File(s"$state/inc_1/docs")
+    crashed.mkdirs()
+    java.nio.file.Files.write(crashed.toPath.resolve("part-garbage"),
+      Array[Byte](1, 2, 3))
+    assert(StateStore.committed(spark, state).size == 1)
+    // the retry lands on the same index, overwrites, and equality holds
+    val p2 = pairSet(DedupOps.minhashLshIncremental(
+      docs.filter(col("doc_id") % 2 === 1), state, tau = 0.8))
+    assert((p1 ++ p2) == pairSet(DedupOps.minhashLsh(docs, tau = 0.8)))
+    assert(StateStore.committed(spark, state).size == 2)
+  }
+
+  test("incremental bloom state: merged bytes == union build, probe equal, idempotent") {
+    val state = tmpState("bloom")
+    val h1 = docs.filter(col("doc_id") % 10 === 0)
+    val h2 = docs.filter(col("doc_id") % 10 === 5)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0 &&
+      col("doc_id") % 10 =!= 5)
+    val bits = 1 << 16
+    CurationOps.bloomStateAdd(h1, state, numBits = bits)
+    val merged = CurationOps.bloomStateAdd(h2, state, numBits = bits)
+    // bit-identical to one build over the held-out union
+    val fullState = tmpState("bloom_full")
+    val fullBytes = CurationOps.bloomStateAdd(
+      h1.unionByName(h2), fullState, numBits = bits)
+    assert(java.util.Arrays.equals(merged, fullBytes))
+    // probe equality: stateful == one-shot over the union
+    def flags(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val inc = flags(CurationOps.bloomDecontaminateStateful(
+      corpus, state, numBits = bits))
+    val full = flags(CurationOps.bloomDecontaminate(
+      corpus, h1.unionByName(h2), numBits = bits))
+    assert(inc == full)
+    assert(inc.values.exists(_ > 0L), "fixture should flag something")
+    // re-adding an already-merged set changes nothing (bit_or algebra)
+    val again = CurationOps.bloomStateAdd(h1, state, numBits = bits)
+    assert(java.util.Arrays.equals(merged, again))
+  }
+
   test("prefix-filtered token jaccard equals brute force") {
     val expected = brutePairs(0.95, shingleN = 1)
     val got = DedupOps.tokenJaccard(docs, tau = 0.95).select("id_a", "id_b")
