@@ -162,6 +162,18 @@ object SparkEntry {
       operators.DedupOps.exact(docs(spark, sfDir))),
     "dedup_minhash" -> ((spark, sfDir) =>
       operators.DedupOps.minhashLsh(docs(spark, sfDir), tau = 0.8)),
+    // cross-snapshot exact dedup: per-increment (text, min id, count)
+    // partials persisted and merged — min/sum associativity makes the
+    // merged answer equal one exact() over the union, which is
+    // precisely dedup_exact's oracle
+    "dedup_exact_incremental" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val state = freshStateDir("graft_exstate")
+      operators.DedupOps.exactIncremental(
+        d.filter(col("doc_id") % 2 === 0), state)
+      operators.DedupOps.exactIncremental(
+        d.filter(col("doc_id") % 2 === 1), state)
+    }),
     // cross-snapshot incremental dedup: the corpus arrives as TWO
     // increments against persisted band-posting state, and the union
     // of the two runs' outputs must equal one full recompute — the
@@ -1097,6 +1109,10 @@ object SparkEntry {
       ("SELECT doc_id, md5(text) AS fingerprint, " +
         "list_min([md5(text[i:i+7]) for i in range(1, greatest(length(text)-7, 1)+1)]) AS winnow_fp FROM documents"),
     "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, text, count(*) AS dup_count FROM documents GROUP BY text",
+    // merged per-increment partials == one full groupBy (min/sum are
+    // associative): identical oracle to dedup_exact
+    "dedup_exact_incremental" ->
       "SELECT min(doc_id) AS doc_id, text, count(*) AS dup_count FROM documents GROUP BY text",
     "dedup_minhash" ->
       s"""WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

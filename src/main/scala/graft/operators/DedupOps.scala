@@ -36,6 +36,46 @@ object DedupOps {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col(textCol), col("dup_count"))
 
+  /**
+   * Cross-snapshot INCREMENTAL exact dedup: each call persists the
+   * increment's per-text partial aggregate `(text, min id, count)` —
+   * [[exact]] over just the increment — under `statePath`
+   * ([[StateStore]] committed dirs), and returns the MERGED corpus-wide
+   * answer: `groupBy(text).agg(min(id), sum(count))` over all committed
+   * partials, which equals [[exact]] on the union corpus exactly
+   * (min and sum are associative — this is the map-side-combine shape,
+   * each increment's rows reduced once, at ingest). Re-presenting an
+   * ingested increment is a no-op: ids already in state are anti-joined
+   * out (the id ledger is the stored `(text, id)` pairs themselves —
+   * a re-run contributes an empty partial). A crash before COMMIT
+   * leaves a dir the retry overwrites.
+   */
+  def exactIncremental(newDocs: DataFrame, statePath: String,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val prior = StateStore.committed(spark, statePath)
+    val incoming0 = newDocs.select(col(idCol).as("__id"),
+      col(textCol).as("__text"))
+    // the partial keeps only each text's MIN id, so idempotence needs
+    // its own narrow ledger of EVERY ingested id — a re-presented
+    // duplicate whose id lost the min would otherwise re-count
+    val incoming = if (prior.isEmpty) incoming0 else
+      incoming0.join(
+        spark.read.parquet(prior.map(_ + "/ids"): _*),
+        Seq("__id"), "left_anti")
+    val dir = StateStore.nextDir(spark, statePath)
+    incoming.select("__id").write.mode("overwrite").parquet(s"$dir/ids")
+    incoming.groupBy(col("__text"))
+      .agg(min(col("__id")).as("__id"), count(lit(1)).as("__n"))
+      .write.mode("overwrite").parquet(s"$dir/partial")
+    StateStore.commit(spark, dir)
+    spark.read.parquet((prior :+ dir).map(_ + "/partial"): _*)
+      .groupBy(col("__text"))
+      .agg(min(col("__id")).as(idCol), sum(col("__n")).as("dup_count"))
+      .select(col(idCol), col("__text").as(textCol), col("dup_count"))
+  }
+
   /** Distinct word n-gram shingles of a text column (native
     * expression; register() required — operator entry points do it). */
   def wordShingles(text: Column, n: Int): Column =

@@ -58,6 +58,36 @@ class OperatorPlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(1200))
   }
 
+  test("exactIncremental: merged partials combine map-side, equi-joins only") {
+    val state = s"/tmp/graft_plan_state_${ProcessHandle.current().pid()}_ex"
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+    }
+    rm(new java.io.File(state))
+    val merged = DedupOps.exactIncremental(docs, state)
+    val p = plan(merged)
+    // the cross-increment merge is a partial-aggregable min/sum — per-
+    // increment partials combine map-side before the text-key shuffle
+    assert(p.contains("partial_min") && p.contains("partial_sum"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    rm(new java.io.File(state))
+  }
+
+  test("minhashLshIncremental: bucket self-join + verify are equi-joins") {
+    val state = s"/tmp/graft_plan_state_${ProcessHandle.current().pid()}_mh"
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+    }
+    rm(new java.io.File(state))
+    val pairs = DedupOps.minhashLshIncremental(docs, state)
+    val p = plan(pairs)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    rm(new java.io.File(state))
+  }
+
   test("triangleCounts: equi-joins only, salted wedge keys") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")

@@ -165,6 +165,26 @@ class OperatorsSpec extends SparkSpec {
     assert(StateStore.committed(spark, state).size == 2)
   }
 
+  test("incremental exact dedup: merged partials == full groupBy, ingest idempotent") {
+    import spark.implicits._
+    val state = tmpState("ex_eq")
+    val df = Seq((5L, "x"), (2L, "x"), (9L, "y"), (12L, "x"), (7L, "z"))
+      .toDF("doc_id", "text")
+    def asMap(d: DataFrame) = d.collect()
+      .map(r => (r.getString(1), (r.getLong(0), r.getLong(2)))).toMap
+    val full = asMap(DedupOps.exact(df))
+    DedupOps.exactIncremental(df.filter(col("doc_id") < 8), state)
+    val merged = asMap(DedupOps.exactIncremental(
+      df.filter(col("doc_id") >= 8), state))
+    assert(merged == full)
+    assert(full("x") == ((2L, 3L))) // min id from inc 1, count across both
+    // re-presenting increment 1 changes nothing (ledger anti-join) —
+    // without it, text "x"'s count would re-inflate
+    val again = asMap(DedupOps.exactIncremental(
+      df.filter(col("doc_id") < 8), state))
+    assert(again == full)
+  }
+
   test("incremental bloom state: merged bytes == union build, probe equal, idempotent") {
     val state = tmpState("bloom")
     val h1 = docs.filter(col("doc_id") % 10 === 0)
