@@ -369,6 +369,28 @@ object SparkEntry {
           concat(col("text"), lit(" http://site"), col("doc_id") % 50,
             lit(".com/p"), col("doc_id"), lit(" see https://mirror"),
             col("doc_id") % 7, lit(".org/x"))))),
+    // URL canonicalization over planted messy URLs (mixed-case
+    // authority, www., default ports, fragments, utm/gclid params,
+    // trailing slashes — four deterministic doc_id-derived shapes);
+    // the rule chain is mirrored step-for-step in the oracle SQL
+    "curation_url_canonical" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val k = col("doc_id") % 50
+      val q = col("doc_id") % 9
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://WWW.Site"), k, lit(".COM:80/Path"),
+            col("doc_id"), lit("/?utm_source=x&q="), q, lit("#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://site"), k, lit(".com:443/path"),
+            col("doc_id"), lit("?q="), q, lit("&utm_campaign=c")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("http://site"), k, lit(".com/path"),
+            col("doc_id"), lit("/")))
+        .otherwise(concat(lit("https://www.site"), k, lit(".com/path"),
+          col("doc_id"), lit("?gclid=g")))
+      operators.CurationOps.canonicalizeUrls(
+        d.select(col("doc_id"), url.as("url")))
+    }),
     // per-domain quota enforcement over the same planted link
     // structure: site7.com is blocklisted, every other domain keeps
     // its 40 smallest-md5 docs (the C4 blocklist/cap step)
@@ -1485,6 +1507,36 @@ object SparkEntry {
         | FROM t)
         |SELECT domain, count(DISTINCT doc_id) AS docs, count(*) AS mentions
         |FROM d GROUP BY domain""".stripMargin,
+    // same plant, same rule chain step for step; DuckDB backrefs are
+    // \1 (Spark's are $1) and the multi-match tracking-param strip
+    // carries the 'g' flag — every other rule is anchored, where
+    // replace-first and replace-all agree by construction
+    "curation_url_canonical" ->
+      """WITH p AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+        |  WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 50) || '.COM:80/Path'
+        |    || doc_id || '/?utm_source=x&q=' || (doc_id % 9) || '#frag'
+        |  WHEN 1 THEN 'https://site' || (doc_id % 50) || '.com:443/path'
+        |    || doc_id || '?q=' || (doc_id % 9) || '&utm_campaign=c'
+        |  WHEN 2 THEN 'http://site' || (doc_id % 50) || '.com/path'
+        |    || doc_id || '/'
+        |  ELSE 'https://www.site' || (doc_id % 50) || '.com/path'
+        |    || doc_id || '?gclid=g' END AS url FROM documents),
+        |c0 AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '(?i)^(https?://[^/]*)', 1)) ||
+        |  regexp_replace(url, '(?i)^https?://[^/]*', '') AS u FROM p),
+        |c1 AS (SELECT doc_id, url,
+        |  regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM c0),
+        |c2 AS (SELECT doc_id, url, regexp_replace(regexp_replace(u,
+        |    '^(http://[^/:]+):80([/?#]|$)', '\1\2'),
+        |    '^(https://[^/:]+):443([/?#]|$)', '\1\2') AS u FROM c1),
+        |c3 AS (SELECT doc_id, url,
+        |  regexp_replace(u, '#.*$', '') AS u FROM c2),
+        |c4 AS (SELECT doc_id, url, regexp_replace(u,
+        |  '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g') AS u FROM c3),
+        |c5 AS (SELECT doc_id, url,
+        |  regexp_replace(u, '^([^?&]*)&', '\1?') AS u FROM c4)
+        |SELECT doc_id, url,
+        |  regexp_replace(u, '/$', '') AS canonical_url FROM c5""".stripMargin,
     // primary domain = FIRST url host; md5-ordered quota of 40 per
     // domain after dropping the blocklisted one
     "curation_domain_quota" ->

@@ -666,6 +666,51 @@ object CurationOps {
   val DomainPattern = "https?://([^/ ]+)"
 
   /**
+   * URL canonicalization — the crawl-dedup step between fetch and
+   * text extraction: the same page arrives under mixed-case hosts,
+   * `www.` aliases, default ports, tracking parameters, and trailing
+   * slashes, and URL-level dedup only works after all of those
+   * collapse. Rules (each one anchored or global regexp_replace, all
+   * RE2-safe and mirrored verbatim in the oracle SQL):
+   *  1. lowercase scheme+authority ONLY (paths are case-sensitive);
+   *  2. strip a leading `www.`;
+   *  3. drop default ports (`:80` http, `:443` https);
+   *  4. drop the fragment;
+   *  5. strip tracking params (`utm_*`, `fbclid`, `gclid`) — the one
+   *     multi-match rule (Spark replaces all matches by default;
+   *     DuckDB needs the `'g'` flag);
+   *  6. repair the query separator (an anchored `^([^?&]*)&` can match
+   *     at most once in ANY engine, so replace-first vs replace-all
+   *     semantics agree) — dropping a leading `?utm_…=…` leaves the
+   *     next param `&`-led;
+   *  7. trim one trailing slash.
+   * Non-URL strings pass through unchanged (rule 1's extract returns
+   * '' and nothing else anchors). Pure Column expressions — codegen'd
+   * narrow map, no shuffle; URL-level dedup is then [[DedupOps.exact]]
+   * on the canonical column.
+   */
+  def canonicalUrl(u: Column): Column = {
+    val lowered = concat(
+      lower(regexp_extract(u, "(?i)^(https?://[^/]*)", 1)),
+      regexp_replace(u, lit("(?i)^https?://[^/]*"), lit("")))
+    val noWww = regexp_replace(lowered,
+      lit("^(https?://)www\\."), lit("$1"))
+    val noPort = regexp_replace(regexp_replace(noWww,
+      lit("^(http://[^/:]+):80([/?#]|$)"), lit("$1$2")),
+      lit("^(https://[^/:]+):443([/?#]|$)"), lit("$1$2"))
+    val noFrag = regexp_replace(noPort, lit("#.*$"), lit(""))
+    val noTrk = regexp_replace(noFrag,
+      lit("[?&](utm_[a-z]+|fbclid|gclid)=[^&]*"), lit(""))
+    val fixQ = regexp_replace(noTrk, lit("^([^?&]*)&"), lit("$1?"))
+    regexp_replace(fixQ, lit("/$"), lit(""))
+  }
+
+  /** [[canonicalUrl]] over a column, keeping the original: output adds
+    * `canonical_url`. */
+  def canonicalizeUrls(df: DataFrame, urlCol: String = "url"): DataFrame =
+    df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+
+  /**
    * C4-style per-domain corpus monitoring: for every URL host appearing
    * in the text, the number of documents mentioning it and the total
    * mention count. Explode + one grouped aggregate (map-side partial);

@@ -100,6 +100,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("canonicalUrl: authority case, www, ports, fragments, tracking, slash") {
+    import spark.implicits._
+    // expected strings replicated in DuckDB (same chain, \1 + 'g'
+    // dialect) while authoring the curation_url_canonical oracle
+    val cases = Seq(
+      "HTTP://WWW.Site3.COM:80/Path7/?utm_source=x&q=5#frag" ->
+        "http://site3.com/Path7/?q=5", // path case preserved
+      "https://site3.com:443/path8?q=5&utm_campaign=c" ->
+        "https://site3.com/path8?q=5",
+      "http://site3.com/path9/" -> "http://site3.com/path9",
+      "https://www.site3.com/path10?gclid=g" -> "https://site3.com/path10",
+      "http://x.com/p?utm_a=1&utm_b=2&q=3" -> "http://x.com/p?q=3",
+      "not a url" -> "not a url",
+      "https://x.com/" -> "https://x.com",
+      "http://x.com/p?q=3&utm_a=1" -> "http://x.com/p?q=3")
+    val got = cases.map(_._1).toDF("url")
+      .select(CurationOps.canonicalUrl(col("url"))).collect()
+      .map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
   // ------------- incremental (cross-snapshot) state -------------
 
   /** Fresh empty state root under /tmp for one spec run. */
