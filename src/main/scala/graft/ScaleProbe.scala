@@ -93,6 +93,25 @@ object ScaleProbe {
           col("doc_id"), lit(" "), col("text"))),
       cap = 40).count())
 
+    // round-9 incremental state: archive ingested once, then a 1%
+    // increment — the increment run must cost a small fraction of the
+    // archive ingest (touched-bucket semi-join pruning; the
+    // nightly-crawl economics the operator exists for)
+    val mhState = s"/tmp/graft_probe_mhstate_${ProcessHandle.current().pid()}"
+    def rmState(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmState)
+      f.delete()
+    }
+    if (only.forall(o => "minhashIncArchive".contains(o) ||
+        "minhashIncIncrement".contains(o))) {
+      rmState(new java.io.File(mhState))
+      time("minhashIncArchive")(operators.DedupOps.minhashLshIncremental(
+        docs.filter(col("doc_id") % 100 =!= 0), mhState, tau = 0.8).count())
+      time("minhashIncIncrement")(operators.DedupOps.minhashLshIncremental(
+        docs.filter(col("doc_id") % 100 === 0), mhState, tau = 0.8).count())
+      rmState(new java.io.File(mhState))
+    }
+
     val evbase = streaming.EventStreamOps.readEvents(
       spark, "/root/testdata/sf0.1/events.parquet")
     val events = (0 until mult).map { i =>

@@ -184,23 +184,28 @@ object DedupOps {
    * their increment was ingested. The union of outputs across a run
    * sequence equals one [[minhashLsh]] recompute over the union corpus
    * (the equality gate), because the pair query is a pure function of
-   * the committed state: stored postings are UNCAPPED, and every call
-   * re-ranks buckets over the FULL posting union by id before applying
-   * `maxBucket` — exactly the ranking the one-shot run computes.
-   * (Under actual truncation the per-run cap can differ from the
-   * union-run cap when increment ids interleave old ids; a degenerate
-   * bucket past `maxBucket` postings is already an observed/warn-logged
-   * recall loss in the one-shot path — see [[minhashLsh]].)
+   * the committed state: stored postings are UNCAPPED, and each call
+   * ranks the touched buckets by id before applying `maxBucket` — a
+   * bucket's rank depends on that bucket's postings alone, so this is
+   * exactly the ranking the one-shot run computes on those buckets.
+   * (Under actual truncation an EARLIER run may have emitted pairs the
+   * union-run cap would cut — increment ids interleaving old ids shift
+   * the kept prefix — so the run-sequence union is a superset there; a
+   * degenerate bucket past `maxBucket` postings is already an
+   * observed/warn-logged recall loss in the one-shot path — see
+   * [[minhashLsh]].)
    *
    * Restart-idempotent twice over: ids already in state are anti-joined
    * out (re-presenting an ingested increment is a no-op returning zero
    * pairs), and a crash between the parquet writes and the COMMIT
    * marker leaves an uncommitted dir the retry overwrites.
    *
-   * Scale: state i/o is one narrow write + one columnar re-read of
-   * (id, band, bucket) postings; the quadratic work (bucket self-join +
-   * exact verify) only ever touches pairs involving the increment, so a
-   * nightly crawl pays for its increment, not the archive.
+   * Scale: per increment the archive pays one narrow columnar scan of
+   * its (id, band, bucket) postings probed by a broadcast semi-join on
+   * the increment's bucket keys — never a full-archive shuffle; the
+   * rank window, bucket self-join, and exact verify all run on
+   * increment-touched buckets only, so a nightly crawl pays for its
+   * increment, not the archive.
    */
   def minhashLshIncremental(newDocs: DataFrame, statePath: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -234,12 +239,26 @@ object DedupOps {
       .write.mode("overwrite").parquet(s"$dir/postings")
     StateStore.commit(spark, dir)
 
-    // pair query over the committed state: union postings, rank + cap
-    // per bucket exactly as the one-shot run would on the union corpus,
-    // keep pairs with >= 1 side in this increment. The ranked postings
+    // pair query over the committed state: only buckets the increment
+    // TOUCHES can produce new pairs, and a bucket's id-rank is a
+    // function of that bucket's postings alone — so the archive side
+    // is a (broadcast) semi-join probe on the increment's bucket keys,
+    // never a full-archive shuffle, and ranking the touched buckets
+    // reproduces the one-shot run's cap on them exactly. Per nightly
+    // increment the archive pays one narrow columnar posting scan;
+    // everything downstream is increment-sized. The ranked postings
     // back BOTH sides of the self-join (lazy-cache invariant).
     val all = prior :+ dir
-    val ranked = spark.read.parquet(all.map(_ + "/postings"): _*)
+    val unionPost = spark.read.parquet(all.map(_ + "/postings"): _*)
+    // increment ≪ archive is the operating regime, so the touched-key
+    // set broadcasts; on the FIRST ingest it would be archive-sized
+    // and the semi-join a no-op — skip it
+    val pruned = if (prior.isEmpty) unionPost else
+      unionPost.join(
+        broadcast(spark.read.parquet(s"$dir/postings")
+          .select("__band", "__bh").distinct()),
+        Seq("__band", "__bh"), "left_semi")
+    val ranked = pruned
       .withColumn("__brn", row_number().over(
         Window.partitionBy(col("__band"), col("__bh"))
           .orderBy(col("__id"))))

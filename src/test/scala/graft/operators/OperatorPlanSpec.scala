@@ -81,10 +81,18 @@ class OperatorPlanSpec extends SparkSpec {
       if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
     }
     rm(new java.io.File(state))
-    val pairs = DedupOps.minhashLshIncremental(docs, state)
+    DedupOps.minhashLshIncremental(
+      docs.filter(col("doc_id") % 10 =!= 0), state).count() // archive
+    val pairs = DedupOps.minhashLshIncremental(
+      docs.filter(col("doc_id") % 10 === 0), state) // increment
     val p = plan(pairs)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the archive posting scan must be probed by a BROADCAST semi-join
+    // on the increment's bucket keys — never fully shuffled per
+    // increment (the increment-sized side is the build side)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(1600))
     rm(new java.io.File(state))
   }
 
