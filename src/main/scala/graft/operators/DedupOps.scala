@@ -269,15 +269,24 @@ object DedupOps {
       .select(col("__band"), col("__bh"), col("__id").as("id_a"))
     val r = ranked
       .select(col("__band"), col("__bh"), col("__id").as("id_b"))
+    // the candidate set feeds BOTH the verify join and the doc-side
+    // pruning below (lazy-cache invariant for reused intermediates)
     val candidates = l.join(r, Seq("__band", "__bh"))
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
-    val docsAll = shingleDocs(
-      spark.read.parquet(all.map(_ + "/docs"): _*),
-      "__id", "__text", shingleN)
-    verifyPairs(candidates, docsAll, tau)
+      .localCheckpoint(false)
+    // shingle only the docs that appear in a candidate pair — without
+    // this the exact-verify side re-shingles the WHOLE archive per
+    // increment (the shingle kernel over every stored text), which at
+    // archive ≫ increment dwarfs the increment's own work
+    val candIds = candidates.select(col("id_a").as("__id"))
+      .union(candidates.select(col("id_b"))).distinct()
+    val docsNeeded = spark.read.parquet(all.map(_ + "/docs"): _*)
+      .join(broadcast(candIds), Seq("__id"), "left_semi")
+    verifyPairs(candidates,
+      shingleDocs(docsNeeded, "__id", "__text", shingleN), tau)
   }
 
   /** Join candidate pairs back to shingle sets and keep true-Jaccard ≥ τ. */
