@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
  * per genuine re-key) and nothing round-trips through the driver until
  * the final per-stage counts.
  *
- *   scrub PII → quality gates → exact dedup → MinHash near-dedup →
- *   paragraph dedup → bloom decontamination → token-span contamination
- *   cut → language/quality/compressibility/bigram-fit annotate →
- *   weighted source mixing → BPE fertility → sequence packing →
- *   shard-shuffle export assignment
+ *   crawl ingest (HTML pages + URLs → canonicalize → URL dedup →
+ *   boilerplate-removing extraction) → scrub PII → quality gates →
+ *   exact dedup → MinHash near-dedup → paragraph dedup → bloom
+ *   decontamination → token-span contamination cut →
+ *   language/quality/compressibility/bigram-fit annotate → weighted
+ *   source mixing → BPE fertility → sequence packing → shard-shuffle
+ *   export assignment
  *
  * Run: `sbt "runMain graft.Pipeline /root/testdata/sf0.01 512"`
  * Prints one JSON line of per-stage survivor counts (the shape a
@@ -35,8 +37,25 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val total = docs.count()
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val total = raw.count()
+
+    // 0. crawl ingest: each document arrives as a full HTML page with
+    // a URL (synthesized here — the crawl-side shapes); canonicalize
+    // URLs, dedup by canonical URL (smallest id per page survives),
+    // then rule-based boilerplate-removing extraction recovers the
+    // text every later stage sees
+    val fetched = operators.ExtractOps.withHtmlPayload(raw)
+      .withColumn("url", concat(lit("HTTP://WWW.Site"),
+        col("doc_id") % 50, lit(".com/p"), col("doc_id"),
+        lit("?utm_source=crawl#f")))
+    val canon = operators.CurationOps.canonicalizeUrls(fetched)
+    val urlKept = operators.DedupOps.exact(canon,
+      idCol = "doc_id", textCol = "canonical_url").select(col("doc_id"))
+    val docs = operators.ExtractOps.htmlExtract(canon.join(urlKept, "doc_id"))
+      .select(col("doc_id"), col("extracted").as("text"))
+      .join(raw.drop("text"), "doc_id")
+    val nFetched = docs.count()
 
     // 1. redact emails/phones (scrubPii emits clean_text; swap it in
     // for text so downstream stages see the scrubbed corpus)
@@ -134,7 +153,7 @@ object Pipeline {
       round(avg(col("quality")), 4).as("avg_quality"),
       round(avg(col("compression_ratio")), 4).as("avg_ratio")).head()
 
-    println(s"""{"metric":"pipeline","input":$total,"quality":$nQuality,""" +
+    println(s"""{"metric":"pipeline","input":$total,"fetched":$nFetched,"quality":$nQuality,""" +
       s""""exact":$nExact,"near_dedup":$nDeduped,"para_dedup":$nPara,""" +
       s""""decontaminated":$nClean,"span_clean":$nSpanClean,""" +
       s""""mixed_epochs":$nMixed,"bpe_tokens":$bpeTokens,""" +
