@@ -439,6 +439,12 @@ object SparkEntry {
           .otherwise(floor(col("quantity"))),
         maxIters = 33, requireConverged = true)
     }),
+    // unnormalized integer HITS: 2 rounds of pure int64 sums (ranking
+    // == normalized HITS; the normalizer is one positive scalar per
+    // round) -> bit-exact unrolled CTE oracle, top-50 authorities
+    "graph_hits" -> ((spark, sfDir) =>
+      operators.GraphAlgos.hits(
+        sources.GraphStore.tpch(spark, sfDir), rounds = 2, k = 50)),
     // fixed-iteration power method IS oracle-checkable: 3 rounds are 3
     // chained SQL CTEs; round(4) absorbs summation-order ulps (per-dst
     // contribution sums are the only float accumulation)
@@ -1415,6 +1421,28 @@ object SparkEntry {
         |   SELECT e.v, walk.d + e.w, walk.h + 1 FROM walk JOIN und e ON e.u = walk.id WHERE walk.h < 32
         | )
         |SELECT id, min(d) AS distance FROM walk GROUP BY id""".stripMargin,
+    // two unrolled integer rounds; top-50 by (authority desc, id) —
+    // all sums int64, no rounding anywhere
+    "graph_hits" ->
+      """WITH nodes AS (
+        |   SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+        |   UNION ALL SELECT CAST(o_orderkey + 1000000000 AS BIGINT) FROM orders
+        |   UNION ALL SELECT CAST(p_partkey + 2000000000 AS BIGINT) FROM part),
+        | e AS (
+        |   SELECT CAST(o_custkey AS BIGINT) AS src, CAST(o_orderkey + 1000000000 AS BIGINT) AS dst FROM orders
+        |   UNION ALL SELECT CAST(l_orderkey + 1000000000 AS BIGINT), CAST(l_partkey + 2000000000 AS BIGINT)
+        |   FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)),
+        | h0 AS (SELECT id, CAST(1 AS BIGINT) AS hub FROM nodes),
+        | a1 AS (SELECT n.id, CAST(coalesce(s.sm, 0) AS BIGINT) AS authority FROM nodes n
+        |        LEFT JOIN (SELECT e.dst AS id, sum(h0.hub) AS sm FROM e JOIN h0 ON h0.id = e.src GROUP BY e.dst) s ON s.id = n.id),
+        | h1 AS (SELECT n.id, CAST(coalesce(s.sm, 0) AS BIGINT) AS hub FROM nodes n
+        |        LEFT JOIN (SELECT e.src AS id, sum(a1.authority) AS sm FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src) s ON s.id = n.id),
+        | a2 AS (SELECT n.id, CAST(coalesce(s.sm, 0) AS BIGINT) AS authority FROM nodes n
+        |        LEFT JOIN (SELECT e.dst AS id, sum(h1.hub) AS sm FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst) s ON s.id = n.id),
+        | h2 AS (SELECT n.id, CAST(coalesce(s.sm, 0) AS BIGINT) AS hub FROM nodes n
+        |        LEFT JOIN (SELECT e.src AS id, sum(a2.authority) AS sm FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src) s ON s.id = n.id)
+        |SELECT h2.id, h2.hub, a2.authority FROM h2 JOIN a2 ON a2.id = h2.id
+        |ORDER BY a2.authority DESC, h2.id LIMIT 50""".stripMargin,
     "graph_pagerank_power" ->
       """WITH nodes AS (
         |   SELECT CAST(c_custkey AS BIGINT) AS id FROM customer

@@ -249,6 +249,57 @@ object GraphAlgos {
   }
 
   /**
+   * HITS (Kleinberg's hubs and authorities) — fixed-round UNNORMALIZED
+   * integer power iteration over the directed edge list: from all-ones
+   * hubs, each round computes
+   * `authority'(v) = Σ over edges (u,v) of hub(u)` then
+   * `hub'(u) = Σ over edges (u,v) of authority'(v)`.
+   * Dropping the textbook per-round normalization keeps every score a
+   * pure int64 sum — associative, independent of partial-aggregation
+   * order, bit-identical across engines (the cross-engine float-parity
+   * invariant; same move as [[personalizedPageRankFixedPoint]]) —
+   * while leaving the RANKING identical to normalized HITS, because
+   * each round's normalizer is one positive scalar for the whole
+   * vector. Growth bounds rounds: scores reach
+   * (max-in-degree · max-out-degree)^rounds, so the default 2 rounds
+   * stays far inside int64 for any graph whose degree product is
+   * under ~10⁴ (the TPC-H graph's is ~10³; callers with hub-ier
+   * graphs lower rounds or pre-cap degrees).
+   *
+   * Scale shape: the edge list is pre-partitioned ONCE per join key
+   * (src for the authority step, dst for the hub step) and lazily
+   * checkpointed, so each round's two joins plan with no exchange on
+   * the (big) edge side — the [[labelPropagationSync]] move; score
+   * vectors are vertex-sized; each round localCheckpoints (nested-plan
+   * invariant). Output: top-`k` by (authority desc, id) with both
+   * scores — TakeOrderedAndProject, no global sort.
+   */
+  def hits(g: GraphStore, rounds: Int = 2, k: Int = 50): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, "rounds must be in [1, 6]")
+    val edges = g.edges.select(col("src"), col("dst"))
+    val eSrc = edges.repartition(col("src")).localCheckpoint(false)
+    val eDst = edges.repartition(col("dst")).localCheckpoint(false)
+    val verts = g.vertices.select(col("id"))
+    var hub = verts.select(col("id"), lit(1L).as("hub"))
+    var auth = verts.select(col("id"), lit(0L).as("authority"))
+    for (_ <- 1 to rounds) {
+      val aSums = eSrc.join(hub, eSrc("src") === hub("id"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("__a"))
+      auth = verts.join(aSums, verts("id") === aSums("dst"), "left")
+        .select(verts("id"), coalesce(col("__a"), lit(0L)).as("authority"))
+        .localCheckpoint(false)
+      val hSums = eDst.join(auth, eDst("dst") === auth("id"))
+        .groupBy(col("src")).agg(sum(col("authority")).as("__h"))
+      hub = verts.join(hSums, verts("id") === hSums("src"), "left")
+        .select(verts("id"), coalesce(col("__h"), lit(0L)).as("hub"))
+        .localCheckpoint(false)
+    }
+    hub.join(auth, "id")
+      .select(col("id"), col("hub"), col("authority"))
+      .orderBy(col("authority").desc, col("id")).limit(k)
+  }
+
+  /**
    * Label-propagation communities over an undirected edge list
    * (`id_a`, `id_b` — [[coOccurrencePairs]] output shape): every
    * vertex starts as its own label, then adopts its neighbors'

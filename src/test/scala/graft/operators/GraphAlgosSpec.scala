@@ -49,6 +49,38 @@ class GraphAlgosSpec extends SparkSpec {
     assert(!d.contains(6L))
   }
 
+  test("hits: hand-computed integer hub/authority scores") {
+    import spark.implicits._
+    // 1->3, 2->3, 2->4, 3->4
+    // round 1: a(3)=2, a(4)=2; h(1)=2, h(2)=4, h(3)=2
+    // round 2: a(3)=h(1)+h(2)=6, a(4)=h(2)+h(3)=6;
+    //          h(1)=6, h(2)=12, h(3)=6, h(4)=0
+    val v = Seq(1L, 2L, 3L, 4L).map(id => (id, "n")).toDF("id", "label")
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst").withColumn("label", lit("e"))
+    val rows = GraphAlgos.hits(GraphStore(v, e), rounds = 2, k = 10)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    // top authorities first, ties by id
+    assert(rows.map(_._1).toSeq == Seq(3L, 4L, 1L, 2L))
+    val m = rows.toMap
+    assert(m(3L) == ((6L, 6L)) && m(4L) == ((0L, 6L)))
+    assert(m(1L) == ((6L, 0L)) && m(2L) == ((12L, 0L)))
+  }
+
+  test("hits ranking is invariant to per-round normalization (spot check)") {
+    // doubling every initial hub multiplies all scores by the same
+    // scalar each round — ordering must match the unnormalized run's
+    import spark.implicits._
+    val v = (1L to 6L).map(id => (id, "n")).toDF("id", "label")
+    val e = Seq((1L, 2L), (3L, 2L), (4L, 2L), (4L, 5L), (6L, 5L), (2L, 5L))
+      .toDF("src", "dst").withColumn("label", lit("e"))
+    val ids = GraphAlgos.hits(GraphStore(v, e), rounds = 3, k = 6)
+      .collect().map(_.getLong(0)).toSeq
+    // 2 and 5 tie by symmetry (both drain three unit hubs every
+    // round); the (authority desc, id) order breaks the tie by id
+    assert(ids.take(2) == Seq(2L, 5L))
+  }
+
   test("weighted shortest paths: hand-checked weighted graph") {
     import spark.implicits._
     // 1 -2- 2 -2- 4;  1 -9- 4 direct;  5 isolated from 1
