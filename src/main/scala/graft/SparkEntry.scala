@@ -514,6 +514,11 @@ object SparkEntry {
           col("purchase_event_id"),
           round(col("purchase_value"), 2).as("purchase_value"))
     }),
+    // ordered view->click->purchase funnel: earliest strict-after
+    // traversal per user; stage timestamps as epoch-micros int64
+    "events_funnel" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.funnel(events(spark, sfDir),
+        Seq("view", "click", "purchase"))),
     // trailing 30-minute per-user range window; integer-cent sum keeps
     // the aggregate engine-exact (no float accumulation order)
     "events_trailing_30m" -> ((spark, sfDir) =>
@@ -1507,6 +1512,32 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, purchase_event_id,
         |  round(pv, 2) AS purchase_value FROM m WHERE side = 1""".stripMargin,
+    // greedy earliest-first funnel, replicated stage by stage: first
+    // view per user, first click strictly after it ((ts, event_id)
+    // lexicographic), first purchase strictly after that
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, us AS s1_us, ord AS s1_ord FROM (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id AS ord,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'view') WHERE rn = 1),
+        |s2 AS (SELECT user_id, us AS s2_us, ord AS s2_ord FROM (
+        |  SELECT e.user_id, epoch_us(e.ts) AS us, e.event_id AS ord,
+        |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND (epoch_us(e.ts) > s1.s1_us OR
+        |    (epoch_us(e.ts) = s1.s1_us AND e.event_id > s1.s1_ord))) WHERE rn = 1),
+        |s3 AS (SELECT user_id, us AS s3_us, ord AS s3_ord FROM (
+        |  SELECT e.user_id, epoch_us(e.ts) AS us, e.event_id AS ord,
+        |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND (epoch_us(e.ts) > s2.s2_us OR
+        |    (epoch_us(e.ts) = s2.s2_us AND e.event_id > s2.s2_ord))) WHERE rn = 1)
+        |SELECT s1.user_id, s1_us, s2_us, s3_us,
+        |  CAST(1 + CASE WHEN s2_us IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN s3_us IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS stages_completed
+        |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
     "events_trailing_30m" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS trailing_events,

@@ -225,6 +225,70 @@ object EventStreamOps {
   }
 
   /**
+   * Ordered funnel analysis — for every user, the EARLIEST traversal
+   * of the `stages` event-type sequence, stage k's event strictly
+   * after stage k-1's in `(ts, ordCol)` order. Greedy earliest-first
+   * matching is exact for funnel membership: if any ordered traversal
+   * exists, taking each stage at its earliest admissible event also
+   * yields one (a later stage-k choice only shrinks what stage k+1
+   * may pick — the standard exchange argument), so "reached stage k"
+   * is decided correctly.
+   *
+   * Scale shape: each stage is one filtered user-keyed equi-join plus
+   * a partial-aggregable `min(struct(ts, ord))` — `stages.size`
+   * shuffles on the user key, state one row per surviving user. No
+   * per-user event collection and no window over a user's full
+   * history: a hot user's millions of events combine map-side, they
+   * do not serialize through one task's sort.
+   *
+   * Output: `(keyCol, s1_us…sK_us, stages_completed)` — stage
+   * timestamps as epoch-micros int64 (engine-exact; the cross-engine
+   * float invariant never meets a float), null past the last stage
+   * reached; users with no stage-1 event are absent (funnel reports
+   * describe entrants).
+   */
+  def funnel(events: DataFrame, stages: Seq[String],
+             keyCol: String = "user_id", typeCol: String = "event_type",
+             ordCol: String = "event_id"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var cur: DataFrame = null
+    val stageDfs = Vector.newBuilder[DataFrame]
+    for ((st, i0) <- stages.zipWithIndex) {
+      val i = i0 + 1
+      val ev = events.filter(col(typeCol) === st)
+        .select(col(keyCol), unix_micros(col("ts")).as("__us"),
+          col(ordCol).cast("long").as("__ord"))
+      val adm = if (cur == null) ev else
+        ev.join(cur, Seq(keyCol))
+          .filter(col("__us") > col(s"s${i - 1}_us") ||
+            (col("__us") === col(s"s${i - 1}_us") &&
+              col("__ord") > col(s"s${i - 1}_ord")))
+      val prevCols = (1 until i).flatMap(j =>
+        Seq(col(s"s${j}_us"), col(s"s${j}_ord")))
+      // `cur` is unique per key, so grouping by the carried stage
+      // columns adds no cardinality — it just keeps them in scope
+      cur = adm.groupBy((col(keyCol) +: prevCols): _*)
+        .agg(min(struct(col("__us"), col("__ord"))).as("__m"))
+        .withColumn(s"s${i}_us", col("__m.__us"))
+        .withColumn(s"s${i}_ord", col("__m.__ord"))
+        .drop("__m")
+      stageDfs += cur
+    }
+    val dfs = stageDfs.result()
+    var out = dfs.head
+    for (i <- 1 until stages.size)
+      out = out.join(
+        dfs(i).select(col(keyCol), col(s"s${i + 1}_us"),
+          col(s"s${i + 1}_ord")),
+        Seq(keyCol), "left")
+    out.select(col(keyCol) +:
+      (1 to stages.size).map(i => col(s"s${i}_us")) :+
+      (1 to stages.size).map(i =>
+        when(col(s"s${i}_us").isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _).cast("long").as("stages_completed"): _*)
+  }
+
+  /**
    * REAL incremental stream-stream inner join, drained to completion:
    * clicks joined to the same user's purchases within
    * `[click.ts, click.ts + windowMinutes]`, both sides watermarked so

@@ -141,6 +141,34 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("funnel: earliest strict-after traversal, ties by ord, order matters") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes all three in order
+      (1L, ts(10), 1L, "view"), (2L, ts(20), 1L, "click"),
+      (3L, ts(30), 1L, "purchase"),
+      // user 2 purchases BEFORE clicking: stage 3 must not count
+      (4L, ts(10), 2L, "view"), (5L, ts(15), 2L, "purchase"),
+      (6L, ts(20), 2L, "click"),
+      // user 3: click at the SAME ts as the first view — larger
+      // event_id wins the strict-after tie-break, funnel proceeds
+      (7L, ts(10), 3L, "view"), (8L, ts(10), 3L, "click"),
+      // user 4: click at same ts but SMALLER event_id — not after
+      (10L, ts(10), 4L, "view"), (9L, ts(10), 4L, "click"),
+      // user 5 never views: absent from the report
+      (11L, ts(10), 5L, "click"), (12L, ts(20), 5L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // greedy earliest matching: user 2's click after the missed
+    // purchase still counts stage 2 (funnel is per-stage earliest,
+    // not contiguous) — and a purchase before the click never revives
+    val s3 = funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(s3(2L).isEmpty && s3(1L).nonEmpty)
+  }
+
   test("asofJoin picks the latest right row at-or-before, per key") {
     import spark.implicits._
     val left = Seq(
