@@ -262,12 +262,18 @@ object DedupOps {
       .withColumn("__brn", row_number().over(
         Window.partitionBy(col("__band"), col("__bh"))
           .orderBy(col("__id"))))
-      .filter(col("__brn") <= maxBucket)
       .localCheckpoint(false)
+    // truncation is never silent (the minhashLsh invariant): observed
+    // on ONE side above the filter, names freshened by CapMetrics
+    val observed = CapMetrics.observe(ranked, "minhashLshIncremental",
+      sum(when(col("__brn") > maxBucket, 1L).otherwise(0L))
+        .as("capped_postings"),
+      max(col("__brn")).as("max_bucket_size"))
     val freshIds = spark.read.parquet(s"$dir/docs").select("__id")
-    val l = ranked.join(freshIds, Seq("__id"), "left_semi")
+    val l = observed.filter(col("__brn") <= maxBucket)
+      .join(freshIds, Seq("__id"), "left_semi")
       .select(col("__band"), col("__bh"), col("__id").as("id_a"))
-    val r = ranked
+    val r = ranked.filter(col("__brn") <= maxBucket)
       .select(col("__band"), col("__bh"), col("__id").as("id_b"))
     // the candidate set feeds BOTH the verify join and the doc-side
     // pruning below (lazy-cache invariant for reused intermediates)
