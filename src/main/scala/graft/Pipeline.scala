@@ -29,6 +29,7 @@ object Pipeline {
     val budget = args.lift(1).map(_.toInt).getOrElse(512)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -52,9 +53,14 @@ object Pipeline {
     val canon = operators.CurationOps.canonicalizeUrls(fetched)
     val urlKept = operators.DedupOps.exact(canon,
       idCol = "doc_id", textCol = "canonical_url").select(col("doc_id"))
+    // lazy checkpoint: the extracted corpus backs BOTH sides of the
+    // scrub self-join and every downstream stage count — without it
+    // the HTML synthesis + extraction regex chain + URL-dedup shuffle
+    // recompute per consumer (self-joined-intermediates invariant)
     val docs = operators.ExtractOps.htmlExtract(canon.join(urlKept, "doc_id"))
       .select(col("doc_id"), col("extracted").as("text"))
       .join(raw.drop("text"), "doc_id")
+      .localCheckpoint(false)
     val nFetched = docs.count()
 
     // 1. redact emails/phones (scrubPii emits clean_text; swap it in

@@ -871,14 +871,6 @@ object SparkEntry {
   // leftovers are GC'd on the next call — the streamedToParquet sink
   // pattern. A live foreign pid's dirs are never touched.
   private val stateCounter = new java.util.concurrent.atomic.AtomicLong()
-  private def rmTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
-        s.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.delete)
-      }
-    }
   private def freshStateDir(tag: String): String = {
     val base = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"), tag).toString
@@ -896,7 +888,7 @@ object SparkEntry {
               ProcessHandle.of(m.group(1).toLong)
                 .map[Boolean](h => !h.isAlive).orElse(true)
             })
-        }.foreach(rmTree)
+        }.foreach(p => operators.StateStore.delete(p.toString))
       }
     }
     dir

@@ -684,10 +684,12 @@ object CurationOps {
    *     semantics agree) — dropping a leading `?utm_…=…` leaves the
    *     next param `&`-led;
    *  7. trim one trailing slash.
-   * Non-URL strings pass through unchanged (rule 1's extract returns
-   * '' and nothing else anchors). Pure Column expressions — codegen'd
-   * narrow map, no shuffle; URL-level dedup is then [[DedupOps.exact]]
-   * on the canonical column.
+   * The column must HOLD URLs: rules 1-3 and 6 anchor on the scheme
+   * and no-op on other strings, but 4, 5, and 7 are positional — free
+   * text containing `#`, `?utm_…=`, or a trailing `/` is rewritten
+   * like the URL tail it resembles. Pure Column expressions —
+   * codegen'd narrow map, no shuffle; URL-level dedup is then
+   * [[DedupOps.exact]] on the canonical column.
    */
   def canonicalUrl(u: Column): Column = {
     val lowered = concat(

@@ -46,9 +46,9 @@ object DedupOps {
    * (min and sum are associative — this is the map-side-combine shape,
    * each increment's rows reduced once, at ingest). Re-presenting an
    * ingested increment is a no-op: ids already in state are anti-joined
-   * out (the id ledger is the stored `(text, id)` pairs themselves —
-   * a re-run contributes an empty partial). A crash before COMMIT
-   * leaves a dir the retry overwrites.
+   * out (the id ledger is the stored docs themselves) and a fully
+   * re-presented increment short-circuits without growing the state.
+   * A crash before COMMIT leaves a dir the retry overwrites.
    */
   def exactIncremental(newDocs: DataFrame, statePath: String,
                        idCol: String = "doc_id",
@@ -58,22 +58,40 @@ object DedupOps {
     val incoming0 = newDocs.select(col(idCol).as("__id"),
       col(textCol).as("__text"))
     // the partial keeps only each text's MIN id, so idempotence needs
-    // its own narrow ledger of EVERY ingested id — a re-presented
-    // duplicate whose id lost the min would otherwise re-count
+    // the ledger of EVERY ingested id (the stored docs themselves) —
+    // a re-presented duplicate whose id lost the min would otherwise
+    // re-count
     val incoming = if (prior.isEmpty) incoming0 else
       incoming0.join(
-        spark.read.parquet(prior.map(_ + "/ids"): _*),
+        spark.read.parquet(prior.map(_ + "/docs"): _*).select("__id"),
         Seq("__id"), "left_anti")
+    val merged = (dirs: Seq[String]) =>
+      spark.read.parquet(dirs.map(_ + "/partial"): _*)
+        .groupBy(col("__text"))
+        .agg(min(col("__id")).as(idCol), sum(col("__n")).as("dup_count"))
+        .select(col(idCol), col("__text").as(textCol), col("dup_count"))
+    // a fully-anti-joined-out re-run must not grow the state (a retry
+    // loop would otherwise commit one empty dir per call)
+    if (incoming.isEmpty && prior.nonEmpty) return merged(prior)
+    if (incoming.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(idCol, newDocs.schema(idCol).dataType),
+          StructField(textCol, newDocs.schema(textCol).dataType),
+          StructField("dup_count", LongType))))
+    // write the increment ONCE and derive the partial from the
+    // read-back snapshot: one evaluation of the anti-join, and the
+    // ledger and partial can never diverge even if newDocs is not
+    // deterministic across evaluations
     val dir = StateStore.nextDir(spark, statePath)
-    incoming.select("__id").write.mode("overwrite").parquet(s"$dir/ids")
-    incoming.groupBy(col("__text"))
+    incoming.write.mode("overwrite").parquet(s"$dir/docs")
+    spark.read.parquet(s"$dir/docs")
+      .groupBy(col("__text"))
       .agg(min(col("__id")).as("__id"), count(lit(1)).as("__n"))
       .write.mode("overwrite").parquet(s"$dir/partial")
     StateStore.commit(spark, dir)
-    spark.read.parquet((prior :+ dir).map(_ + "/partial"): _*)
-      .groupBy(col("__text"))
-      .agg(min(col("__id")).as(idCol), sum(col("__n")).as("dup_count"))
-      .select(col(idCol), col("__text").as(textCol), col("dup_count"))
+    merged(prior :+ dir)
   }
 
   /** Distinct word n-gram shingles of a text column (native

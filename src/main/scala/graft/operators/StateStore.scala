@@ -44,4 +44,14 @@ object StateStore {
   /** Mark an increment dir ingested (write after all its tables). */
   def commit(spark: SparkSession, dir: String): Unit =
     fs(spark, dir).create(new Path(dir, "COMMIT"), true).close()
+
+  /** Recursively delete a state root (or any path) — the one shared
+    * cleanup for gates, probes, and specs, via the same Hadoop FS
+    * layer the store reads through (no SparkSession needed, so
+    * callers without one can use it too). No-op if absent. */
+  def delete(path: String): Unit = {
+    val p = new Path(path)
+    val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
 }

@@ -267,11 +267,16 @@ object EventStreamOps {
         Seq(col(s"s${j}_us"), col(s"s${j}_ord")))
       // `cur` is unique per key, so grouping by the carried stage
       // columns adds no cardinality — it just keeps them in scope
+      // lazy checkpoint: stage i's result backs BOTH the next stage's
+      // join and the final assembly — without it stage j recomputes
+      // K-j+1 times (self-joined-intermediates invariant); the
+      // checkpointed frame is one row per surviving user
       cur = adm.groupBy((col(keyCol) +: prevCols): _*)
         .agg(min(struct(col("__us"), col("__ord"))).as("__m"))
         .withColumn(s"s${i}_us", col("__m.__us"))
         .withColumn(s"s${i}_ord", col("__m.__ord"))
         .drop("__m")
+        .localCheckpoint(false)
       stageDfs += cur
     }
     val dfs = stageDfs.result()

@@ -60,10 +60,7 @@ class OperatorPlanSpec extends SparkSpec {
 
   test("exactIncremental: merged partials combine map-side, equi-joins only") {
     val state = s"/tmp/graft_plan_state_${ProcessHandle.current().pid()}_ex"
-    def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
-    }
-    rm(new java.io.File(state))
+    StateStore.delete(state)
     val merged = DedupOps.exactIncremental(docs, state)
     val p = plan(merged)
     // the cross-increment merge is a partial-aggregable min/sum — per-
@@ -72,15 +69,12 @@ class OperatorPlanSpec extends SparkSpec {
       p.take(1200))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
-    rm(new java.io.File(state))
+    StateStore.delete(state)
   }
 
   test("minhashLshIncremental: bucket self-join + verify are equi-joins") {
     val state = s"/tmp/graft_plan_state_${ProcessHandle.current().pid()}_mh"
-    def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
-    }
-    rm(new java.io.File(state))
+    StateStore.delete(state)
     DedupOps.minhashLshIncremental(
       docs.filter(col("doc_id") % 10 =!= 0), state).count() // archive
     val pairs = DedupOps.minhashLshIncremental(
@@ -93,7 +87,7 @@ class OperatorPlanSpec extends SparkSpec {
     // increment (the increment-sized side is the build side)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       p.take(1600))
-    rm(new java.io.File(state))
+    StateStore.delete(state)
   }
 
   test("triangleCounts: equi-joins only, salted wedge keys") {

@@ -125,14 +125,10 @@ class OperatorsSpec extends SparkSpec {
 
   /** Fresh empty state root under /tmp for one spec run. */
   private def tmpState(name: String): String = {
-    val d = new java.io.File(
-      s"/tmp/graft_spec_state_${ProcessHandle.current().pid()}_$name")
-    def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(rm)
-      x.delete()
-    }
-    if (d.exists()) rm(d)
-    d.toString
+    val d =
+      s"/tmp/graft_spec_state_${ProcessHandle.current().pid()}_$name"
+    StateStore.delete(d)
+    d
   }
 
   private def pairSet(df: DataFrame): Set[(Long, Long)] =
