@@ -853,7 +853,28 @@ object SparkEntry {
       operators.TextOps.bpeEncode(d,
         operators.TextOps.bpeTrain(d, numMerges = 16))
     }),
+
+    // ---- round-9 continuation ----
+    // CCNet-style perplexity bucketing: per-doc bigram-fit score in
+    // per-mille of the corpus mean, cut into head/middle/tail at fixed
+    // relative thresholds — all int64 divisions, oracle-exact
+    "text_perplexity_buckets" -> ((spark, sfDir) =>
+      operators.TextOps.perplexityBuckets(docs(spark, sfDir))),
+    // integer-exact BM25 ranked retrieval: rational idf surrogate ×
+    // exact integer saturation ratio, int64 per-term contributions
+    // (summation-order-free), bounded per-query top-k aggregate
+    "text_bm25" -> ((spark, sfDir) =>
+      operators.TextOps.bm25TopK(docs(spark, sfDir), Bm25Queries, k = 5)),
   )
+
+  /** Fixed retrieval queries for the BM25 gate — drawn from the
+    * synthetic documents vocabulary; mirrored as a VALUES list in the
+    * oracle. */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark join",
+    2 -> "hash table scan",
+    3 -> "customer query",
+    4 -> "slow batch window")
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
     streaming.EventStreamOps.readEvents(spark, s"$sfDir/events.parquet")
@@ -2231,5 +2252,63 @@ object SparkEntry {
         |SELECT pair, CAST(sum(f) AS BIGINT) AS occurrences
         |FROM p GROUP BY pair
         |ORDER BY occurrences DESC, pair LIMIT 50""".stripMargin,
+    // bigram-fit chain (text_bigram_fit's CTEs) + two int64 divisions:
+    // per-doc ppm, then per-mille of the corpus mean; fixed relative
+    // thresholds cut head/middle/tail
+    "text_perplexity_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |  generate_subscripts(w, 1) AS pos FROM t),
+        |bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bgr
+        |  FROM tok a JOIN tok b
+        |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |cnt AS (SELECT bgr, count(*) AS c FROM bg GROUP BY bgr),
+        |per AS (SELECT bg.doc_id, CAST(sum(c) AS BIGINT) AS ft,
+        |  count(*) AS nb FROM bg JOIN cnt USING (bgr) GROUP BY bg.doc_id),
+        |full0 AS (SELECT d.doc_id, coalesce(per.ft, 0) AS ft,
+        |  coalesce(per.nb, 0) AS nb
+        |  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+        |cm AS (SELECT greatest(CAST(sum(ft) AS BIGINT) * 1000 //
+        |  greatest(CAST(sum(nb) AS BIGINT), 1), 1) AS cm FROM full0),
+        |r AS (SELECT doc_id,
+        |  (ft * 1000 // greatest(nb, 1)) * 1000 // cm.cm AS rel_pm
+        |  FROM full0 CROSS JOIN cm)
+        |SELECT doc_id, CAST(rel_pm AS BIGINT) AS rel_pm,
+        |  CASE WHEN rel_pm < 980 THEN 'tail'
+        |       WHEN rel_pm >= 1005 THEN 'head'
+        |       ELSE 'middle' END AS bucket
+        |FROM r""".stripMargin,
+    // integer-exact BM25: per-term contribution = rational idf
+    // surrogate (1000·(N−df+1) // (df+1)) times the exact saturation
+    // ratio 44·A·tf // (20·A·tf + 6·A + 18·dl) with A = floor(avgdl);
+    // all int64, so the per-doc sum is order-free and hash-exact.
+    // Query terms mirror SparkEntry.Bm25Queries, pre-deduplicated.
+    "text_bm25" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1, 'spark'), (1, 'join'),
+        |  (2, 'hash'), (2, 'table'), (2, 'scan'),
+        |  (3, 'customer'), (3, 'query'),
+        |  (4, 'slow'), (4, 'batch'), (4, 'window')),
+        |t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+        |c AS (SELECT doc_id, dl, term, count(*) AS tf FROM e
+        |  GROUP BY 1, 2, 3),
+        |d AS (SELECT term, count(*) AS df FROM c GROUP BY term),
+        |s AS (SELECT count(*) AS n,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+        |    // count(*) AS a FROM documents),
+        |sc AS (SELECT q.query_id, c.doc_id, CAST(sum(
+        |    (1000 * (s.n - d.df + 1) // (d.df + 1)) * (44 * s.a * c.tf)
+        |      // (20 * s.a * c.tf + 6 * s.a + 18 * c.dl)
+        |  ) AS BIGINT) AS score
+        |  FROM c JOIN q USING (term) JOIN d USING (term) CROSS JOIN s
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
   )
 }

@@ -695,4 +695,102 @@ object GraphAlgos {
     e.select(col("id_a").as("id")).union(e.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
   }
+
+  /** Triangles of an undirected canonical edge set (`id_a < id_b`,
+    * unique per pair), one row per triangle as `(src, id_a, id_b)` —
+    * the oriented-wedge apex plus the closing edge. Shared by
+    * [[triangleCounts]]-style vertex aggregation and [[kTruss]]'s
+    * per-edge support. Input must already be materialization-safe. */
+  private def triangleRows(p: DataFrame, chunkSize: Int): DataFrame = {
+    val deg = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__d"))
+    val oriented = p
+      .join(deg.select(col("id").as("id_a"), col("__d").as("__da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("__d").as("__db")), "id_b")
+      .select(
+        when(col("__da") < col("__db") ||
+            (col("__da") === col("__db") && col("id_a") < col("id_b")),
+          struct(col("id_a").as("s"), col("id_b").as("d")))
+          .otherwise(struct(col("id_b").as("s"), col("id_a").as("d")))
+          .as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    saltedDstPairs(oriented, chunkSize)
+      .withColumnRenamed("dst_a", "id_a").withColumnRenamed("dst_b", "id_b")
+      .join(p, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /** Per-edge triangle support over a canonical edge set: each
+    * triangle credits its three (canonical) edges once. */
+  private def edgeSupport(p: DataFrame, chunkSize: Int): DataFrame =
+    triangleRows(p, chunkSize)
+      .select(explode(array(
+        struct(least(col("src"), col("id_a")).as("id_a"),
+          greatest(col("src"), col("id_a")).as("id_b")),
+        struct(least(col("src"), col("id_b")).as("id_a"),
+          greatest(col("src"), col("id_b")).as("id_b")),
+        struct(col("id_a").as("id_a"), col("id_b").as("id_b"))))
+        .as("e"))
+      .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("support"))
+
+  /**
+   * k-truss: the maximal subgraph in which every edge participates in
+   * ≥ k−2 triangles — the cohesion notion BETWEEN k-core (degree) and
+   * clique (every edge fully supported), and the standard community-
+   * backbone extractor. Iterative edge peeling: compute per-edge
+   * triangle support, drop edges below k−2, repeat to fixpoint (an
+   * edge drop can destroy a surviving edge's triangles, so one pass is
+   * not enough).
+   *
+   * Each round's support pass is the [[triangleCounts]] machinery —
+   * degree-oriented wedges (O(m^1.5) bound) with the chunk-salted
+   * self-join — so a round costs one triangle enumeration plus one
+   * aggregation and a semi-join, and every round shrinks the edge set
+   * it runs on. Rounds localCheckpoint (the iterative-loop invariant).
+   * Convergence is certified by edge-count stability, with the
+   * [[kCore]] boundary pattern: if the chain shrank on every round up
+   * to `maxRounds`, one extra CHECK-ONLY round proves the fixpoint
+   * (peeling is monotone) rather than throwing on the exact-boundary
+   * case. `requireConverged` throws past that — the oracle unrolls
+   * exactly `maxRounds` peels, so a slower-converging graph at a
+   * larger sf must fail loudly rather than silently diverge.
+   *
+   * Output: `(id_a, id_b, support)` — the surviving edges with their
+   * support measured IN the truss (one final support pass over the
+   * converged set, which the converged round already equals).
+   */
+  def kTruss(pairs: DataFrame, k: Int, maxRounds: Int = 4,
+             requireConverged: Boolean = true,
+             chunkSize: Int = 512): DataFrame = {
+    require(k >= 3, s"kTruss needs k >= 3, got $k")
+    def peel(in: DataFrame): DataFrame =
+      in.join(
+        edgeSupport(in, chunkSize).filter(col("support") >= k - 2)
+          .select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_semi")
+        .localCheckpoint()
+    var e = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    var prev = e.count()
+    var round = 0
+    var converged = prev == 0L
+    while (!converged && round < maxRounds) {
+      val next = peel(e)
+      val n = next.count()
+      converged = n == prev || n == 0L
+      prev = n
+      e = next
+      round += 1
+    }
+    if (!converged && requireConverged) {
+      converged = peel(e).count() == prev
+      if (!converged)
+        throw new IllegalStateException(
+          s"kTruss(k=$k) did not converge in $maxRounds rounds — a " +
+          s"$maxRounds-round unrolled oracle would diverge")
+    }
+    e.join(edgeSupport(e, chunkSize), Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("support"))
+  }
 }

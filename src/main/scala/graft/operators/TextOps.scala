@@ -534,6 +534,142 @@ object TextOps {
     }.toDF(idCol, "n_words", "n_bpe_tokens")
   }
 
+  /**
+   * CCNet-style perplexity bucketing on the integer-exact corpus-fit
+   * score: documents are split into `head` / `middle` / `tail` buckets
+   * by how ordinary their token transitions are ([[bigramFit]]'s
+   * integer face of LM perplexity — CCNet buckets by a KenLM score; a
+   * HIGH fit is a LOW perplexity, so high-fit docs land in `head`).
+   * The cut value is RELATIVE — the document's per-mille mean bigram
+   * hit count (`fit_total·1000 div max(n_bigrams,1)`) expressed in
+   * per-mille of the CORPUS mean (`Σfit_total·1000 div Σn_bigrams`),
+   * because the absolute score grows linearly with corpus size (every
+   * bigram's count does) and a fixed absolute threshold would migrate
+   * whole corpora between buckets across snapshots. Both divisions are
+   * int64-exact in both engines. `tail` below `tailMax`, `head`
+   * at/above `headMin` (both in per-mille of the corpus mean),
+   * `middle` between.
+   *
+   * Scale shape: inherits [[bigramFit]]'s (bounded bigram table,
+   * map-side partial aggs) plus one single-row broadcast (the corpus
+   * mean) and a narrow projection — nothing new shuffles.
+   * Output: `(doc_id, rel_pm, bucket)`, every input doc exactly once
+   * (sub-2-token docs score 0 → `tail`).
+   */
+  def perplexityBuckets(df: DataFrame, tailMax: Long = 980L,
+                        headMin: Long = 1005L, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(tailMax <= headMin,
+      s"tailMax ($tailMax) must be <= headMin ($headMin)")
+    val fit = bigramFit(df, idCol, textCol).localCheckpoint(false)
+    val cm = fit.agg(
+      expr("sum(fit_total) * 1000 div greatest(sum(n_bigrams), 1)")
+        .as("__cm"))
+    fit.join(broadcast(cm))
+      .withColumn("rel_pm", expr(
+        "(fit_total * 1000 div greatest(n_bigrams, 1)) * 1000 div " +
+          "greatest(__cm, 1)"))
+      .select(col(idCol), col("rel_pm"),
+        when(col("rel_pm") < tailMax, lit("tail"))
+          .when(col("rel_pm") >= headMin, lit("head"))
+          .otherwise(lit("middle")).as("bucket"))
+  }
+
+  /**
+   * BM25 ranked retrieval over the corpus — the classic inverted-index
+   * scoring every retrieval/RAG pipeline runs, in an INTEGER-EXACT
+   * variant so both engines agree bit-for-bit (the float-parity
+   * invariant forbids weighted float sums in compared outputs, and
+   * BM25 is exactly such a sum).
+   *
+   * Per query term t with document frequency df, and a document with
+   * term frequency tf and length dl, classic BM25 (k1=6/5, b=3/4)
+   * scores `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`.
+   * Multiplying through by `20·A` (A = floor(avgdl)) makes the
+   * saturation factor the exact integer ratio
+   * `44·A·tf / (20·A·tf + 6·A + 18·dl)`, and the idf becomes the
+   * rational surrogate `idf_pm = 1000·(N−df+1) div (df+1)` — strictly
+   * monotone in the true BM25 idf (both decrease in df), so each
+   * term's document ordering is preserved; magnitudes weight rare
+   * terms more steeply than log-idf (documented trade for bit-exact
+   * cross-engine sums). Each term contributes
+   * `idf_pm · 44·A·tf div (20·A·tf + 6·A + 18·dl)` — a floor of an
+   * int64 ratio — and a document's score is the int64 SUM of its
+   * matched terms' contributions: summation-order-free by
+   * construction. Duplicate query terms are deduplicated (a binary
+   * query-term model).
+   *
+   * Scale shape: per-doc term counts are one explode + one partial
+   * aggregation; the query-term join is a BROADCAST of q·|terms| rows
+   * that semi-filters the posting scan; scoring aggregates map-side
+   * per (query, doc); and the final per-query top-k rides
+   * [[graft.functions.BoundedMinIds]] (map tasks keep ≤k candidates
+   * per query) — NEVER a window over a query's full candidate set,
+   * which at corpus scale would drag every matching document of a hot
+   * query through one task. Int64 bounds hold to ~10^10 docs
+   * (idf_pm·44·A·tf ≤ 1e13·5e4 at web-corpus shapes).
+   * Output: `(query_id, doc_id, score, rank)`, rank 1..k per query by
+   * (score desc, doc_id asc).
+   */
+  def bm25TopK(df: DataFrame, queries: Seq[(Int, String)], k: Int = 5,
+               idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+
+    val toks = df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+    val counts = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = counts.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    // N docs and A = floor(mean doc length) — one tiny broadcast row
+    val stats = df.select(col(idCol), tokenCount(col(textCol)).as("__dl"))
+      .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
+      .select(col("__n"), expr("__t div __n").as("__a"))
+    val qterms = queries
+      .flatMap { case (qid, q) =>
+        q.trim.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
+      }
+      .toDF("query_id", "term")
+    val scored = counts
+      .join(broadcast(qterms), "term")
+      .join(dfreq, "term")
+      .join(broadcast(stats))
+      .withColumn("__contrib", expr(
+        "(1000 * (__n - df + 1) div (df + 1)) * (44 * __a * tf) div " +
+          "(20 * __a * tf + 6 * __a + 18 * dl)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__contrib")).as("score"))
+      // consumed twice (top-k cut + score re-attach) — lazy checkpoint
+      // so the explode/join lineage runs once, not per join side
+      .localCheckpoint(false)
+    // bounded per-query top-k: sort key = (inverted zero-padded score,
+    // zero-padded doc id) so ascending string order == (score desc, id
+    // asc); 10^18 headroom exceeds any reachable int64 score above
+    val topIds = scored
+      .withColumn("__sk", concat(
+        lpad((lit(1000000000000000000L) - col("score")).cast("string"),
+          19, "0"),
+        lpad(col("doc_id").cast("string"), 19, "0")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorExpressions.boundedMinIds(
+        col("__sk"), col("doc_id").cast("string"), k).as("__ids"))
+      .select(col("query_id"), explode(col("__ids")).as("__id"))
+      .select(col("query_id"), col("__id").cast("long").as("doc_id"))
+    // rank/score re-attach over the ≤ q·k survivors — the window input
+    // is bounded by the aggregate, so this sort never sees the corpus
+    import org.apache.spark.sql.expressions.Window
+    topIds.join(scored, Seq("query_id", "doc_id"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
   /** Attach all text-analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1485,6 +1485,70 @@ class OperatorsSpec extends SparkSpec {
     assert(real.filter(col("fit_total") < col("n_bigrams")).count() == 0)
   }
 
+  test("perplexityBuckets: relative cut matches a driver-side model") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"), // very ordinary transitions -> high fit
+      (2L, "a b c d e f"), // mixed
+      (3L, "q r s t u v"), // all-unique transitions -> fit 1/bigram
+      (4L, "x")            // no bigrams -> fit 0 -> tail
+    ).toDF("doc_id", "text")
+    val fit = TextOps.bigramFit(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cm = math.max(fit.values.map(_._1).sum * 1000 /
+      math.max(fit.values.map(_._2).sum, 1L), 1L)
+    val expected = fit.map { case (id, (ft, nb)) =>
+      val rel = ft * 1000 / math.max(nb, 1L) * 1000 / cm
+      id -> ((rel, if (rel < 980) "tail"
+        else if (rel >= 1005) "head" else "middle"))
+    }
+    val out = TextOps.perplexityBuckets(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == expected)
+    assert(out(1L)._2 == "head")   // repeated bigram dominates the mean
+    assert(out(4L)._2 == "tail")   // bigram-free doc scores 0
+    // every doc exactly once at corpus scale, all buckets populated
+    val real = TextOps.perplexityBuckets(docs)
+    assert(real.count() == docs.count())
+    assert(real.select("bucket").distinct().count() == 3)
+  }
+
+  test("bm25TopK: hand-checked scores, rank order, k bound") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple banana apple"),  // tf(apple)=2, dl=3
+      (2L, "apple cherry"),        // tf(apple)=1, dl=2
+      (3L, "banana banana durian"),
+      (4L, "elderberry fig")
+    ).toDF("doc_id", "text")
+    // N=4, T=10, A=2; df(apple)=2, df(banana)=2, df(durian)=1
+    def contrib(n: Long, df0: Long, a: Long, tf: Long, dl: Long): Long =
+      (1000 * (n - df0 + 1) / (df0 + 1)) * (44 * a * tf) /
+        (20 * a * tf + 6 * a + 18 * dl)
+    val out = TextOps.bm25TopK(df, Seq(1 -> "apple banana", 2 -> "durian"),
+        k = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    // query 1: doc1 matches apple(tf 2) + banana(tf 1); doc2 apple only;
+    // doc3 banana(tf 2) — top-2 of the three survive the k bound
+    val d1 = contrib(4, 2, 2, 2, 3) + contrib(4, 2, 2, 1, 3)
+    val d2 = contrib(4, 2, 2, 1, 2)
+    val d3 = contrib(4, 2, 2, 2, 3)
+    val top = Seq(1L -> d1, 2L -> d2, 3L -> d3)
+      .sortBy { case (id, s) => (-s, id) }.take(2)
+    assert(out.keys.count(_._1 == 1) == 2, "k=2 bound per query")
+    top.zipWithIndex.foreach { case ((id, s), i) =>
+      assert(out((1, id)) == ((s, i + 1)), s"query 1 doc $id")
+    }
+    // query 2: only doc3 contains durian
+    assert(out((2, 3L)) == ((contrib(4, 1, 2, 1, 3), 1)))
+    assert(out.keys.count(_._1 == 2) == 1)
+    // duplicate query terms are deduplicated: same score either way
+    val dup = TextOps.bm25TopK(df, Seq(9 -> "durian durian"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(dup == Seq((3L, contrib(4, 1, 2, 1, 3))))
+  }
+
   test("dHash matches a driver-side model and the header dims") {
     val media = MultimodalOps.withPngPayload(docs.limit(100))
     val out = MultimodalOps.dHash(media).collect()
