@@ -855,6 +855,15 @@ object SparkEntry {
     }),
 
     // ---- round-9 continuation ----
+    // 3-truss of the co-purchase projection: iterative edge peeling by
+    // per-edge triangle support (each round = one oriented+salted
+    // triangle pass); maxRounds=4 matches the oracle's unrolled peel
+    // chain, requireConverged certifies-or-throws past it
+    "graph_ktruss" -> ((spark, sfDir) =>
+      operators.GraphAlgos.kTruss(
+        operators.GraphAlgos.coOccurrencePairs(
+          sources.GraphStore.tpch(spark, sfDir), label = "contains",
+          minShared = 2), k = 3, maxRounds = 4)),
     // CCNet-style perplexity bucketing: per-doc bigram-fit score in
     // per-mille of the corpus mean, cut into head/middle/tail at fixed
     // relative thresholds — all int64 divisions, oracle-exact
@@ -2252,6 +2261,40 @@ object SparkEntry {
         |SELECT pair, CAST(sum(f) AS BIGINT) AS occurrences
         |FROM p GROUP BY pair
         |ORDER BY occurrences DESC, pair LIMIT 50""".stripMargin,
+    // 4 unrolled peel rounds (matches kTruss maxRounds; converged
+    // rounds are no-ops, and the Spark side THROWS if 4 don't reach
+    // the fixpoint) + one final support pass over the fixpoint set.
+    // Each round's triangle CTE is MATERIALIZED once and referenced 3x
+    // by the support union (the graph_kcore plain-CTE-inlining lesson)
+    "graph_ktruss" -> {
+      val base =
+        """WITH ce AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+          |    l_partkey AS p FROM lineitem),
+          |r0 AS MATERIALIZED (SELECT a.p AS id_a, b.p AS id_b
+          |  FROM ce a JOIN ce b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+      def supportRound(i: Int): String =
+        s""",
+           |t$i AS MATERIALIZED (SELECT e1.id_a AS a, e1.id_b AS b,
+           |  e2.id_b AS c FROM r${i - 1} e1
+           |  JOIN r${i - 1} e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+           |  JOIN r${i - 1} e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b),
+           |s$i AS MATERIALIZED (SELECT id_a, id_b, count(*) AS sup FROM (
+           |  SELECT a AS id_a, b AS id_b FROM t$i
+           |  UNION ALL SELECT a, c FROM t$i
+           |  UNION ALL SELECT b, c FROM t$i) GROUP BY 1, 2)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        supportRound(i) +
+          s""",
+             |r$i AS MATERIALIZED (SELECT r.id_a, r.id_b FROM r${i - 1} r
+             |  JOIN s$i USING (id_a, id_b) WHERE sup >= 1)""".stripMargin
+      }.mkString
+      base + rounds + supportRound(5) +
+        """
+          |SELECT r.id_a + 2000000000 AS id_a, r.id_b + 2000000000 AS id_b,
+          |  CAST(s5.sup AS BIGINT) AS support
+          |FROM r4 r JOIN s5 USING (id_a, id_b)""".stripMargin
+    },
     // bigram-fit chain (text_bigram_fit's CTEs) + two int64 divisions:
     // per-doc ppm, then per-mille of the corpus mean; fixed relative
     // thresholds cut head/middle/tail

@@ -589,29 +589,11 @@ object GraphAlgos {
 
   /** [[triangleCounts]] body over an already-materialization-safe `p`
     * (callers that reuse the pair set pass their own checkpoint). */
-  private def triangleCountsOn(p: DataFrame, chunkSize: Int): DataFrame = {
-    val deg = p.select(col("id_a").as("id"))
-      .union(p.select(col("id_b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("__d"))
-    val oriented = p
-      .join(deg.select(col("id").as("id_a"), col("__d").as("__da")), "id_a")
-      .join(deg.select(col("id").as("id_b"), col("__d").as("__db")), "id_b")
-      .select(
-        when(col("__da") < col("__db") ||
-            (col("__da") === col("__db") && col("id_a") < col("id_b")),
-          struct(col("id_a").as("s"), col("id_b").as("d")))
-          .otherwise(struct(col("id_b").as("s"), col("id_a").as("d")))
-          .as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"))
-    // wedge pairs come out id-ordered (dst_a < dst_b), which is exactly
-    // the closing edge's canonical form — no rank bookkeeping needed
-    val tri = saltedDstPairs(oriented, chunkSize)
-      .withColumnRenamed("dst_a", "id_a").withColumnRenamed("dst_b", "id_b")
-      .join(p, Seq("id_a", "id_b"), "left_semi")
-    tri.select(explode(array(col("src"), col("id_a"), col("id_b")))
+  private def triangleCountsOn(p: DataFrame, chunkSize: Int): DataFrame =
+    triangleRows(p, chunkSize)
+      .select(explode(array(col("src"), col("id_a"), col("id_b")))
         .as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
-  }
 
   /**
    * Local clustering coefficient: for every vertex of degree ≥ 2,

@@ -296,6 +296,58 @@ class GraphAlgosSpec extends SparkSpec {
     }
   }
 
+  test("kTruss: hand-checked clique + pendant triangle + dangling edge") {
+    // 4-clique {1,2,3,4} (every edge in 2 triangles), pendant triangle
+    // {4,5,6} (each edge in 1), dangling edge (6,7) (in none)
+    val p = pairsDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+    val t3 = GraphAlgos.kTruss(p, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3 == Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+      (2L, 3L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L,
+      (4L, 5L) -> 1L, (4L, 6L) -> 1L, (5L, 6L) -> 1L))
+    // 4-truss: only the clique survives (and its supports stay 2 —
+    // dropping the pendant triangle costs the clique nothing)
+    val t4 = GraphAlgos.kTruss(p, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(t4.values.forall(_ == 2L))
+    // 5-truss (support >= 3): K4 cannot provide it
+    assert(GraphAlgos.kTruss(p, k = 5).count() == 0L)
+  }
+
+  test("kTruss peels cascades (one support pass is not enough)") {
+    // diamond = two triangles sharing edge (2,3): under k=4 the four
+    // outer edges (support 1) fall in round 1, which strips (2,3)'s
+    // triangles — a single-pass filter would KEEP (2,3) (support 2);
+    // the fixpoint is empty
+    val p = pairsDf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(GraphAlgos.kTruss(p, k = 4).count() == 0L)
+    // sanity: the 3-truss keeps the whole diamond
+    assert(GraphAlgos.kTruss(p, k = 3).count() == 5L)
+  }
+
+  test("kTruss convergence boundary certifies; too-small cap throws") {
+    // clique + pendant triangle + dangling edge under k=3 shrinks on
+    // round 1 (the dangling edge falls) and is at the fixpoint — a
+    // maxRounds=1 cap must CERTIFY via the extra check-only round
+    // rather than throw at the exact boundary (kCore pattern)
+    val p = pairsDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+    val full = GraphAlgos.kTruss(p, k = 3, maxRounds = 4).collect().toSet
+    val certified = GraphAlgos.kTruss(p, k = 3, maxRounds = 1)
+      .collect().toSet
+    assert(certified == full && full.size == 9)
+    // the k=4 diamond cascade needs 2 shrinking rounds: a 1-round cap
+    // fails its certification round and must fail loudly
+    val diamond = pairsDf(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    intercept[IllegalStateException] {
+      GraphAlgos.kTruss(diamond, k = 4, maxRounds = 1)
+    }
+  }
+
   test("clusteringCoefficients: hand-checked wheel and chain") {
     // triangle + pendant: 1,2 have coeff 1 (their only pair closes);
     // 3 has degree 3 with one closed pair of three -> 1/3
