@@ -874,6 +874,11 @@ object SparkEntry {
     // (summation-order-free), bounded per-query top-k aggregate
     "text_bm25" -> ((spark, sfDir) =>
       operators.TextOps.bm25TopK(docs(spark, sfDir), Bm25Queries, k = 5)),
+    // deterministic count-min sketch (md5 rows, int64 counters): the
+    // engine-portable monitoring sketch — top-20 tokens with their
+    // admissible sketch estimates, the WHOLE chain oracle-exact
+    "curation_countmin" -> ((spark, sfDir) =>
+      operators.CurationOps.countMinHeavyHitters(docs(spark, sfDir))),
   )
 
   /** Fixed retrieval queries for the BM25 gate — drawn from the
@@ -2322,6 +2327,26 @@ object SparkEntry {
         |       WHEN rel_pm >= 1005 THEN 'head'
         |       ELSE 'middle' END AS bucket
         |FROM r""".stripMargin,
+    // count-min chain: distinct-term counts -> 4 md5 rows mod 1024 ->
+    // cell sums -> top-20 terms' row minima; unsigned-32-bit hex
+    // parse keeps both engines positive (the hash-travel invariant)
+    "curation_countmin" ->
+      """WITH toks AS (SELECT unnest(string_split(trim(text), ' '))
+        |  AS term FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |cells AS (SELECT j, term, cnt,
+        |  CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term),
+        |    1, 8) AS BIGINT) % 1024 AS cell
+        |  FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+        |sk AS (SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS scnt
+        |  FROM cells GROUP BY 1, 2),
+        |top AS (SELECT term, cnt FROM c
+        |  ORDER BY cnt DESC, term LIMIT 20)
+        |SELECT t.term, CAST(max(t.cnt) AS BIGINT) AS exact_cnt,
+        |  CAST(min(sk.scnt) AS BIGINT) AS est_cnt
+        |FROM top t JOIN cells ce ON ce.term = t.term
+        |JOIN sk ON sk.j = ce.j AND sk.cell = ce.cell
+        |GROUP BY t.term""".stripMargin,
     // integer-exact BM25: per-term contribution = rational idf
     // surrogate (1000·(N−df+1) // (df+1)) times the exact saturation
     // ratio 44·A·tf // (20·A·tf + 6·A + 18·dl) with A = floor(avgdl);

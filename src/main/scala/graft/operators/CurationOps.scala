@@ -803,6 +803,77 @@ object CurationOps {
   }
 
   /**
+   * Deterministic count-min sketch over corpus tokens — the
+   * engine-portable face of [[approxSourceProfile]]'s monitoring: a
+   * `depth × width` counter matrix where row j counts tokens by
+   * `md5(j:token)`'s first 32 bits mod `width`. Every estimate the
+   * sketch yields is an ADMISSIBLE overestimate (each row ≥ the true
+   * count; collisions only add), the classic Cormode-Muthukrishnan
+   * guarantee. Unlike HLL/GK sketches, the hash is md5-based and the
+   * counters are int64 sums, so the ENTIRE sketch is bit-identical
+   * across engines and fully oracle-checkable — the same trick as the
+   * dedup hashes (32-bit halves stay clear of sign territory in both
+   * engines).
+   *
+   * Scale shape: token instances fold to the vocab-BOUNDED distinct
+   * table first (one partial-agg count), so the depth-way explode runs
+   * over distinct terms, not occurrences; the sketch itself is a
+   * `depth·width`-BOUNDED aggregate merged map-side — constant
+   * shuffle width at any corpus size. Output: `(j, cell, cnt)` rows
+   * for non-empty cells.
+   */
+  def countMinSketch(df: DataFrame, depth: Int = 4, width: Int = 1024,
+                     textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch dims $depth x $width")
+    termCells(termCounts(df, textCol), depth, width)
+      .groupBy(col("j"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Exact distinct-term counts — vocab-bounded. */
+  private def termCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(col(textCol)), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** The `depth` sketch coordinates of every term in `counts`. */
+  private def termCells(counts: DataFrame, depth: Int,
+                        width: Int): DataFrame =
+    counts
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("term"), col("cnt"))
+      .withColumn("cell", expr(
+        "cast(conv(substring(md5(concat(cast(j as string), ':', term))," +
+          s" 1, 8), 16, 10) as bigint) % $width"))
+
+  /**
+   * Heavy hitters with their count-min estimates: the exact top-`topK`
+   * tokens (count desc, token asc — a TakeOrdered, never a global
+   * sort) joined against the [[countMinSketch]] row minima. The gate
+   * face of the sketch: `est_cnt ≥ exact_cnt` always (admissibility),
+   * with equality whenever the token's `depth` cells are
+   * collision-free. At 100 TB the exact top-k here is the verification
+   * harness (small and bounded); production reads estimates straight
+   * from the bounded sketch without it.
+   * Output: `(term, exact_cnt, est_cnt)`.
+   */
+  def countMinHeavyHitters(df: DataFrame, depth: Int = 4,
+                           width: Int = 1024, topK: Int = 20,
+                           textCol: String = "text"): DataFrame = {
+    // counts feed both the sketch and the top-k — lazy checkpoint so
+    // the corpus explode+aggregate lineage runs once per action
+    val counts = termCounts(df, textCol).localCheckpoint(false)
+    val sketch = termCells(counts, depth, width)
+      .groupBy(col("j"), col("cell"))
+      .agg(sum(col("cnt")).as("__scnt"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(topK)
+    termCells(top, depth, width)
+      .join(sketch, Seq("j", "cell"))
+      .groupBy(col("term"))
+      .agg(max(col("cnt")).as("exact_cnt"), min(col("__scnt")).as("est_cnt"))
+      .select(col("term"), col("exact_cnt"), col("est_cnt"))
+  }
+
+  /**
    * Boilerplate-token pruning: drop every token whose document
    * frequency exceeds `maxDfRatio` of the corpus (ubiquitous
    * template/stopword tokens carry no signal and bloat shingle sets),

@@ -1549,6 +1549,46 @@ class OperatorsSpec extends SparkSpec {
     assert(dup == Seq((3L, contrib(4, 1, 2, 1, 3))))
   }
 
+  test("countMinSketch: admissible estimates, bounded size, collisions") {
+    import spark.implicits._
+    // corpus-wide admissibility: EVERY term's row minimum >= its true
+    // count (not just the top-k the gate emits)
+    val exact = docs.select(explode(split(trim(col("text")), " "))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val sketch = CurationOps.countMinSketch(docs, depth = 4, width = 256)
+    assert(sketch.count() <= 4L * 256)
+    val est = exact
+      .select(explode(sequence(lit(0), lit(3))).as("j"), col("term"),
+        col("cnt"))
+      .withColumn("cell", expr(
+        "cast(conv(substring(md5(concat(cast(j as string), ':', term))," +
+          " 1, 8), 16, 10) as bigint) % 256"))
+      .join(sketch.withColumnRenamed("cnt", "scnt"), Seq("j", "cell"))
+      .groupBy("term").agg(max("cnt").as("cnt"), min("scnt").as("est"))
+    assert(est.filter(col("est") < col("cnt")).count() == 0,
+      "count-min must never underestimate")
+    assert(est.count() == exact.count())
+    // sketch mass: every row's counters sum to the token instances
+    val instances = docs.select(sum(size(split(trim(col("text")), " "))))
+      .collect().head.getLong(0)
+    val perRow = sketch.groupBy("j").agg(sum("cnt").as("m"))
+      .collect().map(_.getLong(1))
+    assert(perRow.length == 4 && perRow.forall(_ == instances))
+    // a width-2 sketch MUST collide on this vocabulary: some estimate
+    // strictly exceeds the exact count, none undershoot
+    val hh = CurationOps.countMinHeavyHitters(docs, depth = 1, width = 2,
+      topK = 10).collect()
+    assert(hh.forall(r => r.getLong(2) >= r.getLong(1)))
+    assert(hh.exists(r => r.getLong(2) > r.getLong(1)))
+    // gate face at the gate dims: top-k exact counts match the corpus
+    val top = CurationOps.countMinHeavyHitters(docs, topK = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trueTop = exact.orderBy(col("cnt").desc, col("term")).limit(5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top == trueTop)
+  }
+
   test("dHash matches a driver-side model and the header dims") {
     val media = MultimodalOps.withPngPayload(docs.limit(100))
     val out = MultimodalOps.dHash(media).collect()
