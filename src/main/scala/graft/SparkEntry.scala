@@ -879,6 +879,26 @@ object SparkEntry {
     // admissible sketch estimates, the WHOLE chain oracle-exact
     "curation_countmin" -> ((spark, sfDir) =>
       operators.CurationOps.countMinHeavyHitters(docs(spark, sfDir))),
+    // state compaction mid-sequence: two ingested thirds compact into
+    // one dir (read-equivalent by the union contract), the third
+    // ingests against the compacted state, and the three runs' pairs
+    // must STILL union to one full recompute — dedup_minhash's oracle.
+    // Pre-compact results are pinned eagerly (compaction replaces the
+    // files their lazy plans read)
+    "dedup_minhash_compacted" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val state = freshStateDir("graft_mhcstate")
+      val p1 = operators.DedupOps.minhashLshIncremental(
+        d.filter(col("doc_id") % 3 === 0), state, tau = 0.8)
+        .localCheckpoint()
+      val p2 = operators.DedupOps.minhashLshIncremental(
+        d.filter(col("doc_id") % 3 === 1), state, tau = 0.8)
+        .localCheckpoint()
+      operators.StateStore.compact(spark, state)
+      val p3 = operators.DedupOps.minhashLshIncremental(
+        d.filter(col("doc_id") % 3 === 2), state, tau = 0.8)
+      p1.unionByName(p2).unionByName(p3)
+    }),
   )
 
   /** Fixed retrieval queries for the BM25 gate — drawn from the
@@ -1191,6 +1211,13 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS docs_compared,
         |  CAST(0 AS BIGINT) AS mismatches
         |FROM documents WHERE doc_id % 10 <> 0""".stripMargin,
+    // compaction is read-equivalent, so the three-run union still
+    // equals the one-shot recompute — dedup_minhash's oracle again
+    "dedup_minhash_compacted" ->
+      s"""WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+         | FROM $SqlTrigramSets a JOIN $SqlTrigramSets b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(inter/(la + lb - inter), 4) AS jaccard FROM p WHERE inter/(la + lb - inter) >= 0.8""".stripMargin,
     "dedup_token_jaccard" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

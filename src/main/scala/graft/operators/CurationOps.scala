@@ -273,8 +273,10 @@ object CurationOps {
    * a nightly pipeline adds each new eval/benchmark drop to the stored
    * filter instead of rebuilding from every held-out set it has ever
    * seen. Each committed increment dir stores the MERGED bytes (bit_or
-   * of the stored filter with the increment's), so reads touch only
-   * the latest dir, and because bit positions are a pure function of
+   * of the stored filter with the increment's); reads OR-fold every
+   * stored row (associative — equal to the latest cumulative filter,
+   * and it stays correct after [[StateStore.compact]] unions the
+   * per-dir tables), and because bit positions are a pure function of
    * the shingle and `bit_or` is associative-commutative, the
    * incrementally-merged filter is BIT-IDENTICAL to one built over the
    * union of all held-out sets — same flags, same FP rate (spec
@@ -291,10 +293,7 @@ object CurationOps {
     val add = bloomBuild(heldout, idCol, textCol, n, numBits, numHashes)
     val prior = StateStore.committed(spark, statePath)
     val merged = if (prior.isEmpty) add else {
-      val old = spark.read.parquet(prior.last + "/bloom")
-        .head.getAs[Array[Byte]](0)
-      require(old.length == add.length,
-        s"stored bloom has ${old.length * 8} bits, caller asked $numBits")
+      val old = foldBloomState(spark, prior, numBits)
       Array.tabulate(old.length)(i => (old(i) | add(i)).toByte)
     }
     val dir = StateStore.nextDir(spark, statePath)
@@ -316,11 +315,26 @@ object CurationOps {
     val spark = corpus.sparkSession
     val prior = StateStore.committed(spark, statePath)
     require(prior.nonEmpty, s"no committed bloom state under $statePath")
-    val bloom = spark.read.parquet(prior.last + "/bloom")
-      .head.getAs[Array[Byte]](0)
-    require(bloom.length * 8 == numBits,
-      s"stored bloom has ${bloom.length * 8} bits, caller asked $numBits")
-    bloomProbe(corpus, bloom, idCol, textCol, n, numBits, numHashes)
+    bloomProbe(corpus, foldBloomState(spark, prior, numBits),
+      idCol, textCol, n, numBits, numHashes)
+  }
+
+  /** OR-fold of every bloom row across the committed dirs. Each dir
+    * stores the cumulative filter, so the fold equals the latest one —
+    * but folding (not `last.head`) keeps reads correct after
+    * [[StateStore.compact]] unions the per-dir tables into one (OR is
+    * associative-commutative; the fold is the union contract every
+    * state reader must follow). Filters are numBits/8 bytes and dirs
+    * are few, so the driver-side fold is trivial. */
+  private def foldBloomState(spark: org.apache.spark.sql.SparkSession,
+                             dirs: Seq[String],
+                             numBits: Int): Array[Byte] = {
+    val rows = spark.read.parquet(dirs.map(_ + "/bloom"): _*)
+      .collect().map(_.getAs[Array[Byte]](0))
+    require(rows.nonEmpty, "bloom state dirs hold no filter rows")
+    rows.foreach(b => require(b.length * 8 == numBits,
+      s"stored bloom has ${b.length * 8} bits, caller asked $numBits"))
+    rows.reduce((a, b) => Array.tabulate(a.length)(i => (a(i) | b(i)).toByte))
   }
 
   /** Confusion counts of the n-gram language heuristic against a

@@ -22,17 +22,25 @@ object StateStore {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private val CompactingMarker = "COMPACTING"
+  private val CompactTmp = ".compact_tmp"
+  private val TokenFile = "COMPACT_TOKEN"
+
   /** Committed increment dirs under `root`, oldest first; empty if the
-    * root does not exist yet. */
+    * root does not exist yet. Finishes any interrupted [[compact]]
+    * first, so readers never observe a half-swapped root. */
   def committed(spark: SparkSession, root: String): Seq[String] = {
     val f = fs(spark, root)
     val r = new Path(root)
     if (!f.exists(r)) Seq.empty
-    else f.listStatus(r).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches("inc_\\d+") &&
-        f.exists(new Path(p, "COMMIT")))
-      .sortBy(_.getName.drop(4).toInt)
-      .map(_.toString)
+    else {
+      recover(f, r)
+      f.listStatus(r).toSeq.map(_.getPath)
+        .filter(p => p.getName.matches("inc_\\d+") &&
+          f.exists(new Path(p, "COMMIT")))
+        .sortBy(_.getName.drop(4).toInt)
+        .map(_.toString)
+    }
   }
 
   /** Directory for the NEXT increment. Index = committed count, so an
@@ -44,6 +52,105 @@ object StateStore {
   /** Mark an increment dir ingested (write after all its tables). */
   def commit(spark: SparkSession, dir: String): Unit =
     fs(spark, dir).create(new Path(dir, "COMMIT"), true).close()
+
+  /**
+   * Compact every committed increment directory into a single `inc_0`.
+   *
+   * Why: after a season of nightly ingests the root holds N small
+   * per-increment tables and every read unions N directories; at
+   * crawl cadence N reaches hundreds and the per-file open cost (and
+   * small-file pressure on the cluster FS) dominates the narrow scans
+   * the incremental operators were designed around. Compaction is
+   * READ-EQUIVALENT by the store's own contract: every reader
+   * aggregates over the UNION of committed dirs' tables (docs/posting
+   * unions, partial re-aggregation, bloom OR-folds are all
+   * associative), so one directory holding the per-table unions
+   * answers every query identically — a spec asserts the operator-
+   * level equality per face.
+   *
+   * Crash safety (single writer, same restart-idempotence bar as
+   * ingest): the merged tables are staged under `.compact_tmp` with a
+   * fresh token, the root-level `COMPACTING` marker (holding that
+   * token) is the point of no return, and only then are the old dirs
+   * deleted and the stage renamed to `inc_0` + marker removed.
+   * [[committed]] runs recovery first, so a crash at ANY step resumes
+   * deterministically: the token tells recovery whether an existing
+   * `inc_0` is the finished rename (preserve) or a stale source
+   * (delete); without the marker a stale stage is simply re-staged.
+   *
+   * Callers must materialize any DataFrame returned by an earlier
+   * operator call before compacting — those plans read the pre-compact
+   * files lazily (the read-back contract), and compaction replaces the
+   * files.
+   */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val r = new Path(root)
+    val dirs = committed(spark, root) // runs recovery
+    if (dirs.size <= 1) return
+    val tmp = new Path(r, CompactTmp)
+    if (f.exists(tmp)) f.delete(tmp, true)
+    val tables = dirs.flatMap(d => f.listStatus(new Path(d)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)).distinct
+    tables.foreach { t =>
+      val srcs = dirs.filter(d => f.exists(new Path(d, t)))
+        .map(d => s"$d/$t")
+      spark.read.parquet(srcs: _*).write.mode("overwrite")
+        .parquet(new Path(tmp, t).toString)
+    }
+    val token = java.util.UUID.randomUUID().toString
+    writeSmall(f, new Path(tmp, TokenFile), token)
+    writeSmall(f, new Path(tmp, "COMMIT"), "")
+    // point of no return: from here recovery (not the old dirs) owns
+    // the root's truth
+    writeSmall(f, new Path(r, CompactingMarker), token)
+    finishCompaction(f, r, token)
+  }
+
+  /** Steps after the marker write; shared verbatim with recovery so a
+    * crash at any point simply re-runs it. */
+  private def finishCompaction(f: org.apache.hadoop.fs.FileSystem,
+                               r: Path, token: String): Unit = {
+    val tmp = new Path(r, CompactTmp)
+    f.listStatus(r).toSeq.map(_.getPath)
+      .filter(_.getName.matches("inc_\\d+"))
+      // an inc_0 carrying THIS compaction's token is the finished
+      // rename — everything else (old sources, stale uncommitted
+      // leftovers) is superseded by the stage
+      .filter(p => !(f.exists(new Path(p, TokenFile)) &&
+        readSmall(f, new Path(p, TokenFile)) == token))
+      .foreach(p => f.delete(p, true))
+    if (f.exists(tmp)) {
+      if (!f.rename(tmp, new Path(r, "inc_0")))
+        throw new java.io.IOException(s"compact: rename failed under $r")
+    }
+    f.delete(new Path(r, CompactingMarker), false)
+  }
+
+  /** Finish an interrupted compaction; no-op without the marker. */
+  private def recover(f: org.apache.hadoop.fs.FileSystem,
+                      r: Path): Unit = {
+    val m = new Path(r, CompactingMarker)
+    if (f.exists(m)) finishCompaction(f, r, readSmall(f, m))
+  }
+
+  private def writeSmall(f: org.apache.hadoop.fs.FileSystem, p: Path,
+                         s: String): Unit = {
+    val out = f.create(p, true)
+    out.write(s.getBytes("UTF-8")); out.close()
+  }
+
+  private def readSmall(f: org.apache.hadoop.fs.FileSystem,
+                        p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
 
   /** Recursively delete a state root (or any path) — the one shared
     * cleanup for gates, probes, and specs, via the same Hadoop FS

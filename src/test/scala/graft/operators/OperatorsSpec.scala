@@ -131,6 +131,9 @@ class OperatorsSpec extends SparkSpec {
     d
   }
 
+  /** Hadoop listStatus qualifies local paths with a file: scheme. */
+  private def stripScheme(p: String): String = p.stripPrefix("file:")
+
   private def pairSet(df: DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -228,6 +231,110 @@ class OperatorsSpec extends SparkSpec {
     // re-adding an already-merged set changes nothing (bit_or algebra)
     val again = CurationOps.bloomStateAdd(h1, state, numBits = bits)
     assert(java.util.Arrays.equals(merged, again))
+  }
+
+  test("compact: read-equivalent for minhash/exact/bloom state, no-op re-ingest survives") {
+    import spark.implicits._
+    // minhash face: two ingested halves compact into ONE dir; the
+    // answer so far plus the post-compact increment still unions to
+    // the one-shot recompute, and the compacted ledger still blocks a
+    // re-presented increment
+    val mh = tmpState("cmp_mh")
+    val evens = docs.filter(col("doc_id") % 4 === 0)
+    val odds = docs.filter(col("doc_id") % 4 === 1)
+    val rest = docs.filter(col("doc_id") % 4 >= 2)
+    val p1 = pairSet(DedupOps.minhashLshIncremental(evens, mh, tau = 0.8))
+    val p2 = pairSet(DedupOps.minhashLshIncremental(odds, mh, tau = 0.8))
+    StateStore.compact(spark, mh)
+    assert(StateStore.committed(spark, mh).map(stripScheme) ==
+      Seq(s"$mh/inc_0"), "two dirs must fold into a committed inc_0")
+    val p3 = pairSet(DedupOps.minhashLshIncremental(rest, mh, tau = 0.8))
+    assert((p1 ++ p2 ++ p3) == pairSet(DedupOps.minhashLsh(docs, tau = 0.8)))
+    assert(DedupOps.minhashLshIncremental(evens, mh, tau = 0.8).count() == 0,
+      "compacted ledger must still anti-join a re-presented increment")
+    // exact face: compacting partials preserves the merged aggregate
+    val ex = tmpState("cmp_ex")
+    val df = Seq((5L, "x"), (2L, "x"), (9L, "y"), (12L, "x"), (7L, "z"))
+      .toDF("doc_id", "text")
+    def asMap(d: DataFrame) = d.collect()
+      .map(r => (r.getString(1), (r.getLong(0), r.getLong(2)))).toMap
+    DedupOps.exactIncremental(df.filter(col("doc_id") < 8), ex)
+    DedupOps.exactIncremental(df.filter(col("doc_id") >= 8), ex)
+    StateStore.compact(spark, ex)
+    assert(StateStore.committed(spark, ex).size == 1)
+    // a fully-re-presented increment reads the merged state unchanged
+    assert(asMap(DedupOps.exactIncremental(df.filter(col("doc_id") < 8), ex))
+      == asMap(DedupOps.exact(df)))
+    // bloom face: the compacted table holds BOTH cumulative rows; the
+    // OR-fold reader and further adds stay byte-identical to one build
+    val bl = tmpState("cmp_bl")
+    val bits = 1 << 16
+    val h1 = docs.filter(col("doc_id") % 10 === 0)
+    val h2 = docs.filter(col("doc_id") % 10 === 5)
+    CurationOps.bloomStateAdd(h1, bl, numBits = bits)
+    CurationOps.bloomStateAdd(h2, bl, numBits = bits)
+    StateStore.compact(spark, bl)
+    val fullRef = tmpState("cmp_bl_ref")
+    val refBytes = CurationOps.bloomStateAdd(h1.unionByName(h2), fullRef,
+      numBits = bits)
+    val h3 = docs.filter(col("doc_id") % 10 === 7)
+    val after = CurationOps.bloomStateAdd(h3, bl, numBits = bits)
+    val refAfter = CurationOps.bloomStateAdd(h3, fullRef, numBits = bits)
+    assert(java.util.Arrays.equals(after, refAfter))
+    assert(!java.util.Arrays.equals(after, refBytes),
+      "h3 should set new bits")
+    // single-dir root: compact is a no-op
+    StateStore.compact(spark, bl) // folds the post-compact h3 dir in
+    val pre = StateStore.committed(spark, bl)
+    assert(pre.size == 1)
+    StateStore.compact(spark, bl)
+    assert(StateStore.committed(spark, bl) == pre)
+  }
+
+  test("compact crash recovery: interrupted swap resumes from the marker") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val state = tmpState("cmp_crash")
+    val p1 = pairSet(DedupOps.minhashLshIncremental(
+      docs.filter(col("doc_id") % 2 === 0), state, tau = 0.8))
+    DedupOps.minhashLshIncremental(
+      docs.filter(col("doc_id") % 2 === 1), state, tau = 0.8)
+    StateStore.compact(spark, state)
+    val full = pairSet(DedupOps.minhashLsh(docs, tau = 0.8))
+    // simulate a crash BETWEEN the marker write and the swap of a
+    // second compaction: stage = a copy of the compacted inc_0 with a
+    // fresh token, marker present, old inc_0 still on disk
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyTree(Paths.get(s"$state/inc_0"), Paths.get(s"$state/.compact_tmp"))
+    Files.write(Paths.get(s"$state/.compact_tmp/COMPACT_TOKEN"),
+      "token-2".getBytes("UTF-8"))
+    // the tree copy brought inc_0's checksum sidecar along; the
+    // overwritten token would fail Hadoop's checksummed local reads
+    Files.deleteIfExists(Paths.get(s"$state/.compact_tmp/.COMPACT_TOKEN.crc"))
+    Files.write(Paths.get(s"$state/COMPACTING"), "token-2".getBytes("UTF-8"))
+    // recovery runs inside committed(): old inc_0 (stale token) falls,
+    // the stage becomes inc_0, the marker clears — reads are whole
+    assert(StateStore.committed(spark, state).map(stripScheme) ==
+      Seq(s"$state/inc_0"))
+    assert(!Files.exists(Paths.get(s"$state/COMPACTING")))
+    assert(!Files.exists(Paths.get(s"$state/.compact_tmp")))
+    // state content survived both the compaction and the recovery: a
+    // re-presented increment is still a no-op
+    assert(DedupOps.minhashLshIncremental(
+      docs.filter(col("doc_id") % 2 === 0), state, tau = 0.8).count() == 0)
+    // crash AFTER the swap (marker left behind, inc_0 carries the
+    // marker's token): recovery must PRESERVE inc_0 and just clean up
+    Files.write(Paths.get(s"$state/COMPACTING"), "token-2".getBytes("UTF-8"))
+    assert(StateStore.committed(spark, state).map(stripScheme) ==
+      Seq(s"$state/inc_0"))
+    assert(DedupOps.minhashLshIncremental(
+      docs.filter(col("doc_id") % 2 === 0), state, tau = 0.8).count() == 0)
+    assert(p1.subsetOf(full))
   }
 
   test("prefix-filtered token jaccard equals brute force") {
