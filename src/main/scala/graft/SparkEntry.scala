@@ -879,6 +879,14 @@ object SparkEntry {
     // admissible sketch estimates, the WHOLE chain oracle-exact
     "curation_countmin" -> ((spark, sfDir) =>
       operators.CurationOps.countMinHeavyHitters(docs(spark, sfDir))),
+    // truncated multi-source BFS from 4 fixed landmark customers —
+    // the pivot closeness proxy (exact all-pairs closeness is O(n·m));
+    // 3-hop truncation IS the semantics, so the unrolled oracle is
+    // exact with no convergence clause
+    "graph_closeness" -> ((spark, sfDir) =>
+      operators.GraphAlgos.landmarkDistances(
+        sources.GraphStore.tpch(spark, sfDir),
+        landmarks = Seq(1L, 5L, 9L, 13L), maxHops = 3)),
     // state compaction mid-sequence: two ingested thirds compact into
     // one dir (read-equivalent by the union contract), the third
     // ingests against the compacted state, and the three runs' pairs
@@ -2293,6 +2301,40 @@ object SparkEntry {
         |SELECT pair, CAST(sum(f) AS BIGINT) AS occurrences
         |FROM p GROUP BY pair
         |ORDER BY occurrences DESC, pair LIMIT 50""".stripMargin,
+    // 3 unrolled frontier rounds of 4-landmark BFS over the undirected
+    // graph; NOT EXISTS is the visited anti-join, all hops integer
+    "graph_closeness" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT CAST(o_custkey AS BIGINT) AS src,
+        |    o_orderkey + 1000000000 AS dst FROM orders
+        |  UNION ALL
+        |  SELECT DISTINCT l_orderkey + 1000000000,
+        |    l_partkey + 2000000000 FROM lineitem),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |lm(lm) AS (VALUES (1::BIGINT), (5), (9), (13)),
+        |v0 AS MATERIALIZED (SELECT lm, lm AS id, 0 AS d FROM lm),
+        |f1 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS id
+        |  FROM v0 f JOIN e ON e.src = f.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM v0 v
+        |    WHERE v.lm = f.lm AND v.id = e.dst)),
+        |v1 AS MATERIALIZED (SELECT * FROM v0
+        |  UNION ALL SELECT lm, id, 1 FROM f1),
+        |f2 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS id
+        |  FROM f1 f JOIN e ON e.src = f.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM v1 v
+        |    WHERE v.lm = f.lm AND v.id = e.dst)),
+        |v2 AS MATERIALIZED (SELECT * FROM v1
+        |  UNION ALL SELECT lm, id, 2 FROM f2),
+        |f3 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS id
+        |  FROM f2 f JOIN e ON e.src = f.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM v2 v
+        |    WHERE v.lm = f.lm AND v.id = e.dst)),
+        |v3 AS MATERIALIZED (SELECT * FROM v2
+        |  UNION ALL SELECT lm, id, 3 FROM f3)
+        |SELECT id, count(*) AS n_reached,
+        |  CAST(sum(d) AS BIGINT) AS dist_sum
+        |FROM v3 GROUP BY id""".stripMargin,
     // 4 unrolled peel rounds (matches kTruss maxRounds; converged
     // rounds are no-ops, and the Spark side THROWS if 4 don't reach
     // the fixpoint) + one final support pass over the fixpoint set.

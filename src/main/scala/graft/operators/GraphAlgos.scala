@@ -678,6 +678,58 @@ object GraphAlgos {
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
   }
 
+  /**
+   * Truncated multi-source BFS from a fixed landmark set — the
+   * pivot/landmark scheme every at-scale closeness/centrality
+   * estimator uses (exact all-pairs closeness is O(n·m) and dead on
+   * arrival at 10⁹ vertices; L landmarks cost L BFS sweeps and the
+   * landmark distance sums are the standard proxy). Distances are
+   * truncated at `maxHops` — truncation IS the semantics (harmonic/
+   * closeness-within-H), so the operator is deterministic and
+   * oracle-exact at any scale with no convergence requirement.
+   *
+   * Each round joins the (landmark, vertex) frontier against the
+   * undirected edge list — pre-partitioned ONCE on the join key so no
+   * round re-shuffles the (big) edge side (the LPA move) — anti-joins
+   * the visited set, and localCheckpoints (the iterative-loop
+   * invariant). An empty frontier short-circuits. All integers.
+   * Output: `(id, n_reached, dist_sum)` — how many landmarks reach the
+   * vertex within `maxHops` and the sum of those hop distances
+   * (landmarks score themselves at distance 0).
+   */
+  def landmarkDistances(g: GraphStore, landmarks: Seq[Long],
+                        maxHops: Int = 4): DataFrame = {
+    require(landmarks.nonEmpty, "landmarkDistances needs landmarks")
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val und = g.edges.select(col("src"), col("dst"))
+      .union(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    var frontier = landmarks.toDF("lm")
+      .select(col("lm"), col("lm").as("id")).localCheckpoint()
+    var visited = frontier.withColumn("dist", lit(0L)).localCheckpoint()
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = frontier.join(und, frontier("id") === und("src"))
+        .select(col("lm"), col("dst").as("id")).distinct()
+        .join(visited.select("lm", "id"), Seq("lm", "id"), "left_anti")
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        visited = visited
+          .union(next.withColumn("dist", lit(h.toLong)))
+          .localCheckpoint()
+        frontier = next
+      }
+      h += 1
+    }
+    visited.groupBy("id")
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("dist_sum"))
+  }
+
   /** Triangles of an undirected canonical edge set (`id_a < id_b`,
     * unique per pair), one row per triangle as `(src, id_a, id_b)` —
     * the oriented-wedge apex plus the closing edge. Shared by

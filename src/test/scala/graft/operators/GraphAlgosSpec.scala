@@ -296,6 +296,27 @@ class GraphAlgosSpec extends SparkSpec {
     }
   }
 
+  test("landmarkDistances: hand-checked path, truncation, early exit") {
+    import spark.implicits._
+    import graft.sources.GraphStore
+    val v = (1L to 5L).map(id => (id, "n")).toDF("id", "label")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst").withColumn("label", lit("e"))
+    val out = GraphAlgos.landmarkDistances(GraphStore(v, e),
+        landmarks = Seq(1L, 5L), maxHops = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // BFS is undirected; vertex 3 is met by both landmarks at hop 2,
+    // the ends only by themselves (the other landmark is 4 hops out)
+    assert(out == Map(1L -> ((1L, 0L)), 2L -> ((1L, 1L)),
+      3L -> ((2L, 4L)), 4L -> ((1L, 1L)), 5L -> ((1L, 0L))))
+    // a cap beyond the diameter early-exits on the empty frontier and
+    // yields the untruncated distances
+    val full = GraphAlgos.landmarkDistances(GraphStore(v, e),
+        landmarks = Seq(1L), maxHops = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
   test("kTruss: hand-checked clique + pendant triangle + dangling edge") {
     // 4-clique {1,2,3,4} (every edge in 2 triangles), pendant triangle
     // {4,5,6} (each edge in 1), dangling edge (6,7) (in none)
