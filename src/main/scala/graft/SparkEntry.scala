@@ -907,6 +907,36 @@ object SparkEntry {
         d.filter(col("doc_id") % 3 === 2), state, tau = 0.8)
       p1.unionByName(p2).unionByName(p3)
     }),
+    // cohort retention triangle: users keyed to their first-event
+    // period, distinct-active counts per (cohort, offset) — pure int64
+    // epoch-micro division, no windows over user history
+    "events_retention" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.retentionCohorts(events(spark, sfDir))),
+    // PMI collocation mining: top-50 adjacent-pair associations by the
+    // exp(PMI) ratio — exact int64 counts, one final division
+    "text_collocations" -> ((spark, sfDir) =>
+      operators.TextOps.collocations(docs(spark, sfDir),
+        minCount = 5, topK = 50)),
+    // C4 line-level cleaning over synthesized noisy pages: the filter
+    // must recover EXACTLY the two clean lines each page plants
+    "curation_line_filters" -> ((spark, sfDir) =>
+      operators.CurationOps.lineFilters(
+        operators.CurationOps.withNoisyLines(docs(spark, sfDir)))),
+    // ORC ingest/egress fidelity: per-source aggregates + md5-derived
+    // content checksums of the ORC-round-tripped corpus vs the oracle's
+    // aggregates over the SOURCE parquet (the source_csv pattern)
+    "source_orc" -> ((spark, sfDir) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      sources.TextTables.orcRoundTrip(docs(spark, sfDir), dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(expr(
+            "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+            .as("text_h"))
+    }),
   )
 
   /** Fixed retrieval queries for the BM25 gate — drawn from the
@@ -2447,5 +2477,59 @@ object SparkEntry {
         |  FROM sc)
         |SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 5""".stripMargin,
+    // cohort/offset arithmetic is truncating int64 division of
+    // nonnegative epoch-micros — `div` (Spark) == `//` (DuckDB)
+    "events_retention" ->
+      """WITH f AS (SELECT user_id,
+        |  min(epoch_us(ts)) // 604800000000 AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 604800000000 AS period FROM events)
+        |SELECT CAST(f.cohort AS BIGINT) AS cohort_period,
+        |  CAST(a.period - f.cohort AS BIGINT) AS period_offset,
+        |  count(DISTINCT a.user_id) AS users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // exp(PMI) = pair_n·N² / (M·left_n·right_n): every factor an exact
+    // int64 count, ONE division at the end (single-division rule), so
+    // both engines produce identical doubles and an identical top-50
+    "text_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id AS r, unnest(w) AS tok,
+        |  generate_subscripts(w, 1) AS pos FROM t),
+        |uni AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |bg AS (SELECT a.tok AS w1, b.tok AS w2, count(*) AS pair_n
+        |  FROM tok a JOIN tok b ON a.r = b.r AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS nn,
+        |  (SELECT CAST(sum(pair_n) AS BIGINT) FROM bg) AS mm)
+        |SELECT bg.w1, bg.w2, CAST(bg.pair_n AS BIGINT) AS pair_n,
+        |  CAST(u1.n AS BIGINT) AS left_n, CAST(u2.n AS BIGINT)
+        |    AS right_n,
+        |  round(CAST(bg.pair_n * tot.nn * tot.nn AS DOUBLE) /
+        |    (tot.mm * u1.n * u2.n), 6) AS score
+        |FROM bg JOIN uni u1 ON u1.tok = bg.w1
+        |JOIN uni u2 ON u2.tok = bg.w2 CROSS JOIN tot
+        |WHERE bg.pair_n >= 5
+        |ORDER BY score DESC, bg.w1, bg.w2 LIMIT 50""".stripMargin,
+    // the synthesized page plants exactly two keepable lines: the
+    // document text + '.' (line 1) and a constant sentence (line 8);
+    // the other six each violate one C4 line rule by construction
+    "curation_line_filters" ->
+      """SELECT doc_id,
+        |  text || '.' || chr(10) ||
+        |    'all tokens pass these line rules okay.' AS clean_text,
+        |  CAST(2 AS BIGINT) AS kept_lines,
+        |  CAST(6 AS BIGINT) AS dropped_lines
+        |FROM documents""".stripMargin,
+    // aggregates over the SOURCE parquet must survive the ORC hop
+    "source_orc" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS text_h
+        |FROM documents GROUP BY source""".stripMargin,
   )
 }

@@ -97,6 +97,66 @@ object CurationOps {
   }
 
   /**
+   * Deterministic noisy-page synthesis for the line-filter gate (the
+   * `withWavPayload`/`withHtmlPayload` pattern): each document becomes
+   * an 8-line "page" whose keepable content is known by construction —
+   * line 1 is the document text with a terminal period and line 8 is a
+   * constant clean sentence; lines 2-7 plant one violation each
+   * (javascript boilerplate, a short fragment, lorem ipsum filler,
+   * a code/JSON line, missing terminal punctuation, a policy notice).
+   * [[lineFilters]] over the synthesized page must recover EXACTLY
+   * lines 1 and 8, which the SQL oracle reconstructs from the raw text.
+   */
+  def withNoisyLines(df: DataFrame, textCol: String = "text",
+                     outCol: String = "page"): DataFrame =
+    df.withColumn(outCol, concat_ws("\n",
+      concat(col(textCol), lit(".")),
+      lit("Please enable JavaScript and cookies to continue"),
+      concat_ws(" ", slice(split(trim(col(textCol)), " "), 1, 2)),
+      lit("Lorem ipsum dolor sit amet."),
+      lit("{ \"consent\": true }"),
+      col(textCol),
+      lit("See our Privacy Policy and Terms of Use."),
+      lit("all tokens pass these line rules okay.")))
+
+  /**
+   * C4-style LINE-level filtering (Raffel et al. 2020 §2.2): documents
+   * are cleaned line-by-line BEFORE any document-level gate — a line is
+   * kept only if it ends in terminal punctuation, has at least
+   * `minWords` words, and contains none of the boilerplate phrases
+   * (javascript/cookie notices, lorem ipsum filler, policy pages) or a
+   * curly brace (code/JSON leakage). Surviving lines are re-joined in
+   * original order; documents whose every line is dropped surface with
+   * an empty `clean_text` (the document-level `too_short` gate should
+   * see them, not lose them).
+   *
+   * Pure per-row Column work (split → filter HOF → array_join): a
+   * narrow map with zero shuffle at any corpus size. Output:
+   * `(idCol, clean_text, kept_lines, dropped_lines)`.
+   */
+  def lineFilters(df: DataFrame, minWords: Int = 5,
+                  idCol: String = "doc_id",
+                  textCol: String = "page"): DataFrame = {
+    val phrases = Seq("javascript", "lorem ipsum", "privacy policy",
+      "terms of use", "cookie policy", "uses cookies")
+    def keep(l: Column): Column = {
+      val t = trim(l)
+      val words = when(t === "", lit(0))
+        .otherwise(size(split(t, " +")))
+      val lower_ = lower(t)
+      t.rlike("[.!?\"]$") && words >= minWords &&
+        !phrases.map(p => lower_.contains(p)).reduce(_ || _) &&
+        !t.contains("{")
+    }
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, keep _)
+    df.select(col(idCol),
+      array_join(kept, "\n").as("clean_text"),
+      size(kept).cast(LongType).as("kept_lines"),
+      (size(lines) - size(kept)).cast(LongType).as("dropped_lines"))
+  }
+
+  /**
    * Fit a naive-Bayes-style token quality model from a labeled seed
    * (the fastText/C4 "quality classifier" curation stage: label a
    * seed corpus — reference pages vs crawl noise — fit per-token

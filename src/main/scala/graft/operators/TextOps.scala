@@ -189,6 +189,56 @@ object TextOps {
   }
 
   /**
+   * PMI collocation mining: the corpus's most strongly-associated
+   * adjacent token pairs ("new york"-style multiword expressions),
+   * the standard phrase-detection pass before tokenizer/vocab training
+   * (Mikolov et al.'s word2vec phrase step uses the same statistic).
+   * Ranking statistic: `exp(PMI) = p(xy) / (p(x)·p(y)) =
+   * pair_n·N² / (M·left_n·right_n)` with `N` total tokens and `M`
+   * total bigrams — the log is monotone, so ranking by the ratio is
+   * ranking by PMI without a cross-engine transcendental. Every factor
+   * is an exact int64 count and the score is ONE division of exact
+   * integer products (single-division float rule), so both engines
+   * compute bit-identical doubles. Overflow bound (ANSI mode throws
+   * loudly rather than wrapping): `pair_n·N²` needs N ≲ 2M tokens per
+   * fitted corpus — past that, fit on a deterministic document sample
+   * (the statistic is a ratio of frequencies, not totals).
+   *
+   * Scale shape: unigram/bigram counts are vocab-bounded partial aggs;
+   * the score computation joins only count rows (never the corpus);
+   * the 1-row totals frame is a broadcast cross join (model-as-data);
+   * top-k collapses to TakeOrderedAndProject — no global sort.
+   */
+  def collocations(df: DataFrame, minCount: Long = 5, topK: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val bi = toks.select(
+        explode(zip_with(col("__toks"),
+          slice(col("__toks"), lit(2),
+            greatest(size(col("__toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .filter(col("__bg.w2").isNotNull) // zip_with pads the tail
+      .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .agg(count(lit(1)).as("pair_n"))
+    val totals = uni.agg(sum(col("n")).as("__N")).crossJoin(
+      bi.agg(sum(col("pair_n")).as("__M")))
+    bi.filter(col("pair_n") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("n", "left_n"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("n", "right_n"), Seq("w2"))
+      .join(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_n"), col("left_n"),
+        col("right_n"),
+        round((col("pair_n") * col("__N") * col("__N")).cast("double") /
+          (col("__M") * col("left_n") * col("right_n")), 6).as("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /**
    * Deflate-compressibility quality signal: highly repetitive or
    * template text compresses far below natural prose, and random noise
    * barely compresses at all, so the compressed/raw ratio separates

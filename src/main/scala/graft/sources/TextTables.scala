@@ -95,4 +95,30 @@ object TextTables {
     sharded.write.mode("overwrite").partitionBy("shard").parquet(dir)
     df.sparkSession.read.parquet(dir)
   }
+
+  /**
+   * ORC ingest/egress — the other columnar interchange format Spark
+   * ships natively (Hive/Trino ecosystems). Same scale shape as
+   * parquet: distributed columnar scan, predicate pushdown and column
+   * pruning via ORC stripe statistics, zero shuffle either direction.
+   * The gate verifies byte fidelity without the oracle engine reading
+   * ORC: the round-tripped table's per-source aggregates (row count,
+   * char sum, and an md5-derived 32-bit content checksum per doc,
+   * summed) must equal the same aggregates the oracle computes from
+   * the SOURCE parquet — any byte lost or mangled in the ORC hop moves
+   * the checksum (the `source_sharded_export` precedent).
+   */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Round-trip `df` through ORC under `dir` and return the re-read
+    * DataFrame with `df`'s schema — fidelity harness for the gate. */
+  def orcRoundTrip(df: DataFrame, dir: String): DataFrame = {
+    writeOrc(df, dir)
+    readOrc(df.sparkSession, dir, df.schema)
+  }
 }

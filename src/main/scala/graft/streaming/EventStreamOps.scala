@@ -294,6 +294,39 @@ object EventStreamOps {
   }
 
   /**
+   * Cohort retention analysis: users are assigned to the period of
+   * their FIRST event (the cohort), and each (cohort, period-offset)
+   * cell counts the distinct users from that cohort active that many
+   * periods later — the standard product-analytics retention triangle.
+   * Periods are integer epoch-micro divisions against a fixed origin
+   * (epoch 0), so cohort/offset arithmetic is pure int64 truncating
+   * division (both engines floor nonnegative int64 `div` identically);
+   * no float ever appears.
+   *
+   * Scale shape: first-event is a partial-aggregable `min` per user;
+   * activity distincts to one row per (user, period) BEFORE the join
+   * (bounding a hot user's contribution to #periods rows, not #events);
+   * the cohort join is a user-keyed equi-join; the final cell count is
+   * a two-phase distinct aggregate. No windows over user history.
+   */
+  def retentionCohorts(events: DataFrame, periodSeconds: Long = 7L * 86400,
+                       keyCol: String = "user_id"): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    val pUs = periodSeconds * 1000000L
+    val first = events.groupBy(col(keyCol))
+      .agg(min(unix_micros(col("ts"))).as("__first_us"))
+      .select(col(keyCol), expr(s"__first_us div ${pUs}L").as("__cohort"))
+    val active = events
+      .select(col(keyCol), unix_micros(col("ts")).as("__us"))
+      .select(col(keyCol), expr(s"__us div ${pUs}L").as("__period"))
+      .distinct()
+    active.join(first, Seq(keyCol))
+      .groupBy(col("__cohort").as("cohort_period"),
+        (col("__period") - col("__cohort")).as("period_offset"))
+      .agg(countDistinct(col(keyCol)).as("users"))
+  }
+
+  /**
    * REAL incremental stream-stream inner join, drained to completion:
    * clicks joined to the same user's purchases within
    * `[click.ts, click.ts + windowMinutes]`, both sides watermarked so

@@ -2088,4 +2088,91 @@ class OperatorsSpec extends SparkSpec {
     // every page must actually have dropped boilerplate blocks
     assert(rt.count() == docs.count())
   }
+
+  test("collocations: PMI ranking on a hand-checked corpus") {
+    import spark.implicits._
+    // "new york" always adjacent (perfect association); "the dog" and
+    // "the cat" dilute "the"'s association; singletons cut by minCount
+    val df = Seq(
+      "new york new york new york the dog the cat",
+      "new york the dog the cat rare pair").toDF("text")
+    val out = TextOps.collocations(df, minCount = 2, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    val ranked = out.map(_._1).toSeq
+    // the always-adjacent pair's counts and score are exact:
+    // N=18 tokens, M=16 bigrams → 4·18² / (16·4·4) = 5.0625
+    val (pn, ln, rn, score) = out.toMap.apply(("new", "york"))
+    assert(pn == 4 && ln == 4 && rn == 4)
+    assert(score == 5.0625)
+    // ("dog","the") ties that score exactly (2·18²/(16·2·4)) and
+    // sorts first on the w1 tiebreak — rank order is deterministic
+    assert(ranked.take(2) == Seq(("dog", "the"), ("new", "york")))
+    // pairs under minCount never appear
+    assert(!ranked.contains(("rare", "pair")))
+    // "the dog" (2/17²-weighted) outranks nothing above it with equal
+    // counts; all scores are monotonically non-increasing in rank order
+    val scores = out.map(_._2._4).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("collocations: deterministic across repeated runs") {
+    val a = TextOps.collocations(docs, minCount = 5, topK = 20).collect()
+    val b = TextOps.collocations(docs, minCount = 5, topK = 20).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 20)
+  }
+
+  test("lineFilters: each C4 rule fires on its own line shape") {
+    import spark.implicits._
+    val page = Seq(
+      "This line has five good words.", // kept
+      "Too short.",                     // < minWords
+      "this line has no terminal punctuation at all", // no punct
+      "Enable JAVASCRIPT to view this page.",  // phrase, case-folded
+      "We use Lorem Ipsum filler text here.",  // phrase
+      "Read the privacy policy before you proceed.", // phrase
+      "var x = { a: 1 };",              // brace (and no punct)
+      "",                               // empty
+      "Is this a question with enough words?", // kept (?)
+      "He said \"this quoted line also survives.\"" // kept (quote)
+    ).mkString("\n")
+    val out = CurationOps.lineFilters(
+      Seq((1L, page)).toDF("doc_id", "page")).collect().head
+    assert(out.getString(1) == Seq(
+      "This line has five good words.",
+      "Is this a question with enough words?",
+      "He said \"this quoted line also survives.\"").mkString("\n"))
+    assert(out.getLong(2) == 3 && out.getLong(3) == 7)
+  }
+
+  test("lineFilters: all-dropped page surfaces with empty clean_text") {
+    import spark.implicits._
+    val out = CurationOps.lineFilters(
+      Seq((1L, "short.\nno punct here at all now")).toDF("doc_id", "page"))
+      .collect().head
+    assert(out.getString(1) == "" && out.getLong(2) == 0 &&
+      out.getLong(3) == 2)
+  }
+
+  test("lineFilters(withNoisyLines) recovers the planted clean lines") {
+    val out = CurationOps.lineFilters(CurationOps.withNoisyLines(docs))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    assert(out.filter(col("clean_text") =!=
+      concat(col("text"), lit(".\nall tokens pass these line rules okay."))
+    ).count() == 0)
+    assert(out.filter(col("kept_lines") =!= 2 ||
+      col("dropped_lines") =!= 6).count() == 0)
+  }
+
+  test("orcRoundTrip preserves every row and byte") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-orc").toString
+    val back = graft.sources.TextTables.orcRoundTrip(docs, dir)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+    // anti-join both ways: ORC hop loses or mangles nothing
+    assert(back.exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(back).count() == 0)
+  }
 }

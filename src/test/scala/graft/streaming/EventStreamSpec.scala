@@ -302,4 +302,37 @@ class EventStreamSpec extends SparkSpec {
         shards = 2, minTriggers = 5)
     }
   }
+
+  test("retentionCohorts: hand-checked triangle") {
+    import spark.implicits._
+    // day-long periods; epoch-anchored so period = days since epoch
+    def at(day: Int, hour: Int) =
+      new Timestamp((day * 86400L + hour * 3600L) * 1000L)
+    val ev = Seq(
+      (1L, at(10, 1), 1L), (2L, at(10, 5), 1L), // u1 cohort d10, active d10
+      (3L, at(11, 0), 1L),                      // u1 active d11 (offset 1)
+      (4L, at(10, 9), 2L),                      // u2 cohort d10
+      (5L, at(12, 3), 2L),                      // u2 offset 2
+      (6L, at(11, 8), 3L),                      // u3 cohort d11
+      (7L, at(11, 9), 3L), (8L, at(13, 0), 3L)  // u3 offsets 0 and 2
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventStreamOps.retentionCohorts(ev, periodSeconds = 86400)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      (10L, 0L) -> 2L, (10L, 1L) -> 1L, (10L, 2L) -> 1L,
+      (11L, 0L) -> 1L, (11L, 2L) -> 1L))
+  }
+
+  test("retentionCohorts: offset-0 cell equals the cohort's size") {
+    val ev = readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+    val r = EventStreamOps.retentionCohorts(ev)
+    // every user appears in their own cohort's offset-0 cell, so the
+    // offset-0 column sums to the number of distinct users
+    val zeroSum = r.filter(col("period_offset") === 0)
+      .agg(sum(col("users"))).collect().head.getLong(0)
+    assert(zeroSum == ev.select(col("user_id")).distinct().count())
+    // offsets are never negative (first event defines the cohort)
+    assert(r.filter(col("period_offset") < 0).count() == 0)
+  }
 }
