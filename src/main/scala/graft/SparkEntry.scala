@@ -912,6 +912,16 @@ object SparkEntry {
     // epoch-micro division, no windows over user history
     "events_retention" -> ((spark, sfDir) =>
       streaming.EventStreamOps.retentionCohorts(events(spark, sfDir))),
+    // REAL incremental funnel: time-range shards replayed in event
+    // order, bounded per-user state (K pairs), must equal the batch
+    // funnel — the same oracle SQL as events_funnel
+    "events_stream_funnel" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedFunnel(spark,
+        s"$sfDir/events.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_fnshards_" +
+          java.lang.Integer.toHexString(sfDir.hashCode) +
+          s"_p${ProcessHandle.current().pid()}",
+        Seq("view", "click", "purchase"))),
     // PMI collocation mining: top-50 adjacent-pair associations by the
     // exp(PMI) ratio — exact int64 counts, one final division
     "text_collocations" -> ((spark, sfDir) =>
@@ -922,6 +932,10 @@ object SparkEntry {
     "curation_line_filters" -> ((spark, sfDir) =>
       operators.CurationOps.lineFilters(
         operators.CurationOps.withNoisyLines(docs(spark, sfDir)))),
+    // integer-exact per-label centroids: micro-unit quantized int64
+    // sums (order-free), one final division
+    "embed_centroids" -> ((spark, sfDir) =>
+      operators.SimilarityOps.labelCentroids(embs(spark, sfDir))),
     // ORC ingest/egress fidelity: per-source aggregates + md5-derived
     // content checksums of the ORC-round-tripped corpus vs the oracle's
     // aggregates over the SOURCE parquet (the source_csv pattern)
@@ -938,6 +952,34 @@ object SparkEntry {
             .as("text_h"))
     }),
   )
+
+  /** Greedy earliest-first funnel oracle, shared verbatim by the
+    * batch gate (`events_funnel`) and the REAL incremental run
+    * (`events_stream_funnel`) — the stream must reproduce the batch
+    * table exactly. */
+  private val FunnelOracleSql: String =
+    """WITH s1 AS (SELECT user_id, us AS s1_us, ord AS s1_ord FROM (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id AS ord,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE event_type = 'view') WHERE rn = 1),
+      |s2 AS (SELECT user_id, us AS s2_us, ord AS s2_ord FROM (
+      |  SELECT e.user_id, epoch_us(e.ts) AS us, e.event_id AS ord,
+      |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND (epoch_us(e.ts) > s1.s1_us OR
+      |    (epoch_us(e.ts) = s1.s1_us AND e.event_id > s1.s1_ord))) WHERE rn = 1),
+      |s3 AS (SELECT user_id, us AS s3_us, ord AS s3_ord FROM (
+      |  SELECT e.user_id, epoch_us(e.ts) AS us, e.event_id AS ord,
+      |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND (epoch_us(e.ts) > s2.s2_us OR
+      |    (epoch_us(e.ts) = s2.s2_us AND e.event_id > s2.s2_ord))) WHERE rn = 1)
+      |SELECT s1.user_id, s1_us, s2_us, s3_us,
+      |  CAST(1 + CASE WHEN s2_us IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN s3_us IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |    AS stages_completed
+      |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+      |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin
 
   /** Fixed retrieval queries for the BM25 gate — drawn from the
     * synthetic documents vocabulary; mirrored as a VALUES list in the
@@ -1606,30 +1648,11 @@ object SparkEntry {
         |  round(pv, 2) AS purchase_value FROM m WHERE side = 1""".stripMargin,
     // greedy earliest-first funnel, replicated stage by stage: first
     // view per user, first click strictly after it ((ts, event_id)
-    // lexicographic), first purchase strictly after that
-    "events_funnel" ->
-      """WITH s1 AS (SELECT user_id, us AS s1_us, ord AS s1_ord FROM (
-        |  SELECT user_id, epoch_us(ts) AS us, event_id AS ord,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events WHERE event_type = 'view') WHERE rn = 1),
-        |s2 AS (SELECT user_id, us AS s2_us, ord AS s2_ord FROM (
-        |  SELECT e.user_id, epoch_us(e.ts) AS us, e.event_id AS ord,
-        |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
-        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click' AND (epoch_us(e.ts) > s1.s1_us OR
-        |    (epoch_us(e.ts) = s1.s1_us AND e.event_id > s1.s1_ord))) WHERE rn = 1),
-        |s3 AS (SELECT user_id, us AS s3_us, ord AS s3_ord FROM (
-        |  SELECT e.user_id, epoch_us(e.ts) AS us, e.event_id AS ord,
-        |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
-        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase' AND (epoch_us(e.ts) > s2.s2_us OR
-        |    (epoch_us(e.ts) = s2.s2_us AND e.event_id > s2.s2_ord))) WHERE rn = 1)
-        |SELECT s1.user_id, s1_us, s2_us, s3_us,
-        |  CAST(1 + CASE WHEN s2_us IS NULL THEN 0 ELSE 1 END
-        |         + CASE WHEN s3_us IS NULL THEN 0 ELSE 1 END AS BIGINT)
-        |    AS stages_completed
-        |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
-        |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
+    // lexicographic), first purchase strictly after that. The REAL
+    // incremental run (events_stream_funnel) must produce the
+    // identical table, so it shares this oracle verbatim.
+    "events_funnel" -> FunnelOracleSql,
+    "events_stream_funnel" -> FunnelOracleSql,
     "events_trailing_30m" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS trailing_events,
@@ -2523,6 +2546,19 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS kept_lines,
         |  CAST(6 AS BIGINT) AS dropped_lines
         |FROM documents""".stripMargin,
+    // micro-unit quantization (⌊x·10⁶⌋ on the exact float32→double
+    // rendering) makes the per-cell sums pure int64 — identical under
+    // any accumulation order in either engine; ONE final division
+    "embed_centroids" ->
+      """WITH x AS (SELECT label,
+        |  CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |    AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT label, dim, count(*) AS n,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_r
+        |FROM x GROUP BY label, dim""".stripMargin,
     // aggregates over the SOURCE parquet must survive the ORC hop
     "source_orc" ->
       """SELECT source, count(*) AS docs,

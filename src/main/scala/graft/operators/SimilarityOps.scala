@@ -649,6 +649,33 @@ object SimilarityOps {
         round(stddev_samp(col("__x")), 4).as("std"),
         min(col("__x")).as("min"), max(col("__x")).as("max"))
 
+  /**
+   * Integer-exact per-label centroids: each component is quantized to
+   * micro-units (`⌊x·10⁶⌋` on the DOUBLE rendering — float32→double is
+   * exact, so the quantization is bit-identical in any engine) and
+   * summed as int64, making the per-(label, dim) sums immune to
+   * accumulation order; the mean divides ONCE at the end
+   * (single-division rule). This is the class-prototype computation
+   * under nearest-centroid classification, semantic dedup seeding, and
+   * per-class drift monitoring.
+   *
+   * Scale shape: posexplode (narrow) → one grouped aggregation whose
+   * reduce side is labels·dim-bounded regardless of corpus size;
+   * map-side partials carry (count, sum) per cell. Output:
+   * `(label, dim, n, sum_q, mean_r)` with `dim` 1-based.
+   */
+  def labelCentroids(df: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select(col("label"), (col("__d") + 1).as("dim"),
+        floor(col("__x").cast(DoubleType) * 1000000d)
+          .cast(LongType).as("__q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__q")).as("sum_q"))
+      .select(col("label"), col("dim"), col("n"), col("sum_q"),
+        round(col("sum_q").cast(DoubleType) / col("n"), 6).as("mean_r"))
+
   /** `127 / max|xᵢ|` (0 for the zero vector), accumulated exactly. */
   def quantScale(vec: Column): Column = {
     val mx = array_max(transform(vec, x => abs(x.cast(DoubleType))))

@@ -2165,6 +2165,34 @@ class OperatorsSpec extends SparkSpec {
       col("dropped_lines") =!= 6).count() == 0)
   }
 
+  test("labelCentroids: exact micro-unit sums on a hand fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(0.5f, -0.25f)), (1, Seq(1.0f, 0.75f)),
+      (2, Seq(-1.0f, 0.125f))).toDF("label", "embedding")
+    val out = SimilarityOps.labelCentroids(df).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // ⌊0.5e6⌋+⌊1.0e6⌋ = 1_500_000; ⌊-0.25e6⌋+⌊0.75e6⌋ = 500_000
+    assert(out((1, 1)) == ((2L, 1500000L, 750000.0)))
+    assert(out((1, 2)) == ((2L, 500000L, 250000.0)))
+    // negative components floor DOWN (⌊-1e6⌋ = -1_000_000)
+    assert(out((2, 1)) == ((1L, -1000000L, -1000000.0)))
+    assert(out((2, 2)) == ((1L, 125000L, 125000.0)))
+  }
+
+  test("labelCentroids: cells cover labels × dims over the corpus") {
+    val out = SimilarityOps.labelCentroids(embs)
+    val labels = embs.select(col("label")).distinct().count()
+    val dims = embs.select(size(col("embedding"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(dims.size == 1)
+    assert(out.count() == labels * dims.head)
+    // per-dim n sums to the corpus size
+    assert(out.filter(col("dim") === 1)
+      .agg(sum(col("n"))).collect().head.getLong(0) == embs.count())
+  }
+
   test("orcRoundTrip preserves every row and byte") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-orc").toString

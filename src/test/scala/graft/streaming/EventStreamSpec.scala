@@ -303,6 +303,26 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamedFunnel equals the batch funnel; meters multiple batches") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft-fnshards").toString
+    val stages = Seq("view", "click", "purchase")
+    val streamed = EventStreamOps.streamedFunnel(
+      spark, path, shardDir, stages, shards = 4, minTriggers = 3)
+    val batch = EventStreamOps.funnel(readEvents(spark, path), stages)
+    // identical tables: same users, same stage times, same depth
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // an unmet trigger floor fails loudly (order test must not be
+    // vacuously single-batch)
+    intercept[IllegalArgumentException] {
+      EventStreamOps.streamedFunnel(spark, path, shardDir, stages,
+        shards = 2, minTriggers = 5)
+    }
+  }
+
   test("retentionCohorts: hand-checked triangle") {
     import spark.implicits._
     // day-long periods; epoch-anchored so period = days since epoch
