@@ -936,6 +936,24 @@ object SparkEntry {
     // sums (order-free), one final division
     "embed_centroids" -> ((spark, sfDir) =>
       operators.SimilarityOps.labelCentroids(embs(spark, sfDir))),
+    // statistical outlier detection: z² > k² evaluated in EXACT
+    // integer arithmetic (DECIMAL(38) == HUGEINT) — no float, no sqrt
+    "events_anomaly" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.anomalies(events(spark, sfDir), k = 3)),
+    // exact cosine radius search: raw-similarity filter, rounded
+    // display (the float invariant), no rank window
+    "ann_radius" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      operators.SimilarityOps.radiusSearch(
+        e.filter(col("vec_id") < 10), e, tau = 0.2)
+    }),
+    // exact edit-distance similarity join (PassJoin pigeonhole
+    // segments -> shifted-window candidates -> levenshtein verify)
+    // over planted typo twins; the oracle brute-forces all pairs
+    "dedup_edit_distance" -> ((spark, sfDir) =>
+      operators.DedupOps.editDistancePairs(
+        operators.DedupOps.withTypoPayload(docs(spark, sfDir)),
+        maxDist = 1)),
     // ORC ingest/egress fidelity: per-source aggregates + md5-derived
     // content checksums of the ORC-round-tripped corpus vs the oracle's
     // aggregates over the SOURCE parquet (the source_csv pattern)
@@ -2546,6 +2564,33 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS kept_lines,
         |  CAST(6 AS BIGINT) AS dropped_lines
         |FROM documents""".stripMargin,
+    // z² > k² multiplied through by the positive denominators:
+    // (n·x − sum)² > k²·(n·sumsq − sum²); DuckDB HUGEINT == Spark
+    // DECIMAL(38,0), both exact — boundary cases engine-identical
+    "events_anomaly" ->
+      """WITH b AS (SELECT event_id, event_type,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(sum(cents * cents) AS BIGINT) AS sq
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_id, b.event_type, b.cents
+        |FROM b JOIN m USING (event_type)
+        |WHERE m.n >= 2 AND
+        |  (CAST(m.n AS HUGEINT) * b.cents - m.s) *
+        |  (CAST(m.n AS HUGEINT) * b.cents - m.s) >
+        |  9 * (CAST(m.n AS HUGEINT) * m.sq -
+        |       CAST(m.s AS HUGEINT) * m.s)""".stripMargin,
+    // raw-cosine threshold (identical double chains both engines),
+    // round(4) only for display
+    "ann_radius" ->
+      s"""WITH d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  ${sqlDot("a", "a")} AS aa, ${sqlDot("b", "b")} AS bb, ${sqlDot("a", "b")} AS ab
+         | FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  ab/(sqrt(aa)*sqrt(bb)) AS cos FROM d)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine
+         |FROM r WHERE cos >= 0.2""".stripMargin,
     // micro-unit quantization (⌊x·10⁶⌋ on the exact float32→double
     // rendering) makes the per-cell sums pure int64 — identical under
     // any accumulation order in either engine; ONE final division
@@ -2559,6 +2604,21 @@ object SparkEntry {
         |  CAST(sum(q) AS BIGINT) AS sum_q,
         |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_r
         |FROM x GROUP BY label, dim""".stripMargin,
+    // brute-force levenshtein over the same typo-twin synthesis; the
+    // engine's pigeonhole candidates must reproduce it exactly
+    "dedup_edit_distance" ->
+      """WITH s AS (
+        |  SELECT doc_id*2 AS id, lower(substr(text, 1, 24)) AS str
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id*2+1,
+        |    substr(lower(substr(text, 1, 24)), 1, doc_id % 20) || 'q' ||
+        |    substr(lower(substr(text, 1, 24)), (doc_id % 20) + 2)
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.str, b.str) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.id < b.id
+        |WHERE levenshtein(a.str, b.str) <= 1""".stripMargin,
     // aggregates over the SOURCE parquet must survive the ORC hop
     "source_orc" ->
       """SELECT source, count(*) AS docs,

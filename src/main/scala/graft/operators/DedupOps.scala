@@ -920,4 +920,93 @@ object DedupOps {
         col("__tok")))).getField("__tok"), " ").as("__para"))
     dedupSegments(df, segs, idCol, " ")
   }
+
+  /**
+   * Exact edit-distance similarity join (PassJoin/Ed-Join family,
+   * Li et al. 2011): all pairs of strings within Levenshtein distance
+   * `maxDist` — the fuzzy-match primitive for titles, product names,
+   * URLs, OCR variants, where token-set similarity (tokenJaccard) is
+   * blind to character-level noise.
+   *
+   * Candidate generation is the PIGEONHOLE partition: each string
+   * splits into `maxDist+1` contiguous segments; if `ed(s,t) ≤ d`
+   * (with `|s| ≤ |t|`), some segment of `s` is edit-free in the
+   * alignment and therefore occurs EXACTLY in `t`, displaced by at
+   * most the net indels before it — `|shift| ≤ d`. So `t` only
+   * extracts substrings at the segment positions of partner lengths
+   * `m ∈ [|t|−d, |t|]` shifted by `±d` — `(d+1)²·(2d+1)` windows per
+   * string, constant in corpus size — and candidates are the exact
+   * (segIdx, partnerLen, substring) key matches, verified with one
+   * `levenshtein` call. Lossless: the segment-in-window containment is
+   * implied by the alignment, never assumed.
+   *
+   * Scale shape: two narrow explodes (constant fan-out) → one
+   * equi-join on the segment key → distinct candidate pairs → verify.
+   * A corpus-hot segment (shared prefix boilerplate) concentrates its
+   * key like any similarity self-join — AQE skew-join territory, and
+   * candidates stay output-bounded because verification prunes to
+   * true near-pairs. Output: `(id_a, id_b, dist)` with `id_a < id_b`.
+   */
+  def editDistancePairs(df: DataFrame, maxDist: Int = 1,
+                        idCol: String = "id",
+                        strCol: String = "str"): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val d = maxDist
+    val k = d + 1
+    val base = df.select(col(idCol).as("id"), col(strCol).as("str"),
+      length(col(strCol)).as("len"))
+    def segStruct(mExpr: String, i: Int, shift: Int) = struct(
+      lit(i).as("i"), expr(mExpr).as("m"),
+      (expr(s"$i * (($mExpr) div $k)") +
+        least(lit(i), expr(s"($mExpr) % $k")) + lit(1 + shift)).as("p"),
+      (expr(s"($mExpr) div $k") +
+        when(lit(i) < expr(s"($mExpr) % $k"), 1).otherwise(0)).as("l"))
+    // segment side: the (shorter) partner's own d+1 segments
+    val segs = base
+      .withColumn("sg", explode(array(
+        (0 until k).map(i => segStruct("len", i, 0)): _*)))
+      .select(col("id").as("id_s"), col("sg.i").as("i"),
+        col("sg.m").as("m"), expr("substr(str, sg.p, sg.l)").as("seg"))
+    // window side: substrings at partner-length segment positions ± d
+    val triples = for {o <- 0 to d; i <- 0 until k; sh <- -d to d}
+      yield (o, i, sh)
+    val wins = base
+      .withColumn("w", explode(array(triples.map { case (o, i, sh) =>
+        segStruct(s"len - $o", i, sh) }: _*)))
+      .filter(col("w.m") >= 1 && col("w.p") >= 1 && col("w.l") >= 0 &&
+        col("w.p") + col("w.l") - 1 <= col("len"))
+      .select(col("id").as("id_t"), col("w.i").as("i"),
+        col("w.m").as("m"), expr("substr(str, w.p, w.l)").as("seg"))
+    val cands = segs.join(wins, Seq("i", "m", "seg"))
+      .filter(col("id_s") =!= col("id_t"))
+      .select(least(col("id_s"), col("id_t")).as("id_a"),
+        greatest(col("id_s"), col("id_t")).as("id_b"))
+      .distinct()
+    val sa = base.select(col("id").as("id_a"), col("str").as("__sa"))
+    val sb = base.select(col("id").as("id_b"), col("str").as("__sb"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= d)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Deterministic fuzzy-pair synthesis for the edit-distance gate:
+    * each document contributes its lowercased 24-char prefix as id
+    * `2·doc_id`; every third document also plants a TYPO TWIN (id
+    * `2·doc_id+1`) with the character at position `doc_id % 20 + 1`
+    * replaced by `'q'` — a known planted population of distance ≤ 1
+    * pairs the oracle reconstructs with brute-force `levenshtein`. */
+  def withTypoPayload(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val u = lower(substring(col(textCol), 1, 24))
+    val orig = df.select((col(idCol) * 2).as("id"), u.as("str"))
+    val twin = df.filter(col(idCol) % 3 === 0)
+      .select((col(idCol) * 2 + 1).as("id"),
+        concat(
+          expr(s"substr(lower(substr($textCol, 1, 24)), 1, cast($idCol % 20 as int))"),
+          lit("q"),
+          expr(s"substr(lower(substr($textCol, 1, 24)), cast($idCol % 20 as int) + 2)"))
+          .as("str"))
+    orig.unionByName(twin)
+  }
 }

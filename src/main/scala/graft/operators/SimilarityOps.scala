@@ -63,6 +63,36 @@ object SimilarityOps {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /**
+   * Exact cosine RADIUS search: every corpus vector within cosine
+   * ≥ `tau` of each query (the "give me everything similar enough"
+   * face of retrieval, vs top-k's fixed depth) — candidate
+   * generation for clustering, recall-complete near-dup audits, and
+   * threshold-based retrieval evaluation. The filter tests the RAW
+   * similarity (the cross-engine float invariant: round only for
+   * display). Scale shape: the query set broadcasts (bounded, like
+   * bruteForceTopK's); the corpus side is one codegen'd scan — no
+   * shuffle at all, and no rank window since radius, not depth,
+   * bounds the output. For unbounded query sets, bucket through
+   * [[lshTopK]]'s tables first and use this as the verify pass.
+   */
+  def radiusSearch(queries: DataFrame, corpus: DataFrame, tau: Double,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .filter(col("cosine") >= tau)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search.
   // The centroid model is tiny (k·dim doubles) and driver-held — but it

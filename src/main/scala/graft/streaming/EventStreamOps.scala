@@ -201,6 +201,42 @@ object EventStreamOps {
   }
 
   /**
+   * Statistical outlier detection on the integer-cents rendering of
+   * `value`, grouped by event type: an event is anomalous when its
+   * squared z-score exceeds `k²` against its type's population
+   * moments. The test is evaluated in EXACT integer arithmetic —
+   * `(n·x − sum)² > k²·(n·sumsq − sum²)` is the z² > k² inequality
+   * multiplied through by `n²·σ²`-denominators, so no float (or
+   * square root) ever appears and the boundary cases are
+   * engine-identical (Spark DECIMAL(38,0) == DuckDB HUGEINT, both
+   * exact). This is the monitoring primitive for value-distribution
+   * drift in an event pipeline.
+   *
+   * Scale shape: per-type moments are one partial-aggregable pass
+   * (3 int64s per type); the verdict join broadcasts the tiny moments
+   * table back onto the stream — no window, no self-join. Emits only
+   * the flagged rows: `(event_id, event_type, cents)`.
+   */
+  def anomalies(events: DataFrame, k: Int = 3,
+                typeCol: String = "event_type"): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    val base = events.select(col("event_id"), col(typeCol), cents.as("cents"))
+    val moments = base.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("sq"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast(dec)
+    base.join(broadcast(moments), typeCol)
+      .filter(col("n") >= 2 &&
+        (d(col("n")) * col("cents") - col("s")) *
+          (d(col("n")) * col("cents") - col("s")) >
+        lit(k.toLong * k) * (d(col("n")) * col("sq") -
+          d(col("s")) * col("s")))
+      .select(col("event_id"), col(typeCol), col("cents"))
+  }
+
+  /**
    * Trailing event-time range aggregate per key: for each event, the
    * count and integer-cent sum of `value` over the trailing `seconds`
    * window (inclusive of the current row's second). A RANGE window on

@@ -2193,6 +2193,71 @@ class OperatorsSpec extends SparkSpec {
       .agg(sum(col("n"))).collect().head.getLong(0) == embs.count())
   }
 
+  test("radiusSearch: radius nesting and full-radius completeness") {
+    val q = embs.filter(col("vec_id") < 5)
+    val all = SimilarityOps.radiusSearch(q, embs, tau = -2.0)
+    // τ = -2 admits everything: exactly (n-1) neighbors per query
+    assert(all.count() == 5L * (embs.count() - 1))
+    val tight = SimilarityOps.radiusSearch(q, embs, tau = 0.2)
+    val loose = SimilarityOps.radiusSearch(q, embs, tau = 0.1)
+    assert(tight.count() <= loose.count())
+    assert(tight.exceptAll(loose).count() == 0) // nested radii
+    // agrees with brute-force top-k where both report: the top-1
+    // neighbor of each query with cosine >= 0.2 appears in the radius set
+    val top = SimilarityOps.bruteForceTopK(q, embs, k = 1)
+      .filter(col("cosine") >= 0.2).select("query_id", "neighbor_id")
+    assert(top.exceptAll(tight.select("query_id", "neighbor_id"))
+      .count() == 0)
+  }
+
+  test("editDistancePairs: hand-checked distances at d=1 and d=2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "kitten"), (2L, "sitten"),  // ed 1 (substitution)
+      (3L, "sittin"),                  // ed 1 from sitten, 2 from kitten
+      (4L, "kitten"),                  // exact dup of 1 (ed 0)
+      (5L, "mitten"),                  // ed 1 from kitten/sitten
+      (6L, "flour")                    // far from everything
+    ).toDF("id", "str")
+    def pairs(d: Int) = DedupOps.editDistancePairs(df, maxDist = d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val p1 = pairs(1)
+    assert(p1 == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 4L) -> 0L,
+      (2L, 4L) -> 1L, (1L, 5L) -> 1L, (4L, 5L) -> 1L, (2L, 5L) -> 1L))
+    val p2 = pairs(2)
+    assert(p2((1L, 3L)) == 2L && p2((3L, 5L)) == 2L)
+    assert(!p2.keySet.exists(k => k._1 == 6L || k._2 == 6L))
+  }
+
+  test("editDistancePairs equals brute force on the typo corpus") {
+    val typos = DedupOps.withTypoPayload(docs)
+    val fast = DedupOps.editDistancePairs(typos, maxDist = 1)
+    val a = typos.select(col("id").as("id_a"), col("str").as("__sa"))
+    val b = typos.select(col("id").as("id_b"), col("str").as("__sb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+    assert(fast.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(fast).count() == 0)
+    // every planted twin is found
+    assert(fast.count() >= docs.filter(col("doc_id") % 3 === 0).count())
+  }
+
+  test("editDistancePairs: length differences up to d are matched") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefgh"), (2L, "abcdefg"), (3L, "abcdef"),
+      (4L, "xbcdefg")).toDF("id", "str")
+    val p = DedupOps.editDistancePairs(df, maxDist = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    // deletions across unequal lengths
+    assert(p((1L, 2L)) == 1L && p((1L, 3L)) == 2L && p((2L, 3L)) == 1L)
+    // substitution + deletion combination
+    assert(p((1L, 4L)) == 2L && p((2L, 4L)) == 1L && p((3L, 4L)) == 2L)
+  }
+
   test("orcRoundTrip preserves every row and byte") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-orc").toString

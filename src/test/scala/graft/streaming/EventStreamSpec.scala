@@ -323,6 +323,32 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("anomalies: integer z-test flags the planted outlier only") {
+    import spark.implicits._
+    // type a: four 1.00s and one 10.00 — z²(1000) = 12.96e6 vs
+    // denominator 3.24e6: outlier at k=1, NOT at k=3 (small n dilutes)
+    val ev = Seq(
+      (1L, "a", 1.00), (2L, "a", 1.00), (3L, "a", 1.00),
+      (4L, "a", 1.00), (5L, "a", 10.00),
+      // type b: constant values — zero variance, nothing flags
+      (6L, "b", 2.00), (7L, "b", 2.00),
+      // type c: singleton — excluded (n < 2)
+      (8L, "c", 99.0)
+    ).toDF("event_id", "event_type", "value")
+    val k1 = EventStreamOps.anomalies(ev, k = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(k1.toSet == Set((5L, "a", 1000L)))
+    assert(EventStreamOps.anomalies(ev, k = 3).count() == 0)
+  }
+
+  test("anomalies: flagged set is monotone in k") {
+    val ev = readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+    val k2 = EventStreamOps.anomalies(ev, k = 2)
+    val k3 = EventStreamOps.anomalies(ev, k = 3)
+    assert(k3.count() <= k2.count())
+    assert(k3.exceptAll(k2).count() == 0) // k=3 flags ⊆ k=2 flags
+  }
+
   test("retentionCohorts: hand-checked triangle") {
     import spark.implicits._
     // day-long periods; epoch-anchored so period = days since epoch
