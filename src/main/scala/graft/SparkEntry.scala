@@ -947,6 +947,24 @@ object SparkEntry {
       operators.SimilarityOps.radiusSearch(
         e.filter(col("vec_id") < 10), e, tau = 0.2)
     }),
+    // degree histogram over edge-incident vertices (total degree)
+    "graph_degree_hist" -> ((spark, sfDir) =>
+      operators.GraphAlgos.degreeHistogram(
+        sources.GraphStore.tpch(spark, sfDir))),
+    // exact int64 assortativity sufficient statistics (the Pearson
+    // coefficient is one driver formula away; moments stay integer)
+    "graph_assortativity" -> ((spark, sfDir) =>
+      operators.GraphAlgos.assortativityMoments(
+        sources.GraphStore.tpch(spark, sfDir))),
+    // Markov transition counts over each user's ordered event stream
+    "events_transitions" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.typeTransitions(events(spark, sfDir))),
+    // near-exact dedup on the normalized key: planted formatting-noise
+    // twins (upper/double-space/punct) must collapse onto originals
+    "dedup_normalized" -> ((spark, sfDir) =>
+      operators.DedupOps.dedupNormalized(
+        operators.DedupOps.withFormattingNoise(docs(spark, sfDir)),
+        idCol = "id")),
     // exact edit-distance similarity join (PassJoin pigeonhole
     // segments -> shifted-window candidates -> levenshtein verify)
     // over planted typo twins; the oracle brute-forces all pairs
@@ -2604,6 +2622,57 @@ object SparkEntry {
         |  CAST(sum(q) AS BIGINT) AS sum_q,
         |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_r
         |FROM x GROUP BY label, dim""".stripMargin,
+    // total degree (in+out) over placed ∪ contains; contains edges are
+    // DISTINCT (orderkey, partkey) per the edge-identity collapse
+    "graph_degree_hist" ->
+      """WITH e AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(o_orderkey + 1000000000 AS BIGINT) AS dst FROM orders
+        |  UNION ALL
+        |  SELECT DISTINCT CAST(l_orderkey + 1000000000 AS BIGINT),
+        |    CAST(l_partkey + 2000000000 AS BIGINT) FROM lineitem),
+        |d AS (SELECT id, count(*) AS degree FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        |  GROUP BY id)
+        |SELECT CAST(degree AS BIGINT) AS degree, count(*) AS vertices
+        |FROM d GROUP BY 1""".stripMargin,
+    "graph_assortativity" ->
+      """WITH e AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(o_orderkey + 1000000000 AS BIGINT) AS dst FROM orders
+        |  UNION ALL
+        |  SELECT DISTINCT CAST(l_orderkey + 1000000000 AS BIGINT),
+        |    CAST(l_partkey + 2000000000 AS BIGINT) FROM lineitem),
+        |d AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        |  GROUP BY id)
+        |SELECT count(*) AS n_edges,
+        |  CAST(sum(a.degree) AS BIGINT) AS sum_dx,
+        |  CAST(sum(b.degree) AS BIGINT) AS sum_dy,
+        |  CAST(sum(a.degree * b.degree) AS BIGINT) AS sum_dxdy,
+        |  CAST(sum(a.degree * a.degree) AS BIGINT) AS sum_dx2,
+        |  CAST(sum(b.degree * b.degree) AS BIGINT) AS sum_dy2
+        |FROM e JOIN d a ON e.src = a.id JOIN d b ON e.dst = b.id""".stripMargin,
+    "events_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS transitions
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type""".stripMargin,
+    // normalization (lower, punct→space, collapse, trim) must fold the
+    // planted noisy twins onto their originals; 'g' flags = replace-all
+    "dedup_normalized" ->
+      """WITH s AS (
+        |  SELECT doc_id*2 AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id*2+1, upper(replace(text, ' ', '  ')) || ' !!'
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |n AS (SELECT id, trim(regexp_replace(regexp_replace(
+        |  lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+        |  AS norm_text FROM s)
+        |SELECT min(id) AS id, norm_text, count(*) AS dup_count
+        |FROM n GROUP BY norm_text""".stripMargin,
     // brute-force levenshtein over the same typo-twin synthesis; the
     // engine's pigeonhole candidates must reproduce it exactly
     "dedup_edit_distance" ->

@@ -990,6 +990,45 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Canonical text rendering for near-exact dedup: lowercase, every
+    * non-alphanumeric to a space, whitespace collapsed, trimmed — the
+    * C4-style normalization under which case/punctuation/formatting
+    * variants of one document collapse to one key. Both regexes are
+    * RE2-safe and global (the replace-all invariant). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /**
+   * Near-exact dedup on the [[normalizeText]] canonical key: identical
+   * to [[exact]] but blind to case, punctuation, and whitespace noise
+   * (re-encoded copies, trailing-punctuation variants, double-spaced
+   * scans). Same scale shape as `exact`: one partial-aggregable
+   * groupBy, min-id winner. Output: `(idCol, norm_text, dup_count)`.
+   */
+  def dedupNormalized(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    df.select(col(idCol), normalizeText(col(textCol)).as("norm_text"))
+      .groupBy(col("norm_text"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("norm_text"), col("dup_count"))
+
+  /** Deterministic formatting-noise synthesis for the normalized-dedup
+    * gate: every document ships as-is (id `2·doc_id`); every third
+    * document also plants a NOISY TWIN (id `2·doc_id+1`) — uppercased,
+    * double-spaced, with trailing `" !!"` — that must collapse onto its
+    * original under [[normalizeText]]. */
+  def withFormattingNoise(df: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val orig = df.select((col(idCol) * 2).as("id"),
+      col(textCol).as("text"))
+    val twin = df.filter(col(idCol) % 3 === 0)
+      .select((col(idCol) * 2 + 1).as("id"),
+        concat(upper(replace(col(textCol), lit(" "), lit("  "))),
+          lit(" !!")).as("text"))
+    orig.unionByName(twin)
+  }
+
   /** Deterministic fuzzy-pair synthesis for the edit-distance gate:
     * each document contributes its lowercased 24-char prefix as id
     * `2·doc_id`; every third document also plants a TYPO TWIN (id

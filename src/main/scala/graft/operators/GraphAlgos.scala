@@ -730,6 +730,45 @@ object GraphAlgos {
       .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("dist_sum"))
   }
 
+  /**
+   * Degree histogram over the edge-incident vertices (total degree,
+   * in + out): the first diagnostic of any graph workload — scale-free
+   * vs uniform degree structure decides skew strategy (salting, hub
+   * caps, AQE skew joins) before any algorithm runs. Two partial-
+   * aggregable counts; the reduce side is #distinct-degrees-bounded.
+   * Vertices with no edges are absent by definition.
+   */
+  def degreeHistogram(g: GraphStore): DataFrame =
+    g.edges.select(col("src").as("id"))
+      .union(g.edges.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("vertices"))
+
+  /**
+   * Degree-assortativity MOMENTS: the exact int64 sufficient
+   * statistics (n, Σdx, Σdy, Σdx·dy, Σdx², Σdy²) of the per-edge
+   * (source-degree, target-degree) pairs, from which the Pearson
+   * assortativity coefficient is one driver-side formula. Emitting the
+   * moments instead of the coefficient keeps the compared output pure
+   * integers (the coefficient needs two sqrt's — cross-engine float
+   * territory), and moments merge map-side at constant size — the same
+   * contract as every sketch in this library. Degrees are total
+   * (in + out) over the full edge set.
+   */
+  def assortativityMoments(g: GraphStore): DataFrame = {
+    val deg = g.edges.select(col("src").as("id"))
+      .union(g.edges.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    g.edges.select(col("src"), col("dst"))
+      .join(deg.select(col("id").as("src"), col("degree").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("dy")), "dst")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sum_dx"), sum(col("dy")).as("sum_dy"),
+        sum(col("dx") * col("dy")).as("sum_dxdy"),
+        sum(col("dx") * col("dx")).as("sum_dx2"),
+        sum(col("dy") * col("dy")).as("sum_dy2"))
+  }
+
   /** Triangles of an undirected canonical edge set (`id_a < id_b`,
     * unique per pair), one row per triangle as `(src, id_a, id_b)` —
     * the oriented-wedge apex plus the closing edge. Shared by

@@ -201,6 +201,28 @@ object EventStreamOps {
   }
 
   /**
+   * First-order behavioral transition counts (the Markov-chain view of
+   * an event log): corpus-wide counts of consecutive
+   * `(prev_type → next_type)` steps within each user's (ts, event_id)-
+   * ordered stream — session-flow diagnostics, next-event baselines,
+   * and funnel-design input. Per-user `lag` window (the
+   * events_sessions precedent — per-user history is the natural sort
+   * unit; a pathological mega-user is AQE skew territory), then one
+   * partial-aggregable count over a #types²-bounded key space.
+   */
+  def typeTransitions(events: DataFrame,
+                      keyCol: String = "user_id",
+                      typeCol: String = "event_type"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("transitions"))
+  }
+
+  /**
    * Statistical outlier detection on the integer-cents rendering of
    * `value`, grouped by event type: an event is anomalous when its
    * squared z-score exceeds `k²` against its type's population

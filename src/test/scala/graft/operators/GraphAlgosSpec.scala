@@ -489,6 +489,30 @@ class GraphAlgosSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("degreeHistogram: hand-checked counts; mass equals 2|E|") {
+    import spark.implicits._
+    // star 1->{2,3,4} plus edge 2->3: deg 1=3, 2=2, 3=2, 4=1
+    val v = Seq(1L, 2L, 3L, 4L).map(id => (id, "n")).toDF("id", "label")
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+      .toDF("src", "dst").withColumn("label", lit("e"))
+    val h = GraphAlgos.degreeHistogram(GraphStore(v, e)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h == Map(3L -> 1L, 2L -> 2L, 1L -> 1L))
+    assert(h.map { case (d, n) => d * n }.sum == 2L * 4)
+  }
+
+  test("assortativityMoments: exact sums on a hand graph") {
+    import spark.implicits._
+    // path 1->2->3: deg 1=1, 2=2, 3=1; edges (dx,dy) = (1,2), (2,1)
+    val v = Seq(1L, 2L, 3L).map(id => (id, "n")).toDF("id", "label")
+    val e = Seq((1L, 2L), (2L, 3L))
+      .toDF("src", "dst").withColumn("label", lit("e"))
+    val m = GraphAlgos.assortativityMoments(GraphStore(v, e))
+      .collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
+      m.getLong(4), m.getLong(5)) == ((2L, 3L, 3L, 4L, 5L, 5L)))
+  }
+
   test("coOccurrencePairs thresholds shared sources") {
     import spark.implicits._
     // orders 10/11 both contain parts {1,2}; order 12 contains {1,3}

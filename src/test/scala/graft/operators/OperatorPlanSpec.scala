@@ -229,4 +229,55 @@ class OperatorPlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
+
+  test("retentionCohorts: partial aggregation, no user-history window") {
+    val ev = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val p = plan(graft.streaming.EventStreamOps.retentionCohorts(ev))
+    // first-event is a map-side partial min; no window over a user's
+    // events (a hot user must combine map-side, not sort in one task)
+    assert(p.contains("partial_min"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("collocations: vocab-bounded counts, broadcast totals, top-k") {
+    val p = plan(TextOps.collocations(docs, minCount = 2, topK = 10))
+    assert(p.contains("partial_count"), p.take(1500))
+    // the 1-row totals frame rides a broadcast nested-loop cross join
+    // by construction (it is literally one row); the COUNT joins must
+    // be hash equi-joins and the top-k must not global-sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("anomalies: 3-int64 moments broadcast back, partial agg") {
+    val ev = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val p = plan(graft.streaming.EventStreamOps.anomalies(ev))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("editDistancePairs: segment-key equi-joins, no nested loop") {
+    import spark.implicits._
+    val df = Seq((1L, "kitten"), (2L, "sitten"), (3L, "flour"))
+      .toDF("id", "str")
+    val p = plan(DedupOps.editDistancePairs(df, maxDist = 1))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("labelCentroids: labels×dim-bounded partial aggregation") {
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(SimilarityOps.labelCentroids(embs))
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(1500))
+  }
 }

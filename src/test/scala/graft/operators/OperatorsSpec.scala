@@ -2258,6 +2258,28 @@ class OperatorsSpec extends SparkSpec {
     assert(p((1L, 4L)) == 2L && p((2L, 4L)) == 1L && p((3L, 4L)) == 2L)
   }
 
+  test("dedupNormalized folds case/punct/whitespace variants") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"),
+      (3L, "HELLO   world..."), (4L, "hello worlds")).toDF("id", "text")
+    val out = DedupOps.dedupNormalized(df, idCol = "id").collect()
+      .map(r => (r.getString(1), (r.getLong(0), r.getLong(2)))).toMap
+    assert(out == Map("hello world" -> ((1L, 3L)),
+      "hello worlds" -> ((4L, 1L))))
+  }
+
+  test("dedupNormalized(withFormattingNoise): every twin collapses") {
+    val noisy = DedupOps.withFormattingNoise(docs)
+    val out = DedupOps.dedupNormalized(noisy, idCol = "id")
+    // noisy ids (odd) never win: their original (smaller even id) is
+    // in the same group
+    assert(out.filter(col("id") % 2 === 1).count() == 0)
+    // group count: distinct original texts (twins add no new keys)
+    assert(out.count() ==
+      docs.select(col("text")).distinct().count())
+  }
+
   test("orcRoundTrip preserves every row and byte") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-orc").toString

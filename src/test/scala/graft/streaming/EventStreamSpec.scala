@@ -323,6 +323,22 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("typeTransitions: hand-checked Markov counts") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"),
+      (3L, ts(2), 1L, "view"), (4L, ts(3), 1L, "click"),
+      (5L, ts(0), 2L, "view"), (6L, ts(1), 2L, "purchase"),
+      (7L, ts(5), 3L, "click") // lone event: no transition
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val t = EventStreamOps.typeTransitions(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(t == Map(("view", "click") -> 2L, ("click", "view") -> 1L,
+      ("view", "purchase") -> 1L))
+    // transition mass = events minus one per user with >= 1 event
+    assert(t.values.sum == 7 - 3)
+  }
+
   test("anomalies: integer z-test flags the planted outlier only") {
     import spark.implicits._
     // type a: four 1.00s and one 10.00 — z²(1000) = 12.96e6 vs
