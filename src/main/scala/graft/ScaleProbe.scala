@@ -130,6 +130,25 @@ object ScaleProbe {
       Seq("event_id"), Seq("event_id", "value")).count())
     time("trailingWindow")(
       streaming.EventStreamOps.trailingWindow(events, 1800).count())
+    time("retentionCohorts")(
+      streaming.EventStreamOps.retentionCohorts(events).count())
+    time("typeTransitions")(
+      streaming.EventStreamOps.typeTransitions(events).count())
+    time("anomalies")(
+      streaming.EventStreamOps.anomalies(events, k = 3).count())
+    // collocations fits on a deterministic sample past ~2M tokens (the
+    // documented int64 overflow bound of the exact-count statistic)
+    time("collocations")(
+      operators.TextOps.collocations(
+        docs.filter(col("doc_id") % 1000000 < 1000),
+        minCount = 5, topK = 50).count())
+    time("lineFilters")(operators.CurationOps.lineFilters(
+      operators.CurationOps.withNoisyLines(docs)).count())
+    time("editDistancePairs")(operators.DedupOps.editDistancePairs(
+      operators.DedupOps.withTypoPayload(docs), maxDist = 1).count())
+    time("dedupNormalized")(operators.DedupOps.dedupNormalized(
+      operators.DedupOps.withFormattingNoise(docs), idCol = "id")
+      .count())
 
     val ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val embs = (0 until mult).map { i =>
