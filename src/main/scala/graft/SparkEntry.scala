@@ -947,6 +947,15 @@ object SparkEntry {
       operators.SimilarityOps.radiusSearch(
         e.filter(col("vec_id") < 10), e, tau = 0.2)
     }),
+    // REAL incremental count-min: sketch counters fold across
+    // micro-batches in constant depth×width state; the drained sketch
+    // is bit-identical to the batch build — same oracle
+    "curation_countmin_stream" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedCountMin(spark,
+        s"$sfDir/documents.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_cmshards_" +
+          java.lang.Integer.toHexString(sfDir.hashCode) +
+          s"_p${ProcessHandle.current().pid()}")),
     // degree histogram over edge-incident vertices (total degree)
     "graph_degree_hist" -> ((spark, sfDir) =>
       operators.GraphAlgos.degreeHistogram(
@@ -988,6 +997,28 @@ object SparkEntry {
             .as("text_h"))
     }),
   )
+
+  /** Count-min heavy-hitter oracle, shared by the batch gate
+    * (`curation_countmin`) and the REAL incremental run
+    * (`curation_countmin_stream`) — counter addition is associative,
+    * so the drained sketch must equal the batch build exactly. */
+  private val CountMinOracleSql: String =
+  """WITH toks AS (SELECT unnest(string_split(trim(text), ' '))
+        |  AS term FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |cells AS (SELECT j, term, cnt,
+        |  CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term),
+        |    1, 8) AS BIGINT) % 1024 AS cell
+        |  FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+        |sk AS (SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS scnt
+        |  FROM cells GROUP BY 1, 2),
+        |top AS (SELECT term, cnt FROM c
+        |  ORDER BY cnt DESC, term LIMIT 20)
+        |SELECT t.term, CAST(max(t.cnt) AS BIGINT) AS exact_cnt,
+        |  CAST(min(sk.scnt) AS BIGINT) AS est_cnt
+        |FROM top t JOIN cells ce ON ce.term = t.term
+        |JOIN sk ON sk.j = ce.j AND sk.cell = ce.cell
+        |GROUP BY t.term""".stripMargin
 
   /** Greedy earliest-first funnel oracle, shared verbatim by the
     * batch gate (`events_funnel`) and the REAL incremental run
@@ -2488,23 +2519,9 @@ object SparkEntry {
     // count-min chain: distinct-term counts -> 4 md5 rows mod 1024 ->
     // cell sums -> top-20 terms' row minima; unsigned-32-bit hex
     // parse keeps both engines positive (the hash-travel invariant)
-    "curation_countmin" ->
-      """WITH toks AS (SELECT unnest(string_split(trim(text), ' '))
-        |  AS term FROM documents),
-        |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
-        |cells AS (SELECT j, term, cnt,
-        |  CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term),
-        |    1, 8) AS BIGINT) % 1024 AS cell
-        |  FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
-        |sk AS (SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS scnt
-        |  FROM cells GROUP BY 1, 2),
-        |top AS (SELECT term, cnt FROM c
-        |  ORDER BY cnt DESC, term LIMIT 20)
-        |SELECT t.term, CAST(max(t.cnt) AS BIGINT) AS exact_cnt,
-        |  CAST(min(sk.scnt) AS BIGINT) AS est_cnt
-        |FROM top t JOIN cells ce ON ce.term = t.term
-        |JOIN sk ON sk.j = ce.j AND sk.cell = ce.cell
-        |GROUP BY t.term""".stripMargin,
+    "curation_countmin" -> CountMinOracleSql,
+    "curation_countmin_stream" -> CountMinOracleSql,
+
     // integer-exact BM25: per-term contribution = rational idf
     // surrogate (1000·(N−df+1) // (df+1)) times the exact saturation
     // ratio 44·A·tf // (20·A·tf + 6·A + 18·dl) with A = floor(avgdl);

@@ -909,15 +909,21 @@ object CurationOps {
     df.select(explode(split(trim(col(textCol)), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
 
+  /** The deterministic md5 cell coordinate of a `(j, term)` row — the
+    * engine-portable hash family shared by the batch sketch, the
+    * streaming sketch, and the SQL oracle (unsigned-32-bit hex parse:
+    * the cross-engine hash-travel invariant). */
+  private[graft] def cmCellExpr(width: Int): Column = expr(
+    "cast(conv(substring(md5(concat(cast(j as string), ':', term))," +
+      s" 1, 8), 16, 10) as bigint) % $width")
+
   /** The `depth` sketch coordinates of every term in `counts`. */
   private def termCells(counts: DataFrame, depth: Int,
                         width: Int): DataFrame =
     counts
       .select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
         col("term"), col("cnt"))
-      .withColumn("cell", expr(
-        "cast(conv(substring(md5(concat(cast(j as string), ':', term))," +
-          s" 1, 8), 16, 10) as bigint) % $width"))
+      .withColumn("cell", cmCellExpr(width))
 
   /**
    * Heavy hitters with their count-min estimates: the exact top-`topK`

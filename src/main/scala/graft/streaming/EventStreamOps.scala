@@ -201,6 +201,67 @@ object EventStreamOps {
   }
 
   /**
+   * REAL incremental count-min sketch: the
+   * [[graft.operators.CurationOps.countMinHeavyHitters]] chain with
+   * the sketch counters maintained ACROSS micro-batches by a streaming
+   * aggregation — the state store holds exactly `depth·width` int64
+   * cells regardless of stream length or vocabulary (the defining
+   * property of the sketch: counter addition is associative, so
+   * per-batch partials fold into state losslessly and the drained
+   * sketch is bit-identical to the batch build). A second,
+   * vocab-bounded exact-count stream exists ONLY as the gate's
+   * verification harness (exactly as in the batch op) — production
+   * reads estimates straight from the constant-size sketch. Shares
+   * the batch gate's oracle verbatim. Throws if the drain ran fewer
+   * than `minTriggers` data batches.
+   */
+  def streamedCountMin(spark: SparkSession, docsPath: String,
+                       shardDir: String, depth: Int = 4,
+                       width: Int = 1024, topK: Int = 20,
+                       minTriggers: Int = 3): DataFrame = {
+    val tag = runCounter.incrementAndGet()
+    val (skTbl, exTbl) = (s"graft_cms_sk_$tag", s"graft_cms_ex_$tag")
+    spark.read.parquet(docsPath).repartition(4)
+      .write.mode("overwrite").parquet(shardDir)
+    val schema = spark.read.parquet(shardDir).schema
+    def terms() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(shardDir)
+      .select(explode(split(trim(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    // sketch stream: constant depth×width state
+    val cells = terms()
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("term"))
+      .withColumn("cell", graft.operators.CurationOps.cmCellExpr(width))
+      .groupBy(col("j"), col("cell"))
+      .agg(count(lit(1)).as("__scnt"))
+    // exact stream: the verification harness (vocab-bounded)
+    val exact = terms().groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    withStatePartitions(spark, 8) {
+      for ((df, tbl) <- Seq(cells -> skTbl, exact -> exTbl)) {
+        val q = toMemorySink(df, tbl, OutputMode.Complete())
+        try {
+          q.processAllAvailable()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= minTriggers,
+            s"count-min drain ran $dataBatches data batches; " +
+            s"expected >= $minTriggers")
+        } finally q.stop()
+      }
+    }
+    val top = spark.table(exTbl)
+      .orderBy(col("cnt").desc, col("term")).limit(topK)
+    top.select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("term"), col("cnt"))
+      .withColumn("cell", graft.operators.CurationOps.cmCellExpr(width))
+      .join(spark.table(skTbl), Seq("j", "cell"))
+      .groupBy(col("term"))
+      .agg(max(col("cnt")).as("exact_cnt"), min(col("__scnt")).as("est_cnt"))
+      .select(col("term"), col("exact_cnt"), col("est_cnt"))
+  }
+
+  /**
    * First-order behavioral transition counts (the Markov-chain view of
    * an event log): corpus-wide counts of consecutive
    * `(prev_type → next_type)` steps within each user's (ts, event_id)-

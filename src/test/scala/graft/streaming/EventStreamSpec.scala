@@ -323,6 +323,25 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamedCountMin equals the batch sketch chain") {
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft-cmshards").toString
+    val streamed = EventStreamOps.streamedCountMin(
+      spark, path, shardDir, minTriggers = 3)
+    val batch = graft.operators.CurationOps.countMinHeavyHitters(
+      spark.read.parquet(path))
+    // associative counter folds: the drained sketch estimates are
+    // bit-identical to the batch build's
+    assert(streamed.count() == 20)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    intercept[IllegalArgumentException] {
+      EventStreamOps.streamedCountMin(spark, path, shardDir,
+        minTriggers = 50)
+    }
+  }
+
   test("typeTransitions: hand-checked Markov counts") {
     import spark.implicits._
     val ev = Seq(
