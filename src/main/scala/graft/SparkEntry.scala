@@ -996,6 +996,47 @@ object SparkEntry {
             "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
             .as("text_h"))
     }),
+
+    // ---- round-9 second continuation ----
+    // Apriori level-2 association rules: integer per-mille confidence
+    // and lift over the salted co-occurrence projection
+    "graph_assoc_rules" -> ((spark, sfDir) =>
+      operators.GraphAlgos.associationRules(
+        sources.GraphStore.tpch(spark, sfDir), label = "contains",
+        minShared = 2, k = 50)),
+    // link-prediction neighborhood Jaccard (per-mille, int64-exact)
+    "graph_jaccard" -> ((spark, sfDir) =>
+      operators.GraphAlgos.neighborhoodJaccard(
+        sources.GraphStore.tpch(spark, sfDir), label = "contains",
+        minShared = 2, k = 50)),
+    // hourly grid + LOCF gap fill per user (feature-store resampling);
+    // observed bucket value = partial-aggregable max(struct), the LOCF
+    // window runs over GRID rows only
+    "events_gapfill" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.gapFill(events(spark, sfDir),
+        periodSeconds = 86400)),
+    // exact per-type quantiles by value compression: the cumulative
+    // scan runs over distinct integer-cent values, never raw events
+    "events_quantiles" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.exactQuantiles(events(spark, sfDir))),
+    // ROLLUP grouping sets: (type, hour) / type / grand total in one
+    // expand + partial-aggregable pass; sentinel-rendered levels
+    "events_rollup" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.typeHourRollup(events(spark, sfDir))),
+    // Efraimidis-Spirakis weighted sampling, transcendental-free:
+    // max-of-w md5 tickets == the u^(1/w) A-ES key for integer weights
+    "curation_weighted_sample" -> ((spark, sfDir) =>
+      operators.CurationOps.weightedSample(docs(spark, sfDir), n = 50,
+        weight = expr("1 + least(n_chars div 400, 7)"))),
+    // inverted-index summary: df/cf + BoundedMinIds posting head
+    "text_inverted_index" -> ((spark, sfDir) =>
+      operators.TextOps.invertedIndex(docs(spark, sfDir),
+        maxPostings = 5)
+        .filter(col("df") >= 3)),
+    // exact mutual-kNN graph over the embedding corpus (the semantic-
+    // clustering substrate); LSH-bucketed candidates are the scale face
+    "embed_knn_graph" -> ((spark, sfDir) =>
+      operators.SimilarityOps.knnGraph(embs(spark, sfDir), k = 3)),
   )
 
   /** Count-min heavy-hitter oracle, shared by the batch gate
@@ -2713,5 +2754,137 @@ object SparkEntry {
         |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
         |    AS BIGINT) AS text_h
         |FROM documents GROUP BY source""".stripMargin,
+    // Apriori level-2 rules: all-integer support/confidence/lift on the
+    // distinct basket-membership projection; `//` == Spark `div` on
+    // nonnegative int64
+    "graph_assoc_rules" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS src,
+        |  CAST(l_partkey + 2000000000 AS BIGINT) AS dst FROM lineitem),
+        |p AS (SELECT a.dst AS da, b.dst AS db, count(*) AS support
+        |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |c AS (SELECT dst AS item, count(*) AS cnt FROM e GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT src) AS baskets FROM e),
+        |d AS (SELECT da AS ante, db AS cons, support FROM p
+        |  UNION ALL SELECT db, da, support FROM p)
+        |SELECT d.ante, d.cons, CAST(d.support AS BIGINT) AS support,
+        |  CAST(ca.cnt AS BIGINT) AS cnt_ante,
+        |  CAST(d.support * 1000 // ca.cnt AS BIGINT) AS conf_pm,
+        |  CAST(d.support * nb.baskets * 1000 // (ca.cnt * cc.cnt)
+        |    AS BIGINT) AS lift_pm
+        |FROM d JOIN c ca ON ca.item = d.ante
+        |JOIN c cc ON cc.item = d.cons, nb
+        |ORDER BY conf_pm DESC, support DESC, ante, cons
+        |LIMIT 50""".stripMargin,
+    "graph_jaccard" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS src,
+        |  CAST(l_partkey + 2000000000 AS BIGINT) AS dst FROM lineitem),
+        |p AS (SELECT a.dst AS id_a, b.dst AS id_b, count(*) AS shared
+        |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |c AS (SELECT dst AS item, count(*) AS cnt FROM e GROUP BY 1)
+        |SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared,
+        |  CAST(p.shared * 1000 // (ca.cnt + cb.cnt - p.shared)
+        |    AS BIGINT) AS j_pm
+        |FROM p JOIN c ca ON ca.item = p.id_a
+        |JOIN c cb ON cb.item = p.id_b
+        |ORDER BY j_pm DESC, shared DESC, id_a, id_b
+        |LIMIT 50""".stripMargin,
+    // daily-grid LOCF gap fill: per-bucket last observation by
+    // (ts, event_id), grid from per-user min/max bucket, carried
+    // forward with last_value IGNORE NULLS over grid rows
+    "events_gapfill" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+        |  ts, event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |o AS (SELECT user_id, bucket, cents FROM (
+        |  SELECT user_id, bucket, cents, row_number() OVER (
+        |    PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC)
+        |    AS rn FROM e) WHERE rn = 1),
+        |r AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+        |  FROM r),
+        |f AS (SELECT g.user_id, g.bucket, o.cents AS obs FROM g
+        |  LEFT JOIN o ON o.user_id = g.user_id AND o.bucket = g.bucket)
+        |SELECT user_id, bucket,
+        |  last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cents,
+        |  CAST(CASE WHEN obs IS NULL THEN 0 ELSE 1 END AS INTEGER)
+        |    AS observed
+        |FROM f""".stripMargin,
+    // exact type-1 discrete quantiles: cumulative over DISTINCT cent
+    // values, q = smallest value with cum*1000 >= p*n (pure int64)
+    "events_quantiles" ->
+      """WITH c AS (SELECT event_type,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, cents,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY event_type) AS n FROM c),
+        |p AS (SELECT unnest([500, 900, 990]) AS p_pm)
+        |SELECT event_type, p_pm, CAST(min(cents) AS BIGINT) AS q_cents
+        |FROM m, p WHERE cum * 1000 >= p_pm * n
+        |GROUP BY 1, 2""".stripMargin,
+    // ROLLUP grouping sets with sentinel-rendered levels; GROUPING()
+    // bit order (first arg most significant) matches Spark grouping_id
+    "events_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  CAST(coalesce(hr, -1) AS INTEGER) AS "hour",
+        |  CAST(GROUPING(event_type, hr) AS INTEGER) AS gid,
+        |  count(*) AS events, CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+        |GROUP BY ROLLUP (event_type, hr)""".stripMargin,
+    // A-ES weighted sample: max-of-w md5 tickets, string-lexicographic
+    // ranking (identical hex in any engine), top-50 by ticket
+    "curation_weighted_sample" ->
+      """WITH w AS (SELECT doc_id,
+        |  CAST(1 + least(n_chars // 400, 7) AS BIGINT) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, w,
+        |  md5('wsample:' || CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(i AS VARCHAR)) AS tk
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, w)) AS i
+        |    FROM w)),
+        |m AS (SELECT doc_id, max(w) AS w, max(tk) AS ticket FROM t
+        |  GROUP BY doc_id)
+        |SELECT doc_id, w, ticket FROM m
+        |ORDER BY ticket DESC, doc_id LIMIT 50""".stripMargin,
+    // inverted-index summary: df/cf per token + the posting-list head
+    // ("doc:tf" for the 5 smallest doc ids)
+    "text_inverted_index" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split(trim(text), ' ')) AS token FROM documents),
+        |tf AS (SELECT token, doc_id, count(*) AS tf FROM t
+        |  WHERE length(token) > 0 GROUP BY 1, 2),
+        |agg AS (SELECT token, count(*) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS cf,
+        |  array_to_string((list(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(tf AS VARCHAR) ORDER BY doc_id))[1:5], ',') AS postings
+        |  FROM tf GROUP BY token)
+        |SELECT token, df, cf, postings FROM agg
+        |WHERE df >= 3""".stripMargin,
+    // exact mutual-kNN graph: directed top-3 by raw cosine (tie-break
+    // dst), mutual = reverse edge also in top-3; t MATERIALIZED so the
+    // self-join doesn't recompute the n^2 dot products
+    "embed_knn_graph" ->
+      s"""WITH d AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |  ${sqlDot("a", "a")} AS aa, ${sqlDot("b", "b")} AS bb,
+         |  ${sqlDot("a", "b")} AS ab
+         | FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id),
+         |r AS (SELECT src, dst, ab/(sqrt(aa)*sqrt(bb)) AS cos,
+         |  row_number() OVER (PARTITION BY src
+         |    ORDER BY ab/(sqrt(aa)*sqrt(bb)) DESC, dst) AS rank FROM d),
+         |t AS MATERIALIZED (SELECT src, dst, rank, cos FROM r
+         |  WHERE rank <= 3)
+         |SELECT t.src, t.dst, CAST(t.rank AS INTEGER) AS rank,
+         |  round(t.cos, 4) AS cosine,
+         |  CAST(CASE WHEN m.src IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         |    AS mutual
+         |FROM t LEFT JOIN t m ON m.src = t.dst AND m.dst = t.src""".stripMargin,
   )
 }

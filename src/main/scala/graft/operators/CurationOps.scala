@@ -434,6 +434,41 @@ object CurationOps {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /**
+   * Deterministic WEIGHTED sampling without replacement (integer
+   * weights): keep the `n` rows with the largest per-row ticket, where
+   * a row of weight `w` draws `w` salted-md5 tickets and keeps its
+   * maximum. The max of `w` iid uniforms has CDF `t^w` — exactly the
+   * `u^(1/w)` key of Efraimidis–Spirakis A-ES weighted reservoir
+   * sampling — so this IS A-ES for integer weights, with zero floats:
+   * tickets are md5 hex strings compared lexicographically, identical
+   * in any engine (the transcendental-free rendering of a weighted
+   * sample; fractional weights should go through [[mixSources]]'
+   * per-mille machinery instead).
+   *
+   * Scale shape: the ticket explode is a narrow map bounded by
+   * `maxWeight`; the per-row max is a partial-aggregable `max(string)`
+   * (weight is row-local, so the "group" is the row — no hot keys by
+   * construction); the final cut is `orderBy(...).limit(n)` =
+   * `TakeOrderedAndProject` (per-partition heaps, no global sort).
+   * Output: the `idCol`, the clamped weight `w`, and the winning
+   * `ticket` (kept so the selection order itself is auditable).
+   */
+  def weightedSample(df: DataFrame, n: Int, weight: Column,
+                     maxWeight: Int = 16, idCol: String = "doc_id",
+                     salt: String = "wsample"): DataFrame =
+    df.withColumn("w",
+        least(greatest(weight.cast("long"), lit(1L)), lit(maxWeight.toLong)))
+      .select(col(idCol), col("w"),
+        explode(sequence(lit(1L), col("w"))).as("__i"))
+      .withColumn("__t",
+        md5(concat_ws(":", lit(salt), col(idCol).cast(StringType),
+          col("__i").cast(StringType))))
+      .groupBy(col(idCol), col("w"))
+      .agg(max(col("__t")).as("ticket"))
+      .orderBy(col("ticket").desc, col(idCol))
+      .limit(n)
+
   /** Corpus-GLOBAL deterministic pseudo-random sample: the `n` rows
     * with the smallest salted md5(id) — eval-subset selection that any
     * engine reproduces and that is STABLE UNDER GROWTH in expectation

@@ -564,6 +564,90 @@ object GraphAlgos {
   }
 
   /**
+   * Association-rule mining over the co-occurrence projection (the
+   * Apriori level-2 output every market-basket / query-suggestion
+   * pipeline starts from): for each DIRECTED item pair A→B that
+   * co-occurs in ≥ `minShared` baskets, emit the rule's support
+   * (co-occurrence count), the antecedent's basket count, and the
+   * classic quality measures rendered engine-exactly —
+   * `conf_pm = support·1000 div cnt(A)` (confidence per-mille) and
+   * `lift_pm = support·baskets·1000 div (cnt(A)·cnt(B))` (lift
+   * per-mille). All arithmetic is int64 with floor division (Spark
+   * `div` == DuckDB `//` on nonnegative ints); the int64 bound is
+   * `support·baskets·1000 < 2⁶³` — fine to ~10⁶ baskets·10⁶ support;
+   * past that drop lift and rank on confidence alone.
+   *
+   * Scale shape: the pair generation is the chunk-salted wedge join
+   * ([[saltedDstPairs]]); item counts are a partial-aggregable
+   * `count`; the two count joins are equi-joins on item id; the final
+   * top-`k` is a `TakeOrderedAndProject` (per-partition heaps, no
+   * global sort). The edge projection is made distinct per (src, dst)
+   * once — basket membership, not multiplicity, is what support counts.
+   * Output: `(ante, cons, support, cnt_ante, conf_pm, lift_pm)`.
+   */
+  def associationRules(g: GraphStore, label: String, minShared: Int = 2,
+                       k: Int = 50, chunkSize: Int = 512): DataFrame = {
+    val e = g.edges.filter(col("label") === label)
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false) // feeds pairs, counts, and the basket total
+    val baskets = e.select(col("src")).distinct().count()
+    val pairs = saltedDstPairs(e, chunkSize)
+      .groupBy(col("dst_a"), col("dst_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minShared)
+    val cnt = e.groupBy(col("dst").as("__item"))
+      .agg(count(lit(1)).as("__cnt"))
+    val directed = pairs
+      .select(col("dst_a").as("ante"), col("dst_b").as("cons"), col("support"))
+      .unionAll(pairs.select(col("dst_b").as("ante"), col("dst_a").as("cons"),
+        col("support")))
+    directed
+      .join(cnt.select(col("__item").as("ante"), col("__cnt").as("cnt_ante")),
+        Seq("ante"))
+      .join(cnt.select(col("__item").as("cons"), col("__cnt").as("cnt_cons")),
+        Seq("cons"))
+      .withColumn("conf_pm", expr("support * 1000 div cnt_ante"))
+      .withColumn("lift_pm",
+        expr(s"support * ${baskets}L * 1000 div (cnt_ante * cnt_cons)"))
+      .select(col("ante"), col("cons"), col("support"), col("cnt_ante"),
+        col("conf_pm"), col("lift_pm"))
+      .orderBy(col("conf_pm").desc, col("support").desc, col("ante"),
+        col("cons"))
+      .limit(k)
+  }
+
+  /**
+   * Neighborhood Jaccard similarity — the standard link-prediction
+   * refinement of [[commonNeighbors]]: for each co-occurring pair,
+   * `|N(a)∩N(b)| / |N(a)∪N(b)|` rendered engine-exactly as
+   * `j_pm = shared·1000 div (deg(a)+deg(b)−shared)`. Same salted
+   * wedge join and equi-joined degree counts as [[associationRules]];
+   * the top-`k` cut is a `TakeOrderedAndProject`.
+   * Output: `(id_a, id_b, shared, j_pm)` with `id_a < id_b`.
+   */
+  def neighborhoodJaccard(g: GraphStore, label: String, minShared: Int = 2,
+                          k: Int = 50, chunkSize: Int = 512): DataFrame = {
+    val e = g.edges.filter(col("label") === label)
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    val pairs = saltedDstPairs(e, chunkSize)
+      .groupBy(col("dst_a").as("id_a"), col("dst_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val cnt = e.groupBy(col("dst").as("__item"))
+      .agg(count(lit(1)).as("__cnt"))
+    pairs
+      .join(cnt.select(col("__item").as("id_a"), col("__cnt").as("__da")),
+        Seq("id_a"))
+      .join(cnt.select(col("__item").as("id_b"), col("__cnt").as("__db")),
+        Seq("id_b"))
+      .withColumn("j_pm", expr("shared * 1000 div (__da + __db - shared)"))
+      .select(col("id_a"), col("id_b"), col("shared"), col("j_pm"))
+      .orderBy(col("j_pm").desc, col("shared").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  /**
    * Per-vertex triangle counts over an undirected edge list
    * (`id_a < id_b`, unique per pair — [[coOccurrencePairs]] output
    * shape). Degree-oriented enumeration (the compact-forward /

@@ -93,6 +93,76 @@ object SimilarityOps {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /**
+   * Mutual-kNN graph construction over an embedding corpus — the
+   * substrate semantic-clustering pipelines (SemDeDup-style cluster
+   * refinement, kNN-graph community detection, label propagation over
+   * embeddings) run on: for every vector, its exact top-`k` cosine
+   * neighbors, each edge flagged `mutual` when the reverse edge is
+   * also in the neighbor's top-`k` (mutual edges are the
+   * high-precision subgraph those pipelines keep).
+   *
+   * With `nBits = 0` candidates are the exact all-pairs set (one side
+   * broadcast — correct up to a few 10⁵ vectors, and the oracle-
+   * checkable face). At corpus scale pass `nBits > 0`: candidates
+   * come from [[signBuckets]] LSH-bucket collisions (the
+   * embeddingNearDup join shape — collision-bounded, no n² anywhere)
+   * and the result is the standard approximate kNN graph. Either way
+   * the per-source top-k window ranks only that source's CANDIDATES,
+   * and the mutual flag is one self equi-join of the (lazily
+   * checkpointed) top-k edge set against its own reversal.
+   * Output: `(src, dst, rank, cosine, mutual)` — cosine rounded 4 for
+   * display, ranking on the raw value.
+   */
+  def knnGraph(df: DataFrame, k: Int = 5, nBits: Int = 0,
+               nTables: Int = 4, dim: Int = 64, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val topk = knnCandidates(df, nBits, nTables, dim, idCol, vecCol)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("__cos",
+        dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
+      .withColumn("rank", row_number().over(Window.partitionBy("src")
+        .orderBy(col("__cos").desc, col("dst"))))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("rank"), col("__cos"))
+      .localCheckpoint(false) // joined against its own reversal below
+    val rev = topk.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1).as("__m"))
+    topk.join(rev, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("rank"),
+        round(col("__cos"), 4).as("cosine"),
+        coalesce(col("__m"), lit(0)).as("mutual"))
+  }
+
+  /** [[knnGraph]]'s candidate stage, exposed so plan guards can assert
+    * its shape directly (the operator's lazy checkpoints hide upstream
+    * stages behind `Scan ExistingRDD` in the final executed plan):
+    * exact all-pairs with one side broadcast when `nBits <= 0`, else
+    * the LSH bucket equi-join. */
+  private[graft] def knnCandidates(df: DataFrame, nBits: Int,
+                                   nTables: Int, dim: Int, idCol: String,
+                                   vecCol: String): DataFrame = {
+    val a = df.select(col(idCol).as("src"), col(vecCol).as("__av"),
+      l2norm(col(vecCol)).as("__an"))
+    val b = df.select(col(idCol).as("dst"), col(vecCol).as("__bv"),
+      l2norm(col(vecCol)).as("__bn"))
+    if (nBits <= 0) a.crossJoin(broadcast(b))
+    else {
+      val bucketed = df.select(col(idCol), col(vecCol),
+          explode(signBuckets(col(vecCol), dim, nBits, nTables))
+            .as("__bucket"))
+        .localCheckpoint(false) // self-joined: compute lineage once
+      val l = bucketed.select(col("__bucket"), col(idCol).as("src"),
+        col(vecCol).as("__av"), l2norm(col(vecCol)).as("__an"))
+      val r = bucketed.select(col("__bucket"), col(idCol).as("dst"),
+        col(vecCol).as("__bv"), l2norm(col(vecCol)).as("__bn"))
+      l.join(r, Seq("__bucket"))
+        .drop("__bucket")
+        .dropDuplicates("src", "dst")
+    }
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search.
   // The centroid model is tiny (k·dim doubles) and driver-held — but it

@@ -298,6 +298,44 @@ object TextOps {
    * TakeOrderedAndProject, never a global sort. The BPE-prep
    * counterpart of [[bigramFit]]'s pair table.
    */
+  /**
+   * Inverted-index construction — the retrieval substrate BM25 / query
+   * routing reads from: one row per token with its document frequency,
+   * collection frequency, and the head of its posting list rendered as
+   * `"doc:tf,…"` (the first `maxPostings` docs by id).
+   *
+   * Scale shape: everything is ONE grouped aggregation over the
+   * (token, doc) term-frequency table — `df`/`cf` are plain
+   * partial-aggregable counts, and the posting head rides
+   * [[graft.functions.BoundedMinIds]] (each map task keeps ≤
+   * `maxPostings` entries per token), so a stopword's 10⁹-doc posting
+   * list never collects anywhere: full posting lists at scale are the
+   * (token, doc, tf) TABLE itself, bucketed by token; this operator
+   * materializes the bounded index SUMMARY. The tf is embedded in the
+   * bounded entry's payload (`doc:tf`), so no second join re-attaches
+   * it. Zero-padded sort keys make string order = numeric doc order.
+   * Output: `(token, df, cf, postings)`.
+   */
+  def invertedIndex(df: DataFrame, maxPostings: Int = 5,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val tf = df.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        graft.functions.VectorExpressions.boundedMinIds(
+          lpad(col(idCol).cast("string"), 12, "0"),
+          concat_ws(":", col(idCol).cast("string"),
+            col("tf").cast("string")),
+          maxPostings).as("__p"))
+      .withColumn("postings", array_join(col("__p"), ","))
+      .select(col("token"), col("df"), col("cf"), col("postings"))
+  }
+
   def vocabulary(df: DataFrame, maxSize: Int,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {

@@ -344,6 +344,110 @@ object EventStreamOps {
   }
 
   /**
+   * Time-grid gap fill with last-observation-carried-forward (the
+   * feature-store / time-series resampling primitive): each user's
+   * event stream is bucketed onto a fixed `periodSeconds` grid from
+   * the user's first to last active bucket, empty buckets are
+   * materialized, and the last observed integer-cent value carries
+   * forward into them. "Last observed in a bucket" is the event with
+   * the greatest `(ts, event_id)` — a partial-aggregable
+   * `max(struct)`, never a per-bucket window over raw events, so a
+   * bucket with millions of events combines map-side. The grid itself
+   * comes from one `sequence` + `explode` off per-user min/max
+   * buckets, and the only window is the LOCF scan over GRID rows —
+   * bounded by calendar span / period, not by event volume.
+   * Output: `(user_id, bucket, cents, observed)` — `bucket` is the
+   * epoch-second floor-division index, `observed` 1 where the bucket
+   * had events.
+   */
+  def gapFill(events: DataFrame, periodSeconds: Long = 3600,
+              keyCol: String = "user_id",
+              valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = events
+      .withColumn("__sec", col("ts").cast("long"))
+      .withColumn("bucket", expr(s"__sec div ${periodSeconds}L"))
+      .withColumn("__cents", floor(col(valueCol) * 100).cast("long"))
+    val observed = bucketed
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max(struct(col("ts"), col("event_id"), col("__cents")))
+        .as("__last"))
+      .select(col(keyCol), col("bucket"),
+        col("__last.__cents").as("__obs"))
+    val grid = bucketed
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col(keyCol),
+        explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(observed, Seq(keyCol, "bucket"), "left")
+      .withColumn("cents", last(col("__obs"), ignoreNulls = true).over(w))
+      .withColumn("observed",
+        when(col("__obs").isNotNull, 1).otherwise(0))
+      .select(col(keyCol), col("bucket"), col("cents"), col("observed"))
+  }
+
+  /**
+   * EXACT per-group quantiles by value compression — the scale-correct
+   * alternative to both a full per-group sort (hot-group single task)
+   * and an approximate sketch (engine-seeded, not oracle-checkable):
+   * counts collapse to one row per DISTINCT integer-cent value
+   * (partial-aggregable), the cumulative scan then runs over the
+   * VALUE DOMAIN (bounded by price granularity, not event volume),
+   * and quantile `p‰` is the smallest value whose cumulative count
+   * reaches `⌈p·n/1000⌉` — tested as `cum·1000 ≥ p·n`, pure int64.
+   * This is the textbook discrete (type-1) quantile, so any engine
+   * reproduces it bit-for-bit.
+   * Output: `(event_type, p_pm, q_cents)` for each requested
+   * per-mille point.
+   */
+  def exactQuantiles(events: DataFrame,
+                     psPerMille: Seq[Int] = Seq(500, 900, 990),
+                     typeCol: String = "event_type",
+                     valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = events
+      .select(col(typeCol), floor(col(valueCol) * 100).cast("long")
+        .as("cents"))
+      .groupBy(col(typeCol), col("cents"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(typeCol))))
+    cum.crossJoin(broadcast(psPerMille.toDF("p_pm")))
+      .filter(col("__cum") * 1000 >= col("p_pm") * col("__n"))
+      .groupBy(col(typeCol), col("p_pm"))
+      .agg(min(col("cents")).as("q_cents"))
+  }
+
+  /**
+   * Multi-level rollup report over the event log — per (type, hour),
+   * per type, and grand-total rows in one pass (`ROLLUP` grouping
+   * sets, which Spark plans as a single expand + partial-aggregable
+   * hash aggregate — one shuffle for all three levels). Aggregates
+   * are count + integer-cent sum (engine-exact); rolled-up levels are
+   * rendered with `'ALL'` / `-1` sentinels and the standard
+   * `grouping_id` bit vector so the oracle's `GROUPING()` matches.
+   * Output: `(event_type, hour, gid, events, cents_sum)`.
+   */
+  def typeHourRollup(events: DataFrame,
+                     typeCol: String = "event_type"): DataFrame =
+    events
+      .withColumn("__hour", hour(col("ts")))
+      .withColumn("__cents", floor(col("value") * 100).cast("long"))
+      .rollup(col(typeCol), col("__hour"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("events"), sum(col("__cents")).as("cents_sum"))
+      .select(coalesce(col(typeCol), lit("ALL")).as(typeCol),
+        coalesce(col("__hour"), lit(-1)).cast("int").as("hour"),
+        col("gid"), col("events"), col("cents_sum"))
+
+  /**
    * Ordered funnel analysis — for every user, the EARLIEST traversal
    * of the `stages` event-type sequence, stage k's event strictly
    * after stage k-1's in `(ts, ordCol)` order. Greedy earliest-first

@@ -528,4 +528,37 @@ class GraphAlgosSpec extends SparkSpec {
       .toSet
     assert(ms1 == Set((1L, 2L, 2L), (1L, 3L, 1L)))
   }
+
+  test("associationRules: hand-checked confidence and lift") {
+    import spark.implicits._
+    // baskets 1,2 = {10,20}; basket 3 = {10,30}; duplicate membership
+    // row must not inflate support (distinct projection)
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L),
+      (3L, 30L), (1L, 10L)).map { case (s, d) => (s, d, "contains") }
+      .toDF("src", "dst", "label")
+    val g = GraphStore((1L to 30L).toDF("id"), e)
+    val rules = GraphAlgos.associationRules(g, "contains", minShared = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // cnt(10)=3, cnt(20)=2, baskets=3, support(10,20)=2:
+    // 20->10 conf 2000 div 2 = 1000, lift 2*3*1000 div (2*3) = 1000
+    // 10->20 conf 2000 div 3 = 666,  lift 2*3*1000 div (3*2) = 1000
+    assert(rules.toSeq == Seq(
+      (20L, 10L, 2L, 2L, 1000L, 1000L),
+      (10L, 20L, 2L, 3L, 666L, 1000L)))
+  }
+
+  test("neighborhoodJaccard: hand-checked per-mille ratio") {
+    import spark.implicits._
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L),
+      (3L, 30L)).map { case (s, d) => (s, d, "contains") }
+      .toDF("src", "dst", "label")
+    val g = GraphStore((1L to 30L).toDF("id"), e)
+    val out = GraphAlgos.neighborhoodJaccard(g, "contains", minShared = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // |N(10)∩N(20)| = 2, |N(10)∪N(20)| = 3 → 666‰
+    assert(out.toSeq == Seq((10L, 20L, 2L, 666L)))
+  }
 }

@@ -280,4 +280,77 @@ class OperatorPlanSpec extends SparkSpec {
       p.take(1500))
     assert(!p.contains("Exchange rangepartitioning"), p.take(1500))
   }
+
+  test("associationRules/neighborhoodJaccard: equi-joins + top-k heaps") {
+    val g = graft.sources.GraphStore.tpch(spark, "/root/testdata/sf0.001")
+    for (df <- Seq(GraphAlgos.associationRules(g, "contains", k = 20),
+      GraphAlgos.neighborhoodJaccard(g, "contains", k = 20))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+      // the k cut is per-partition heaps, never a global sort
+      assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+      assert(p.contains("partial_count"), p.take(1500))
+    }
+  }
+
+  test("gapFill: per-bucket last observation is a partial max(struct)") {
+    val ev = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val p = plan(graft.streaming.EventStreamOps.gapFill(ev))
+    // a hot bucket combines map-side; the only window is LOCF over
+    // grid rows
+    assert(p.contains("partial_max"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("exactQuantiles: cumulative scan over compressed values only") {
+    val ev = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val df = graft.streaming.EventStreamOps.exactQuantiles(ev)
+    val p = plan(df)
+    // raw events collapse to per-(type, cents) partial counts BEFORE
+    // any window touches them — the window's input is the value domain
+    assert(p.contains("partial_count"), p.take(1500))
+    // the per-mille points ride a broadcast (3-row model table)
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+  }
+
+  test("weightedSample: partial max ticket + top-n heaps, no window") {
+    val p = plan(CurationOps.weightedSample(docs, n = 20,
+      weight = expr("1 + least(n_chars div 400, 7)")))
+    assert(p.contains("partial_max"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("invertedIndex: bounded posting head, no per-token collect") {
+    val p = plan(TextOps.invertedIndex(docs))
+    // BoundedMinIds is an ObjectHashAggregate with a partial pass —
+    // a stopword's posting list never assembles anywhere
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("collect_list") && !p.contains("Window"),
+      p.take(1500))
+  }
+
+  test("knnGraph: exact face broadcasts; LSH face equi-joins buckets") {
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the candidate stage carries the scale properties (the operator's
+    // lazy checkpoints hide it behind Scan ExistingRDD downstream)
+    val pe = plan(SimilarityOps.knnCandidates(embs, nBits = 0,
+      nTables = 4, dim = 64, idCol = "vec_id", vecCol = "embedding"))
+    assert(pe.contains("BroadcastExchange"), pe.take(1500))
+    val pl = plan(SimilarityOps.knnCandidates(embs, nBits = 4,
+      nTables = 4, dim = 64, idCol = "vec_id", vecCol = "embedding"))
+    assert(!pl.contains("CartesianProduct") &&
+      !pl.contains("BroadcastNestedLoopJoin"), pl.take(1500))
+    assert(pl.contains("__bucket"), "bucket id must be the join key")
+    // the mutual-flag self-join in the full operator is an equi-join
+    val pm = plan(SimilarityOps.knnGraph(embs, k = 3))
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoopJoin"), pm.take(1500))
+  }
 }

@@ -2290,4 +2290,113 @@ class OperatorsSpec extends SparkSpec {
     assert(back.exceptAll(docs).count() == 0)
     assert(docs.exceptAll(back).count() == 0)
   }
+
+  test("weightedSample equals driver-side A-ES max-ticket selection") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(id => (id, id % 5)).toDF("doc_id", "wt")
+    val out = CurationOps.weightedSample(rows, n = 10, weight = col("wt"),
+      maxWeight = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = (1L to 40L).map { id =>
+      val w = math.min(math.max(id % 5, 1L), 3L)
+      val ticket = (1L to w).map(i => md5hex(s"wsample:$id:$i")).max
+      (id, w, ticket)
+    }.sortBy(t => (t._3, t._1))(
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long))
+      .take(10)
+    assert(out.toSeq == expected)
+    // deterministic across invocations
+    val again = CurationOps.weightedSample(rows, n = 10, weight = col("wt"),
+      maxWeight = 3).collect().map(r => r.getLong(0)).toSeq
+    assert(again == expected.map(_._1))
+  }
+
+  test("weightedSample: weight raises selection pressure (A-ES shape)") {
+    import spark.implicits._
+    // identical ids hashed with w=8 tickets vs w=1: the max of 8
+    // uniforms stochastically dominates — with 200 docs the heavy
+    // half must win well over half of a 40-slot sample
+    val rows = (1L to 200L).toDF("doc_id")
+      .withColumn("wt", when(col("doc_id") <= 100, 8L).otherwise(1L))
+    val picked = CurationOps.weightedSample(rows, n = 40,
+      weight = col("wt"), maxWeight = 8)
+      .collect().map(_.getLong(0))
+    assert(picked.count(_ <= 100) > 26, s"heavy side: ${picked.count(_ <= 100)}")
+  }
+
+  test("invertedIndex: hand-checked postings head") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b")).toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(df, maxPostings = 5)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      "a" -> ((2L, 3L, "1:2,2:1")),
+      "b" -> ((2L, 3L, "1:1,3:2")),
+      "c" -> ((1L, 1L, "2:1"))))
+    // posting head truncates at maxPostings, smallest doc ids kept
+    val head1 = TextOps.invertedIndex(df, maxPostings = 1)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(head1("a") == "1:2" && head1("b") == "1:1")
+  }
+
+  test("knnGraph exact face matches naive top-k with mutual flags") {
+    val sub = embs.filter(col("vec_id") < 40)
+    val out = SimilarityOps.knnGraph(sub, k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getInt(4)))).toMap
+    // naive driver recomputation
+    val vecs = sub.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i)
+        bb += b(i).toDouble * b(i); i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val topk = vecs.keys.map { s =>
+      s -> vecs.keys.filter(_ != s).toSeq
+        .map(d => (d, cos(vecs(s), vecs(d))))
+        .sortBy { case (d, c) => (-c, d) }.take(3)
+        .zipWithIndex.map { case ((d, _), i) => (d, i + 1) }
+    }.toMap
+    val expected = topk.flatMap { case (s, ns) =>
+      ns.map { case (d, rank) =>
+        ((s, d), (rank, if (topk(d).exists(_._1 == s)) 1 else 0))
+      }
+    }
+    assert(out == expected)
+  }
+
+  test("knnGraph LSH face: exact cosines, bounded depth per source") {
+    val sub = embs.filter(col("vec_id") < 60)
+    val approx = SimilarityOps.knnGraph(sub, k = 3, nBits = 2, nTables = 4)
+      .collect()
+    val vecs = sub.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i)
+        bb += b(i).toDouble * b(i); i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (s, d, rank, c) = (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))
+      assert(rank >= 1 && rank <= 3)
+      // reported cosine is the true cosine (rounded 4), never a proxy
+      assert(math.abs(c - cos(vecs(s), vecs(d))) < 5e-4, s"($s,$d)")
+    }
+    assert(approx.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+  }
 }

@@ -416,4 +416,55 @@ class EventStreamSpec extends SparkSpec {
     // offsets are never negative (first event defines the cohort)
     assert(r.filter(col("period_offset") < 0).count() == 0)
   }
+
+  test("gapFill: LOCF grid with per-bucket last observation") {
+    import spark.implicits._
+    // hourly buckets; base epoch 1700000000s → bucket b0 = 472222
+    // u1: two events in b0 (later one wins: 2.50), one in b0+3 (4.00)
+    // u2: a single bucket — grid of size one, no fill
+    val df = Seq(
+      event(1, 0, 1, "a", 1.0), event(2, 2, 1, "a", 2.5),
+      event(3, 185, 1, "a", 4.0), event(4, 65, 2, "a", 9.75)).toDF()
+    val out = EventStreamOps.gapFill(df, periodSeconds = 3600)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getInt(3))))
+      .toMap
+    val b0 = 1700000000L / 3600
+    assert(out == Map(
+      (1L, b0) -> ((250L, 1)), (1L, b0 + 1) -> ((250L, 0)),
+      (1L, b0 + 2) -> ((250L, 0)), (1L, b0 + 3) -> ((400L, 1)),
+      (2L, b0 + 1) -> ((975L, 1))))
+  }
+
+  test("exactQuantiles: type-1 discrete quantile on a hand list") {
+    import spark.implicits._
+    // type "a": cents 100..1000 (n=10) → p500=500, p900=900, p990=1000
+    // type "b": single value → every quantile is it
+    val df = ((1 to 10).map(i =>
+      event(i.toLong, i, 1, "a", i.toDouble)) :+
+      event(11, 1, 2, "b", 42.0)).toDF()
+    val out = EventStreamOps.exactQuantiles(df)
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(out == Map(
+      ("a", 500) -> 500L, ("a", 900) -> 900L, ("a", 990) -> 1000L,
+      ("b", 500) -> 4200L, ("b", 900) -> 4200L, ("b", 990) -> 4200L))
+  }
+
+  test("typeHourRollup: levels reconcile and gid bits are standard") {
+    val ev = readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+    val rows = EventStreamOps.typeHourRollup(ev).collect()
+      .map(r => ((r.getString(0), r.getInt(1), r.getInt(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    val total = rows(("ALL", -1, 3))
+    assert(total._1 == ev.count())
+    // detail rows (gid 0) sum to the grand total on both aggregates
+    val detail = rows.filter(_._1._3 == 0).values
+    assert(detail.map(_._1).sum == total._1)
+    assert(detail.map(_._2).sum == total._2)
+    // per-type rows (gid 1) also reconcile
+    val perType = rows.filter(_._1._3 == 1).values
+    assert(perType.map(_._1).sum == total._1)
+    assert(rows.keySet.map(_._3).subsetOf(Set(0, 1, 3)))
+  }
 }
