@@ -149,6 +149,39 @@ object ScaleProbe {
     time("dedupNormalized")(operators.DedupOps.dedupNormalized(
       operators.DedupOps.withFormattingNoise(docs), idCol = "id")
       .count())
+    time("gapFill")(
+      streaming.EventStreamOps.gapFill(events, periodSeconds = 3600)
+        .count())
+    time("exactQuantiles")(
+      streaming.EventStreamOps.exactQuantiles(events).count())
+    time("sessionPaths")(
+      streaming.EventStreamOps.sessionPaths(events).count())
+    time("intervalJoin") {
+      import spark.implicits._
+      val periods = (0L until 10L).map(i =>
+        (i, 1704067200L + i * 259200L, 1704067200L + i * 259200L + 86400L))
+        .toDF("period_id", "s", "e")
+        .select(col("period_id"),
+          timestamp_seconds(col("s")).as("start_ts"),
+          timestamp_seconds(col("e")).as("end_ts"))
+      streaming.EventStreamOps.intervalJoin(events, periods).count()
+    }
+    time("weightedSample")(operators.CurationOps.weightedSample(
+      docs.withColumn("n_chars", length(col("text"))), n = 1000,
+      weight = expr("1 + least(n_chars div 400, 7)")).count())
+    time("invertedIndex")(operators.TextOps.invertedIndex(docs).count())
+    time("corpusDiff")(operators.CurationOps.corpusDiff(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 5 =!= 0)).count())
+
+    // walk corpus over the full sf0.1 graph (~15k customer starts, 8
+    // steps): the per-step cost is one partitioned join + partial min
+    time("randomWalks") {
+      val g = sources.GraphStore.tpch(spark, "/root/testdata/sf0.1")
+      val starts = g.vertices.filter(col("label") === "customer")
+        .select(col("id"))
+      operators.GraphAlgos.randomWalks(g, starts, length = 8).count()
+    }
 
     val ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val embs = (0 until mult).map { i =>
@@ -178,6 +211,10 @@ object ScaleProbe {
     // are exact twins, so every copy-pair must surface; candidates stay
     // collision-bounded because 16-bit tables keep buckets sparse
     time("embNearDupLsh_t09")(operators.DedupOps.embeddingNearDup(embs, tau = 0.9).count())
+    // kNN graph at probe scale rides the LSH candidate face (the exact
+    // broadcast face is the oracle-gate config, quadratic by design)
+    time("knnGraphLsh")(operators.SimilarityOps.knnGraph(
+      embs, k = 5, nBits = 10, nTables = 4).count())
     // the low-τ coarse-bucket regime (the sf-gate config) and its exact
     // oracle are all-pairs-shaped — only probe them at small multipliers
     if (mult <= 2) {

@@ -1037,6 +1037,47 @@ object SparkEntry {
     // clustering substrate); LSH-bucketed candidates are the scale face
     "embed_knn_graph" -> ((spark, sfDir) =>
       operators.SimilarityOps.knnGraph(embs(spark, sfDir), k = 3)),
+    // deterministic DeepWalk-style walks: salted-md5 argmin neighbor
+    // choice (partial-aggregable — no per-vertex rank window), walks
+    // from every nation-1 customer, 4 undirected steps
+    "graph_walks" -> ((spark, sfDir) => {
+      val g = sources.GraphStore.tpch(spark, sfDir)
+      val starts = g.vertices
+        .filter(col("label") === "customer" && col("nationkey") === 1)
+        .select(col("id"))
+      operators.GraphAlgos.randomWalks(g, starts, length = 4)
+    }),
+    // bucketized interval join: events x synthesized daily promo
+    // periods (every 3rd day) — equi-join on bucket, never a theta join
+    "events_interval_join" -> ((spark, sfDir) => {
+      val spark2 = spark
+      import spark2.implicits._
+      val periods = (0L until 10L).map(i =>
+        (i, 1704067200L + i * 259200L, 1704067200L + i * 259200L + 86400L))
+        .toDF("period_id", "s", "e")
+        .select(col("period_id"),
+          timestamp_seconds(col("s")).as("start_ts"),
+          timestamp_seconds(col("e")).as("end_ts"))
+      streaming.EventStreamOps.intervalJoin(events(spark, sfDir), periods)
+        .groupBy(col("period_id"))
+        .agg(count(lit(1)).as("events"),
+          sum(floor(col("value") * 100).cast("long")).as("cents_sum"))
+    }),
+    // corpus snapshot diff: digest-only full-outer audit of two
+    // deterministic corpus versions
+    "curation_corpus_diff" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val before = d.filter(col("doc_id") % 7 =!= 0)
+      val after = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      operators.CurationOps.corpusDiff(before, after)
+    }),
+    // top-20 session paths: gap sessions, BoundedMinIds path head
+    // (first 5 types), TakeOrderedAndProject cut
+    "events_session_paths" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.sessionPaths(events(spark, sfDir),
+        gapSeconds = 1800, maxLen = 5, k = 20)),
   )
 
   /** Count-min heavy-hitter oracle, shared by the batch gate
@@ -2886,5 +2927,84 @@ object SparkEntry {
          |  CAST(CASE WHEN m.src IS NULL THEN 0 ELSE 1 END AS INTEGER)
          |    AS mutual
          |FROM t LEFT JOIN t m ON m.src = t.dst AND m.dst = t.src""".stripMargin,
+    // salted-md5 argmin walks, unrolled step by step over the
+    // undirected adjacency (min of md5||padded-dst == the engine's
+    // partial-aggregable choice, collision ties included)
+    "graph_walks" -> {
+      def step(k: Int): String =
+        s"""s$k AS (SELECT walk_id, CAST(substr(min(
+           |  md5('walk:' || CAST(walk_id AS VARCHAR) || ':$k:' ||
+           |    CAST(dst AS VARCHAR)) ||
+           |  lpad(CAST(dst AS VARCHAR), 12, '0')), 33) AS BIGINT) AS cur
+           |  FROM s${k - 1} JOIN a ON a.src = s${k - 1}.cur
+           |  GROUP BY walk_id)""".stripMargin
+      s"""WITH a AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT CAST(o_custkey AS BIGINT) AS src,
+         |      CAST(o_orderkey + 1000000000 AS BIGINT) AS dst FROM orders
+         |    UNION ALL
+         |    SELECT CAST(o_orderkey + 1000000000 AS BIGINT),
+         |      CAST(o_custkey AS BIGINT) FROM orders
+         |    UNION ALL
+         |    SELECT CAST(l_orderkey + 1000000000 AS BIGINT),
+         |      CAST(l_partkey + 2000000000 AS BIGINT) FROM lineitem
+         |    UNION ALL
+         |    SELECT CAST(l_partkey + 2000000000 AS BIGINT),
+         |      CAST(l_orderkey + 1000000000 AS BIGINT) FROM lineitem)),
+         |s0 AS (SELECT CAST(c_custkey AS BIGINT) AS walk_id,
+         |  CAST(c_custkey AS BIGINT) AS cur FROM customer
+         |  WHERE c_nationkey = 1),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |${step(4)}
+         |SELECT walk_id, 0 AS step, cur AS vertex FROM s0
+         |UNION ALL SELECT walk_id, 1, cur FROM s1
+         |UNION ALL SELECT walk_id, 2, cur FROM s2
+         |UNION ALL SELECT walk_id, 3, cur FROM s3
+         |UNION ALL SELECT walk_id, 4, cur FROM s4""".stripMargin
+    },
+    // theta semantics replicated directly (the engine's bucket
+    // equi-join must be invisible in the result)
+    "events_interval_join" ->
+      """WITH p AS (SELECT CAST(i AS BIGINT) AS period_id,
+        |  1704067200 + i * 259200 AS s0,
+        |  1704067200 + i * 259200 + 86400 AS e0
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS i)),
+        |ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT p.period_id, count(*) AS events,
+        |  CAST(sum(ev.cents) AS BIGINT) AS cents_sum
+        |FROM p JOIN ev ON ev.sec >= p.s0 AND ev.sec < p.e0
+        |GROUP BY 1""".stripMargin,
+    "curation_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE doc_id % 7 != 0),
+        |b AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)
+        |    AS h
+        |  FROM documents WHERE doc_id % 5 != 0)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.h IS NULL THEN 'added'
+        |       WHEN b.h IS NULL THEN 'removed'
+        |       WHEN a.h = b.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+    "events_session_paths" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_ts FROM events),
+        |s AS (SELECT user_id, event_id, ts, event_type,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |    CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS session_id FROM g),
+        |p AS (SELECT user_id, session_id,
+        |  array_to_string((list(event_type ORDER BY ts, event_id))[1:5],
+        |    '>') AS path
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT path, count(*) AS sessions FROM p
+        |GROUP BY path ORDER BY sessions DESC, path LIMIT 20""".stripMargin,
   )
 }

@@ -435,6 +435,29 @@ object CurationOps {
   }
 
   /**
+   * Corpus snapshot diff — the audit step between two versions of a
+   * dataset (nightly crawl N vs N+1, pre- vs post-curation): per
+   * document id, whether it was `added`, `removed`, `changed`, or
+   * `unchanged`. Both sides collapse to `(id, md5(text))` digests
+   * before the FULL OUTER equi-join, so the shuffle carries 48-byte
+   * rows, never documents; content equality is digest equality (the
+   * same md5-as-fingerprint contract as the dedup ops).
+   * Output: `(doc_id, status)` for every id present in either side.
+   */
+  def corpusDiff(before: DataFrame, after: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val a = before.select(col(idCol), md5(col(textCol)).as("__ha"))
+    val b = after.select(col(idCol), md5(col(textCol)).as("__hb"))
+    a.join(b, Seq(idCol), "full")
+      .select(col(idCol),
+        when(col("__ha").isNull, lit("added"))
+          .when(col("__hb").isNull, lit("removed"))
+          .when(col("__ha") === col("__hb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /**
    * Deterministic WEIGHTED sampling without replacement (integer
    * weights): keep the `n` rows with the largest per-row ticket, where
    * a row of weight `w` draws `w` salted-md5 tickets and keeps its

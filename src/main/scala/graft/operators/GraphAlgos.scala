@@ -374,6 +374,58 @@ object GraphAlgos {
     labels.select(col("id"), col("label").as("community"))
   }
 
+  /**
+   * Deterministic random walks over the undirected graph — the
+   * DeepWalk/node2vec training-corpus generator, with the RNG replaced
+   * by salted md5 so any engine reproduces the walks bit-for-bit: at
+   * step `s`, the walk at vertex `v` moves to the neighbor `d`
+   * minimizing `md5(salt:walk:s:d)` — each neighbor's key is an
+   * independent uniform draw, so the argmin is a uniform choice among
+   * neighbors, re-drawn per step (the exact analogue of seeding a PRNG
+   * per (walk, step)). One walk starts at every row of `starts`
+   * (`walk_id` = the start vertex); a walk that reaches a sink simply
+   * ends (no self-loop padding).
+   *
+   * Scale shape: the adjacency list is built and hash-partitioned on
+   * `src` ONCE ([[labelPropagationSync]]'s move) so each step's join
+   * plans with no exchange on the (big) edge side; the neighbor argmin
+   * is a partial-aggregable `min(string)` — a celebrity vertex's 10⁸
+   * neighbors combine map-side, they never sort in one task (the
+   * reason the choice is hash-argmin, NOT `neighbors[h mod degree]`,
+   * which would need a per-vertex rank window). Each step's frontier
+   * is locally checkpointed (iterative-loop invariant). The md5 key is
+   * suffixed with the zero-padded neighbor id, so even a hash
+   * collision breaks ties identically everywhere.
+   * Output: `(walk_id, step, vertex)`, step 0 = the start.
+   */
+  def randomWalks(g: GraphStore, starts: DataFrame, length: Int,
+                  salt: String = "walk"): DataFrame = {
+    val e0 = g.edges.select(col("src"), col("dst"))
+    val adj = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var frontier = starts.select(col("id").as("walk_id"),
+      col("id").as("vertex")).localCheckpoint(false)
+    var out = frontier.select(col("walk_id"), lit(0).as("step"),
+      col("vertex"))
+    for (s <- 1 to length) {
+      val key = concat(
+        md5(concat_ws(":", lit(salt), col("walk_id"), lit(s), col("dst"))),
+        lpad(col("dst").cast("string"), 12, "0"))
+      frontier = frontier
+        .join(adj, frontier("vertex") === adj("src"))
+        .groupBy(col("walk_id"))
+        .agg(min(key).as("__k"))
+        .select(col("walk_id"),
+          substring(col("__k"), 33, 12).cast("long").as("vertex"))
+        .localCheckpoint()
+      out = out.unionAll(frontier.select(col("walk_id"),
+        lit(s).as("step"), col("vertex")))
+    }
+    out
+  }
+
   /** PageRank to `tol` convergence: `(id, rank)`. */
   def pageRank(g: GraphStore, tol: Double = 1e-4,
                resetProb: Double = 0.15): DataFrame = {

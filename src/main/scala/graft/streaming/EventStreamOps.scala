@@ -426,6 +426,76 @@ object EventStreamOps {
   }
 
   /**
+   * Batch interval join via bucketization — "which events fall inside
+   * which validity periods" (promo windows, experiment arms, incident
+   * ranges) without the nested-loop theta join Spark would otherwise
+   * plan: both sides map onto fixed `bucketSeconds` buckets (an event
+   * has one; a period explodes to the buckets its `[start_ts, end_ts)`
+   * span covers), the join is a plain EQUI-join on bucket id, and the
+   * residual range predicate filters within the bucket. An event meets
+   * a period at most once (its single bucket), so no dedup is needed.
+   * Pick `bucketSeconds` near the typical period length: period
+   * fan-out stays O(1) and each bucket pairs only co-located rows.
+   * Output: the joined event rows annotated with `period_id`.
+   */
+  def intervalJoin(events: DataFrame, periods: DataFrame,
+                   bucketSeconds: Long = 86400): DataFrame = {
+    val ev = events
+      .withColumn("__sec", col("ts").cast("long"))
+      .withColumn("__bucket", expr(s"__sec div ${bucketSeconds}L"))
+    val p = periods
+      .withColumn("__s0", col("start_ts").cast("long"))
+      .withColumn("__e0", col("end_ts").cast("long"))
+      .withColumn("__bucket", explode(sequence(
+        expr(s"__s0 div ${bucketSeconds}L"),
+        expr(s"(__e0 - 1) div ${bucketSeconds}L"))))
+      .select(col("period_id"), col("__s0"), col("__e0"), col("__bucket"))
+    ev.join(p, Seq("__bucket"))
+      .filter(col("__sec") >= col("__s0") && col("__sec") < col("__e0"))
+      .drop("__bucket", "__sec", "__s0", "__e0")
+  }
+
+  /**
+   * Top-`k` session paths — the "what do users actually do" report:
+   * gap-sessionize each user's stream, render each session's first
+   * `maxLen` event types as a `>`-joined path, and count sessions per
+   * path. The path head rides [[graft.functions.BoundedMinIds]]
+   * (sort key = zero-padded (epoch-micros, event_id), payload = the
+   * event type), so a pathological never-idle session contributes a
+   * constant-size buffer per map task — no per-session collect, no
+   * length cap on what the SESSION may contain, only on what the path
+   * renders. The final cut is `TakeOrderedAndProject`.
+   * Output: `(path, sessions)`, ties broken by path string.
+   */
+  def sessionPaths(events: DataFrame, gapSeconds: Long = 1800,
+                   maxLen: Int = 5, k: Int = 20,
+                   keyCol: String = "user_id",
+                   typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(events.sparkSession)
+    val byUser = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("ts").cast("long") - col("__prev").cast("long") > gapSeconds,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("__session", sum(col("__new")).over(byUser).cast("long"))
+    sessions
+      .groupBy(col(keyCol), col("__session"))
+      .agg(graft.functions.VectorExpressions.boundedMinIds(
+        concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0")),
+        col(typeCol), maxLen).as("__head"))
+      .select(array_join(col("__head"), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("sessions"))
+      .orderBy(col("sessions").desc, col("path"))
+      .limit(k)
+  }
+
+  /**
    * Multi-level rollup report over the event log — per (type, hour),
    * per type, and grand-total rows in one pass (`ROLLUP` grouping
    * sets, which Spark plans as a single expand + partial-aggregable

@@ -561,4 +561,33 @@ class GraphAlgosSpec extends SparkSpec {
     // |N(10)∩N(20)| = 2, |N(10)∪N(20)| = 3 → 666‰
     assert(out.toSeq == Seq((10L, 20L, 2L, 666L)))
   }
+
+  test("randomWalks equal a driver-side md5-argmin replica") {
+    import spark.implicits._
+    // star + tail: 1-{2,3,4}, 4-5; undirected — walks can bounce back
+    val v = (1L to 5L).map(id => (id, "n")).toDF("id", "label")
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L))
+      .toDF("src", "dst").withColumn("label", lit("e"))
+    val g = GraphStore(v, e)
+    val starts = Seq(1L, 5L).toDF("id")
+    val out = GraphAlgos.randomWalks(g, starts, length = 3)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L), 3L -> Seq(1L),
+      4L -> Seq(1L, 5L), 5L -> Seq(4L))
+    val expected = Seq(1L, 5L).flatMap { w =>
+      var cur = w
+      (0 to 3).map { s =>
+        if (s > 0) cur = adj(cur).minBy(d =>
+          md5hex(s"walk:$w:$s:$d") + f"$d%012d")
+        ((w, s), cur)
+      }
+    }.toMap
+    assert(out == expected)
+    // every walk emits exactly length+1 steps on a sink-free graph
+    assert(out.keys.groupBy(_._1).values.forall(_.size == 4))
+  }
 }

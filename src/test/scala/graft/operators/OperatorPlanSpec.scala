@@ -353,4 +353,39 @@ class OperatorPlanSpec extends SparkSpec {
     assert(!pm.contains("CartesianProduct") &&
       !pm.contains("BroadcastNestedLoopJoin"), pm.take(1500))
   }
+
+  test("intervalJoin: bucket EQUI-join, never a nested-loop theta join") {
+    import spark.implicits._
+    val ev = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val periods = Seq((1L, 1704067200L, 1704153600L))
+      .toDF("period_id", "s", "e")
+      .select(col("period_id"), timestamp_seconds(col("s")).as("start_ts"),
+        timestamp_seconds(col("e")).as("end_ts"))
+    val p = plan(graft.streaming.EventStreamOps.intervalJoin(ev, periods))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("__bucket"), "bucket id must be the join key")
+  }
+
+  test("sessionPaths: bounded path head + top-k heaps") {
+    val ev = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val p = plan(graft.streaming.EventStreamOps.sessionPaths(ev))
+    // the path head is the bounded aggregate, never collect_list
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!p.contains("collect_list"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("corpusDiff: digest-only full-outer equi-join") {
+    val p = plan(CurationOps.corpusDiff(
+      docs.filter(col("doc_id") % 2 === 0), docs))
+    assert(p.contains("FullOuter"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the shuffle carries digests, not documents
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#")), p.take(1500))
+  }
 }

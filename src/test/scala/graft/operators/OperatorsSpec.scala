@@ -2343,6 +2343,18 @@ class OperatorsSpec extends SparkSpec {
     assert(head1("a") == "1:2" && head1("b") == "1:1")
   }
 
+  test("corpusDiff: all four statuses on a hand fixture") {
+    import spark.implicits._
+    val before = Seq((1L, "same"), (2L, "old"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, "same"), (2L, "new"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.corpusDiff(before, after)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("knnGraph exact face matches naive top-k with mutual flags") {
     val sub = embs.filter(col("vec_id") < 40)
     val out = SimilarityOps.knnGraph(sub, k = 3)

@@ -451,6 +451,42 @@ class EventStreamSpec extends SparkSpec {
       ("b", 500) -> 4200L, ("b", 900) -> 4200L, ("b", 990) -> 4200L))
   }
 
+  test("intervalJoin: half-open boundaries, multi-bucket periods") {
+    import spark.implicits._
+    val base = 1700000000L
+    val ev = Seq(
+      event(1, 0, 1, "a", 1.0),    // sec base+0
+      event(2, 10, 1, "a", 2.0),   // base+600
+      event(3, 30, 1, "a", 3.0),   // base+1800
+      event(4, 60, 1, "a", 4.0))   // base+3600
+      .toDF()
+    // period 1 = [base, base+1800) — event 3 at the end bound excluded;
+    // period 2 = [base+1800, base+3601) — spans many 600 s buckets
+    val periods = Seq((1L, base, base + 1800L),
+      (2L, base + 1800L, base + 3601L)).toDF("period_id", "s", "e")
+      .select(col("period_id"), timestamp_seconds(col("s")).as("start_ts"),
+        timestamp_seconds(col("e")).as("end_ts"))
+    val out = EventStreamOps.intervalJoin(ev, periods, bucketSeconds = 600)
+      .select(col("event_id"), col("period_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)))
+  }
+
+  test("sessionPaths: gap sessions, truncated heads, top-k order") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 session 1: v>c>p ; session 2 (after 31 min gap): v>c>p
+      event(1, 0, 1, "v", 0), event(2, 1, 1, "c", 0), event(3, 2, 1, "p", 0),
+      event(4, 40, 1, "v", 0), event(5, 41, 1, "c", 0), event(6, 42, 1, "p", 0),
+      // u2: 4 events, maxLen=3 truncates to v>v>v
+      event(7, 0, 2, "v", 0), event(8, 1, 2, "v", 0), event(9, 2, 2, "v", 0),
+      event(10, 3, 2, "x", 0)).toDF()
+    val out = EventStreamOps.sessionPaths(ev, gapSeconds = 1800,
+      maxLen = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("v>c>p", 2L), ("v>v>v", 1L)))
+  }
+
   test("typeHourRollup: levels reconcile and gid bits are standard") {
     val ev = readEvents(spark, "/root/testdata/sf0.001/events.parquet")
     val rows = EventStreamOps.typeHourRollup(ev).collect()
