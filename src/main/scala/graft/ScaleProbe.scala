@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
-    // optional 2nd arg: substring filter of op names — run one op in a
-    // fresh session (accumulated caches distort the long-tail timings)
-    val only = args.lift(1)
+    // optional 2nd arg: comma-separated substring filters of op names —
+    // run a targeted subset in a fresh session (accumulated caches
+    // distort the long-tail timings)
+    val only = args.lift(1).map(_.split(",").toSeq)
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.sql.shuffle.partitions","32")
@@ -23,7 +24,7 @@ object ScaleProbe {
     }.reduce(_ unionByName _).repartition(32).cache()
     println(s"docs=${docs.count()} (${mult}x of $n)")
     def time(name: String)(f: => Long): Unit =
-      if (only.forall(name.contains)) {
+      if (only.forall(_.exists(name.contains))) {
         val t0 = System.nanoTime()
         val r = f
         println(f"$name: ${(System.nanoTime()-t0)/1e9}%.1fs rows=$r")
