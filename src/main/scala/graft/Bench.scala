@@ -54,7 +54,10 @@ object Bench {
     "graph_triangles", "graph_kcore", "ann_pq", "text_bpe_encode",
     // round-8 additions
     "dedup_suffix", "graph_lpa_sync", "ann_recall_pq",
-    "events_stream_throttled")
+    "events_stream_throttled",
+    // round-9 additions: the structurally-heavy continuation operators
+    "dedup_edit_distance", "graph_walks", "embed_knn_graph",
+    "events_gapfill")
 
   /** Cross-family JIT warmup set (run at the small warmup sf, never at
     * the benched sf): one gate per shared-infra family. */

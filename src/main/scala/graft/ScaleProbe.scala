@@ -216,6 +216,11 @@ object ScaleProbe {
     // broadcast face is the oracle-gate config, quadratic by design)
     time("knnGraphLsh")(operators.SimilarityOps.knnGraph(
       embs, k = 5, nBits = 10, nTables = 4).count())
+    time("knnClustersLsh")(operators.SimilarityOps.knnClusters(
+      embs, k = 5, tau = 0.3, nBits = 10, nTables = 4).count())
+    time("prototypeOutliers")(operators.SimilarityOps.prototypeOutliers(
+      embs.withColumn("label", (col("vec_id") % 16).cast("int")))
+      .count())
     // the low-τ coarse-bucket regime (the sf-gate config) and its exact
     // oracle are all-pairs-shaped — only probe them at small multipliers
     if (mult <= 2) {

@@ -1078,6 +1078,16 @@ object SparkEntry {
     "events_session_paths" -> ((spark, sfDir) =>
       streaming.EventStreamOps.sessionPaths(events(spark, sfDir),
         gapSeconds = 1800, maxLen = 5, k = 20)),
+    // prototype-distance outliers: integer-exact cos<τ test against
+    // the floor-mean micro-unit centroid (DECIMAL38 == HUGEINT)
+    "embed_prototype_outliers" -> ((spark, sfDir) =>
+      operators.SimilarityOps.prototypeOutliers(embs(spark, sfDir),
+        tauPm = 100)),
+    // mutual-kNN-graph clustering: raw-cosine-filtered mutual edges
+    // closed into components, min-id canonical per cluster
+    "embed_knn_clusters" -> ((spark, sfDir) =>
+      operators.SimilarityOps.knnClusters(embs(spark, sfDir),
+        k = 3, tau = 0.35)),
   )
 
   /** Count-min heavy-hitter oracle, shared by the batch gate
@@ -3006,5 +3016,54 @@ object SparkEntry {
         |  FROM s GROUP BY user_id, session_id)
         |SELECT path, count(*) AS sessions FROM p
         |GROUP BY path ORDER BY sessions DESC, path LIMIT 20""".stripMargin,
+    // integer-exact prototype outliers: micro-unit quantization, floor-
+    // mean centroid, dot²·10⁶ < τ²·|x|²·|m|² in HUGEINT (== DECIMAL38)
+    "embed_prototype_outliers" ->
+      """WITH q AS (SELECT vec_id, label,
+        |  [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |    for i in range(1, 65)] AS qx FROM embeddings),
+        |c AS (SELECT label, i AS dim,
+        |  CAST(sum(qx[i]) AS BIGINT) // count(*) AS m
+        |  FROM q, (SELECT unnest(generate_series(1, 64)) AS i)
+        |  GROUP BY label, i),
+        |cv AS (SELECT label, list(m ORDER BY dim) AS mv FROM c
+        |  GROUP BY label),
+        |s AS (SELECT vec_id, q.label,
+        |  CAST(list_sum([qx[i] * mv[i] for i in range(1, 65)])
+        |    AS BIGINT) AS dot_q,
+        |  CAST(list_sum([qx[i] * qx[i] for i in range(1, 65)])
+        |    AS BIGINT) AS nx,
+        |  CAST(list_sum([mv[i] * mv[i] for i in range(1, 65)])
+        |    AS BIGINT) AS nm
+        | FROM q JOIN cv ON cv.label = q.label)
+        |SELECT vec_id, label, dot_q FROM s
+        |WHERE dot_q < 0 OR
+        |  CAST(dot_q AS HUGEINT) * dot_q * 1000000 <
+        |  10000 * CAST(nx AS HUGEINT) * nm""".stripMargin,
+    // mutual-kNN clustering: top-3 edges, mutual + raw cos >= 0.35,
+    // recursive-CTE components, min-id canonical; every vector reported
+    "embed_knn_clusters" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |  ${sqlDot("a", "a")} AS aa, ${sqlDot("b", "b")} AS bb,
+         |  ${sqlDot("a", "b")} AS ab
+         | FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id),
+         |rk AS (SELECT src, dst, ab/(sqrt(aa)*sqrt(bb)) AS cos,
+         |  row_number() OVER (PARTITION BY src
+         |    ORDER BY ab/(sqrt(aa)*sqrt(bb)) DESC, dst) AS rank FROM d),
+         |t AS MATERIALIZED (SELECT src, dst, cos FROM rk
+         |  WHERE rank <= 3),
+         |mu AS (SELECT t.src AS u, t.dst AS v FROM t
+         |  JOIN t m ON m.src = t.dst AND m.dst = t.src
+         |  WHERE t.cos >= 0.35 AND t.src < t.dst),
+         |und AS (SELECT u, v FROM mu UNION SELECT v, u FROM mu),
+         |verts AS (SELECT DISTINCT u AS id FROM und),
+         |reach(id, r2) AS (SELECT id, id FROM verts
+         |  UNION SELECT e2.v, rr.r2 FROM reach rr
+         |    JOIN und e2 ON e2.u = rr.id),
+         |comp AS (SELECT id, min(r2) AS component FROM reach GROUP BY id)
+         |SELECT e.vec_id,
+         |  CAST(coalesce(comp.component, e.vec_id) AS BIGINT) AS cluster
+         |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id""".stripMargin,
   )
 }

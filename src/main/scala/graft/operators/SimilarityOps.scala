@@ -116,7 +116,17 @@ object SimilarityOps {
    */
   def knnGraph(df: DataFrame, k: Int = 5, nBits: Int = 0,
                nTables: Int = 4, dim: Int = 64, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding"): DataFrame =
+    knnEdges(df, k, nBits, nTables, dim, idCol, vecCol)
+      .select(col("src"), col("dst"), col("rank"),
+        round(col("__cos"), 4).as("cosine"), col("mutual"))
+
+  /** [[knnGraph]]'s edge set with the RAW cosine (`__cos`) — shared
+    * with [[knnClusters]], whose threshold must never see the display
+    * rounding. */
+  private def knnEdges(df: DataFrame, k: Int, nBits: Int, nTables: Int,
+                       dim: Int, idCol: String,
+                       vecCol: String): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     val topk = knnCandidates(df, nBits, nTables, dim, idCol, vecCol)
       .filter(col("src") =!= col("dst"))
@@ -130,8 +140,7 @@ object SimilarityOps {
     val rev = topk.select(col("dst").as("src"), col("src").as("dst"),
       lit(1).as("__m"))
     topk.join(rev, Seq("src", "dst"), "left")
-      .select(col("src"), col("dst"), col("rank"),
-        round(col("__cos"), 4).as("cosine"),
+      .select(col("src"), col("dst"), col("rank"), col("__cos"),
         coalesce(col("__m"), lit(0)).as("mutual"))
   }
 
@@ -775,6 +784,92 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"), sum(col("__q")).as("sum_q"))
       .select(col("label"), col("dim"), col("n"), col("sum_q"),
         round(col("sum_q").cast(DoubleType) / col("n"), 6).as("mean_r"))
+
+  /**
+   * Prototype-distance outlier detection — the embedding-space quality
+   * filter (SSL-prototype / nearest-class-mean pruning): flag every
+   * vector whose cosine to its own label's centroid falls below
+   * `tauPm/1000`, evaluated in EXACT integer arithmetic so the
+   * boundary is engine-identical. Vectors quantize to micro-units
+   * (`⌊x·10⁶⌋`, bit-exact in any engine); the prototype is the
+   * FLOOR-mean in micro-units (`Σ⌊x·10⁶⌋ div n` per dim — bounded by
+   * 10⁶ regardless of n, so products never overflow); and
+   * `cos < τ` becomes `dot < 0 OR dot²·10⁶ < τ²·|x|²·|m|²` with the
+   * squares carried as DECIMAL(38,0) (== DuckDB HUGEINT, both exact —
+   * the [[graft.streaming.EventStreamOps.anomalies]] pattern). No
+   * float, no sqrt, no accumulation-order sensitivity.
+   *
+   * Scale shape: centroids ride [[labelCentroids]]' labels·dim-bounded
+   * partial aggregation, collect into a labels-sized broadcast model
+   * table, and the verdict is a narrow map over one broadcast
+   * equi-join — no window, no shuffle on the corpus side. Output:
+   * the flagged rows `(idCol, label, dot_q)` (`dot_q` = the exact
+   * integer dot in micro-unit² scale).
+   */
+  def prototypeOutliers(df: DataFrame, tauPm: Int = 100,
+                        labelCol: String = "label",
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val dArr = org.apache.spark.sql.types.ArrayType(DoubleType)
+    // micro-unit components as DOUBLES: every value the chain produces
+    // (components ≤ 2²⁰, products ≤ 2⁴⁰, 64-term sums ≤ 2⁴⁶) is an
+    // integer below 2⁵³, so the codegen'd double dot kernel is EXACT —
+    // the int64 semantics at native-scan speed (the HOF fold
+    // formulation interprets its lambda per element, ~5× slower)
+    val qx = transform(col(vecCol),
+      x => floor(x.cast(DoubleType) * 1000000d)).cast(dArr)
+    val cents = labelCentroids(df, labelCol, vecCol)
+      .select(col("label"), col("dim"), expr("sum_q div n").as("m"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("m"))))
+        .as("__s"))
+      .select(col("label"), expr("transform(__s, p -> p.m)")
+        .cast(dArr).as("__mv"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def d(c: Column): Column = c.cast(dec)
+    df.select(col(idCol), col(labelCol).as("label"), qx.as("__qx"))
+      .join(broadcast(cents), "label")
+      .withColumn("dot_q", dot(col("__qx"), col("__mv")).cast("long"))
+      .withColumn("__nx", dot(col("__qx"), col("__qx")).cast("long"))
+      .withColumn("__nm", dot(col("__mv"), col("__mv")).cast("long"))
+      .filter(col("dot_q") < 0 ||
+        d(col("dot_q")) * col("dot_q") * lit(1000000L) <
+          lit(tauPm.toLong * tauPm) * d(col("__nx")) * col("__nm"))
+      .select(col(idCol), col("label"), col("dot_q"))
+  }
+
+  /**
+   * Semantic clustering over the mutual-kNN graph — [[knnGraph]]'s
+   * edges filtered to mutual pairs with RAW cosine ≥ `tau` (the float
+   * invariant: the threshold never sees the display rounding), closed
+   * into connected components; every input vector gets its cluster's
+   * canonical (minimum) member id, singletons themselves. This is the
+   * kNN-graph community step semantic-dedup and topic-discovery
+   * pipelines run after [[knnGraph]]; `nBits > 0` swaps in the
+   * LSH-bucketed candidate face at corpus scale.
+   * Output: `(idCol, cluster)` for EVERY input row.
+   */
+  def knnClusters(df: DataFrame, k: Int = 3, tau: Double = 0.35,
+                  nBits: Int = 0, nTables: Int = 4, dim: Int = 64,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val e = knnEdges(df, k, nBits, nTables, dim, idCol, vecCol)
+      .filter(col("mutual") === 1 && col("__cos") >= tau &&
+        col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct()
+      .withColumn("label", lit("vec"))
+    val edges = e.withColumn("label", lit("knn"))
+    val cc = GraphAlgos.connectedComponents(
+      graft.sources.GraphStore(verts, edges))
+      .withColumnRenamed("id", "__ccid")
+    df.select(col(idCol))
+      .join(cc, col(idCol) === col("__ccid"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"))
+  }
 
   /** `127 / max|xᵢ|` (0 for the zero vector), accumulated exactly. */
   def quantScale(vec: Column): Column = {

@@ -354,6 +354,19 @@ class OperatorPlanSpec extends SparkSpec {
       !pm.contains("BroadcastNestedLoopJoin"), pm.take(1500))
   }
 
+  test("prototypeOutliers: broadcast centroid model, no window") {
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(SimilarityOps.prototypeOutliers(embs))
+    // labels·dim partials for the centroid, labels-sized broadcast
+    // model joined back, verdict in a narrow filter
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
   test("intervalJoin: bucket EQUI-join, never a nested-loop theta join") {
     import spark.implicits._
     val ev = graft.streaming.EventStreamOps.readEvents(

@@ -2355,6 +2355,64 @@ class OperatorsSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("prototypeOutliers: hand-checked integer boundary, monotone in tau") {
+    import spark.implicits._
+    // label 0 micro-quantized: (1e6,0), (8e5,6e5), (-1e6,0)
+    // floor-mean centroid m = (266666, 200000);
+    // cos(v1,m)=0.8, cos(v2,m)≈1.0, v3 has dot<0 → only v3 at τ=0.1
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.8f, 0.6f), 0),
+      (3L, Seq(-1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val flagged = SimilarityOps.prototypeOutliers(df, tauPm = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(3L))
+    // τ=900 (cos<0.9) additionally catches v1 (cos 0.8), not v2
+    val flagged2 = SimilarityOps.prototypeOutliers(df, tauPm = 900)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged2 == Set(1L, 3L))
+    // flagged sets are monotone in tau on the real corpus
+    val a = SimilarityOps.prototypeOutliers(embs, tauPm = 50)
+      .collect().map(_.getLong(0)).toSet
+    val b = SimilarityOps.prototypeOutliers(embs, tauPm = 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(b))
+  }
+
+  test("knnClusters equal a driver union-find over mutual tau-edges") {
+    val sub = embs.filter(col("vec_id") < 60)
+    val out = SimilarityOps.knnClusters(sub, k = 3, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val vecs = sub.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i)
+        bb += b(i).toDouble * b(i); i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val topk = vecs.keys.map { s =>
+      s -> vecs.keys.filter(_ != s).toSeq
+        .map(d => (d, cos(vecs(s), vecs(d))))
+        .sortBy { case (d, c) => (-c, d) }.take(3)
+    }.toMap
+    val mutual = topk.toSeq.flatMap { case (s, ns) =>
+      ns.collect { case (d, c)
+        if c >= 0.3 && topk(d).exists(_._1 == s) && s < d => (s, d) }
+    }
+    val parent = scala.collection.mutable.Map(vecs.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    mutual.foreach { case (a2, b2) =>
+      val (ra, rb) = (find(a2), find(b2))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = vecs.keys.map(k => k -> find(k)).toMap
+    assert(out == expected)
+  }
+
   test("knnGraph exact face matches naive top-k with mutual flags") {
     val sub = embs.filter(col("vec_id") < 40)
     val out = SimilarityOps.knnGraph(sub, k = 3)
