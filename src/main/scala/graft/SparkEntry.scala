@@ -1088,6 +1088,11 @@ object SparkEntry {
     "embed_knn_clusters" -> ((spark, sfDir) =>
       operators.SimilarityOps.knnClusters(embs(spark, sfDir),
         k = 3, tau = 0.35)),
+    // deterministic KMV bottom-k distinct sketch per source: the
+    // engine-portable approx_count_distinct — md5 bottom-k hashes,
+    // (k-1)*2^32 div h_k, the ESTIMATE itself oracle-exact
+    "curation_kmv_distinct" -> ((spark, sfDir) =>
+      operators.CurationOps.kmvDistinct(docs(spark, sfDir), k = 64)),
   )
 
   /** Count-min heavy-hitter oracle, shared by the batch gate
@@ -3065,5 +3070,26 @@ object SparkEntry {
          |SELECT e.vec_id,
          |  CAST(coalesce(comp.component, e.vec_id) AS BIGINT) AS cluster
          |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id""".stripMargin,
+    // KMV bottom-k distinct sketch: k=64 smallest distinct 32-bit
+    // md5-prefix hashes per source; estimate = 63*2^32 // h_64 (one
+    // floor division over exact integers — both engines agree); a
+    // group with < 64 distinct hashes reports the sketch size itself
+    "curation_kmv_distinct" ->
+      """WITH hx AS (SELECT DISTINCT source, substr(md5(text), 1, 8)
+        |  AS hx FROM documents),
+        |r AS (SELECT source, CAST('0x' || hx AS BIGINT) AS hv,
+        |  row_number() OVER (PARTITION BY source ORDER BY hx) AS rn
+        |  FROM hx),
+        |a AS (SELECT source, count(*) AS nh,
+        |  max(CASE WHEN rn = 64 THEN hv END) AS kth
+        |  FROM r WHERE rn <= 64 GROUP BY source),
+        |base AS (SELECT source, count(*) AS docs,
+        |  count(DISTINCT text) AS exact_distinct
+        |  FROM documents GROUP BY source)
+        |SELECT b.source, CAST(b.docs AS BIGINT) AS docs,
+        |  CAST(b.exact_distinct AS BIGINT) AS exact_distinct,
+        |  CAST(CASE WHEN a.nh < 64 THEN a.nh
+        |    ELSE 270582939648 // a.kth END AS BIGINT) AS kmv_est
+        |FROM base b JOIN a ON a.source = b.source""".stripMargin,
   )
 }

@@ -1012,6 +1012,52 @@ object CurationOps {
   }
 
   /**
+   * Deterministic KMV (k-minimum-values) distinct sketch per group —
+   * the engine-portable face of [[approxSourceProfile]]'s
+   * `approx_count_distinct`: where HLL is engine-seeded and
+   * unverifiable across engines, KMV's whole chain is md5-based and
+   * integer-exact, so the ESTIMATE itself is oracle-checkable. Each
+   * group keeps its `k` smallest distinct 32-bit text-hash values
+   * (Bar-Yossef et al.'s bottom-k estimator); with `h_k` the k-th
+   * smallest hash, the distinct count estimates as
+   * `(k-1)·2^32 div h_k` — exact integers until ONE final floor
+   * division (the single-division rule). Groups with fewer than `k`
+   * distinct hashes report the sketch size itself (exact by
+   * construction).
+   *
+   * Scale shape: [[graft.functions.BoundedMinIds]] IS the bottom-k
+   * structure — its TreeSet dedups equal hashes, so the sketch runs
+   * straight over raw rows with NO distinct pre-shuffle: each map
+   * task holds ≤k hashes per group, the shuffle carries ≤k entries
+   * per (partition, group), constant state at any corpus size. The
+   * `exact_distinct` column is the gate's verification harness (cheap
+   * at gate scale); production reads the estimate alone.
+   * Output: `(group, docs, exact_distinct, kmv_est)`.
+   */
+  def kmvDistinct(df: DataFrame, k: Int = 64, groupCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    // fixed-width lowercase hex: lexicographic order == numeric order,
+    // so the string-keyed bounded-min aggregate keeps the numerically
+    // smallest hashes; the value travels as an unsigned 32-bit half
+    // (the cross-engine hash invariant — never signed 64-bit)
+    val hx = substring(md5(col(textCol)), 1, 8)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col(textCol)).as("exact_distinct"),
+        graft.functions.VectorExpressions.boundedMinIds(hx, hx, k)
+          .as("__kmv"))
+      .select(col(groupCol), col("docs"), col("exact_distinct"),
+        // the k-th smallest of >= k distinct nonnegative integers is
+        // >= k-1 > 0, so the division is always defined
+        when(size(col("__kmv")) < k, size(col("__kmv")).cast(LongType))
+          .otherwise(expr(s"${(k - 1).toLong * 4294967296L}L div " +
+            s"cast(conv(element_at(__kmv, $k), 16, 10) as bigint)"))
+          .as("kmv_est"))
+  }
+
+  /**
    * Boilerplate-token pruning: drop every token whose document
    * frequency exceeds `maxDfRatio` of the corpus (ubiquitous
    * template/stopword tokens carry no signal and bloat shingle sets),

@@ -1696,6 +1696,34 @@ class OperatorsSpec extends SparkSpec {
     assert(top == trueTop)
   }
 
+  test("kmvDistinct equals a driver-side bottom-k replica; exact under k") {
+    import spark.implicits._
+    // 500 distinct texts (each duplicated) in one group, 10 in another:
+    // the big group estimates, the small one is exact by construction
+    val rows = ((0 until 500).flatMap(i => Seq(("big", s"doc number $i"),
+      ("big", s"doc number $i"))) ++
+      (0 until 10).map(i => ("small", s"tiny $i")))
+      .toDF("source", "text")
+    val out = CurationOps.kmvDistinct(rows, k = 64).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("small") == ((10L, 10L, 10L)))
+    assert(out("big")._1 == 1000L && out("big")._2 == 500L)
+    // driver replica: bottom-64 distinct 32-bit md5-prefix hashes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = (0 until 500).map { i =>
+      val d = md.digest(s"doc number $i".getBytes("UTF-8"))
+      md.reset()
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }.distinct.sorted
+    val expect = 63L * 4294967296L / hashes(63)
+    assert(out("big")._3 == expect)
+    // bottom-k error bound: rsd ~ 1/sqrt(k-2) ~ 13% — allow 3 sigma
+    assert(math.abs(out("big")._3 - 500L) <= 200,
+      s"kmv estimate ${out("big")._3} implausibly far from 500")
+  }
+
   test("dHash matches a driver-side model and the header dims") {
     val media = MultimodalOps.withPngPayload(docs.limit(100))
     val out = MultimodalOps.dHash(media).collect()
