@@ -1093,6 +1093,43 @@ object SparkEntry {
     // (k-1)*2^32 div h_k, the ESTIMATE itself oracle-exact
     "curation_kmv_distinct" -> ((spark, sfDir) =>
       operators.CurationOps.kmvDistinct(docs(spark, sfDir), k = 64)),
+    // z-order clustered write + zone-map-pruned range scan: the rows
+    // the pruned read returns must be EXACTLY the z-band a full scan
+    // computes (zone maps are admissible) — the whole Morton chain is
+    // int64 bit math the oracle mirrors; the spec pins that the scan
+    // actually skipped files
+    "source_zorder_prune" -> ((spark, sfDir) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      sources.Layout.zorderWrite(docs(spark, sfDir), dir,
+        xCol = length(col("text")), yCol = col("doc_id") % 65536,
+        nFiles = 8)
+      val stats = sources.Layout.fileStats(spark, dir).localCheckpoint()
+      val b = stats.agg(min(col("zmin")), max(col("zmax"))).collect().head
+      val (zmin, zmax) = (b.getLong(0), b.getLong(1))
+      // the first eighth of the z range — integer hi, oracle-mirrored
+      sources.Layout.prunedRead(spark, dir, stats,
+        zmin, zmin + (zmax - zmin) / 8)
+        .select(col("doc_id"), col("zval"))
+    }),
+    // small-file compaction: 24 over-parallel parts bin-packed into
+    // <=4 shards; the checksum aggregates must survive row-identically
+    // (the source_orc oracle verbatim)
+    "source_compact" -> ((spark, sfDir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      docs(spark, sfDir).repartition(24)
+        .write.mode("overwrite").parquet(s"$base/in")
+      sources.Layout.compactShards(spark, s"$base/in", s"$base/out",
+        targetBytes = 512L * 1024, maxBins = 4)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(expr(
+            "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+            .as("text_h"))
+    }),
   )
 
   /** Count-min heavy-hitter oracle, shared by the batch gate
@@ -3091,5 +3128,25 @@ object SparkEntry {
         |  CAST(CASE WHEN a.nh < 64 THEN a.nh
         |    ELSE 270582939648 // a.kth END AS BIGINT) AS kmv_est
         |FROM base b JOIN a ON a.source = b.source""".stripMargin,
+    // Morton-band scan: the pruned read must return exactly the first
+    // eighth of the z range ((t*8 <= D) == (t <= D/8) on integers);
+    // the spread cascade mirrors Layout.zValue step for step
+    "source_zorder_prune" ->
+      s"""WITH src AS (SELECT doc_id,
+         |  least(greatest(CAST(length(text) AS BIGINT), 0), 65535) AS x,
+         |  doc_id % 65536 AS y FROM documents),
+         |${sources.Layout.zValueSqlCtes("src", "doc_id")},
+         |b AS (SELECT min(zval) AS zmin, max(zval) AS zmax FROM zv)
+         |SELECT zv.doc_id, CAST(zv.zval AS BIGINT) AS zval
+         |FROM zv, b
+         |WHERE (zv.zval - b.zmin) * 8 <= (b.zmax - b.zmin)""".stripMargin,
+    // compaction is row-identical: the source_orc checksum aggregates
+    "source_compact" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS text_h
+        |FROM documents GROUP BY source""".stripMargin,
   )
 }

@@ -2319,6 +2319,71 @@ class OperatorsSpec extends SparkSpec {
     assert(docs.exceptAll(back).count() == 0)
   }
 
+  test("zValue equals a driver-side bit-by-bit Morton replica; clamps") {
+    import spark.implicits._
+    def morton(x: Long, y: Long): Long = {
+      val cx = math.min(math.max(x, 0L), 65535L)
+      val cy = math.min(math.max(y, 0L), 65535L)
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | ((cx >> i & 1L) << (2 * i)) | ((cy >> i & 1L) << (2 * i + 1))
+      }
+    }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (70000L, -5L), (255L, 256L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.sources.Layout.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == morton(x, y), s"morton($x,$y)")
+    }
+  }
+
+  test("zone-map pruned scan == full scan + filter, and skips files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    graft.sources.Layout.zorderWrite(docs, dir,
+      xCol = length(col("text")), yCol = col("doc_id") % 65536, nFiles = 8)
+    val stats = graft.sources.Layout.fileStats(spark, dir)
+      .localCheckpoint()
+    val nFiles = stats.count()
+    assert(nFiles > 1, "fixture must produce multiple files")
+    val b = stats.agg(min(col("zmin")), max(col("zmax"))).collect().head
+    val (zmin, zmax) = (b.getLong(0), b.getLong(1))
+    val hi = zmin + (zmax - zmin) / 8
+    // admissible AND tight: same rows as the full scan, fewer files
+    val pruned = graft.sources.Layout.prunedRead(spark, dir, stats,
+      zmin, hi)
+    val full = spark.read.parquet(dir)
+      .filter(col("zval") >= zmin && col("zval") <= hi)
+    assert(pruned.exceptAll(full).count() == 0)
+    assert(full.exceptAll(pruned).count() == 0)
+    val touched = graft.sources.Layout.pruneFiles(stats, zmin, hi).size
+    assert(touched < nFiles,
+      s"an eighth of a range-partitioned z curve must skip files " +
+        s"($touched of $nFiles touched)")
+    // empty band degenerates cleanly
+    assert(graft.sources.Layout
+      .prunedRead(spark, dir, stats, zmax + 1, zmax + 2).count() == 0)
+  }
+
+  test("compactShards is row-identical and actually shrinks file count") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+    docs.repartition(24).write.mode("overwrite").parquet(s"$base/in")
+    def parts(d: String): Seq[String] = new java.io.File(d).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSeq
+    val nIn = parts(s"$base/in").size
+    assert(nIn > 4)
+    val back = graft.sources.Layout.compactShards(spark, s"$base/in",
+      s"$base/out", targetBytes = 512L * 1024, maxBins = 4)
+    assert(back.exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(back).count() == 0)
+    val nOut = parts(s"$base/out").size
+    assert(nOut <= 4 && nOut < nIn, s"$nIn -> $nOut files")
+  }
+
   test("weightedSample equals driver-side A-ES max-ticket selection") {
     import spark.implicits._
     val rows = (1L to 40L).map(id => (id, id % 5)).toDF("doc_id", "wt")
