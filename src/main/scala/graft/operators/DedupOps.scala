@@ -405,6 +405,101 @@ object DedupOps {
     verifyPairs(candidates, docs, tau)
   }
 
+  /**
+   * EXACT asymmetric token-set CONTAINMENT join: emit `(a, b)` when
+   * `|A∩B| / |A| ≥ τ` — doc `a`'s vocabulary (near-)inside doc `b`'s.
+   * [[tokenJaccard]]'s symmetric cousin catches same-size twins; this
+   * catches the quote/subset shapes Jaccard is blind to (a tweet
+   * quoted in an article, a paragraph lifted into a larger page, a
+   * doc re-issued with a long appendix), where the size imbalance
+   * drives Jaccard to ~|A|/|B| no matter how completely `a` is copied.
+   *
+   * Prefix filter, containment form: `|A∩B| ≥ o := ⌈τ·|A|⌉` forces the
+   * FIRST shared token (global (df, token) order) to sit within A's
+   * first `|A|−o+1` tokens — so only A-side prefixes join, but they
+   * join against B's FULL posting lists (containment has no size band:
+   * B may be arbitrarily large). The PPJoin position bound still
+   * applies on both ranks and stays lossless for the same
+   * first-shared-token reason. Verification recomputes the exact
+   * intersection on the full sets and thresholds on INTEGERS
+   * (`o·denom ≥ num·|A|`); the reported fraction is one final division.
+   *
+   * Skew: the container side carries full posting lists, so the hot
+   * keys live there — its lists are chunked by id order and each
+   * probe-side row fans out over the container's chunks (join key
+   * `(token, chunk)`, pairs-per-task ≤ probe-rows·chunk; duplication
+   * = ⌈f_b/chunk⌉ per probe row, sublinear in the pair mass it
+   * spreads). Probe-side lists are RAREST-token prefixes and stay
+   * small by construction.
+   */
+  def containmentPairs(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       tau: Double = 0.9): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val (num, denom) = rational(tau)
+    val docs = df.select(col(idCol).as("__id"),
+      array_distinct(split(trim(col(textCol)), " ")).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+
+    val tokenDf = docs.select(col("__id"), explode(col("__sh")).as("__tok"))
+    // feeds the size join AND the chunk fan-out — checkpoint so the
+    // corpus explode + aggregate runs once (self-joined-intermediate
+    // invariant)
+    val freq = tokenDf.groupBy("__tok").agg(count(lit(1)).as("__df"))
+      .localCheckpoint(false)
+    val perDoc = Window.partitionBy("__id")
+    val withSize = tokenDf.join(freq, "__tok")
+      .withColumn("__rank", row_number().over(
+        perDoc.orderBy(col("__df"), col("__tok"))))
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      // both join sides below read this projection — one computation
+      .localCheckpoint(false)
+    // o = ceil(tau*n) on integers; prefix = n - o + 1 first tokens
+    val oA = -floor(-(lit(num) * col("__n")) / denom)
+    val probe = withSize
+      .filter(col("__rank") <= col("__n") - oA + 1)
+      .select(col("__tok"), col("__id").as("id_a"),
+        col("__n").as("__na"), col("__rank").as("__pa"))
+    val byTok = Window.partitionBy("__tok")
+    val chunk = 512
+    val container = withSize
+      .withColumn("__c", ((row_number().over(byTok.orderBy("__id")) - 1)
+        / chunk).cast("int"))
+    // chunks per token = ceil(df/chunk); freq already carries df, so
+    // the fan-out join needs no second per-token window
+    val chunkCounts = freq.select(col("__tok"),
+      ceil(col("__df") / lit(chunk.toDouble)).cast("int").as("__m"))
+    val probeFanned = probe.join(chunkCounts, "__tok")
+      .select(col("__tok"), col("id_a"), col("__na"), col("__pa"),
+        explode(sequence(lit(0), col("__m") - 1)).as("__c"))
+    val candidates = probeFanned
+      .join(container.select(col("__tok"), col("__c"),
+        col("__id").as("id_b"), col("__n").as("__nb"),
+        col("__rank").as("__pb")), Seq("__tok", "__c"))
+      .filter(col("id_a") =!= col("id_b") &&
+        // position bound: the first shared token leaves at least
+        // min(|A|-pa, |B|-pb)+1 possible overlap, which must reach o
+        (least(col("__na") - col("__pa"), col("__nb") - col("__pb")) + 1) *
+          denom >= lit(num) * col("__na"))
+      .select("id_a", "id_b").distinct()
+
+    val da = docs.select(col("__id").as("id_a"), col("__sh").as("__sha"))
+    val db = docs.select(col("__id").as("id_b"), col("__sh").as("__shb"))
+    candidates.join(da, "id_a").join(db, "id_b")
+      .withColumn("__o", graft.functions.VectorExpressions
+        .setIntersectSize(col("__sha"), col("__shb")))
+      // integer-exact threshold; the fraction is ONE final division
+      .filter(col("__o") * denom >= lit(num) * size(col("__sha")))
+      .select(col("id_a"), col("id_b"),
+        round(col("__o").cast(DoubleType) / size(col("__sha")), 4)
+          .as("containment"))
+  }
+
+  /** `tau` as an exact small rational (per-mille is plenty for a
+    * similarity threshold and keeps every comparison in int64). */
+  private def rational(tau: Double): (Int, Int) =
+    (math.round(tau * 1000).toInt, 1000)
+
   /** 64-bit SimHash of the token multiset: per bit, the sign of the
     * weighted vote of token-hash bits — native Catalyst expression
     * (64 interpreted HOF aggregates per doc otherwise). */

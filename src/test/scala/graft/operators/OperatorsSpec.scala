@@ -344,6 +344,40 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("containmentPairs equals brute force and is one-directional") {
+    import spark.implicits._
+    // planted subset shapes: 3 ⊂ 1 exactly, 4 near-contained in 1
+    // (4/5 tokens), 5 disjoint; 1 is NOT contained in 3 (asymmetry)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "lambda mu nu xi omicron"),
+      (3L, "alpha beta gamma"),
+      (4L, "alpha beta gamma delta pi"),
+      (5L, "rho sigma tau")).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(corpus, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet == Set((3L, 1L), (3L, 4L), (4L, 1L)))
+    assert(got((3L, 1L)) == 1.0 && got((3L, 4L)) == 1.0)
+    assert(got((4L, 1L)) == 0.8)
+    // brute force over the real fixture corpus, incl. the boundary
+    // integer threshold (o*1000 >= 900*|A|)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(split(trim(col("text")), " ")).as("sh"))
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+    val brute = a.join(b, col("id_a") =!= col("id_b"))
+      .withColumn("o", graft.functions.VectorExpressions
+        .setIntersectSize(col("sa"), col("sb")))
+      .filter(col("o") * 1000 >= lit(900) * size(col("sa")))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val real = DedupOps.containmentPairs(docs, tau = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(real == brute)
+  }
+
   test("simhash blocking is lossless for hamming <= maxDist") {
     val sample = docs.limit(120).cache()
     val sigs = sample.select(col("doc_id").as("id"),
