@@ -1093,6 +1093,11 @@ object SparkEntry {
     "embed_knn_clusters" -> ((spark, sfDir) =>
       operators.SimilarityOps.knnClusters(embs(spark, sfDir),
         k = 3, tau = 0.35)),
+    // per-user inter-arrival gap stats (bot signal): bucketed partials
+    // + calendar-bounded boundary chain — never a user-history window;
+    // all int64 micros, mean is one floor division
+    "events_interarrival" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.interArrival(events(spark, sfDir))),
     // deterministic KMV bottom-k distinct sketch per source: the
     // engine-portable approx_count_distinct — md5 bottom-k hashes,
     // (k-1)*2^32 div h_k, the ESTIMATE itself oracle-exact
@@ -3124,6 +3129,22 @@ object SparkEntry {
          |SELECT e.vec_id,
          |  CAST(coalesce(comp.component, e.vec_id) AS BIGINT) AS cluster
          |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id""".stripMargin,
+    // single-window formulation: gaps of a sorted multiset are
+    // tiebreak-invariant, so the bucketed Spark plan must match
+    "events_interarrival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |d AS (SELECT user_id,
+        |  us - lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS d
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS events,
+        |  CAST(count(d) AS BIGINT) AS gaps,
+        |  CAST(min(d) AS BIGINT) AS min_gap_us,
+        |  CAST(max(d) AS BIGINT) AS max_gap_us,
+        |  CAST(sum(d) AS BIGINT) AS sum_gap_us,
+        |  CAST(sum(d) // count(d) AS BIGINT) AS mean_gap_us
+        |FROM d GROUP BY user_id HAVING count(d) >= 1""".stripMargin,
     // KMV bottom-k distinct sketch: k=64 smallest distinct 32-bit
     // md5-prefix hashes per source; estimate = 63*2^32 // h_64 (one
     // floor division over exact integers — both engines agree); a

@@ -389,6 +389,63 @@ object EventStreamOps {
   }
 
   /**
+   * Per-user inter-arrival gap statistics — the bot/scraper signal
+   * (machine traffic arrives on a metronome: tiny min gap, tiny
+   * spread; humans are bursty). All int64 epoch-micros; `mean_gap_us`
+   * is one final floor division.
+   *
+   * Scale shape: adjacency needs an order, but a naive
+   * `lag().over(partitionBy(user))` drags a hot user's entire history
+   * through one task's sort. Gaps of a sorted multiset are invariant
+   * to tiebreak order, and they decompose by time ranges: deltas
+   * WITHIN a bucket + the boundary delta between consecutive buckets'
+   * last/first. So: one window per (user, time-bucket) — task size
+   * bounded by bucket occupancy, never account age — then a second
+   * window over per-bucket SUMMARY rows (calendar-bounded, the
+   * compressed-window-input move of [[exactQuantiles]]) chains the
+   * boundaries. Identical output to the single-window formulation,
+   * which is what the oracle runs.
+   * Output: `(user_id, events, gaps, min_gap_us, max_gap_us,
+   * sum_gap_us, mean_gap_us)` for users with ≥2 events.
+   */
+  def interArrival(events: DataFrame,
+                   bucketUs: Long = 86400000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val big = Long.MaxValue
+    val base = events.select(col("user_id"),
+      unix_micros(col("ts")).as("__us"), col("event_id"))
+      .withColumn("__b", expr(s"__us div ${bucketUs}L"))
+    val wb = Window.partitionBy(col("user_id"), col("__b"))
+      .orderBy(col("__us"), col("event_id"))
+    val perBucket = base
+      .withColumn("__d", col("__us") - lag(col("__us"), 1).over(wb))
+      .groupBy(col("user_id"), col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__dsum"),
+        min(col("__d")).as("__dmin"), max(col("__d")).as("__dmax"),
+        min(col("__us")).as("__first"), max(col("__us")).as("__last"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("__b"))
+    val chained = perBucket
+      .withColumn("__bgap", col("__first") - lag(col("__last"), 1).over(wu))
+    chained.groupBy(col("user_id"))
+      .agg(sum(col("__n")).as("events"),
+        (sum(col("__n")) - 1).as("gaps"),
+        // null-proof min/max: park empty sides at the identity and
+        // strip it after (least/greatest null semantics differ by
+        // engine — never rely on them in compared outputs)
+        min(least(coalesce(col("__dmin"), lit(big)),
+          coalesce(col("__bgap"), lit(big)))).as("__min"),
+        max(greatest(coalesce(col("__dmax"), lit(-1L)),
+          coalesce(col("__bgap"), lit(-1L)))).as("__max"),
+        (coalesce(sum(col("__dsum")), lit(0L)) +
+          coalesce(sum(col("__bgap")), lit(0L))).as("sum_gap_us"))
+      .filter(col("gaps") >= 1)
+      .select(col("user_id"), col("events"), col("gaps"),
+        col("__min").as("min_gap_us"), col("__max").as("max_gap_us"),
+        col("sum_gap_us"),
+        expr("sum_gap_us div gaps").as("mean_gap_us"))
+  }
+
+  /**
    * EXACT per-group quantiles by value compression — the scale-correct
    * alternative to both a full per-group sort (hot-group single task)
    * and an approximate sketch (engine-seeded, not oracle-checkable):

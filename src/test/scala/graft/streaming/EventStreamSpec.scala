@@ -36,6 +36,39 @@ class EventStreamSpec extends SparkSpec {
     assert(rows == Set(("click", 2L, 3.0), ("view", 2L, 12.0)))
   }
 
+  test("interArrival bucketed plan equals the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = EventStreamOps.readEvents(spark,
+      "/root/testdata/sf0.001/events.parquet").cache()
+    // reference: one lag window over each user's full history
+    val d = ev.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("d", col("us") - lag(col("us"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
+    val want = d.groupBy("user_id")
+      .agg(count(lit(1)).as("events"), count(col("d")).as("gaps"),
+        min("d").as("min_gap_us"), max("d").as("max_gap_us"),
+        sum("d").as("sum_gap_us"),
+        expr("sum(d) div count(d)").as("mean_gap_us"))
+      .filter(col("gaps") >= 1)
+    // a 1-hour bucket forces MANY boundary chains on this fixture —
+    // the decomposition must still be exact; default bucket too
+    for (bucket <- Seq(3600000000L, 86400000000L)) {
+      val got = EventStreamOps.interArrival(ev, bucketUs = bucket)
+      assert(got.exceptAll(want).count() == 0, s"bucket=$bucket extra")
+      assert(want.exceptAll(got).count() == 0, s"bucket=$bucket missing")
+    }
+    // hand case: gaps 10us, 20us with the bucket boundary between them
+    import spark.implicits._
+    val hand = Seq((1L, 100L), (2L, 110L), (3L, 130L)).toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        lit(7L).as("user_id"))
+    val h = EventStreamOps.interArrival(hand, bucketUs = 128L)
+      .collect().head
+    assert((h.getLong(1), h.getLong(2), h.getLong(3), h.getLong(4),
+      h.getLong(5), h.getLong(6)) == ((3L, 2L, 10L, 20L, 30L, 15L)))
+  }
+
   test("session windows close after the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
