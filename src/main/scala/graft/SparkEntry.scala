@@ -1093,6 +1093,12 @@ object SparkEntry {
     "embed_knn_clusters" -> ((spark, sfDir) =>
       operators.SimilarityOps.knnClusters(embs(spark, sfDir),
         k = 3, tau = 0.35)),
+    // rolling 7-day distinct actives (WAU): dedup'd (user, day) pairs
+    // fanned to their window-end days — shuffle bounded by 7x distinct
+    // pairs, never raw events; no sliding window
+    "events_active_users" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.activeUsers(events(spark, sfDir),
+        windowDays = 7)),
     // per-user inter-arrival gap stats (bot signal): bucketed partials
     // + calendar-bounded boundary chain — never a user-history window;
     // all int64 micros, mean is one floor division
@@ -3129,6 +3135,16 @@ object SparkEntry {
          |SELECT e.vec_id,
          |  CAST(coalesce(comp.component, e.vec_id) AS BIGINT) AS cluster
          |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id""".stripMargin,
+    // trailing-7-day distinct actives via the same pair fan-out
+    "events_active_users" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+        |s AS (SELECT DISTINCT user_id, day + o AS day FROM p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o))
+        |SELECT s.day, CAST(count(*) AS BIGINT) AS active_users
+        |FROM s, b WHERE s.day BETWEEN b.d0 AND b.d1
+        |GROUP BY s.day""".stripMargin,
     // single-window formulation: gaps of a sorted multiset are
     // tiebreak-invariant, so the bucketed Spark plan must match
     "events_interarrival" ->

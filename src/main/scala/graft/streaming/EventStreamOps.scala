@@ -389,6 +389,38 @@ object EventStreamOps {
   }
 
   /**
+   * Rolling distinct active users (DAU/WAU/MAU): for every day in the
+   * observed range, the EXACT count of distinct users with ≥1 event in
+   * the trailing `windowDays` window.
+   *
+   * Scale shape: exact sliding distinct is the classic trap — a
+   * per-day window over user sets re-counts the whole window per day.
+   * Instead: dedup to (user, active-day) pairs once (one partial-agg
+   * shuffle), fan each pair out to the ≤`windowDays` window-end days
+   * it supports, dedup again (a user active 5× inside one window
+   * counts once), count per day. Shuffle volume is bounded by
+   * `windowDays ×` the DISTINCT pair count — independent of raw event
+   * volume, no per-user or per-day history window anywhere. Day ids
+   * are integer epoch-micro divisions (engine-exact).
+   * Output: `(day, active_users)` for days inside the observed range.
+   */
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val dayUs = 86400000000L
+    val pairs = events.select(col("user_id"),
+      expr(s"unix_micros(ts) div ${dayUs}L").as("__day")).distinct()
+    val bounds = pairs.agg(min(col("__day")).as("__d0"),
+      max(col("__day")).as("__d1"))
+    val support = pairs.select(col("user_id"),
+      explode(sequence(col("__day"), col("__day") + (windowDays - 1)))
+        .as("day")).distinct()
+    support.crossJoin(broadcast(bounds))
+      .filter(col("day").between(col("__d0"), col("__d1")))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /**
    * Per-user inter-arrival gap statistics — the bot/scraper signal
    * (machine traffic arrives on a metronome: tiny min gap, tiny
    * spread; humans are bursty). All int64 epoch-micros; `mean_gap_us`

@@ -36,6 +36,31 @@ class EventStreamSpec extends SparkSpec {
     assert(rows == Set(("click", 2L, 3.0), ("view", 2L, 12.0)))
   }
 
+  test("activeUsers equals the naive per-day distinct count") {
+    import spark.implicits._
+    val ev = EventStreamOps.readEvents(spark,
+      "/root/testdata/sf0.001/events.parquet").cache()
+    val pairs = ev.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000L").as("day")).distinct()
+      .cache()
+    val b = pairs.agg(min("day"), max("day")).collect().head
+    val grid = (b.getLong(0) to b.getLong(1)).toDF("day")
+    val naive = grid.crossJoin(pairs.withColumnRenamed("day", "aday"))
+      .filter(col("aday").between(col("day") - 6, col("day")))
+      .groupBy("day").agg(countDistinct("user_id").as("active_users"))
+    val got = EventStreamOps.activeUsers(ev, windowDays = 7)
+    assert(got.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(got).count() == 0)
+    // hand case: users {1,2} on day 0, {1} on day 2; window 2 days
+    val hand = Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 1L, 2L))
+      .toDF("event_id", "user_id", "d")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("d") * 86400000000L + 5L).as("ts"))
+    val h = EventStreamOps.activeUsers(hand, windowDays = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(0L -> 2L, 1L -> 2L, 2L -> 1L))
+  }
+
   test("interArrival bucketed plan equals the single-window formulation") {
     import org.apache.spark.sql.expressions.Window
     val ev = EventStreamOps.readEvents(spark,
