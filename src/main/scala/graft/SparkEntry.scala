@@ -1093,6 +1093,20 @@ object SparkEntry {
     "embed_knn_clusters" -> ((spark, sfDir) =>
       operators.SimilarityOps.knnClusters(embs(spark, sfDir),
         k = 3, tau = 0.35)),
+    // bloom-prefiltered equi-join: the big side is cut by the small
+    // side's key fingerprint BEFORE the shuffle; no false negatives,
+    // so the result is row-identical to the plain join the oracle runs
+    "join_bloom_prefilter" -> ((spark, sfDir) => {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val hi = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_totalprice") > 350000.0)
+        .select(col("o_orderkey"))
+      operators.JoinOps.bloomFilteredJoin(li, hi,
+        "l_orderkey", "o_orderkey")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("items"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+    }),
     // rolling 7-day distinct actives (WAU): dedup'd (user, day) pairs
     // fanned to their window-end days — shuffle bounded by 7x distinct
     // pairs, never raw events; no sliding window
@@ -1384,7 +1398,7 @@ object SparkEntry {
     "branch_top1_filter" ->
       "SELECT count(*) AS value FROM (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING max(o_totalprice) < 200000.0)",
     "and_filter" ->
-      "SELECT count(*) AS value FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0) AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000.0)",
+      "SELECT count(*) AS value FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000.0) AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000.0)",
     "or_filter" ->
       "SELECT count(*) AS value FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0) OR EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 20000.0)",
     "not_filter" ->
@@ -3135,6 +3149,15 @@ object SparkEntry {
          |SELECT e.vec_id,
          |  CAST(coalesce(comp.component, e.vec_id) AS BIGINT) AS cluster
          |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id""".stripMargin,
+    // the prefiltered join must equal the plain join (no false
+    // negatives); quantities are integral-valued, so the BIGINT casts
+    // agree across engines
+    "join_bloom_prefilter" ->
+      """SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_totalprice > 350000.0
+        |GROUP BY l.l_orderkey""".stripMargin,
     // trailing-7-day distinct actives via the same pair fan-out
     "events_active_users" ->
       """WITH p AS (SELECT DISTINCT user_id,

@@ -285,11 +285,20 @@ object CurationOps {
     * bytes reach the driver. */
   private def bloomBuild(heldout: DataFrame, idCol: String,
                          textCol: String, n: Int, numBits: Int,
-                         numHashes: Int): Array[Byte] = {
+                         numHashes: Int): Array[Byte] =
+    bloomFromHashes(shingleHashes(heldout, idCol, textCol, n)
+      .select(col("__h")), numBits, numHashes)
+
+  /** Distributed bloom build over any 64-bit hash column `__h`:
+    * positions → byte-index `bit_or` aggregation, only the ≤ numBits/8
+    * bytes reach the driver. Shared by the decontamination blooms and
+    * [[JoinOps.bloomFilteredJoin]]'s key fingerprint. */
+  private[operators] def bloomFromHashes(hashes: DataFrame, numBits: Int,
+                                         numHashes: Int): Array[Byte] = {
     require(numBits % 8 == 0 && numBits > 0, "numBits must be a positive multiple of 8")
     val VE = graft.functions.VectorExpressions
-    VE.register(heldout.sparkSession)
-    val bytesSet = shingleHashes(heldout, idCol, textCol, n)
+    VE.register(hashes.sparkSession)
+    val bytesSet = hashes
       .select(col("__h")).distinct()
       .select(explode(VE.bloomPositions(col("__h"), numBits, numHashes))
         .as("__p"))

@@ -2353,6 +2353,32 @@ class OperatorsSpec extends SparkSpec {
     assert(docs.exceptAll(back).count() == 0)
   }
 
+  test("bloomFilteredJoin equals the plain join and actually prefilters") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .cache()
+    val hi = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_totalprice") > 350000.0)
+      .select(col("o_orderkey")).cache()
+    val got = JoinOps.bloomFilteredJoin(li, hi, "l_orderkey", "o_orderkey")
+    val plain = li.join(hi, col("l_orderkey") === col("o_orderkey"))
+    assert(got.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(got).count() == 0)
+    // the observe metric proves the cut happened BEFORE the join:
+    // survivors are far under the full scan (FP rate ~0 at 2^22 bits
+    // over ~450 keys), and at least the true matches
+    val survivors = CapMetrics.await("bloomFilteredJoin")(_.nonEmpty)
+      .apply("prefilter_survivors").asInstanceOf[Long]
+    val matches = plain.count()
+    assert(survivors >= matches && survivors < li.count(),
+      s"survivors=$survivors matches=$matches")
+    assert(survivors <= matches + 50, "bloom stopped being selective")
+    // empty small side: all-zero bloom drops everything, like the join
+    val none = JoinOps.bloomFilteredJoin(li, hi.limit(0),
+      "l_orderkey", "o_orderkey")
+    assert(none.count() == 0)
+  }
+
   test("zValue equals a driver-side bit-by-bit Morton replica; clamps") {
     import spark.implicits._
     def morton(x: Long, y: Long): Long = {
