@@ -1122,7 +1122,8 @@ object SparkEntry {
     // engine-portable approx_count_distinct — md5 bottom-k hashes,
     // (k-1)*2^32 div h_k, the ESTIMATE itself oracle-exact
     "curation_kmv_distinct" -> ((spark, sfDir) =>
-      operators.CurationOps.kmvDistinct(docs(spark, sfDir), k = 64)),
+      operators.CurationOps.kmvDistinct(docs(spark, sfDir), k = 64,
+        withExact = true)),
     // z-order clustered write + zone-map-pruned range scan: the rows
     // the pruned read returns must be EXACTLY the z-band a full scan
     // computes (zone maps are admissible) — the whole Morton chain is

@@ -1044,7 +1044,8 @@ object CurationOps {
    * Output: `(group, docs, exact_distinct, kmv_est)`.
    */
   def kmvDistinct(df: DataFrame, k: Int = 64, groupCol: String = "source",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  withExact: Boolean = false): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2, got $k")
     graft.functions.VectorExpressions.register(df.sparkSession)
     // fixed-width lowercase hex: lexicographic order == numeric order,
@@ -1052,18 +1053,31 @@ object CurationOps {
     // smallest hashes; the value travels as an unsigned 32-bit half
     // (the cross-engine hash invariant — never signed 64-bit)
     val hx = substring(md5(col(textCol)), 1, 8)
-    df.groupBy(col(groupCol))
+    // the sketch face is ONE bounded aggregate pass: a countDistinct
+    // in the same agg would force Spark's distinct rewrite through a
+    // full (group, value) pre-shuffle — exactly the shuffle KMV exists
+    // to avoid (plan-guarded)
+    val sketch = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("docs"),
-        countDistinct(col(textCol)).as("exact_distinct"),
         graft.functions.VectorExpressions.boundedMinIds(hx, hx, k)
           .as("__kmv"))
-      .select(col(groupCol), col("docs"), col("exact_distinct"),
+      .select(col(groupCol), col("docs"),
         // the k-th smallest of >= k distinct nonnegative integers is
         // >= k-1 > 0, so the division is always defined
         when(size(col("__kmv")) < k, size(col("__kmv")).cast(LongType))
           .otherwise(expr(s"${(k - 1).toLong * 4294967296L}L div " +
             s"cast(conv(element_at(__kmv, $k), 16, 10) as bigint)"))
           .as("kmv_est"))
+    if (!withExact) sketch
+    else {
+      // gate harness only: the true distinct count rides a SEPARATE
+      // aggregate joined back on the (few) groups
+      val exact = df.groupBy(col(groupCol))
+        .agg(countDistinct(col(textCol)).as("exact_distinct"))
+      sketch.join(exact, Seq(groupCol))
+        .select(col(groupCol), col("docs"), col("exact_distinct"),
+          col("kmv_est"))
+    }
   }
 
   /**

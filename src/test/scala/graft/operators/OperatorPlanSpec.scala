@@ -391,6 +391,80 @@ class OperatorPlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("kmvDistinct: one bounded ObjectHashAggregate pass, no window") {
+    val p = plan(CurationOps.kmvDistinct(docs))
+    // the bottom-k TreeSet is the whole state: constant per (task, key)
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(1500))
+    // exactly one exchange: the group-by — never a (group, value)
+    // distinct pre-shuffle (that's the shuffle KMV exists to avoid)
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"$exchanges exchanges:\n${p.take(1500)}")
+    assert(!p.contains("hashpartitioning(source#") ||
+      !p.contains("text#") ||
+      !p.linesIterator.exists(l => l.contains("Exchange") &&
+        l.contains("text#")), p.take(1500))
+  }
+
+  test("containmentPairs: salted equi-joins only, partial df counts") {
+    val p = plan(DedupOps.containmentPairs(docs.limit(200)))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("__c"), "container chunk id must be a join key")
+  }
+
+  test("interArrival: bucket-scoped windows, partial bucket merge") {
+    val ev = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val p = plan(graft.streaming.EventStreamOps.interArrival(ev))
+    // both windows key on __b: the raw-event window is (user, bucket)-
+    // scoped and the chain window reads bucket SUMMARY rows — no
+    // window anywhere partitions by the bare user over raw events
+    assert(p.contains("partial_count") && p.contains("partial_min"),
+      p.take(1500))
+    val rawUserWindows = p.linesIterator.count(l =>
+      l.contains("windowspecdefinition(user_id#") && !l.contains("__b"))
+    assert(rawUserWindows == 0,
+      s"user-history window found:\n${p.take(1500)}")
+  }
+
+  test("activeUsers: partial distincts, no window, 1-row bounds bcast") {
+    val ev = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val p = plan(graft.streaming.EventStreamOps.activeUsers(ev))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      p.take(1500))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      p.take(1500))
+  }
+
+  test("bloomFilteredJoin: bloom cut below an equi-join") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val hi = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_totalprice") > 350000.0).select(col("o_orderkey"))
+    val p = plan(JoinOps.bloomFilteredJoin(li, hi,
+      "l_orderkey", "o_orderkey"))
+    assert(p.contains("bloomcontains"), p.take(1500))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("prunedRead: residual zval filter reaches the parquet scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zplan").toString
+    graft.sources.Layout.zorderWrite(docs, dir,
+      xCol = length(col("text")), yCol = col("doc_id") % 65536)
+    val stats = graft.sources.Layout.fileStats(spark, dir)
+      .localCheckpoint()
+    val p = plan(graft.sources.Layout.prunedRead(spark, dir, stats,
+      0L, 1L << 20))
+    assert(p.contains("PushedFilters") && p.contains("zval"),
+      p.take(1500))
+  }
+
   test("corpusDiff: digest-only full-outer equi-join") {
     val p = plan(CurationOps.corpusDiff(
       docs.filter(col("doc_id") % 2 === 0), docs))

@@ -1738,7 +1738,8 @@ class OperatorsSpec extends SparkSpec {
       ("big", s"doc number $i"))) ++
       (0 until 10).map(i => ("small", s"tiny $i")))
       .toDF("source", "text")
-    val out = CurationOps.kmvDistinct(rows, k = 64).collect()
+    val out = CurationOps.kmvDistinct(rows, k = 64, withExact = true)
+      .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     assert(out("small") == ((10L, 10L, 10L)))
