@@ -175,6 +175,38 @@ object ScaleProbe {
       docs.filter(col("doc_id") % 7 =!= 0),
       docs.filter(col("doc_id") % 5 =!= 0)).count())
 
+    // round-9 fourth-session operators
+    time("kmvDistinct")(operators.CurationOps.kmvDistinct(
+      docs.withColumn("source",
+        concat(lit("s"), (col("doc_id") % 50).cast("string")))).count())
+    time("containmentPairs")(
+      operators.DedupOps.containmentPairs(docs, tau = 0.9).count())
+    time("interArrival")(
+      streaming.EventStreamOps.interArrival(events).count())
+    time("activeUsers")(
+      streaming.EventStreamOps.activeUsers(events, windowDays = 7).count())
+    time("bloomFilteredJoin") {
+      import spark.implicits._
+      val hot = events.select(col("user_id").as("uid")).distinct()
+        .filter(col("uid") % 20 === 0)
+      operators.JoinOps.bloomFilteredJoin(events, hot, "user_id", "uid")
+        .count()
+    }
+    time("zorderWrite+prunedRead") {
+      val dir = s"/tmp/graft_probe_zorder_${ProcessHandle.current().pid()}"
+      sources.Layout.zorderWrite(docs, dir,
+        xCol = length(col("text")), yCol = col("doc_id") % 65536,
+        nFiles = 64)
+      val stats = sources.Layout.fileStats(spark, dir).localCheckpoint()
+      val b = stats.agg(min(col("zmin")), max(col("zmax"))).collect().head
+      val hi = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
+      val rows = sources.Layout.prunedRead(spark, dir, stats,
+        b.getLong(0), hi).count()
+      val touched = sources.Layout.pruneFiles(stats, b.getLong(0), hi).size
+      println(s"  zorder touched $touched of 64 files")
+      rows
+    }
+
     // walk corpus over the full sf0.1 graph (~15k customer starts, 8
     // steps): the per-step cost is one partitioned join + partial min
     time("randomWalks") {
