@@ -190,11 +190,12 @@ object SparkEntry {
     }),
     "dedup_token_jaccard" -> ((spark, sfDir) =>
       operators.DedupOps.tokenJaccard(docs(spark, sfDir), tau = 0.95)),
-    // asymmetric containment join (|A∩B|/|A| >= τ): the quote/subset
-    // detector Jaccard is blind to; integer-exact threshold, the
-    // fraction is one final division
+    // asymmetric containment join (|A∩B|/|A| >= τ) over trigram
+    // shingle sets: the quote/subset detector Jaccard is blind to;
+    // integer-exact threshold, the fraction is one final division
     "dedup_containment" -> ((spark, sfDir) =>
-      operators.DedupOps.containmentPairs(docs(spark, sfDir), tau = 0.9)),
+      operators.DedupOps.containmentPairs(docs(spark, sfDir), tau = 0.9,
+        shingleN = 3)),
     "dedup_simhash" -> ((spark, sfDir) => // no SQL oracle: xxhash64 seeds differ across engines
       operators.DedupOps.simhash(docs(spark, sfDir), maxDist = 3)),
     "neardup_embedding" -> ((spark, sfDir) =>
@@ -1536,18 +1537,16 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, len(a.sh) AS la, len(b.sh) AS lb
         | FROM t a JOIN t b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(inter/(la + lb - inter), 4) AS jaccard FROM p WHERE inter/(la + lb - inter) >= 0.95""".stripMargin,
-    // brute-force containment: o*1000 >= 900*|A| on integers both
-    // engines; ordered pairs (a contained in b), self excluded
+    // brute-force trigram-shingle containment: o*1000 >= 900*|A| on
+    // integers both engines; ordered pairs (a contained in b)
     "dedup_containment" ->
-      """WITH t AS (SELECT doc_id,
-        |  list_distinct(string_split(trim(text), ' ')) AS sh
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  len(list_intersect(a.sh, b.sh)) AS o, len(a.sh) AS la
-        |  FROM t a JOIN t b ON a.doc_id != b.doc_id)
-        |SELECT id_a, id_b,
-        |  round(CAST(o AS DOUBLE) / la, 4) AS containment
-        |FROM p WHERE o * 1000 >= 900 * la""".stripMargin,
+      s"""WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh)) AS o, len(a.sh) AS la
+         |  FROM $SqlTrigramSets a JOIN $SqlTrigramSets b
+         |    ON a.doc_id != b.doc_id)
+         |SELECT id_a, id_b,
+         |  round(CAST(o AS DOUBLE) / la, 4) AS containment
+         |FROM p WHERE o * 1000 >= 900 * la""".stripMargin,
     "dedup_exact_vectors" ->
       "SELECT min(vec_id) AS vec_id, count(*) AS dup_count FROM embeddings GROUP BY embedding",
     "dedup_cluster" ->

@@ -414,13 +414,20 @@ object DedupOps {
    * doc re-issued with a long appendix), where the size imbalance
    * drives Jaccard to ~|A|/|B| no matter how completely `a` is copied.
    *
+   * Sets are word `shingleN`-grams (default 3): on a bounded-
+   * vocabulary corpus unigram sets saturate (every short doc is
+   * "contained" in every long one), while shingle sets keep word
+   * ORDER, which is what a quote actually preserves — the same
+   * substrate as [[minhashLsh]]. `shingleN = 1` gives the raw
+   * token-set face.
+   *
    * Prefix filter, containment form: `|A∩B| ≥ o := ⌈τ·|A|⌉` forces the
-   * FIRST shared token (global (df, token) order) to sit within A's
-   * first `|A|−o+1` tokens — so only A-side prefixes join, but they
-   * join against B's FULL posting lists (containment has no size band:
-   * B may be arbitrarily large). The PPJoin position bound still
+   * FIRST shared element (global (df, element) order) to sit within
+   * A's first `|A|−o+1` elements — so only A-side prefixes join, but
+   * they join against B's FULL posting lists (containment has no size
+   * band: B may be arbitrarily large). The PPJoin position bound still
    * applies on both ranks and stays lossless for the same
-   * first-shared-token reason. Verification recomputes the exact
+   * first-shared-element reason. Verification recomputes the exact
    * intersection on the full sets and thresholds on INTEGERS
    * (`o·denom ≥ num·|A|`); the reported fraction is one final division.
    *
@@ -434,11 +441,13 @@ object DedupOps {
    */
   def containmentPairs(df: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text",
-                       tau: Double = 0.9): DataFrame = {
+                       tau: Double = 0.9,
+                       shingleN: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     val (num, denom) = rational(tau)
     val docs = df.select(col(idCol).as("__id"),
-      array_distinct(split(trim(col(textCol)), " ")).as("__sh"))
+      (if (shingleN == 1) array_distinct(split(trim(col(textCol)), " "))
+       else wordShingles(col(textCol), shingleN)).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
     val tokenDf = docs.select(col("__id"), explode(col("__sh")).as("__tok"))

@@ -354,16 +354,16 @@ class OperatorsSpec extends SparkSpec {
       (3L, "alpha beta gamma"),
       (4L, "alpha beta gamma delta pi"),
       (5L, "rho sigma tau")).toDF("doc_id", "text")
-    val got = DedupOps.containmentPairs(corpus, tau = 0.8)
+    val got = DedupOps.containmentPairs(corpus, tau = 0.8, shingleN = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
       .toMap
     assert(got.keySet == Set((3L, 1L), (3L, 4L), (4L, 1L)))
     assert(got((3L, 1L)) == 1.0 && got((3L, 4L)) == 1.0)
     assert(got((4L, 1L)) == 0.8)
-    // brute force over the real fixture corpus, incl. the boundary
-    // integer threshold (o*1000 >= 900*|A|)
+    // brute force over the real fixture corpus on the trigram-shingle
+    // face, incl. the boundary integer threshold (o*1000 >= 900*|A|)
     val sets = docs.select(col("doc_id"),
-      array_distinct(split(trim(col("text")), " ")).as("sh"))
+      DedupOps.wordShingles(col("text"), 3).as("sh"))
     val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sa"))
     val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sb"))
     val brute = a.join(b, col("id_a") =!= col("id_b"))
@@ -372,7 +372,7 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("o") * 1000 >= lit(900) * size(col("sa")))
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val real = DedupOps.containmentPairs(docs, tau = 0.9)
+    val real = DedupOps.containmentPairs(docs, tau = 0.9, shingleN = 3)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(real == brute)
