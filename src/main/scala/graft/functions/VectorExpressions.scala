@@ -438,6 +438,37 @@ object VectorExpressions {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** [[BloomContains]] with the bloom bytes carried as a `Broadcast`
+    * HANDLE in the expression tree instead of a bytes column: probing
+    * through a column copies the whole array (512 KB at numBits=2²²)
+    * out of the UnsafeRow for EVERY probe row, which dominates the
+    * scan. The handle dereferences the executor-local block once per
+    * partition and the plan stays constant-size (a handle is not a
+    * k-scaled literal — the model-as-data rule concerns plan/codegen
+    * growth, and none occurs here). Registry builders cannot construct
+    * this (a Broadcast is not a Literal), hence the
+    * [[org.apache.spark.sql.ColumnIntrospection]] wrap. */
+  case class BloomContainsBc(child: Expression,
+                             bloomBc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+                             numBits: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    @transient private lazy val bytes = bloomBc.value
+    override def nullSafeEval(hash: Any): Any = {
+      val (h1, h2) = bloomSeed(hash.asInstanceOf[Long])
+      var i = 0
+      while (i < numHashes) {
+        val pos = java.lang.Math.floorMod(h1 + i * h2, numBits.toLong)
+        if ((bytes(pos.toInt >> 3) & (1 << (pos.toInt & 7))) == 0)
+          return false
+        i += 1
+      }
+      true
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ---- Column-level API ----
   // Expressions reach the plan through the session FunctionRegistry
   // (the supported extension point; direct Column construction from an
@@ -517,6 +548,12 @@ object VectorExpressions {
                     numHashes: Int): Column =
     call_function("graft_bloom_contains", bloom, hash, lit(numBits),
       lit(numHashes))
+  def bloomContainsBc(hash: Column,
+                      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+                      numBits: Int, numHashes: Int): Column = {
+    val CI = org.apache.spark.sql.ColumnIntrospection
+    CI.column(BloomContainsBc(CI.expression(hash), bc, numBits, numHashes))
+  }
   def boundedMinIds(sortKey: Column, id: Column, cap: Int): Column =
     call_function("graft_bounded_min_ids", sortKey, id, lit(cap))
 }

@@ -313,20 +313,18 @@ object CurationOps {
     bloom
   }
 
-  /** Probe a corpus against bloom bytes broadcast as DATA (one-row
-    * DataFrame, never a plan literal). */
+  /** Probe a corpus against bloom bytes carried as a `Broadcast`
+    * handle (never a plan literal — the plan stays constant-size, and
+    * unlike a bytes COLUMN the array is not copied out of the row per
+    * probe; see [[graft.functions.VectorExpressions.BloomContainsBc]]). */
   private def bloomProbe(corpus: DataFrame, bloom: Array[Byte],
                          idCol: String, textCol: String, n: Int,
                          numBits: Int, numHashes: Int): DataFrame = {
     val VE = graft.functions.VectorExpressions
     VE.register(corpus.sparkSession)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val bloomDf = Seq(Tuple1(bloom)).toDF("__bloom")
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val flagged = shingleHashes(corpus, idCol, textCol, n)
-      .crossJoin(broadcast(bloomDf))
-      .filter(VE.bloomContains(col("__bloom"), col("__h"),
-        numBits, numHashes))
+      .filter(VE.bloomContainsBc(col("__h"), bloomBc, numBits, numHashes))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("flagged_ngrams"))
     corpus.select(col(idCol))

@@ -2380,6 +2380,28 @@ class OperatorsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("bloom broadcast-handle probe == bytes-column probe, bit for bit") {
+    import spark.implicits._
+    val VE = graft.functions.VectorExpressions
+    VE.register(spark)
+    val numBits = 1 << 12
+    val keys = spark.range(0, 200).select(xxhash64(col("id")).as("__h"))
+    val bloom = CurationOps.bloomFromHashes(keys, numBits, 5)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probes = spark.range(0, 4000)
+      .select(col("id"), xxhash64(col("id")).as("__h"))
+    val viaBc = probes
+      .filter(VE.bloomContainsBc(col("__h"), bc, numBits, 5))
+      .select(col("id")).as[Long].collect().toSet
+    val bloomDf = Seq(Tuple1(bloom)).toDF("__bloom")
+    val viaCol = probes.crossJoin(broadcast(bloomDf))
+      .filter(VE.bloomContains(col("__bloom"), col("__h"), numBits, 5))
+      .select(col("id")).as[Long].collect().toSet
+    assert(viaBc == viaCol)
+    // no false negatives: every built key survives both probe forms
+    assert((0L until 200L).toSet.subsetOf(viaBc))
+  }
+
   test("zValue equals a driver-side bit-by-bit Morton replica; clamps") {
     import spark.implicits._
     def morton(x: Long, y: Long): Long = {
