@@ -207,6 +207,17 @@ object ScaleProbe {
       rows
     }
 
+    // round-9 fifth-session operators
+    time("typeDowCube")(
+      streaming.EventStreamOps.typeDowCube(events).count())
+    time("dailyTypePivot")(
+      streaming.EventStreamOps.dailyTypePivot(events).count())
+    time("quantileBuckets")(operators.CurationOps.quantileBuckets(
+      docs.withColumn("n_chars", length(col("text")))).count())
+    time("dedupBestOf")(operators.DedupOps.dedupBestOf(
+      docs.withColumn("n_chars", length(col("text"))),
+      quality = col("n_chars")).count())
+
     // walk corpus over the full sf0.1 graph (~15k customer starts, 8
     // steps): the per-step cost is one partitioned join + partial min
     time("randomWalks") {

@@ -218,6 +218,12 @@ object SparkEntry {
     "dedup_survivors" -> ((spark, sfDir) =>
       operators.DedupOps.dedupNearDups(docs(spark, sfDir), tau = 0.8)
         .select(col("doc_id"), col("source"), col("n_chars"))),
+    // quality-aware survivors: keep each cluster's LONGEST doc
+    // (ties to smallest id) via partial-aggregable min(struct)
+    "dedup_best_survivors" -> ((spark, sfDir) =>
+      operators.DedupOps.dedupBestOf(docs(spark, sfDir),
+        quality = col("n_chars"), tau = 0.8)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
     "ann_cluster" -> ((spark, sfDir) => { // no SQL oracle: k-means fixpoint
       val e = embs(spark, sfDir)
       operators.SimilarityOps.clusterEmbeddings(e, ivfModel(spark, sfDir))
@@ -1029,6 +1035,17 @@ object SparkEntry {
     // expand + partial-aggregable pass; sentinel-rendered levels
     "events_rollup" -> ((spark, sfDir) =>
       streaming.EventStreamOps.typeHourRollup(events(spark, sfDir))),
+    // CUBE grouping sets: all four (type, dow) levels in one pass
+    "events_cube" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.typeDowCube(events(spark, sfDir))),
+    // explicit-value pivot: one conditional hash aggregate, no
+    // plan-time distinct-collect, fixed schema, 0-rendered cells
+    "events_pivot" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.dailyTypePivot(events(spark, sfDir))),
+    // decile buckets without a global sort: distinct-value histogram
+    // cutpoints + broadcast theta-join assignment, ties share buckets
+    "curation_score_buckets" -> ((spark, sfDir) =>
+      operators.CurationOps.quantileBuckets(docs(spark, sfDir))),
     // Efraimidis-Spirakis weighted sampling, transcendental-free:
     // max-of-w md5 tickets == the u^(1/w) A-ES key for integer weights
     "curation_weighted_sample" -> ((spark, sfDir) =>
@@ -1584,6 +1601,29 @@ object SparkEntry {
          |  (SELECT id, min(r) AS c FROM reach GROUP BY id) m
          |  ON m.id = d.doc_id
          |WHERE coalesce(m.c, d.doc_id) = d.doc_id""".stripMargin,
+    // same pair graph + closure; survivor = per-cluster argmax by
+    // (n_chars desc, doc_id asc) instead of min id
+    "dedup_best_survivors" ->
+      s"""WITH RECURSIVE
+         |pr AS (SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+         |    len(a.sh) AS la, len(b.sh) AS lb
+         |  FROM $SqlTrigramSets a JOIN $SqlTrigramSets b ON a.doc_id < b.doc_id)
+         | WHERE inter / (la + lb - inter) >= 0.8),
+         |und AS (SELECT id_a AS u, id_b AS v FROM pr
+         |        UNION SELECT id_b, id_a FROM pr),
+         |nodes AS (SELECT DISTINCT u AS id FROM und),
+         |reach(id, r) AS (SELECT id, id FROM nodes
+         |  UNION SELECT e.v, r.r FROM reach r JOIN und e ON e.u = r.id)
+         |SELECT doc_id, source, n_chars FROM (
+         |  SELECT d.doc_id, d.source, d.n_chars, row_number() OVER (
+         |    PARTITION BY coalesce(m.c, d.doc_id)
+         |    ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM documents d LEFT JOIN
+         |    (SELECT id, min(r) AS c FROM reach GROUP BY id) m
+         |    ON m.id = d.doc_id)
+         |WHERE rn = 1""".stripMargin,
     // fixed-centroid SemDeDup: argmin cell assign (ties to lowest
     // cell), within-cell pairs on RAW cosine, undirected reach,
     // min-id canonical — mirrors semanticDedup stage for stage. The
@@ -2974,6 +3014,43 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
         |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
         |GROUP BY ROLLUP (event_type, hr)""".stripMargin,
+    // CUBE face; DuckDB dayofweek is 0=Sunday vs Spark's 1=Sunday
+    "events_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  CAST(coalesce(dw, -1) AS INTEGER) AS dow,
+        |  CAST(GROUPING(event_type, dw) AS INTEGER) AS gid,
+        |  count(*) AS events, CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM (SELECT event_type,
+        |  CAST(dayofweek(ts) + 1 AS INTEGER) AS dw,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+        |GROUP BY CUBE (event_type, dw)""".stripMargin,
+    // explicit-value pivot == FILTER aggregates; absent cells are 0
+    "events_pivot" ->
+      Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"""  count(*) FILTER (WHERE event_type = '$t') AS ${t}_events,
+           |  CAST(coalesce(sum(CASE WHEN event_type = '$t'
+           |    THEN cents END), 0) AS BIGINT) AS ${t}_cents""".stripMargin)
+        .mkString(
+          """SELECT CAST(ts AS DATE) AS day,
+            |""".stripMargin, ",\n", """
+            |FROM (SELECT ts, event_type,
+            |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+            |GROUP BY 1""".stripMargin),
+    // decile cutpoints from the distinct-value cumulative histogram;
+    // bucket = #cutpoints strictly below the metric, ties together
+    "curation_score_buckets" ->
+      """WITH c AS (SELECT n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+        |  sum(c) OVER () AS n FROM c),
+        |q AS (SELECT i, min(v) AS q FROM t,
+        |  (SELECT unnest(generate_series(1, 9)) AS i)
+        |  WHERE cum * 10 >= i * n GROUP BY i)
+        |SELECT d.doc_id, d.n_chars,
+        |  CAST(coalesce(max(CASE WHEN d.n_chars > q.q THEN q.i END), 0)
+        |    AS INTEGER) AS bucket
+        |FROM documents d LEFT JOIN q ON d.n_chars > q.q
+        |GROUP BY 1, 2""".stripMargin,
     // A-ES weighted sample: max-of-w md5 tickets, string-lexicographic
     // ranking (identical hex in any engine), top-50 by ticket
     "curation_weighted_sample" ->

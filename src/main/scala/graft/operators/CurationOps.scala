@@ -499,6 +499,50 @@ object CurationOps {
       .orderBy(col("ticket").desc, col(idCol))
       .limit(n)
 
+  /**
+   * Quantile-bucket normalization of an integer quality metric —
+   * assign every doc a bucket 0..buckets-1 by where its metric falls
+   * among the corpus quantiles (the "keep the top decile by score"
+   * cut every filtering pipeline runs), WITHOUT a global sort:
+   * `ntile()` over the corpus would range-shuffle every row through
+   * a full ordering. Instead the cutpoints come from the
+   * distinct-VALUE cumulative histogram (the
+   * [[graft.streaming.EventStreamOps.exactQuantiles]] move — the
+   * window scans distinct metric values, never raw docs), and
+   * assignment is a broadcast theta-join against the ≤ buckets-1
+   * cutpoint rows plus a partial-aggregable max. Ties share a bucket
+   * (exact-quantile semantics), so equal scores can never straddle a
+   * keep/drop boundary.
+   *
+   * Cutpoint `q_i` = smallest value with `cum*buckets >= i*n`;
+   * bucket = #cutpoints strictly below the value.
+   * Output: `(idCol, metricCol, bucket)`.
+   */
+  def quantileBuckets(df: DataFrame, buckets: Int = 10,
+                      metricCol: String = "n_chars",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(col(metricCol).cast("long").as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val wcum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(wcum))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(lit(1))))
+    val cuts = cum
+      .crossJoin(broadcast((1 until buckets).toDF("__i")))
+      .filter(col("__cum") * buckets >= col("__i") * col("__n"))
+      .groupBy(col("__i")).agg(min(col("__v")).as("__q"))
+    df.select(col(idCol), col(metricCol))
+      .join(broadcast(cuts), col(metricCol) > col("__q"), "left")
+      .groupBy(col(idCol), col(metricCol))
+      .agg(max(coalesce(col("__i"), lit(0))).cast("int").as("bucket"))
+  }
+
   /** Corpus-GLOBAL deterministic pseudo-random sample: the `n` rows
     * with the smallest salted md5(id) — eval-subset selection that any
     * engine reproduces and that is STABLE UNDER GROWTH in expectation

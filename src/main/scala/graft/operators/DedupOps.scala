@@ -790,6 +790,32 @@ object DedupOps {
   }
 
   /**
+   * Quality-aware survivor selection: one survivor per near-dup
+   * cluster like [[dedupNearDups]], but the survivor is the cluster's
+   * BEST document by an integer quality key (ties to the smallest id)
+   * instead of the smallest id — the production choice when
+   * near-duplicates differ in extraction quality (keep the longest /
+   * highest-scoring copy, drop the mangled ones). The argmax is
+   * `min(struct(-quality, id))` per cluster — partial-aggregable, so
+   * a boilerplate cluster with 10⁹ members combines map-side (the
+   * `dedupSegments` first-occurrence move; never a per-cluster
+   * row_number window). Quality must be integer-valued: float scores
+   * would put the cross-engine float invariant inside a compared
+   * keep/drop decision.
+   */
+  def dedupBestOf(df: DataFrame, quality: Column, tau: Double = 0.8,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val best = df.select(col(idCol), quality.cast("long").as("__q"))
+      .join(nearDupClusters(df, tau, idCol, textCol), Seq(idCol))
+      .groupBy(col("canonical"))
+      .agg(min(struct((-col("__q")).as("nq"), col(idCol).as("id")))
+        .as("__b"))
+      .select(col("__b.id").as(idCol))
+    df.join(best, Seq(idCol), "left_semi")
+  }
+
+  /**
    * Sub-document exact dedup over (doc_id, position, segment) rows:
    * the FIRST occurrence of each distinct segment in (doc_id, pos)
    * order survives; every later repeat — within one document or across

@@ -607,6 +607,56 @@ object EventStreamOps {
         col("gid"), col("events"), col("cents_sum"))
 
   /**
+   * CUBE grouping sets over (type, day-of-week) — all four levels
+   * ((t,d) / t / d / grand total) in one expand + partial-aggregable
+   * hash aggregate, one shuffle. Completes the grouping-sets family
+   * next to [[typeHourRollup]]: CUBE's extra `(null, dow)` level is
+   * the weekday-seasonality report ROLLUP cannot produce. Sentinel
+   * rendering and `grouping_id` exactly as the rollup face.
+   * Output: `(event_type, dow, gid, events, cents_sum)`; `dow` is
+   * Spark `dayofweek` (1=Sunday … 7=Saturday).
+   */
+  def typeDowCube(events: DataFrame,
+                  typeCol: String = "event_type"): DataFrame =
+    events
+      .withColumn("__dow", dayofweek(col("ts")))
+      .withColumn("__cents", floor(col("value") * 100).cast("long"))
+      .cube(col(typeCol), col("__dow"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("events"), sum(col("__cents")).as("cents_sum"))
+      .select(coalesce(col(typeCol), lit("ALL")).as(typeCol),
+        coalesce(col("__dow"), lit(-1)).cast("int").as("dow"),
+        col("gid"), col("events"), col("cents_sum"))
+
+  /**
+   * Pivoted daily report — one row per day, a `(events, cents)`
+   * column pair per event type. Pivot values are EXPLICIT: Spark's
+   * value-less `pivot(col)` runs a distinct-collect job at PLAN time
+   * to discover columns — a driver-side scan of the fact table that
+   * also makes the schema data-dependent. With the type list given,
+   * the pivot compiles to one conditional hash aggregate: a single
+   * shuffle on the day key, fully partial-aggregable, schema fixed.
+   * Absent (day, type) cells render as 0 (never null) so the report
+   * is subtraction-safe.
+   * Output: `(day, <t>_events, <t>_cents …)` for each type `t`.
+   */
+  def dailyTypePivot(events: DataFrame,
+                     types: Seq[String] = Seq("click", "error",
+                       "purchase", "signup", "view"),
+                     typeCol: String = "event_type"): DataFrame = {
+    require(types.nonEmpty, "pivot needs explicit type values")
+    val pivoted = events
+      .withColumn("__day", to_date(col("ts")))
+      .withColumn("__cents", floor(col("value") * 100).cast("long"))
+      .groupBy(col("__day").as("day"))
+      .pivot(typeCol, types)
+      .agg(count(lit(1)).as("events"), sum(col("__cents")).as("cents"))
+    pivoted.select(col("day") +: types.flatMap(t => Seq(
+      coalesce(col(s"${t}_events"), lit(0L)).as(s"${t}_events"),
+      coalesce(col(s"${t}_cents"), lit(0L)).as(s"${t}_cents"))): _*)
+  }
+
+  /**
    * Ordered funnel analysis — for every user, the EARLIEST traversal
    * of the `stages` event-type sequence, stage k's event strictly
    * after stage k-1's in `(ts, ordCol)` order. Greedy earliest-first

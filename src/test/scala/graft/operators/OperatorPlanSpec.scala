@@ -44,6 +44,36 @@ class OperatorPlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"$exchanges exchanges:\n${p.take(1200)}")
   }
 
+  test("typeDowCube: one expand, one partial-agg shuffle") {
+    val ev = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val p = plan(graft.streaming.EventStreamOps.typeDowCube(ev))
+    // all four grouping-set levels ride ONE expand + ONE aggregation
+    // shuffle — never a union of four scans
+    assert(p.contains("Expand"), p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"$exchanges exchanges:\n${p.take(1200)}")
+  }
+
+  test("dailyTypePivot: single conditional aggregate, no per-type scans") {
+    val ev = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val df = graft.streaming.EventStreamOps.dailyTypePivot(ev)
+    val p = plan(df)
+    // explicit pivot values: the fact table is reduced by a partial-
+    // aggregable (day, type) pass FIRST; pivotfirst then shuffles only
+    // day x type rows — two exchanges, both post-combine, no per-type
+    // scan union
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(p.contains("partial_pivotfirst"), p.take(1200))
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(1200)}")
+    assert(!p.contains("Union"), p.take(1200))
+  }
+
   test("commonNeighbors salt cells join as equi-join on (src, chunks)") {
     val g = graft.sources.GraphStore.tpch(spark, "/root/testdata/sf0.001")
     val p = plan(GraphAlgos.commonNeighbors(g, "contains", k = 20))

@@ -2380,6 +2380,52 @@ class OperatorsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("dedupBestOf keeps each cluster's longest doc, ties to min id") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+    val clusters = DedupOps.nearDupClusters(docs, tau = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = docs.select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = clusters.groupBy(_._2).values.map(ms =>
+      ms.keys.toSeq.sortBy(id => (-quality(id), id)).head).toSet
+    val got = DedupOps.dedupBestOf(docs, quality = col("n_chars"),
+      tau = 0.8).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // same cluster count as the min-id face, different survivors
+    assert(got.size ==
+      DedupOps.dedupNearDups(docs, tau = 0.8).count())
+  }
+
+  test("quantileBuckets: monotone, tie-safe, quantile-sized, sortless") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = CurationOps.quantileBuckets(docs).cache()
+    val n = docs.count()
+    assert(out.count() == n)
+    val rows = out.collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(rows.forall { case (_, b) => b >= 0 && b <= 9 })
+    assert(rows.map(_._2).distinct.length == 10)
+    // ties share a bucket; buckets are strictly ordered by value
+    val byBucket = rows.groupBy(_._2).view
+      .mapValues(vs => (vs.map(_._1).min, vs.map(_._1).max)).toMap
+    for (b <- 0 until 9 if byBucket.contains(b) && byBucket.contains(b + 1))
+      assert(byBucket(b)._2 < byBucket(b + 1)._1, s"buckets $b/${b + 1}")
+    // exact-quantile sizing: buckets < i hold >= i/10 of the corpus
+    val cumByBucket = (0 until 10)
+      .map(b => rows.count(_._2 <= b)).toVector
+    for (i <- 1 to 9)
+      assert(cumByBucket(i - 1) * 10L >= i * n,
+        s"cut $i: ${cumByBucket(i - 1)} of $n")
+    // ntile-free plan: cutpoints broadcast into a theta join, the doc
+    // side never range-shuffles
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("bloom broadcast-handle probe == bytes-column probe, bit for bit") {
     import spark.implicits._
     val VE = graft.functions.VectorExpressions

@@ -561,4 +561,51 @@ class EventStreamSpec extends SparkSpec {
     assert(perType.map(_._1).sum == total._1)
     assert(rows.keySet.map(_._3).subsetOf(Set(0, 1, 3)))
   }
+
+  test("typeDowCube: all four levels present and reconciling") {
+    val ev = readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+    val rows = EventStreamOps.typeDowCube(ev).collect()
+      .map(r => ((r.getString(0), r.getInt(1), r.getInt(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    val total = rows(("ALL", -1, 3))
+    assert(total._1 == ev.count())
+    // CUBE has the (ALL, dow) level ROLLUP lacks — gid 2
+    assert(rows.keySet.map(_._3) == Set(0, 1, 2, 3))
+    for (g <- Seq(0, 1, 2)) {
+      val lvl = rows.filter(_._1._3 == g).values
+      assert(lvl.map(_._1).sum == total._1, s"gid $g events")
+      assert(lvl.map(_._2).sum == total._2, s"gid $g cents")
+    }
+    // dow sentinel only on the rolled-up-dow levels
+    assert(rows.keys.filter(k => k._3 == 0 || k._3 == 2)
+      .forall(k => k._2 >= 1 && k._2 <= 7))
+  }
+
+  test("dailyTypePivot equals per-type groupBy; absent cells are 0") {
+    val ev = readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+    val piv = EventStreamOps.dailyTypePivot(ev)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    assert(piv.columns.toSeq ==
+      "day" +: types.flatMap(t => Seq(s"${t}_events", s"${t}_cents")))
+    assert(piv.count() ==
+      ev.select(to_date(col("ts"))).distinct().count())
+    // cross-foot: each type's pivoted column sums to its groupBy total
+    val colSums = piv.select(types.flatMap(t => Seq(
+      sum(col(s"${t}_events")), sum(col(s"${t}_cents")))): _*)
+      .collect()(0)
+    val byType = ev
+      .withColumn("__c", floor(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)), sum(col("__c")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for ((t, i) <- types.zipWithIndex) {
+      assert(colSums.getLong(2 * i) == byType(t)._1, s"$t events")
+      assert(colSums.getLong(2 * i + 1) == byType(t)._2, s"$t cents")
+    }
+    // no nulls anywhere — absent cells render as 0
+    assert(piv.filter(types.map(t =>
+      col(s"${t}_events").isNull || col(s"${t}_cents").isNull)
+      .reduce(_ || _)).count() == 0)
+  }
 }
