@@ -212,6 +212,8 @@ object ScaleProbe {
       streaming.EventStreamOps.typeDowCube(events).count())
     time("dailyTypePivot")(
       streaming.EventStreamOps.dailyTypePivot(events).count())
+    time("dailyTrend")(
+      streaming.EventStreamOps.dailyTrend(events).count())
     time("quantileBuckets")(operators.CurationOps.quantileBuckets(
       docs.withColumn("n_chars", length(col("text")))).count())
     time("dedupBestOf")(operators.DedupOps.dedupBestOf(

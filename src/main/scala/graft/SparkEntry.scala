@@ -1038,6 +1038,10 @@ object SparkEntry {
     // CUBE grouping sets: all four (type, dow) levels in one pass
     "events_cube" -> ((spark, sfDir) =>
       streaming.EventStreamOps.typeDowCube(events(spark, sfDir))),
+    // integer-exact OLS slope of daily volume per type: (num, den)
+    // exact rationals + sign-split floor milli-slope
+    "events_trend" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.dailyTrend(events(spark, sfDir))),
     // explicit-value pivot: one conditional hash aggregate, no
     // plan-time distinct-collect, fixed schema, 0-rendered cells
     "events_pivot" -> ((spark, sfDir) =>
@@ -3014,6 +3018,29 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
         |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
         |GROUP BY ROLLUP (event_type, hr)""".stripMargin,
+    // integer OLS: DuckDB sum(BIGINT) is HUGEINT — cast the outputs;
+    // floor division made explicit by the sign split on both engines
+    "events_trend" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS y FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+        |xy AS (SELECT d.event_type,
+        |  CAST(date_diff('day', d0.d0, d.day) AS BIGINT) AS x, y
+        |  FROM daily d JOIN d0 USING (event_type)),
+        |m AS (SELECT event_type, count(*) AS n_days, sum(x) AS sx,
+        |  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM xy GROUP BY 1),
+        |t AS (SELECT event_type, n_days,
+        |  n_days * sxy - sx * sy AS num0,
+        |  n_days * sxx - sx * sx AS den FROM m)
+        |SELECT event_type, n_days,
+        |  CAST(CASE WHEN den = 0 THEN 0 ELSE num0 END AS BIGINT) AS num,
+        |  CAST(den AS BIGINT) AS den,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |    WHEN num0 >= 0 THEN (1000 * num0) // den
+        |    ELSE -((1000 * (-num0) + den - 1) // den) END AS BIGINT)
+        |    AS slope_milli
+        |FROM t""".stripMargin,
     // CUBE face; DuckDB dayofweek is 0=Sunday vs Spark's 1=Sunday
     "events_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,

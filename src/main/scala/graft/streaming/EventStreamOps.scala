@@ -607,6 +607,54 @@ object EventStreamOps {
         col("gid"), col("events"), col("cents_sum"))
 
   /**
+   * Per-type linear TREND of daily volume — the OLS slope of daily
+   * event counts regressed on the day index, with every compared
+   * number an exact integer: `num = n·Σxy − Σx·Σy`,
+   * `den = n·Σx² − (Σx)²` (x = days since the type's first day,
+   * y = daily count), and the milli-slope uses an explicit
+   * sign-split floor division (Spark's `div` truncates toward zero
+   * and engines disagree on negative integral division — the
+   * sign-split makes floor semantics explicit on both sides). No
+   * float regression crosses engines.
+   *
+   * Scale shape: the raw stream collapses to one row per (type, day)
+   * in a partial-aggregable count FIRST; the regression then runs
+   * over day-grid-sized data (two more tiny aggregates). Magnitude
+   * bound: |num| ≤ n²·x_max·y_max — int64-safe while daily counts
+   * stay below ~10¹¹ over a decade of days; beyond that, cast the
+   * moment sums to DECIMAL(38,0) (the [[anomalies]] pattern).
+   * Output: `(event_type, n_days, num, den, slope_milli)`; groups
+   * with a single day report `(n_days=1, 0, 0, 0)`.
+   */
+  def dailyTrend(events: DataFrame,
+                 typeCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .withColumn("__day", to_date(col("ts")))
+      .groupBy(col(typeCol), col("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val d0 = daily.groupBy(col(typeCol))
+      .agg(min(col("__day")).as("__d0"))
+    val xy = daily.join(broadcast(d0), Seq(typeCol))
+      .withColumn("__x", datediff(col("__day"), col("__d0")).cast("long"))
+    val m = xy.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("num",
+        col("n_days") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("den",
+        col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+    m.select(col(typeCol), col("n_days"),
+      when(col("den") === 0, lit(0L)).otherwise(col("num")).as("num"),
+      col("den"),
+      when(col("den") === 0, lit(0L))
+        .when(col("num") >= 0, expr("(1000 * num) div den"))
+        .otherwise(-expr("(1000 * -num + den - 1) div den"))
+        .as("slope_milli"))
+  }
+
+  /**
    * CUBE grouping sets over (type, day-of-week) — all four levels
    * ((t,d) / t / d / grand total) in one expand + partial-aggregable
    * hash aggregate, one shuffle. Completes the grouping-sets family

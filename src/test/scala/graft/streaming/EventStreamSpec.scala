@@ -562,6 +562,37 @@ class EventStreamSpec extends SparkSpec {
     assert(rows.keySet.map(_._3).subsetOf(Set(0, 1, 3)))
   }
 
+  test("dailyTrend: hand-checked slopes, negative floor, single day") {
+    import spark.implicits._
+    // base ts is 22:13:20 UTC; UTC day boundaries fall at minute
+    // 107 + 1440k. Type a: daily counts 1,2,3 -> slope exactly +1/day;
+    // type b: 3,1 -> -2/day; type c: one day -> degenerate zeros
+    val ev = Seq(
+      event(1, 0, 1, "a", 0),
+      event(2, 200, 1, "a", 0), event(3, 300, 1, "a", 0),
+      event(4, 1600, 1, "a", 0), event(5, 1700, 1, "a", 0),
+      event(6, 1800, 1, "a", 0),
+      event(7, 0, 1, "b", 0), event(8, 10, 1, "b", 0),
+      event(9, 20, 1, "b", 0), event(10, 200, 1, "b", 0),
+      event(11, 50, 1, "c", 0)).toDF()
+    val out = EventStreamOps.dailyTrend(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((3L, 6L, 6L, 1000L)))
+    assert(out("b") == ((2L, -2L, 1L, -2000L)))
+    assert(out("c") == ((1L, 0L, 0L, 0L)))
+    // floor, not truncate, on a negative non-integral slope: counts
+    // 3,1,1 on days 0,1,3 (a gap day) -> num=-8, den=14 ->
+    // floor(-571.43)=-572 (truncation would say -571)
+    val ev2 = Seq(
+      event(1, 0, 1, "d", 0), event(2, 10, 1, "d", 0),
+      event(3, 20, 1, "d", 0),
+      event(4, 200, 1, "d", 0), event(5, 3000, 1, "d", 0)).toDF()
+    val r2 = EventStreamOps.dailyTrend(ev2).collect().head
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) ==
+      ((-8L, 14L, -572L)))
+  }
+
   test("typeDowCube: all four levels present and reconciling") {
     val ev = readEvents(spark, "/root/testdata/sf0.001/events.parquet")
     val rows = EventStreamOps.typeDowCube(ev).collect()
