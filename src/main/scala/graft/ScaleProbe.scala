@@ -263,6 +263,12 @@ object ScaleProbe {
       embs, k = 5, nBits = 10, nTables = 4).count())
     time("knnClustersLsh")(operators.SimilarityOps.knnClusters(
       embs, k = 5, tau = 0.3, nBits = 10, nTables = 4).count())
+    // cross-corpus mutual-best-match rides the LSH candidate face at
+    // scale (the exact broadcast face is the oracle-gate config)
+    time("mutualBestMatchLsh")(operators.SimilarityOps.mutualBestMatch(
+      embs.filter(col("vec_id") % 2 === 0),
+      embs.filter(col("vec_id") % 2 === 1),
+      nBits = 10, nTables = 4).count())
     time("prototypeOutliers")(operators.SimilarityOps.prototypeOutliers(
       embs.withColumn("label", (col("vec_id") % 16).cast("int")))
       .count())

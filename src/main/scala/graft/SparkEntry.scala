@@ -1064,6 +1064,13 @@ object SparkEntry {
     // clustering substrate); LSH-bucketed candidates are the scale face
     "embed_knn_graph" -> ((spark, sfDir) =>
       operators.SimilarityOps.knnGraph(embs(spark, sfDir), k = 3)),
+    // mutual-best-match bitext shape: even ids vs odd ids, exact face
+    "embed_bitext_pairs" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      operators.SimilarityOps.mutualBestMatch(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+    }),
     // deterministic DeepWalk-style walks: salted-md5 argmin neighbor
     // choice (partial-aggregable — no per-vertex rank window), walks
     // from every nation-1 customer, 4 undirected steps
@@ -3110,6 +3117,24 @@ object SparkEntry {
     // exact mutual-kNN graph: directed top-3 by raw cosine (tie-break
     // dst), mutual = reverse edge also in top-3; t MATERIALIZED so the
     // self-join doesn't recompute the n^2 dot products
+    // mutual argmax both ways; row_number ties (cos DESC, id) match
+    // the Spark max(struct(cos, -id)) tie-break exactly
+    "embed_bitext_pairs" ->
+      s"""WITH s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |  ${sqlDot("a", "b")} /
+         |    (sqrt(${sqlDot("a", "a")}) * sqrt(${sqlDot("b", "b")}))
+         |    AS c
+         | FROM embeddings a JOIN embeddings b
+         |   ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+         |lb AS (SELECT src, dst, c FROM (SELECT src, dst, c,
+         |  row_number() OVER (PARTITION BY src ORDER BY c DESC, dst)
+         |    AS rn FROM s) WHERE rn = 1),
+         |rb AS (SELECT src, dst FROM (SELECT src, dst,
+         |  row_number() OVER (PARTITION BY dst ORDER BY c DESC, src)
+         |    AS rn FROM s) WHERE rn = 1)
+         |SELECT lb.src, lb.dst, round(lb.c, 4) AS cosine
+         |FROM lb JOIN rb ON lb.src = rb.src AND lb.dst = rb.dst"""
+        .stripMargin,
     "embed_knn_graph" ->
       s"""WITH d AS (SELECT a.vec_id AS src, b.vec_id AS dst,
          |  ${sqlDot("a", "a")} AS aa, ${sqlDot("b", "b")} AS bb,

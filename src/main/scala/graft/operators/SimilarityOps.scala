@@ -172,6 +172,67 @@ object SimilarityOps {
     }
   }
 
+  /**
+   * Cross-corpus mutual-best-match join — the bitext-mining /
+   * embedding-alignment primitive (Artetxe & Schwenk's mutual-kNN@1
+   * criterion, margin-free): pair `(a, b)` survives iff `b` is `a`'s
+   * single best cosine match in `right` AND `a` is `b`'s best in
+   * `left`. Ties break to the smaller id on both sides, so the match
+   * set is deterministic.
+   *
+   * Each side's argmax is `max(struct(cos, -otherId, otherId))` —
+   * PARTIAL-aggregable, so a hub vector with 10⁹ candidate rows
+   * combines map-side (never a per-key rank window). Exact face
+   * (`nBits <= 0`): the right side broadcasts into one scan of the
+   * left. LSH face: sign-bucket equi-join between the two sides'
+   * bucketings (a mutual-best pair must collide in some table —
+   * same recall story as [[knnGraph]]'s LSH face).
+   * Output: `(src, dst, cosine)` — one row per mutual pair, cosine
+   * rounded for display AFTER both argmaxes ran on the raw value.
+   */
+  def mutualBestMatch(left: DataFrame, right: DataFrame,
+                      nBits: Int = 0, nTables: Int = 4, dim: Int = 64,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(left.sparkSession)
+    val cand =
+      if (nBits <= 0) {
+        val a = left.select(col(idCol).as("src"), col(vecCol).as("__av"),
+          l2norm(col(vecCol)).as("__an"))
+        val b = right.select(col(idCol).as("dst"), col(vecCol).as("__bv"),
+          l2norm(col(vecCol)).as("__bn"))
+        a.crossJoin(broadcast(b))
+      } else {
+        val l = left.select(col(idCol).as("src"), col(vecCol).as("__av"),
+          l2norm(col(vecCol)).as("__an"),
+          explode(signBuckets(col(vecCol), dim, nBits, nTables))
+            .as("__bucket"))
+        val r = right.select(col(idCol).as("dst"), col(vecCol).as("__bv"),
+          l2norm(col(vecCol)).as("__bn"),
+          explode(signBuckets(col(vecCol), dim, nBits, nTables))
+            .as("__bucket"))
+        l.join(r, Seq("__bucket")).drop("__bucket")
+          .dropDuplicates("src", "dst")
+      }
+    val scored = cand
+      .withColumn("__cos",
+        dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
+      .select(col("src"), col("dst"), col("__cos"))
+      // both argmaxes consume the candidate set — one lineage
+      .localCheckpoint(false)
+    val bestL = scored.groupBy(col("src"))
+      .agg(max(struct(col("__cos"), (-col("dst")).as("__nd"),
+        col("dst"))).as("__b"))
+      .select(col("src"), col("__b.dst").as("dst"),
+        col("__b.__cos").as("__cl"))
+    val bestR = scored.groupBy(col("dst"))
+      .agg(max(struct(col("__cos"), (-col("src")).as("__ns"),
+        col("src"))).as("__b"))
+      .select(col("__b.src").as("src"), col("dst"))
+    bestL.join(bestR, Seq("src", "dst"))
+      .select(col("src"), col("dst"), round(col("__cl"), 4).as("cosine"))
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search.
   // The centroid model is tiny (k·dim doubles) and driver-held — but it

@@ -2666,6 +2666,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("mutualBestMatch exact face equals a driver argmax-both-ways") {
+    val l = embs.filter(col("vec_id") < 80 && col("vec_id") % 2 === 0)
+    val r = embs.filter(col("vec_id") < 80 && col("vec_id") % 2 === 1)
+    val got = SimilarityOps.mutualBestMatch(l, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val lv = l.collect().map(x => (x.getLong(0),
+      x.getSeq[Float](1).toArray)).toMap
+    val rv = r.collect().map(x => (x.getLong(0),
+      x.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i)
+        bb += b(i).toDouble * b(i); i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val bestL = lv.map { case (s, v) => s ->
+      rv.toSeq.map { case (d, w) => (d, cos(v, w)) }
+        .minBy { case (d, c) => (-c, d) }._1 }
+    val bestR = rv.map { case (d, w) => d ->
+      lv.toSeq.map { case (s, v) => (s, cos(w, v)) }
+        .minBy { case (s, c) => (-c, s) }._1 }
+    val expected = bestL.collect {
+      case (s, d) if bestR(d) == s => (s, d) }.toSet
+    assert(got == expected && got.nonEmpty)
+    // LSH face: mutual-best WITHIN the collision candidates — measure
+    // recall of the true mutual pairs at this bucket width
+    val lsh = SimilarityOps.mutualBestMatch(l, r, nBits = 2, nTables = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val hit = (lsh intersect expected).size
+    assert(hit * 10 >= expected.size * 5,
+      s"lsh recall $hit/${expected.size}")
+  }
+
   test("knnGraph LSH face: exact cosines, bounded depth per source") {
     val sub = embs.filter(col("vec_id") < 60)
     val approx = SimilarityOps.knnGraph(sub, k = 3, nBits = 2, nTables = 4)
