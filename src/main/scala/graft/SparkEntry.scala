@@ -158,6 +158,10 @@ object SparkEntry {
       docs(spark, sfDir).select(col("doc_id"),
         operators.TextOps.docFingerprint(col("text")).as("fingerprint"),
         operators.TextOps.winnowFingerprint(col("text")).as("winnow_fp"))),
+    // FIM pretraining transform: deterministic md5-derived cut points,
+    // PSM rearrangement, pure narrow projection
+    "text_fim" -> ((spark, sfDir) =>
+      operators.TextOps.fimSplit(docs(spark, sfDir))),
     "dedup_exact" -> ((spark, sfDir) =>
       operators.DedupOps.exact(docs(spark, sfDir))),
     "dedup_minhash" -> ((spark, sfDir) =>
@@ -1529,6 +1533,33 @@ object SparkEntry {
     "text_fingerprint" ->
       ("SELECT doc_id, md5(text) AS fingerprint, " +
         "list_min([md5(text[i:i+7]) for i in range(1, greatest(length(text)-7, 1)+1)]) AS winnow_fp FROM documents"),
+    // FIM cuts from the md5-uint32 recipe; DuckDB list slices are
+    // 1-based inclusive like Spark's slice(start, len) window
+    "text_fim" ->
+      """WITH x AS (SELECT doc_id, t, len(t) AS n,
+        |  CAST('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)
+        |    || ':1'), 1, 8) AS BIGINT) AS h1,
+        |  CAST('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)
+        |    || ':2'), 1, 8) AS BIGINT) AS h2
+        | FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |   FROM documents)),
+        |s AS (SELECT doc_id, t, n, 1 + (h1 % (n - 1)) AS c1, h2
+        |  FROM x WHERE n >= 3),
+        |s2 AS (SELECT doc_id, t, n, c1,
+        |  c1 + 1 + (h2 % (n - c1)) AS c2 FROM s),
+        |rows_split AS (
+        | SELECT doc_id, n, array_to_string(t[1:c1], ' ') AS prefix,
+        |  array_to_string(t[c1+1:c2], ' ') AS middle,
+        |  -- array_to_string of an EMPTY slice is NULL in DuckDB
+        |  coalesce(array_to_string(t[c2+1:n], ' '), '') AS suffix
+        | FROM s2
+        | UNION ALL
+        | SELECT doc_id, n, array_to_string(t, ' '), '', ''
+        |  FROM x WHERE n < 3)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, prefix, middle,
+        |  suffix, '<PRE>' || prefix || '<SUF>' || suffix || '<MID>'
+        |    || middle AS psm
+        |FROM rows_split""".stripMargin,
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text, count(*) AS dup_count FROM documents GROUP BY text",
     // merged per-increment partials == one full groupBy (min/sum are

@@ -644,6 +644,47 @@ object TextOps {
    * Output: `(doc_id, rel_pm, bucket)`, every input doc exactly once
    * (sub-2-token docs score 0 → `tail`).
    */
+  /**
+   * Fill-in-the-middle transformation (the FIM pretraining objective,
+   * Bavarian et al. 2022): split each document's token stream at two
+   * DETERMINISTIC pseudo-random points and emit the PSM rearrangement
+   * `<PRE> prefix <SUF> suffix <MID> middle`. Cut points derive from
+   * salted md5 uniforms (the mixSources/shardShuffle recipe — uint32
+   * from the first 8 hex digits, engine-reproducible, seedless):
+   * `c1 = 1 + h1 mod (n-1)` tokens of prefix (1..n-1),
+   * `c2 = c1 + 1 + h2 mod (n-c1)` end of middle (c1+1..n) — middle
+   * and prefix always non-empty, suffix possibly empty. Documents
+   * under 3 tokens pass through unsplit (empty middle/suffix).
+   * A pure narrow projection — codegen'd Columns, zero shuffle, so
+   * the transform streams at scan speed over any corpus size.
+   * Output: `(idCol, n_tokens, prefix, middle, suffix, psm)`.
+   */
+  def fimSplit(df: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text",
+               salt: String = "fim"): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t)
+    def u(tag: String): Column =
+      conv(substring(md5(concat_ws(":", lit(salt),
+        col(idCol).cast(StringType), lit(tag))), 1, 8), 16, 10)
+        .cast(LongType)
+    val c1 = (lit(1L) + u("1") % (n - 1).cast(LongType)).cast("int")
+    val c2 = (c1.cast(LongType) + 1L +
+      u("2") % (n.cast(LongType) - c1)).cast("int")
+    val splittable = n >= 3
+    val prefix = when(splittable,
+      array_join(slice(t, lit(1), c1), " "))
+      .otherwise(array_join(t, " "))
+    val middle = when(splittable,
+      array_join(slice(t, c1 + 1, c2 - c1), " ")).otherwise(lit(""))
+    val suffix = when(splittable,
+      array_join(slice(t, c2 + 1, n - c2), " ")).otherwise(lit(""))
+    df.select(col(idCol), n.as("n_tokens"), prefix.as("prefix"),
+      middle.as("middle"), suffix.as("suffix"),
+      concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+        lit("<MID>"), middle).as("psm"))
+  }
+
   def perplexityBuckets(df: DataFrame, tailMax: Long = 980L,
                         headMin: Long = 1005L, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {

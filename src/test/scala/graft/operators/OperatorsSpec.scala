@@ -2380,6 +2380,32 @@ class OperatorsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("fimSplit: lossless reassembly, non-empty prefix/middle, PSM") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextOps.fimSplit(docs).cache()
+    assert(out.count() == docs.count())
+    // prefix+middle+suffix re-concatenates to the tokenized original
+    val bad = out.join(docs, "doc_id")
+      .withColumn("__orig", array_join(split(trim(col("text")), " "), " "))
+      .withColumn("__re", concat_ws(" ",
+        Seq(col("prefix"), col("middle"), col("suffix"))
+          .map(c => when(c === "", null).otherwise(c)): _*))
+      .filter(col("__re") =!= col("__orig"))
+    assert(bad.count() == 0)
+    // splittable docs: prefix and middle non-empty; all three pieces
+    // shorter than the doc (a real split happened)
+    val split3 = out.filter(col("n_tokens") >= 3)
+    assert(split3.filter(col("prefix") === "" || col("middle") === "")
+      .count() == 0)
+    // psm layout is exactly the three pieces re-tagged
+    assert(out.filter(col("psm") =!= concat(lit("<PRE>"), col("prefix"),
+      lit("<SUF>"), col("suffix"), lit("<MID>"), col("middle")))
+      .count() == 0)
+    // deterministic: two runs agree bit for bit
+    assert(TextOps.fimSplit(docs).exceptAll(out).count() == 0)
+  }
+
   test("dedupBestOf keeps each cluster's longest doc, ties to min id") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").cache()
