@@ -1068,6 +1068,9 @@ object SparkEntry {
     // clustering substrate); LSH-bucketed candidates are the scale face
     "embed_knn_graph" -> ((spark, sfDir) =>
       operators.SimilarityOps.knnGraph(embs(spark, sfDir), k = 3)),
+    // seedless contrastive negative sampling over the dense id space
+    "embed_negative_samples" -> ((spark, sfDir) =>
+      operators.SimilarityOps.negativeSamples(embs(spark, sfDir), k = 4)),
     // mutual-best-match bitext shape: even ids vs odd ids, exact face
     "embed_bitext_pairs" -> ((spark, sfDir) => {
       val e = embs(spark, sfDir)
@@ -3148,6 +3151,21 @@ object SparkEntry {
     // exact mutual-kNN graph: directed top-3 by raw cosine (tie-break
     // dst), mutual = reverse edge also in top-3; t MATERIALIZED so the
     // self-join doesn't recompute the n^2 dot products
+    // same md5-uint32 draw + self-collision bump; j is INT like
+    // Spark's sequence(1, k) element type
+    "embed_negative_samples" ->
+      """WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+        |a AS (SELECT vec_id, unnest(generate_series(1, 4)) AS j
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, j,
+        |  CAST('0x' || substr(md5('neg:' || CAST(vec_id AS VARCHAR)
+        |    || ':' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % cnt.n
+        |    AS c, cnt.n AS n
+        | FROM a, cnt)
+        |SELECT vec_id, CAST(j AS INTEGER) AS j,
+        |  CAST(CASE WHEN c = vec_id THEN (c + 1) % n ELSE c END
+        |    AS BIGINT) AS neg_id
+        |FROM c""".stripMargin,
     // mutual argmax both ways; row_number ties (cos DESC, id) match
     // the Spark max(struct(cos, -id)) tie-break exactly
     "embed_bitext_pairs" ->

@@ -173,6 +173,40 @@ object SimilarityOps {
   }
 
   /**
+   * Deterministic negative sampling for contrastive training: each
+   * anchor id draws `k` pseudo-random OTHER ids from a dense id space
+   * `[0, n)` — `cand = h(salt:anchor:j) mod n`, bumped by one
+   * (mod n) on self-collision. The draw is seedless and
+   * engine-reproducible (the md5-uint32 recipe), so a re-run of the
+   * pipeline pairs every anchor with identical negatives — the
+   * property that makes training jobs resumable. A pure narrow
+   * projection (explode k per anchor, no join needed to SELECT the
+   * ids; callers join the returned `neg_id` back to the vector table
+   * to fetch payloads — one equi-join, never a cross join).
+   * Requires dense ids 0..n-1 (the embeddings table's layout; for
+   * sparse ids compose with `row_number`-free `zipWithIndex`-style
+   * re-keying at ingest).
+   * Output: `(idCol, j, neg_id)`, k rows per anchor.
+   */
+  def negativeSamples(df: DataFrame, k: Int = 4,
+                      idCol: String = "vec_id",
+                      salt: String = "neg"): DataFrame = {
+    require(k >= 1, s"need k >= 1 negatives, got $k")
+    val n = df.count()
+    require(n >= 2, "need at least 2 rows to draw negatives")
+    val h = conv(substring(md5(concat_ws(":", lit(salt),
+      col(idCol).cast(StringType), col("j").cast(StringType))),
+      1, 8), 16, 10).cast(LongType)
+    df.select(col(idCol),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__c", h % n)
+      .withColumn("neg_id",
+        when(col("__c") === col(idCol), (col("__c") + 1L) % n)
+          .otherwise(col("__c")))
+      .select(col(idCol), col("j"), col("neg_id"))
+  }
+
+  /**
    * Cross-corpus mutual-best-match join — the bitext-mining /
    * embedding-alignment primitive (Artetxe & Schwenk's mutual-kNN@1
    * criterion, margin-free): pair `(a, b)` survives iff `b` is `a`'s

@@ -2692,6 +2692,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("negativeSamples: k per anchor, never self, in range, stable") {
+    val sub = embs.filter(col("vec_id") < 100).cache()
+    val out = SimilarityOps.negativeSamples(sub, k = 4).cache()
+    assert(out.count() == 400)
+    assert(out.filter(col("neg_id") === col("vec_id")).count() == 0)
+    assert(out.filter(col("neg_id") < 0 || col("neg_id") >= 100)
+      .count() == 0)
+    assert(out.groupBy(col("vec_id")).count()
+      .filter(col("count") =!= 4).count() == 0)
+    // deterministic across runs
+    assert(SimilarityOps.negativeSamples(sub, k = 4)
+      .exceptAll(out).count() == 0)
+    // driver replica of one draw
+    val r = out.filter(col("vec_id") === 7 && col("j") === 2)
+      .collect().head.getLong(2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("neg:7:2".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val c = java.lang.Long.parseLong(md, 16) % 100
+    assert(r == (if (c == 7) (c + 1) % 100 else c))
+  }
+
   test("mutualBestMatch exact face equals a driver argmax-both-ways") {
     val l = embs.filter(col("vec_id") < 80 && col("vec_id") % 2 === 0)
     val r = embs.filter(col("vec_id") < 80 && col("vec_id") % 2 === 1)
