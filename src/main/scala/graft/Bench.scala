@@ -57,7 +57,9 @@ object Bench {
     "events_stream_throttled",
     // round-9 additions: the structurally-heavy continuation operators
     "dedup_edit_distance", "graph_walks", "embed_knn_graph",
-    "events_gapfill")
+    "events_gapfill",
+    // round-9 fifth-session additions
+    "dedup_best_survivors", "embed_bitext_pairs", "join_bloom_prefilter")
 
   /** Cross-family JIT warmup set (run at the small warmup sf, never at
     * the benched sf): one gate per shared-infra family. */
