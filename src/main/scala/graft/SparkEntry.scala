@@ -1197,6 +1197,30 @@ object SparkEntry {
             "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
             .as("text_h"))
     }),
+    // hive-style daily partitions: a day-scoped read prunes at the
+    // DIRECTORY level (PartitionFilters, plan-guarded) and must equal
+    // the oracle's day filter over the raw table
+    "source_date_partitioned" -> ((spark, sfDir) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_daypart_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      sources.Layout.datePartitionedWrite(events(spark, sfDir), dir)
+      sources.Layout.readDay(spark, dir, "2024-01-02")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("events"),
+          sum(floor(col("value") * 100).cast("long")).as("cents_sum"))
+    }),
+    // bucketed co-located join: shuffle paid once at write time, the
+    // join itself plans with zero exchanges (plan-guarded)
+    "source_bucketed_join" -> ((spark, sfDir) => {
+      val ev = events(spark, sfDir).select(col("user_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val users = events(spark, sfDir).select(col("user_id")).distinct()
+        .withColumn("tier", (col("user_id") % 5).cast("int"))
+      sources.Layout.bucketedJoin(ev, users, "user_id", buckets = 16,
+        prefix = s"gbk${ProcessHandle.current().pid()}")
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("events"), sum(col("cents")).as("cents_sum"))
+    }),
   )
 
   /** Count-min heavy-hitter oracle, shared by the batch gate
@@ -3403,5 +3427,21 @@ object SparkEntry {
         |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
         |    AS BIGINT) AS text_h
         |FROM documents GROUP BY source""".stripMargin,
+    // the day-partition read equals a day filter over the raw table
+    "source_date_partitioned" ->
+      """SELECT event_type, count(*) AS events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+        |GROUP BY 1""".stripMargin,
+    // the bucketed join equals the logical join it lays out for
+    "source_bucketed_join" ->
+      """WITH t AS (SELECT DISTINCT user_id,
+        |  CAST(user_id % 5 AS INTEGER) AS tier FROM events),
+        |e AS (SELECT user_id, CAST(floor(value * 100) AS BIGINT)
+        |  AS cents FROM events)
+        |SELECT tier, count(*) AS events,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM e JOIN t USING (user_id) GROUP BY 1""".stripMargin,
   )
 }

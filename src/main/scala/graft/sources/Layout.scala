@@ -165,4 +165,48 @@ object Layout {
       when(base === lit(name), lit(b)).otherwise(acc)
     }
   }
+
+  /**
+   * Hive-style date-partitioned export — the daily-partition layout
+   * every 100 TB event table ships with: rows land under
+   * `dir/day=YYYY-MM-DD/…`, so a day-scoped read never OPENS the
+   * other days' files (directory-level partition pruning — cheaper
+   * even than zone maps, which still read every footer). The
+   * partition column is derived, not stored, so row content is
+   * unchanged on the round trip.
+   */
+  def datePartitionedWrite(events: DataFrame, dir: String,
+                           tsCol: String = "ts"): Unit =
+    events.withColumn("day", to_date(col(tsCol)))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+  /** Day-scoped read of a [[datePartitionedWrite]] table. The filter
+    * lands in the scan's `PartitionFilters` (plan-guarded), so only
+    * `day=<day>`'s directory is listed and scanned. */
+  def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
+    spark.read.parquet(dir).filter(col("day") === lit(day))
+
+  /**
+   * Bucketed co-located equi-join: persist both sides bucketed (and
+   * sorted) on the join key into warehouse tables, then join the
+   * read-back tables — Spark's bucketing metadata proves both sides
+   * are already hash-distributed on the key, so the join plans with
+   * NO exchange on either side (plan-guarded). This is THE layout
+   * move for a 100 TB fact table joined repeatedly on the same key:
+   * the shuffle is paid once at write time and never again — every
+   * subsequent join, by any job, rides the bucket files.
+   * Returns the joined (fact ⋈ dim) DataFrame; caller aggregates.
+   */
+  def bucketedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                   buckets: Int, prefix: String): DataFrame = {
+    val spark = fact.sparkSession
+    val (ft, dt) = (s"${prefix}_fact", s"${prefix}_dim")
+    spark.sql(s"DROP TABLE IF EXISTS $ft")
+    spark.sql(s"DROP TABLE IF EXISTS $dt")
+    fact.write.format("parquet").bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(ft)
+    dim.write.format("parquet").bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(dt)
+    spark.table(ft).join(spark.table(dt), Seq(key))
+  }
 }

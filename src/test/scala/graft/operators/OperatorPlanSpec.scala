@@ -482,6 +482,44 @@ class OperatorPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("readDay: partition filter prunes to one day's directory") {
+    val ev = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-daypart").toString + "/t"
+    graft.sources.Layout.datePartitionedWrite(ev, dir)
+    val day = graft.sources.Layout.readDay(spark, dir, "2024-01-02")
+    val p = plan(day)
+    assert(p.contains("PartitionFilters") && p.contains("2024-01-02"),
+      p.take(1500))
+    // only the one day's directory is touched
+    val files = day.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("day=2024-01-02")),
+      files.mkString(", "))
+    // content equality with a filter over the raw table
+    assert(day.count() ==
+      ev.filter(to_date(col("ts")) === "2024-01-02").count())
+  }
+
+  test("bucketedJoin: both sides pre-distributed, zero exchanges") {
+    val ev0 = graft.streaming.EventStreamOps.readEvents(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val ev = ev0.select(col("user_id"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val users = ev0.select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 5).cast("int"))
+    val j = graft.sources.Layout.bucketedJoin(ev, users, "user_id",
+      buckets = 8, prefix = "gtestbk")
+    val p = plan(j)
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      p.take(1500))
+    assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning")),
+      s"join shuffled despite buckets:\n${p.take(1500)}")
+    assert(j.count() ==
+      ev.join(users, Seq("user_id")).count())
+  }
+
   test("prunedRead: residual zval filter reaches the parquet scan") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-zplan").toString
