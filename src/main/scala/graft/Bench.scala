@@ -133,6 +133,7 @@ object Bench {
     // optional comma-separated subset for targeted profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    var sinceGc = 0
     def timeOne(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -142,6 +143,15 @@ object Bench {
       // evict the shared graph/index caches out from under later
       // queries (outside the timer: bookkeeping, not query cost)
       Sweep.transientStorage(spark)
+      // Sweep only frees CHECKPOINT blocks; dead broadcasts (model
+      // tables, bloom handles) are only reclaimed by ContextCleaner
+      // after a driver GC, which an 8g heap may not run for hundreds
+      // of gates — observed as a broad warm-pass collapse (24 s on a
+      // 3 s gate) once ~200 gates' broadcasts saturate storage
+      // memory. Deterministic periodic GC keeps the sweep's memory
+      // profile flat; outside the timer like the sweep itself.
+      sinceGc += 1
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
       dt
     }
     def timeAll(): Seq[(String, Double)] =

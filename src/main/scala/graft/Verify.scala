@@ -22,6 +22,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var sinceGc = 0
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -29,6 +30,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       Sweep.transientStorage(spark) // results are on disk; free checkpoints
+      // dead broadcasts need a driver GC before ContextCleaner frees
+      // them (see Bench.timeOne) — keep the long sweep's memory flat
+      sinceGc += 1
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
