@@ -1046,6 +1046,12 @@ object SparkEntry {
     // exact rationals + sign-split floor milli-slope
     "events_trend" -> ((spark, sfDir) =>
       streaming.EventStreamOps.dailyTrend(events(spark, sfDir))),
+    // CUSUM-peak changepoint day per type, exact int64 deviations
+    "events_changepoint" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.changePoint(events(spark, sfDir))),
+    // hashing-trick featurizer: vocabulary-free fixed-width counts
+    "text_hashed_features" -> ((spark, sfDir) =>
+      operators.TextOps.hashedFeatures(docs(spark, sfDir), dim = 16)),
     // explicit-value pivot: one conditional hash aggregate, no
     // plan-time distinct-collect, fixed schema, 0-rendered cells
     "events_pivot" -> ((spark, sfDir) =>
@@ -3106,6 +3112,36 @@ object SparkEntry {
         |    ELSE -((1000 * (-num0) + den - 1) // den) END AS BIGINT)
         |    AS slope_milli
         |FROM t""".stripMargin,
+    // CUSUM peak: same integer chain; row_number ties and the
+    // max(struct(dev, -k)) earliest-day tie-break mirror exactly
+    "events_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS y FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, y,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS BIGINT) AS k,
+        |  sum(y) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  count(*) OVER (PARTITION BY event_type) AS n,
+        |  sum(y) OVER (PARTITION BY event_type) AS s FROM daily),
+        |d AS (SELECT event_type, day, abs(n * cum - k * s) AS dev, k
+        |  FROM c),
+        |r AS (SELECT event_type, day, dev, row_number() OVER (
+        |  PARTITION BY event_type ORDER BY dev DESC, k) AS rn FROM d)
+        |SELECT event_type, day AS change_day, CAST(dev AS BIGINT) AS dev
+        |FROM r WHERE rn = 1""".stripMargin,
+    // hashing trick: md5-uint32 bucket per token, 16 FILTER counts
+    "text_hashed_features" ->
+      (0 until 16).map(j =>
+        s"  count(*) FILTER (WHERE b = $j) AS f$j").mkString(
+        """SELECT doc_id,
+          |""".stripMargin, ",\n", """
+          |FROM (SELECT doc_id,
+          |  CAST('0x' || substr(md5('feat:' || t), 1, 8) AS BIGINT)
+          |    % 16 AS b
+          |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' '))
+          |    AS t FROM documents))
+          |GROUP BY 1""".stripMargin),
     // CUBE face; DuckDB dayofweek is 0=Sunday vs Spark's 1=Sunday
     "events_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,

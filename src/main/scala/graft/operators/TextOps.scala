@@ -645,6 +645,33 @@ object TextOps {
    * (sub-2-token docs score 0 → `tail`).
    */
   /**
+   * Hashing-trick feature vectors (Weinberger et al. 2009 — the
+   * Vowpal-Wabbit featurizer): each document's tokens hash into a
+   * fixed `dim`-bucket count vector, so the feature space needs NO
+   * vocabulary pass, no model table, and never grows — the property
+   * that lets a featurizer run on an unbounded stream of new corpora.
+   * Bucket = md5-uint32 of the token mod `dim` (engine-reproducible,
+   * seedless); counts are exact int64. One partial-aggregable pass
+   * over the exploded tokens; output width is `dim`, independent of
+   * vocabulary size.
+   * Output: `(idCol, f0 … f{dim-1})`.
+   */
+  def hashedFeatures(df: DataFrame, dim: Int = 16,
+                     idCol: String = "doc_id",
+                     textCol: String = "text",
+                     salt: String = "feat"): DataFrame = {
+    require(dim >= 2 && dim <= 256, s"dim out of range: $dim")
+    val bucket = conv(substring(md5(concat_ws(":", lit(salt),
+      col("__t"))), 1, 8), 16, 10).cast(LongType) % dim
+    val feats = (0 until dim).map(j =>
+      count(when(col("__b") === j, 1)).as(s"f$j"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .withColumn("__b", bucket)
+      .groupBy(col(idCol))
+      .agg(feats.head, feats.tail: _*)
+  }
+
+  /**
    * Fill-in-the-middle transformation (the FIM pretraining objective,
    * Bavarian et al. 2022): split each document's token stream at two
    * DETERMINISTIC pseudo-random points and emit the PSM rearrangement

@@ -655,6 +655,46 @@ object EventStreamOps {
   }
 
   /**
+   * Per-type changepoint day — the day where the cumulative daily
+   * volume deviates most from a constant rate (the CUSUM peak, which
+   * for a single level shift is the maximum-likelihood change
+   * location): `dev_k = |n·C_k − k·S|` over the type's ordered
+   * observed days (C_k cumulative count through day k of n observed
+   * days, S the total), maximised with ties to the EARLIEST day.
+   * Every compared number is exact int64 — no float likelihoods
+   * cross engines.
+   *
+   * Scale shape: the stream collapses to (type, day) counts in one
+   * partial-aggregable pass; the cumulative window then runs over
+   * DAY-GRID-sized data per type (calendar-bounded, never
+   * event-volume-bounded), and the argmax is a partial-aggregable
+   * `max(struct)`. Output: `(event_type, change_day, dev)`.
+   */
+  def changePoint(events: DataFrame,
+                  typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .withColumn("__day", to_date(col("ts")))
+      .groupBy(col(typeCol), col("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val wcum = Window.partitionBy(col(typeCol)).orderBy(col("__day"))
+    val wall = Window.partitionBy(col(typeCol))
+    daily
+      .withColumn("__k", row_number().over(wcum).cast("long"))
+      .withColumn("__c", sum(col("__y")).over(
+        wcum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wall))
+      .withColumn("__s", sum(col("__y")).over(wall))
+      .withColumn("__dev",
+        abs(col("__n") * col("__c") - col("__k") * col("__s")))
+      .groupBy(col(typeCol))
+      .agg(max(struct(col("__dev"), (-col("__k")).as("__nk"),
+        col("__day"))).as("__b"))
+      .select(col(typeCol), col("__b.__day").as("change_day"),
+        col("__b.__dev").as("dev"))
+  }
+
+  /**
    * CUBE grouping sets over (type, day-of-week) — all four levels
    * ((t,d) / t / d / grand total) in one expand + partial-aggregable
    * hash aggregate, one shuffle. Completes the grouping-sets family

@@ -2380,6 +2380,38 @@ class OperatorsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("hashedFeatures: counts cross-foot to token totals, replica") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextOps.hashedFeatures(docs, dim = 16).cache()
+    assert(out.count() == docs.count())
+    assert(out.columns.toSeq ==
+      "doc_id" +: (0 until 16).map(j => s"f$j"))
+    // per-doc feature sum == that doc's token count
+    val sumCols = (0 until 16).map(j => col(s"f$j")).reduce(_ + _)
+    val bad = out.withColumn("__sum", sumCols)
+      .join(docs.select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("__n")),
+        "doc_id")
+      .filter(col("__sum") =!= col("__n"))
+    assert(bad.count() == 0)
+    // driver replica: a hand doc's full vector matches md5 buckets
+    import spark.implicits._
+    def bucketOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"feat:$tok".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md, 16) % 16).toInt
+    }
+    val hand = Seq((1L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    val got = TextOps.hashedFeatures(hand, dim = 16).collect().head
+    val want = Array.fill(16)(0L)
+    Seq("alpha", "beta", "alpha", "gamma")
+      .foreach(t => want(bucketOf(t)) += 1)
+    assert((0 until 16).forall(j => got.getLong(j + 1) == want(j)),
+      got.toSeq.drop(1).mkString(",") + " vs " + want.mkString(","))
+  }
+
   test("fimSplit: lossless reassembly, non-empty prefix/middle, PSM") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

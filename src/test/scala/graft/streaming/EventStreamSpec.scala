@@ -593,6 +593,30 @@ class EventStreamSpec extends SparkSpec {
       ((-8L, 14L, -572L)))
   }
 
+  test("changePoint: CUSUM peak at the shift boundary, ties earliest") {
+    import spark.implicits._
+    // type a: daily counts 1,1,5,5 -> dev |4C-12k| = 8,16,8,0 ->
+    // peak at day 2 (the boundary before the level shift)
+    val evA = Seq(
+      event(1, 0, 1, "a", 0),
+      event(2, 200, 1, "a", 0),
+      event(3, 1600, 1, "a", 0), event(4, 1610, 1, "a", 0),
+      event(5, 1620, 1, "a", 0), event(6, 1630, 1, "a", 0),
+      event(7, 1640, 1, "a", 0),
+      event(8, 3000, 1, "a", 0), event(9, 3010, 1, "a", 0),
+      event(10, 3020, 1, "a", 0), event(11, 3030, 1, "a", 0),
+      event(12, 3040, 1, "a", 0),
+      // type b: constant 2,2 -> all deviations 0 -> earliest day wins
+      event(13, 0, 1, "b", 0), event(14, 10, 1, "b", 0),
+      event(15, 200, 1, "b", 0), event(16, 210, 1, "b", 0)).toDF()
+    val out = EventStreamOps.changePoint(evA).collect()
+      .map(r => r.getString(0) -> (r.getDate(1).toString, r.getLong(2)))
+      .toMap
+    // base ts is 2023-11-14T22:13:20 UTC; DateType is tz-free
+    assert(out("a") == (("2023-11-15", 16L)))
+    assert(out("b") == (("2023-11-14", 0L)))
+  }
+
   test("typeDowCube: all four levels present and reconciling") {
     val ev = readEvents(spark, "/root/testdata/sf0.001/events.parquet")
     val rows = EventStreamOps.typeDowCube(ev).collect()
