@@ -214,6 +214,24 @@ object ScaleProbe {
       streaming.EventStreamOps.dailyTypePivot(events).count())
     time("dailyTrend")(
       streaming.EventStreamOps.dailyTrend(events).count())
+    time("changePoint")(
+      streaming.EventStreamOps.changePoint(events).count())
+    time("hashedFeatures")(
+      operators.TextOps.hashedFeatures(docs, dim = 16).count())
+    time("fimSplit")(operators.TextOps.fimSplit(docs).count())
+    time("datePartitioned") {
+      val dir = s"/tmp/graft_probe_daypart_${ProcessHandle.current().pid()}"
+      sources.Layout.datePartitionedWrite(events, dir)
+      sources.Layout.readDay(spark, dir, "2024-01-02").count()
+    }
+    time("bucketedJoin") {
+      val ev = events.select(col("user_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val users = events.select(col("user_id")).distinct()
+        .withColumn("tier", (col("user_id") % 5).cast("int"))
+      sources.Layout.bucketedJoin(ev, users, "user_id", buckets = 16,
+        prefix = s"gprobebk${ProcessHandle.current().pid()}").count()
+    }
     time("quantileBuckets")(operators.CurationOps.quantileBuckets(
       docs.withColumn("n_chars", length(col("text")))).count())
     time("dedupBestOf")(operators.DedupOps.dedupBestOf(

@@ -174,11 +174,26 @@ object Layout {
    * even than zone maps, which still read every footer). The
    * partition column is derived, not stored, so row content is
    * unchanged on the round trip.
+   *
+   * The write repartitions on `(day, file-slot)` first: a plain
+   * `partitionBy` write emits one file per (day × upstream
+   * partition) — 30 days under 32 tasks is 960 near-empty files, the
+   * small-file problem [[compactShards]] exists to undo. `filesPerDay`
+   * is the slot count: 1 for small tables; at 100 TB set it to a
+   * day's bytes / target file size (the slot key is a deterministic
+   * row hash, so the layout is reproducible).
    */
   def datePartitionedWrite(events: DataFrame, dir: String,
-                           tsCol: String = "ts"): Unit =
+                           tsCol: String = "ts",
+                           filesPerDay: Int = 1): Unit = {
+    require(filesPerDay >= 1, s"filesPerDay must be >= 1")
     events.withColumn("day", to_date(col(tsCol)))
+      .withColumn("__slot",
+        pmod(xxhash64(col(tsCol)), lit(filesPerDay.toLong)))
+      .repartition(col("day"), col("__slot"))
+      .drop("__slot")
       .write.mode("overwrite").partitionBy("day").parquet(dir)
+  }
 
   /** Day-scoped read of a [[datePartitionedWrite]] table. The filter
     * lands in the scan's `PartitionFilters` (plan-guarded), so only
