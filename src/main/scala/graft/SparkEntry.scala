@@ -1084,6 +1084,13 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 0),
         e.filter(col("vec_id") % 2 === 1))
     }),
+    // landmark Brandes betweenness: exact int64 sigma forward pass,
+    // double delta accumulation (sigma ratios are rationals — float
+    // by nature like pagerank, so rows-only; driver-replica spec)
+    "graph_betweenness" -> ((spark, sfDir) =>
+      operators.GraphAlgos.betweenness(
+        sources.GraphStore.tpch(spark, sfDir), nLandmarks = 4,
+        maxDepth = 3)),
     // deterministic DeepWalk-style walks: salted-md5 argmin neighbor
     // choice (partial-aggregable — no per-vertex rank window), walks
     // from every nation-1 customer, 4 undirected steps

@@ -867,6 +867,103 @@ object GraphAlgos {
   }
 
   /**
+   * Landmark-approximate betweenness centrality — Brandes (2001)
+   * dependency accumulation from a deterministic landmark subset (the
+   * standard sampling estimator: exact betweenness runs one source
+   * per VERTEX, which is O(n·m) — never the 100 TB plan; k fixed
+   * sources is the textbook approximation, and the smallest-id choice
+   * keeps it seedless). `maxDepth` additionally bounds the paths
+   * considered — the bounded-distance betweenness variant
+   * (Borgatti/Everett "k-betweenness"): like [[landmarkDistances]],
+   * the truncation IS the semantics, and it is what bounds the
+   * frontier on a small-diameter 100 TB graph where depth 4+ reaches
+   * nearly every vertex. Undirected, unweighted.
+   *
+   * Forward pass: level-synchronous multi-source BFS carrying exact
+   * int64 shortest-path counts σ (one keyed join + partial-agg sum
+   * per level, all landmarks ride one frontier — the
+   * [[landmarkDistances]] shape). Backward pass: per level d,
+   * δ(v) = Σ_{succ w} (σ_v/σ_w)·(1+δ(w)) — one keyed join per level
+   * against the NEXT level's δ. Both loops localCheckpoint per round
+   * (the iterative-plan invariant). δ is a double (the σ ratios are
+   * rationals — same by-nature float territory as PageRank, so the
+   * gate is rows-only with a driver-replica tolerance spec).
+   * Output: `(id, bc)` for every vertex reached from ≥1 landmark,
+   * landmarks excluded; `bc` rounded to 4dp for display AFTER
+   * accumulation.
+   */
+  def betweenness(g: GraphStore, nLandmarks: Int = 8,
+                  maxDepth: Int = 8): DataFrame = {
+    require(nLandmarks >= 1 && maxDepth >= 1, "bad betweenness params")
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val und = g.edges.select(col("src"), col("dst"))
+      .union(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    val landmarks = g.vertices.select(col("id"))
+      .orderBy(col("id")).limit(nLandmarks)
+      .as[Long].collect().toSeq
+    // forward: levels(d) = (lm, id, sigma) at distance d
+    var levels = Vector(landmarks.toDF("lm")
+      .select(col("lm"), col("lm").as("id"), lit(1L).as("sigma"))
+      .localCheckpoint())
+    // the visited set for the anti-join is the lazy union of the
+    // already-checkpointed levels — never a re-checkpointed growing
+    // accumulator (which would rewrite O(rounds²) rows)
+    def visited = levels.map(_.select(col("lm"), col("id")))
+      .reduce(_ union _)
+    var d = 1
+    var done = false
+    while (d <= maxDepth && !done) {
+      val next = levels(d - 1)
+        .join(und, levels(d - 1)("id") === und("src"))
+        .select(col("lm"), col("dst").as("id"), col("sigma"))
+        .join(visited, Seq("lm", "id"), "left_anti")
+        .groupBy(col("lm"), col("id"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) levels = levels :+ next
+      d += 1
+    }
+    // backward: delta(d) keyed by (lm, id); deepest level has delta 0
+    var delta = levels.last.select(col("lm"), col("id"),
+      lit(0.0).as("delta")).localCheckpoint()
+    // per-level deltas are each checkpointed; union them ONCE at the
+    // end — re-checkpointing a growing accumulator every round would
+    // rewrite O(levels²) rows
+    var deltas = Vector(delta)
+    for (dd <- (levels.size - 2) to 0 by -1) {
+      val nextL = levels(dd + 1)
+        .join(delta, Seq("lm", "id"))
+        .select(col("lm"), col("id").as("__w"),
+          col("sigma").as("__sw"), col("delta").as("__dw"))
+      val cur = levels(dd)
+        .join(und, levels(dd)("id") === und("src"))
+        .select(col("lm"), col("id"), col("sigma"),
+          col("dst").as("__w"))
+        .join(nextL, Seq("lm", "__w"))
+        .groupBy(col("lm"), col("id"))
+        .agg(sum(col("sigma") / col("__sw") * (lit(1.0) + col("__dw")))
+          .as("delta"))
+      // vertices at this level with no successors get delta 0
+      delta = levels(dd)
+        .join(cur.select(col("lm"), col("id"), col("delta")),
+          Seq("lm", "id"), "left")
+        .select(col("lm"), col("id"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint()
+      deltas = deltas :+ delta
+    }
+    deltas.reduce(_ union _)
+      .filter(!col("id").isin(landmarks: _*))
+      .groupBy(col("id"))
+      .agg(round(sum(col("delta")), 4).as("bc"))
+  }
+
+  /**
    * Degree histogram over the edge-incident vertices (total degree,
    * in + out): the first diagnostic of any graph workload — scale-free
    * vs uniform degree structure decides skew strategy (salting, hub

@@ -317,6 +317,70 @@ class GraphAlgosSpec extends SparkSpec {
     assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
   }
 
+  test("betweenness: hand path graph + driver Brandes replica on tpch") {
+    import spark.implicits._
+    import graft.sources.GraphStore
+    // path 1-2-3-4-5, landmarks {1,2}; expected values come from a
+    // driver Brandes replica (same landmark set, same exclusion)
+    val v = (1L to 5L).map(id => (id, "n")).toDF("id", "label")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst").withColumn("label", lit("e"))
+    def replica(edges: Seq[(Long, Long)], lms: Seq[Long],
+                maxDepth: Int): Map[Long, Double] = {
+      val adj = (edges ++ edges.map(p => (p._2, p._1))).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val bc = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for (s <- lms) {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1L)
+          .withDefaultValue(0L)
+        var frontier = Seq(s); var d = 0
+        val levels = scala.collection.mutable.ArrayBuffer(Seq(s))
+        while (frontier.nonEmpty && d < maxDepth) {
+          val next = scala.collection.mutable.LinkedHashSet[Long]()
+          for (v <- frontier; w <- adj.getOrElse(v, Nil))
+            if (!dist.contains(w) || dist(w) == d + 1) {
+              if (!dist.contains(w)) { dist(w) = d + 1; next += w }
+              sigma(w) += sigma(v)
+            }
+          d += 1
+          if (next.nonEmpty) levels += next.toSeq
+          frontier = next.toSeq
+        }
+        val delta = scala.collection.mutable.Map[Long, Double]()
+          .withDefaultValue(0.0)
+        for (lev <- levels.reverse.drop(1); v <- lev;
+             w <- adj.getOrElse(v, Nil) if dist.get(w).contains(dist(v) + 1))
+          delta(v) += sigma(v).toDouble / sigma(w) * (1.0 + delta(w))
+        for ((v, dl) <- delta) bc(v) += dl
+      }
+      bc.toMap.view.filterKeys(k => !lms.contains(k)).toMap
+    }
+    val got = GraphAlgos.betweenness(GraphStore(v, e),
+        nLandmarks = 2, maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = replica(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      Seq(1L, 2L), 8)
+    for (k <- got.keySet ++ want.keySet)
+      assert(math.abs(got.getOrElse(k, 0.0) - want.getOrElse(k, 0.0))
+        < 1e-6, s"vertex $k: ${got.get(k)} vs ${want.get(k)}")
+    // tpch sf0.001: replica equality within double-sum tolerance
+    val g = GraphStore.tpch(spark, "/root/testdata/sf0.001")
+    val gotT = GraphAlgos.betweenness(g, nLandmarks = 4, maxDepth = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val undE = g.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lms = g.vertices.select("id").orderBy("id").limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    val wantT = replica(undE, lms, 6)
+    val nonzero = wantT.filter(_._2 > 0)
+    assert(nonzero.nonEmpty)
+    for ((k, w) <- nonzero)
+      assert(math.abs(gotT.getOrElse(k, 0.0) - w) <
+        math.max(1e-4, w * 1e-6), s"vertex $k: ${gotT.get(k)} vs $w")
+  }
+
   test("kTruss: hand-checked clique + pendant triangle + dangling edge") {
     // 4-clique {1,2,3,4} (every edge in 2 triangles), pendant triangle
     // {4,5,6} (each edge in 1), dangling edge (6,7) (in none)
