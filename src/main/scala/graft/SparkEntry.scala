@@ -903,6 +903,11 @@ object SparkEntry {
       operators.GraphAlgos.landmarkDistances(
         sources.GraphStore.tpch(spark, sfDir),
         landmarks = Seq(1L, 5L, 9L, 13L), maxHops = 3)),
+    // harmonic centrality in exact twelfths over the same BFS
+    "graph_harmonic" -> ((spark, sfDir) =>
+      operators.GraphAlgos.harmonicCentrality(
+        sources.GraphStore.tpch(spark, sfDir),
+        landmarks = Seq(1L, 5L, 9L, 13L), maxHops = 3)),
     // state compaction mid-sequence: two ingested thirds compact into
     // one dir (read-equivalent by the union contract), the third
     // ingests against the compacted state, and the three runs' pairs
@@ -1382,6 +1387,39 @@ object SparkEntry {
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
   private def sqlHits(ws: Seq[String]): String =
     s"len(list_filter(string_split(trim(text), ' '), x -> list_contains(${sqlList(ws)}, x)))"
+  /** Unrolled 3-hop multi-source BFS over the TPC-H graph from
+    * landmarks (1,5,9,13) — ends at CTE `v3` = (lm, id, d). Shared by
+    * the closeness and harmonic oracles. */
+  private val SqlLandmarkBfs3 =
+    """WITH e0 AS MATERIALIZED (
+      |  SELECT CAST(o_custkey AS BIGINT) AS src,
+      |    o_orderkey + 1000000000 AS dst FROM orders
+      |  UNION ALL
+      |  SELECT DISTINCT l_orderkey + 1000000000,
+      |    l_partkey + 2000000000 FROM lineitem),
+      |e AS MATERIALIZED (SELECT src, dst FROM e0
+      |  UNION ALL SELECT dst, src FROM e0),
+      |lm(lm) AS (VALUES (1::BIGINT), (5), (9), (13)),
+      |v0 AS MATERIALIZED (SELECT lm, lm AS id, 0 AS d FROM lm),
+      |f1 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS id
+      |  FROM v0 f JOIN e ON e.src = f.id
+      |  WHERE NOT EXISTS (SELECT 1 FROM v0 v
+      |    WHERE v.lm = f.lm AND v.id = e.dst)),
+      |v1 AS MATERIALIZED (SELECT * FROM v0
+      |  UNION ALL SELECT lm, id, 1 FROM f1),
+      |f2 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS id
+      |  FROM f1 f JOIN e ON e.src = f.id
+      |  WHERE NOT EXISTS (SELECT 1 FROM v1 v
+      |    WHERE v.lm = f.lm AND v.id = e.dst)),
+      |v2 AS MATERIALIZED (SELECT * FROM v1
+      |  UNION ALL SELECT lm, id, 2 FROM f2),
+      |f3 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS id
+      |  FROM f2 f JOIN e ON e.src = f.id
+      |  WHERE NOT EXISTS (SELECT 1 FROM v2 v
+      |    WHERE v.lm = f.lm AND v.id = e.dst)),
+      |v3 AS MATERIALIZED (SELECT * FROM v2
+      |  UNION ALL SELECT lm, id, 3 FROM f3)""".stripMargin
+
   /** Double-accumulated dot product of two 64-dim float lists. */
   private def sqlDot(a: String, b: String): String =
     s"list_sum([CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) for i in range(1, 65)])"
@@ -2722,37 +2760,16 @@ object SparkEntry {
     // 3 unrolled frontier rounds of 4-landmark BFS over the undirected
     // graph; NOT EXISTS is the visited anti-join, all hops integer
     "graph_closeness" ->
-      """WITH e0 AS MATERIALIZED (
-        |  SELECT CAST(o_custkey AS BIGINT) AS src,
-        |    o_orderkey + 1000000000 AS dst FROM orders
-        |  UNION ALL
-        |  SELECT DISTINCT l_orderkey + 1000000000,
-        |    l_partkey + 2000000000 FROM lineitem),
-        |e AS MATERIALIZED (SELECT src, dst FROM e0
-        |  UNION ALL SELECT dst, src FROM e0),
-        |lm(lm) AS (VALUES (1::BIGINT), (5), (9), (13)),
-        |v0 AS MATERIALIZED (SELECT lm, lm AS id, 0 AS d FROM lm),
-        |f1 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS id
-        |  FROM v0 f JOIN e ON e.src = f.id
-        |  WHERE NOT EXISTS (SELECT 1 FROM v0 v
-        |    WHERE v.lm = f.lm AND v.id = e.dst)),
-        |v1 AS MATERIALIZED (SELECT * FROM v0
-        |  UNION ALL SELECT lm, id, 1 FROM f1),
-        |f2 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS id
-        |  FROM f1 f JOIN e ON e.src = f.id
-        |  WHERE NOT EXISTS (SELECT 1 FROM v1 v
-        |    WHERE v.lm = f.lm AND v.id = e.dst)),
-        |v2 AS MATERIALIZED (SELECT * FROM v1
-        |  UNION ALL SELECT lm, id, 2 FROM f2),
-        |f3 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS id
-        |  FROM f2 f JOIN e ON e.src = f.id
-        |  WHERE NOT EXISTS (SELECT 1 FROM v2 v
-        |    WHERE v.lm = f.lm AND v.id = e.dst)),
-        |v3 AS MATERIALIZED (SELECT * FROM v2
-        |  UNION ALL SELECT lm, id, 3 FROM f3)
+      s"""$SqlLandmarkBfs3
         |SELECT id, count(*) AS n_reached,
         |  CAST(sum(d) AS BIGINT) AS dist_sum
         |FROM v3 GROUP BY id""".stripMargin,
+    // same unrolled BFS; 12/d is integral for d <= 4 so the harmonic
+    // sum is exact int64 (landmark self rows d=0 excluded)
+    "graph_harmonic" ->
+      s"""$SqlLandmarkBfs3
+        |SELECT id, CAST(sum(12 // d) AS BIGINT) AS harmonic_12
+        |FROM v3 WHERE d > 0 GROUP BY id""".stripMargin,
     // 4 unrolled peel rounds (matches kTruss maxRounds; converged
     // rounds are no-ops, and the Spark side THROWS if 4 don't reach
     // the fixpoint) + one final support pass over the fixpoint set.

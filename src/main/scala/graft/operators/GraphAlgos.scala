@@ -834,8 +834,39 @@ object GraphAlgos {
    * (landmarks score themselves at distance 0).
    */
   def landmarkDistances(g: GraphStore, landmarks: Seq[Long],
-                        maxHops: Int = 4): DataFrame = {
-    require(landmarks.nonEmpty, "landmarkDistances needs landmarks")
+                        maxHops: Int = 4): DataFrame =
+    landmarkBfs(g, landmarks, maxHops).groupBy("id")
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("dist_sum"))
+
+  /**
+   * Harmonic centrality within `maxHops` from the landmark set — the
+   * Σ 1/d estimator, which unlike closeness handles disconnected
+   * vertices gracefully (unreached pairs contribute 0, no ∞). The
+   * per-pair contributions are EXACT TWELFTHS (12/d is integral for
+   * every d ≤ 4), so the compared output is pure int64 — no 1/d float
+   * sums cross engines. Same truncated multi-source BFS substrate as
+   * [[landmarkDistances]] (truncation is the semantics).
+   * Output: `(id, harmonic_12)` = Σ over reaching landmarks of 12/d,
+   * landmarks' self-distance-0 rows excluded.
+   */
+  def harmonicCentrality(g: GraphStore, landmarks: Seq[Long],
+                         maxHops: Int = 3): DataFrame = {
+    require(maxHops <= 4,
+      s"harmonic twelfths are exact only for maxHops <= 4, got $maxHops")
+    landmarkBfs(g, landmarks, maxHops)
+      .filter(col("dist") > 0)
+      .groupBy("id")
+      .agg(sum(expr("12 div dist")).as("harmonic_12"))
+  }
+
+  /** Truncated multi-source BFS: `(lm, id, dist)` for every vertex
+    * within `maxHops` of a landmark (landmarks at distance 0). The
+    * shared substrate of [[landmarkDistances]] / [[harmonicCentrality]]:
+    * edge list pre-partitioned ONCE on the join key, per-round
+    * localCheckpoint, empty-frontier short-circuit. */
+  private def landmarkBfs(g: GraphStore, landmarks: Seq[Long],
+                          maxHops: Int): DataFrame = {
+    require(landmarks.nonEmpty, "landmarkBfs needs landmarks")
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val spark = g.edges.sparkSession
     import spark.implicits._
@@ -862,8 +893,7 @@ object GraphAlgos {
       }
       h += 1
     }
-    visited.groupBy("id")
-      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("dist_sum"))
+    visited
   }
 
   /**

@@ -315,6 +315,12 @@ class GraphAlgosSpec extends SparkSpec {
         landmarks = Seq(1L), maxHops = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // harmonic twelfths over the same BFS: 12/1=12, 12/2=6; landmark
+    // self rows (d=0) excluded, unreached landmarks absent
+    val h = GraphAlgos.harmonicCentrality(GraphStore(v, e),
+        landmarks = Seq(1L, 5L), maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(2L -> 12L, 3L -> 12L, 4L -> 12L))
   }
 
   test("betweenness: hand path graph + driver Brandes replica on tpch") {
