@@ -535,6 +535,11 @@ object SparkEntry {
     "events_funnel" -> ((spark, sfDir) =>
       streaming.EventStreamOps.funnel(events(spark, sfDir),
         Seq("view", "click", "purchase"))),
+    // conversion-delay report per stage pair: exact int64 min/max/
+    // sum + type-1 median in epoch-micros
+    "events_funnel_conversion" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.funnelConversion(events(spark, sfDir),
+        Seq("view", "click", "purchase"))),
     // trailing 30-minute per-user range window; integer-cent sum keeps
     // the aggregate engine-exact (no float accumulation order)
     "events_trailing_30m" -> ((spark, sfDir) =>
@@ -1267,7 +1272,9 @@ object SparkEntry {
     * batch gate (`events_funnel`) and the REAL incremental run
     * (`events_stream_funnel`) — the stream must reproduce the batch
     * table exactly. */
-  private val FunnelOracleSql: String =
+  /** The funnel oracle's WITH chain (ends at CTE s3) — shared with
+    * the conversion-time oracle. */
+  private val FunnelOracleBody: String =
     """WITH s1 AS (SELECT user_id, us AS s1_us, ord AS s1_ord FROM (
       |  SELECT user_id, epoch_us(ts) AS us, event_id AS ord,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -1283,13 +1290,40 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
       |  FROM events e JOIN s2 ON e.user_id = s2.user_id
       |  WHERE e.event_type = 'purchase' AND (epoch_us(e.ts) > s2.s2_us OR
-      |    (epoch_us(e.ts) = s2.s2_us AND e.event_id > s2.s2_ord))) WHERE rn = 1)
+      |    (epoch_us(e.ts) = s2.s2_us AND e.event_id > s2.s2_ord))) WHERE rn = 1)"""
+      .stripMargin
+
+  private val FunnelOracleSql: String =
+    s"""$FunnelOracleBody
       |SELECT s1.user_id, s1_us, s2_us, s3_us,
       |  CAST(1 + CASE WHEN s2_us IS NULL THEN 0 ELSE 1 END
       |         + CASE WHEN s3_us IS NULL THEN 0 ELSE 1 END AS BIGINT)
       |    AS stages_completed
       |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
       |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin
+
+  /** Conversion delays off the funnel CTEs: type-1 median via the
+    * distinct-value cumulative trick, everything int64. */
+  private val FunnelConversionOracleSql: String =
+    s"""$FunnelOracleBody,
+      |diffs AS (SELECT 1 AS stage, s2_us - s1_us AS d
+      |    FROM s1 JOIN s2 USING (user_id)
+      |  UNION ALL SELECT 2, s3_us - s2_us
+      |    FROM s2 JOIN s3 USING (user_id)),
+      |c AS (SELECT stage, d, count(*) AS c FROM diffs GROUP BY 1, 2),
+      |t AS (SELECT stage, d,
+      |  sum(c) OVER (PARTITION BY stage ORDER BY d
+      |    ROWS UNBOUNDED PRECEDING) AS cum,
+      |  sum(c) OVER (PARTITION BY stage) AS n FROM c),
+      |m AS (SELECT stage, min(d) AS median_us FROM t
+      |  WHERE cum * 2 >= n GROUP BY 1)
+      |SELECT diffs.stage, count(*) AS converted,
+      |  CAST(min(d) AS BIGINT) AS min_us,
+      |  CAST(max(d) AS BIGINT) AS max_us,
+      |  CAST(sum(d) AS BIGINT) AS sum_us,
+      |  CAST(m.median_us AS BIGINT) AS median_us
+      |FROM diffs JOIN m USING (stage)
+      |GROUP BY diffs.stage, m.median_us""".stripMargin
 
   /** Fixed retrieval queries for the BM25 gate — drawn from the
     * synthetic documents vocabulary; mirrored as a VALUES list in the
@@ -2055,6 +2089,7 @@ object SparkEntry {
     // incremental run (events_stream_funnel) must produce the
     // identical table, so it shares this oracle verbatim.
     "events_funnel" -> FunnelOracleSql,
+    "events_funnel_conversion" -> FunnelConversionOracleSql,
     "events_stream_funnel" -> FunnelOracleSql,
     "events_trailing_30m" ->
       """SELECT event_id, user_id,

@@ -607,6 +607,47 @@ object EventStreamOps {
         col("gid"), col("events"), col("cents_sum"))
 
   /**
+   * Funnel conversion-time report — for each adjacent stage pair of a
+   * [[funnel]], the converted-user count and exact integer stats of
+   * the conversion delay (min/max/sum plus the type-1 MEDIAN in
+   * epoch-micros): "how long do users take to go from click to
+   * purchase" with every compared number int64. The median rides the
+   * [[exactQuantiles]] distinct-value compression — the window scans
+   * distinct delay values per stage, and the funnel itself is the
+   * K-join partial-agg chain (no per-user history windows anywhere).
+   * Output: `(stage, converted, min_us, max_us, sum_us, median_us)`,
+   * stage i = the (i → i+1) transition.
+   */
+  def funnelConversion(events: DataFrame, stages: Seq[String],
+                       keyCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       ordCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stages.size >= 2, "funnelConversion needs >= 2 stages")
+    val f = funnel(events, stages, keyCol, typeCol, ordCol)
+      .localCheckpoint(false) // feeds one diff branch per stage pair
+    val diffs = (1 until stages.size).map { i =>
+      f.filter(col(s"s${i + 1}_us").isNotNull)
+        .select(lit(i).as("stage"),
+          (col(s"s${i + 1}_us") - col(s"s${i}_us")).as("__d"))
+    }.reduce(_ unionByName _)
+    val counts = diffs.groupBy(col("stage"), col("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val wcum = Window.partitionBy(col("stage")).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = counts
+      .withColumn("__cum", sum(col("__c")).over(wcum))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col("stage"))))
+      .filter(col("__cum") * 2 >= col("__n"))
+      .groupBy(col("stage")).agg(min(col("__d")).as("median_us"))
+    diffs.groupBy(col("stage"))
+      .agg(count(lit(1)).as("converted"), min(col("__d")).as("min_us"),
+        max(col("__d")).as("max_us"), sum(col("__d")).as("sum_us"))
+      .join(med, Seq("stage"))
+  }
+
+  /**
    * Per-type linear TREND of daily volume — the OLS slope of daily
    * event counts regressed on the day index, with every compared
    * number an exact integer: `num = n·Σxy − Σx·Σy`,

@@ -593,6 +593,24 @@ class EventStreamSpec extends SparkSpec {
       ((-8L, 14L, -572L)))
   }
 
+  test("funnelConversion: exact delays, type-1 median, per stage pair") {
+    import spark.implicits._
+    val ev = Seq(
+      event(1, 0, 1, "view", 0), event(2, 10, 1, "click", 0),
+      event(3, 30, 1, "purchase", 0),
+      event(4, 0, 2, "view", 0), event(5, 20, 2, "click", 0),
+      event(6, 0, 3, "view", 0)).toDF()
+    val out = EventStreamOps.funnelConversion(ev,
+      Seq("view", "click", "purchase")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val m = 60000000L // one minute in micros
+    // stage 1 (view->click): delays 10min, 20min; median = 10min
+    assert(out(1) == ((2L, 10 * m, 20 * m, 30 * m, 10 * m)))
+    // stage 2 (click->purchase): one delay of 20min
+    assert(out(2) == ((1L, 20 * m, 20 * m, 20 * m, 20 * m)))
+  }
+
   test("changePoint: CUSUM peak at the shift boundary, ties earliest") {
     import spark.implicits._
     // type a: daily counts 1,1,5,5 -> dev |4C-12k| = 8,16,8,0 ->
