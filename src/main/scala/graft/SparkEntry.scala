@@ -222,6 +222,15 @@ object SparkEntry {
     "dedup_survivors" -> ((spark, sfDir) =>
       operators.DedupOps.dedupNearDups(docs(spark, sfDir), tau = 0.8)
         .select(col("doc_id"), col("source"), col("n_chars"))),
+    // multi-signal entity resolution: normalized-text OR shared-URL
+    // equality closes transitively; star edges per (key, value) group
+    "dedup_entity_resolution" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir).withColumn("url",
+        concat(lit("http://s.com/u"), (col("doc_id") % 97).cast("string")))
+      operators.DedupOps.multiKeyResolve(d, Seq(
+        "k1" -> operators.DedupOps.normalizeText(col("text")),
+        "k2" -> col("url")))
+    }),
     // quality-aware survivors: keep each cluster's LONGEST doc
     // (ties to smallest id) via partial-aggregable min(struct)
     "dedup_best_survivors" -> ((spark, sfDir) =>
@@ -1755,6 +1764,29 @@ object SparkEntry {
          |  (SELECT id, min(r) AS c FROM reach GROUP BY id) m
          |  ON m.id = d.doc_id
          |WHERE coalesce(m.c, d.doc_id) = d.doc_id""".stripMargin,
+    // star edges per key value (min-id hub), undirected closure —
+    // same recursive-CTE pattern as dedup_cluster
+    "dedup_entity_resolution" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS k1,
+        |  'http://s.com/u' || CAST(doc_id % 97 AS VARCHAR) AS k2
+        | FROM documents),
+        |e1 AS (SELECT doc_id AS u,
+        |  min(doc_id) OVER (PARTITION BY k1) AS v FROM d),
+        |e2 AS (SELECT doc_id AS u,
+        |  min(doc_id) OVER (PARTITION BY k2) AS v FROM d),
+        |ed AS (SELECT u, v FROM e1 WHERE u <> v
+        |  UNION SELECT u, v FROM e2 WHERE u <> v),
+        |und AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+        |nodes AS (SELECT DISTINCT u AS id FROM und),
+        |reach(id, r) AS (SELECT id, id FROM nodes
+        |  UNION SELECT e.v, r.r FROM reach r JOIN und e ON e.u = r.id)
+        |SELECT d.doc_id, coalesce(m.c, d.doc_id) AS canonical
+        |FROM d LEFT JOIN
+        |  (SELECT id, min(r) AS c FROM reach GROUP BY id) m
+        |  ON m.id = d.doc_id""".stripMargin,
     // same pair graph + closure; survivor = per-cluster argmax by
     // (n_chars desc, doc_id asc) instead of min id
     "dedup_best_survivors" ->

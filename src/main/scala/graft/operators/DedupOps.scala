@@ -790,6 +790,47 @@ object DedupOps {
   }
 
   /**
+   * Multi-signal entity resolution (record linkage): rows sharing ANY
+   * key value — canonical-text hash, URL, content fingerprint — are
+   * the same entity; the signals' equality groups close transitively
+   * into components (doc A links to B by text, B to C by URL ⇒ one
+   * entity). Edges use STAR topology per (key, value) group: every
+   * member links to the group's min id, ONE edge per row, so a hot
+   * key with 10⁹ members contributes 10⁹ edges — never the 10¹⁸
+   * pairwise closure with the same components. Each key costs one
+   * partial-aggregable min + one equi-join; null/empty key values
+   * never link (a missing signal is not a match).
+   * Output: `(idCol, canonical)` for EVERY input row.
+   */
+  def multiKeyResolve(df: DataFrame, keys: Seq[(String, Column)],
+                      idCol: String = "doc_id"): DataFrame = {
+    require(keys.nonEmpty, "multiKeyResolve needs at least one key")
+    val keyed = df.select(
+      (col(idCol) +: keys.map { case (n, c) => c.as(n) }): _*)
+      .localCheckpoint(false) // feeds one star-edge pass per key
+    val edges = keys.map { case (n, _) =>
+      val rows = keyed
+        .filter(col(n).isNotNull && col(n).cast("string") =!= "")
+      val hubs = rows.groupBy(col(n))
+        .agg(min(col(idCol)).as("__hub"))
+      rows.join(hubs, Seq(n))
+        .filter(col(idCol) =!= col("__hub"))
+        .select(col(idCol).as("src"), col("__hub").as("dst"))
+    }.reduce(_ unionByName _).distinct()
+      .withColumn("label", lit("same"))
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst")))
+      .distinct().withColumn("label", lit("row"))
+    val cc = GraphAlgos.connectedComponents(
+        graft.sources.GraphStore(verts, edges))
+      .withColumnRenamed("id", "__ccid")
+    df.select(col(idCol))
+      .join(cc, col(idCol) === col("__ccid"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical"))
+  }
+
+  /**
    * Quality-aware survivor selection: one survivor per near-dup
    * cluster like [[dedupNearDups]], but the survivor is the cluster's
    * BEST document by an integer quality key (ties to the smallest id)

@@ -2438,6 +2438,21 @@ class OperatorsSpec extends SparkSpec {
     assert(TextOps.fimSplit(docs).exceptAll(out).count() == 0)
   }
 
+  test("multiKeyResolve: signals chain transitively, star topology") {
+    import spark.implicits._
+    // 1~2 by normalized text, 3~4 by text, 2~3 by url -> {1,2,3,4};
+    // 5 shares nothing; 6 has empty/null keys and must NOT link
+    val d = Seq(
+      (1L, "a b", "u1"), (2L, "A  b!", "u2"), (3L, "c d", "u2"),
+      (4L, "c d", "u3"), (5L, "e f", "u4"), (6L, "", null)
+    ).toDF("doc_id", "text", "url")
+    val out = DedupOps.multiKeyResolve(d, Seq(
+      "k1" -> DedupOps.normalizeText(col("text")), "k2" -> col("url")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L))
+  }
+
   test("dedupBestOf keeps each cluster's longest doc, ties to min id") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").cache()
