@@ -894,6 +894,15 @@ object SparkEntry {
         operators.GraphAlgos.coOccurrencePairs(
           sources.GraphStore.tpch(spark, sfDir), label = "contains",
           minShared = 2), k = 3, maxRounds = 4)),
+    // Luby maximal independent set with DETERMINISTIC md5 priorities
+    // over the part co-occurrence projection: each round's winners are
+    // strict local priority minima, so the fixed draw makes the whole
+    // run — and the 8-round unrolled oracle — exact, no seeds anywhere
+    "graph_mis" -> ((spark, sfDir) =>
+      operators.GraphAlgos.maximalIndependentSet(
+        operators.GraphAlgos.coOccurrencePairs(
+          sources.GraphStore.tpch(spark, sfDir), label = "contains",
+          minShared = 2), maxRounds = 8)),
     // CCNet-style perplexity bucketing: per-doc bigram-fit score in
     // per-mille of the corpus mean, cut into head/middle/tail at fixed
     // relative thresholds — all int64 divisions, oracle-exact
@@ -962,6 +971,11 @@ object SparkEntry {
     "text_collocations" -> ((spark, sfDir) =>
       operators.TextOps.collocations(docs(spark, sfDir),
         minCount = 5, topK = 50)),
+    // TextRank keywords: int64 fixed-point damped walk over the word
+    // adjacency graph (2 unrolled iterations -> exact CTE oracle)
+    "text_textrank" -> ((spark, sfDir) =>
+      operators.TextOps.textRank(docs(spark, sfDir),
+        minCount = 5, iters = 2, topK = 30)),
     // C4 line-level cleaning over synthesized noisy pages: the filter
     // must recover EXACTLY the two clean lines each page plants
     "curation_line_filters" -> ((spark, sfDir) =>
@@ -1089,6 +1103,15 @@ object SparkEntry {
       operators.TextOps.invertedIndex(docs(spark, sfDir),
         maxPostings = 5)
         .filter(col("df") >= 3)),
+    // SCD type-2 build: per-user daily state intervals via day-grid
+    // LOCF + island collapse — every window over calendar-bounded grid
+    // rows, day ids integer epoch divisions
+    "events_scd2" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.scd2States(events(spark, sfDir))),
+    // session-scoped sequential patterns: ordered type-pair support
+    // over the per-(session, type) min/max projection
+    "events_seq_patterns" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.sessionPatterns(events(spark, sfDir))),
     // exact mutual-kNN graph over the embedding corpus (the semantic-
     // clustering substrate); LSH-bucketed candidates are the scale face
     "embed_knn_graph" -> ((spark, sfDir) =>
@@ -2097,6 +2120,58 @@ object SparkEntry {
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
         |FROM events""".stripMargin,
+    // SCD2: per-(user, day) last state -> day grid -> LOCF -> island
+    // collapse (change-flag running sum); all integers + string states
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |o AS (SELECT user_id, day, event_type AS obs FROM (
+        |  SELECT user_id, day, event_type, row_number() OVER (
+        |    PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC)
+        |    AS rn FROM e) WHERE rn = 1),
+        |r AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+        |  FROM r),
+        |f AS (SELECT g.user_id, g.day,
+        |  last_value(o.obs IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS state
+        |  FROM g LEFT JOIN o ON o.user_id = g.user_id
+        |    AND o.day = g.day),
+        |c AS (SELECT user_id, day, state, CASE WHEN
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY day)
+        |      IS DISTINCT FROM state THEN 1 ELSE 0 END AS chg FROM f),
+        |s AS (SELECT user_id, day, state,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM c)
+        |SELECT user_id, state, min(day) AS valid_from,
+        |  max(day) AS valid_to
+        |FROM s GROUP BY user_id, run, state""".stripMargin,
+    // session-scoped ordered pair support: a session supports a->b iff
+    // min ts(a) < max ts(b) within it; the test runs on the bounded
+    // per-(session, type) min/max projection
+    "events_seq_patterns" ->
+      """WITH g AS (SELECT user_id, event_id, event_type, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_ts FROM events),
+        |s AS (SELECT user_id, event_type, ts,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |    CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS sess FROM g),
+        |t AS (SELECT user_id, sess, event_type AS ty,
+        |  min(ts) AS t0, max(ts) AS t1
+        |  FROM s GROUP BY 1, 2, 3)
+        |SELECT a.ty AS from_type, b.ty AS to_type,
+        |  count(*) AS support
+        |FROM t a JOIN t b ON a.user_id = b.user_id AND a.sess = b.sess
+        |WHERE a.ty <> b.ty AND a.t0 < b.t1
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY support DESC, from_type, to_type LIMIT 20""".stripMargin,
     // union + keyed running window — the exact algorithm the Spark
     // asofJoin runs, re-expressed relationally (right rows sort before
     // left at equal ts; greatest event_id wins among equal-ts rights)
@@ -2593,6 +2668,51 @@ object SparkEntry {
           |FROM (SELECT id_a AS v FROM r12 UNION ALL SELECT id_b FROM r12)
           |GROUP BY 1""".stripMargin
     },
+    // Luby MIS unroll: 8 MATERIALIZED rounds; winners = strict local
+    // minima of the packed (30-bit md5 draw)·2^31 + id priority among
+    // still-active neighbors — all integers, draws engine-identical,
+    // so the unroll is exact. Ids carry the +2e9 part offset UP FRONT
+    // (the priority hashes the id string, so the offset must be baked
+    // in before hashing, unlike the kcore oracle's final-select shift)
+    "graph_mis" -> {
+      val base =
+        """WITH ce AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+          |    l_partkey + 2000000000 AS p FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.p AS id_a, b.p AS id_b
+          |  FROM ce a JOIN ce b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |pr AS MATERIALIZED (SELECT v,
+          |  (CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8)
+          |     AS BIGINT) % 1073741824) * 2147483648 + v AS prio
+          |  FROM (SELECT id_a AS v FROM e0 UNION SELECT id_b FROM e0)),
+          |a0 AS MATERIALIZED (SELECT v FROM pr)""".stripMargin
+      val rounds = (1 to 8).map { i =>
+        s""",
+           |nb$i AS MATERIALIZED (SELECT u, v FROM (
+           |  SELECT e.id_a AS u, e.id_b AS v FROM e0 e
+           |    JOIN a${i - 1} x ON x.v = e.id_a
+           |    JOIN a${i - 1} y ON y.v = e.id_b
+           |  UNION ALL SELECT e.id_b, e.id_a FROM e0 e
+           |    JOIN a${i - 1} x ON x.v = e.id_a
+           |    JOIN a${i - 1} y ON y.v = e.id_b)),
+           |m$i AS MATERIALIZED (SELECT a.v FROM a${i - 1} a
+           |  JOIN pr p ON p.v = a.v
+           |  LEFT JOIN (SELECT n.u, min(p2.prio) AS mn FROM nb$i n
+           |    JOIN pr p2 ON p2.v = n.v GROUP BY n.u) q ON q.u = a.v
+           |  WHERE q.mn IS NULL OR p.prio < q.mn),
+           |a$i AS MATERIALIZED (SELECT v FROM a${i - 1}
+           |  WHERE v NOT IN (SELECT v FROM m$i)
+           |    AND v NOT IN (SELECT n.v FROM nb$i n
+           |      JOIN m$i s ON s.v = n.u))""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT v AS id FROM (
+          |  SELECT v FROM m1 UNION ALL SELECT v FROM m2
+          |  UNION ALL SELECT v FROM m3 UNION ALL SELECT v FROM m4
+          |  UNION ALL SELECT v FROM m5 UNION ALL SELECT v FROM m6
+          |  UNION ALL SELECT v FROM m7 UNION ALL SELECT v FROM m8)""".stripMargin
+    },
     // sync-LPA unroll: 4 MATERIALIZED label rounds over the
     // bidirectional projection; adoption = row_number over (count
     // desc, label asc) — all integers, so the unroll is exact
@@ -2971,6 +3091,48 @@ object SparkEntry {
         |JOIN uni u2 ON u2.tok = bg.w2 CROSS JOIN tot
         |WHERE bg.pair_n >= 5
         |ORDER BY score DESC, bg.w1, bg.w2 LIMIT 50""".stripMargin,
+    // TextRank unroll: 2 int64 fixed-point iterations over the
+    // vocab-bounded symmetrized adjacency graph; every contribution is
+    // an integral floor division of positive ints (DuckDB // == Spark
+    // div there), every rank a pure int64 sum — exact both engines
+    "text_textrank" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id AS r, unnest(w) AS tok,
+        |  generate_subscripts(w, 1) AS pos FROM t),
+        |uni AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |voc AS (SELECT tok AS w FROM uni WHERE n >= 5),
+        |bg AS (SELECT a.tok AS w1, b.tok AS w2, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.r = b.r AND b.pos = a.pos + 1
+        |  WHERE a.tok <> b.tok GROUP BY 1, 2),
+        |und AS (SELECT u, v, CAST(sum(c) AS BIGINT) AS w FROM (
+        |    SELECT w1 AS u, w2 AS v, c FROM bg
+        |    UNION ALL SELECT w2, w1, c FROM bg) GROUP BY 1, 2),
+        |ed AS (SELECT undv.u, undv.v, undv.w, wd.wd FROM
+        |  (SELECT und.* FROM und
+        |     JOIN voc a ON a.w = und.u JOIN voc b ON b.w = und.v) undv
+        |  JOIN (SELECT u, CAST(sum(w) AS BIGINT) AS wd FROM
+        |    (SELECT und.* FROM und
+        |       JOIN voc a ON a.w = und.u JOIN voc b ON b.w = und.v)
+        |    GROUP BY u) wd ON wd.u = undv.u),
+        |r0 AS (SELECT w AS word, CAST(10000 AS BIGINT) AS rank_q
+        |  FROM voc),
+        |r1 AS (SELECT v.w AS word,
+        |  1500 + coalesce(s.sm, 0) AS rank_q FROM voc v
+        |  LEFT JOIN (SELECT ed.v AS word,
+        |    CAST(sum((r0.rank_q * 85 * ed.w) // (100 * ed.wd))
+        |      AS BIGINT) AS sm
+        |    FROM ed JOIN r0 ON r0.word = ed.u GROUP BY ed.v) s
+        |  ON s.word = v.w),
+        |r2 AS (SELECT v.w AS word,
+        |  1500 + coalesce(s.sm, 0) AS rank_q FROM voc v
+        |  LEFT JOIN (SELECT ed.v AS word,
+        |    CAST(sum((r1.rank_q * 85 * ed.w) // (100 * ed.wd))
+        |      AS BIGINT) AS sm
+        |    FROM ed JOIN r1 ON r1.word = ed.u GROUP BY ed.v) s
+        |  ON s.word = v.w)
+        |SELECT word, rank_q FROM r2
+        |ORDER BY rank_q DESC, word LIMIT 30""".stripMargin,
     // the synthesized page plants exactly two keepable lines: the
     // document text + '.' (line 1) and a constant sentence (line 8);
     // the other six each violate one C4 line rule by construction

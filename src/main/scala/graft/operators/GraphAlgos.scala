@@ -1129,4 +1129,80 @@ object GraphAlgos {
     e.join(edgeSupport(e, chunkSize), Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"), col("support"))
   }
+
+  /** Deterministic Luby priority for vertex column `name`: a 30-bit
+    * md5-derived uniform draw packed with the id into ONE int64,
+    * `(h % 2^30)·2^31 + id` — lexicographic (h, id), a strict total
+    * order (ids are unique), so "local minimum" never ties. Ids must
+    * stay < 2^31 (all TPC-H graph ids do: part = key + 2e9 < 2.147e9);
+    * 32-bit md5 halves travel engine-portably per the house hex-parse
+    * idiom (`conv` here, `CAST('0x'||…)` in DuckDB). */
+  private def lubyPrio(name: String): Column = expr(
+    s"(cast(conv(substring(md5(cast($name as string)), 1, 8), 16, 10) " +
+    s"as bigint) % 1073741824) * 2147483648 + $name")
+
+  /**
+   * Maximal independent set by Luby's algorithm with DETERMINISTIC
+   * md5-derived priorities — the classic symmetry-breaking primitive
+   * behind parallel graph coloring / scheduling (Luby, SIAM J. Comput.
+   * 1986). Input is an undirected pair list (`id_a < id_b`, unique per
+   * pair). Each round, every still-active vertex whose priority is a
+   * strict local minimum among its active neighbors joins the set;
+   * winners and their neighbors deactivate. With uniform priorities the
+   * expected round count is O(log n); the fixed-priority variant here
+   * re-draws nothing (same md5 draw each round) which only changes
+   * constants, not correctness — every round the globally smallest
+   * active priority always wins, so progress is guaranteed.
+   *
+   * Scale shape: one aggregation + four (semi/anti) equi-joins per
+   * round, all on the vertex id; the local-minimum test is a
+   * partial-aggregable `min` over neighbor priorities (a celebrity
+   * vertex's neighbor list combines map-side — never a per-vertex
+   * window). Rounds localCheckpoint (the iterative-loop invariant);
+   * the returned set is the lazy union of per-round checkpointed
+   * winner frontiers (never a re-checkpointed growing accumulator).
+   * `requireConverged` throws if the active set survives `maxRounds` —
+   * a `maxRounds`-round unrolled oracle would diverge (graph_sssp
+   * pattern); converging early is fine (later oracle rounds are empty).
+   * Output: `(id)` — the MIS members.
+   */
+  def maximalIndependentSet(pairs: DataFrame, maxRounds: Int = 8,
+                            requireConverged: Boolean = true): DataFrame = {
+    val e0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    var active = e0.select(col("id_a").as("id"))
+      .union(e0.select(col("id_b").as("id"))).distinct()
+      .localCheckpoint()
+    var remaining = active.count()
+    var winnersAcc = List.empty[DataFrame]
+    var round = 0
+    while (remaining > 0L && round < maxRounds) {
+      val ea = e0
+        .join(active.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(active.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      val nbr = ea.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(ea.select(col("id_b").as("u"), col("id_a").as("v")))
+      val minNbr = nbr.groupBy(col("u").as("id"))
+        .agg(min(lubyPrio("v")).as("__mn"))
+      val winners = active.join(minNbr, Seq("id"), "left")
+        .filter(col("__mn").isNull || lubyPrio("id") < col("__mn"))
+        .select(col("id"))
+        .localCheckpoint()
+      val removed = winners
+        .union(nbr.join(winners.select(col("id").as("u")), Seq("u"),
+          "left_semi").select(col("v").as("id")))
+        .distinct()
+      active = active.join(removed, Seq("id"), "left_anti")
+        .localCheckpoint()
+      winnersAcc ::= winners
+      remaining = active.count()
+      round += 1
+    }
+    if (remaining > 0L && requireConverged)
+      throw new IllegalStateException(
+        s"maximalIndependentSet did not converge in $maxRounds rounds " +
+        s"($remaining vertices still active) — a $maxRounds-round " +
+        "unrolled oracle would diverge")
+    if (winnersAcc.isEmpty) e0.select(col("id_a").as("id")).limit(0)
+    else winnersAcc.reduce(_ union _).select(col("id"))
+  }
 }

@@ -209,6 +209,74 @@ object TextOps {
    * the 1-row totals frame is a broadcast cross join (model-as-data);
    * top-k collapses to TakeOrderedAndProject — no global sort.
    */
+  /**
+   * TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): rank
+   * words by a damped random walk over the word co-occurrence graph —
+   * the unsupervised keyword stage of a document-understanding
+   * pipeline, composed from the same substrate as [[collocations]]
+   * (adjacent-token pair counts) and the same INT64 FIXED-POINT power
+   * iteration as the graph module's PPR (integral division per edge,
+   * pure int64 sums — bit-identical across engines and summation
+   * orders, so a fixed iteration count unrolls into an exact oracle).
+   *
+   * Graph: words with unigram count ≥ `minCount` (vocab bound);
+   * undirected adjacency edges (self-loops dropped) weighted by count;
+   * each iteration moves `rank·85·w div (100·wdeg)` along every edge
+   * and restarts with `scale·15/100`. Overflow bound (ANSI throws, not
+   * wraps): max rank ≤ V·scale, so the per-edge product needs
+   * `V·scale·85·w_max < 2⁶³` — the default scale 10⁴ holds to ~50k
+   * vocab × 10⁸-count edges; larger corpora lower `scale` or raise
+   * `minCount` (ranking uses relative order only).
+   *
+   * Scale shape: pair counts are vocab-bounded partial aggs; the edge
+   * list is built once and localCheckpointed with the per-iteration
+   * join riding its (u) key; ranks are vocab-sized rows (never corpus
+   * rows); top-k collapses to TakeOrderedAndProject.
+   */
+  def textRank(df: DataFrame, minCount: Long = 5, iters: Int = 2,
+               topK: Int = 30, textCol: String = "text",
+               scale: Long = 10000L): DataFrame = {
+    require(scale % 100 == 0, "scale must be divisible by 100 so the " +
+      "restart and damping terms are exact integers")
+    val toks = df.select(tokens(col(textCol)).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val vocab = uni.filter(col("n") >= minCount).select(col("w"))
+    val bi = toks.select(
+        explode(zip_with(col("__toks"),
+          slice(col("__toks"), lit(2),
+            greatest(size(col("__toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .filter(col("__bg.w2").isNotNull &&
+        col("__bg.w1") =!= col("__bg.w2"))
+      .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val und = bi.select(col("w1").as("u"), col("w2").as("v"), col("c"))
+      .union(bi.select(col("w2").as("u"), col("w1").as("v"), col("c")))
+      .groupBy(col("u"), col("v")).agg(sum(col("c")).as("w"))
+      .join(vocab.select(col("w").as("u")), Seq("u"), "left_semi")
+      .join(vocab.select(col("w").as("v")), Seq("v"), "left_semi")
+    val wdeg = und.groupBy(col("u")).agg(sum(col("w")).as("wd"))
+    // built once, partitioned on the per-iteration join key (LPA move)
+    val edges = und.join(wdeg, Seq("u"))
+      .select(col("u"), col("v"), col("w"), col("wd"))
+      .repartition(col("u")).localCheckpoint(false)
+    var ranks = vocab.select(col("w").as("word"),
+      lit(scale).as("rank_q"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks, edges("u") === ranks("word"))
+        .select(col("v").as("word"),
+          expr("(rank_q * 85 * w) div (100 * wd)").as("__c"))
+        .groupBy(col("word")).agg(sum(col("__c")).as("__s"))
+      ranks = vocab.select(col("w").as("word"))
+        .join(contrib, Seq("word"), "left")
+        .select(col("word"),
+          (lit(scale / 100 * 15) + coalesce(col("__s"), lit(0L)))
+            .as("rank_q"))
+    }
+    ranks.orderBy(col("rank_q").desc, col("word")).limit(topK)
+  }
+
   def collocations(df: DataFrame, minCount: Long = 5, topK: Int = 50,
                    textCol: String = "text"): DataFrame = {
     val toks = df.select(tokens(col(textCol)).as("__toks"))

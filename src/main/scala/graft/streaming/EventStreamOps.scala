@@ -389,6 +389,99 @@ object EventStreamOps {
   }
 
   /**
+   * SCD type-2 dimension build from the event log: per-user validity
+   * INTERVALS of the user's current state (the type of their latest
+   * event), at daily grain — the slowly-changing-dimension shape a
+   * warehouse keeps so `asofJoin`-style point-in-time questions become
+   * plain range lookups. Composition: per-(user, day) last event (a
+   * partial-aggregable `max(struct)` — never a per-user event-history
+   * window), the per-user day grid (the [[gapFill]] move), LOCF over
+   * GRID rows, then island collapse — adjacent equal-state days merge
+   * into one `(state, valid_from, valid_to)` interval via a
+   * change-flag running sum. Every window runs over calendar-bounded
+   * grid rows (users × observed day span), never event-volume rows;
+   * day ids are integer epoch-second divisions (engine-exact).
+   * Output: `(user_id, state, valid_from, valid_to)` — inclusive day
+   * indices; intervals partition the user's observed span.
+   */
+  def scd2States(events: DataFrame, keyCol: String = "user_id",
+                 stateCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = events.select(col(keyCol),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      col("ts"), col("event_id"), col(stateCol).as("__st"))
+    val observed = bucketed.groupBy(col(keyCol), col("day"))
+      .agg(max(struct(col("ts"), col("event_id"), col("__st")))
+        .as("__last"))
+      .select(col(keyCol), col("day"), col("__last.__st").as("__obs"))
+    val grid = bucketed.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val run = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    grid.join(observed, Seq(keyCol, "day"), "left")
+      .withColumn("state", last(col("__obs"), ignoreNulls = true).over(run))
+      .withColumn("__chg",
+        when(lag(col("state"), 1).over(ord).isNull ||
+          lag(col("state"), 1).over(ord) =!= col("state"), lit(1))
+          .otherwise(lit(0)))
+      .withColumn("__run", sum(col("__chg")).over(run))
+      .groupBy(col(keyCol), col("__run"), col("state"))
+      .agg(min(col("day")).as("valid_from"),
+        max(col("day")).as("valid_to"))
+      .select(col(keyCol), col("state"), col("valid_from"),
+        col("valid_to"))
+  }
+
+  /**
+   * Sequential-pattern support over gap-based sessions (PrefixSpan's
+   * level-2 output — the "what do users do next" report): for every
+   * ORDERED event-type pair (a, b), the number of sessions containing
+   * some `a` event strictly before some `b` event. A session supports
+   * (a, b) iff `min_ts(a) < max_ts(b)` within it, so the whole test
+   * runs on the per-(session, type) min/max timestamps — a
+   * partial-aggregable projection bounded by sessions × type
+   * vocabulary, never by event volume. The pair join is one
+   * (user, session) equi-join of that bounded projection against
+   * itself; session assignment is the library's standard gap
+   * sessionization (the `events_sessions` shape). Top-k collapses to
+   * TakeOrderedAndProject.
+   * Output: `(from_type, to_type, support)`.
+   */
+  def sessionPatterns(events: DataFrame, gapSeconds: Long = 1800,
+                      minSupport: Long = 2, topK: Int = 20,
+                      keyCol: String = "user_id",
+                      typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("ts").cast("long") - col("__prev").cast("long") >
+            gapSeconds, lit(1)).otherwise(lit(0)))
+      .withColumn("__sess", sum(col("__new")).over(byUser))
+    val typed = gapped
+      .groupBy(col(keyCol), col("__sess"), col(typeCol).as("__ty"))
+      .agg(min(col("ts")).as("__t0"), max(col("ts")).as("__t1"))
+    val a = typed.select(col(keyCol), col("__sess"),
+      col("__ty").as("from_type"), col("__t0"))
+    val b = typed.select(col(keyCol), col("__sess"),
+      col("__ty").as("to_type"), col("__t1"))
+    a.join(b, Seq(keyCol, "__sess"))
+      .filter(col("from_type") =!= col("to_type") &&
+        col("__t0") < col("__t1"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("from_type"), col("to_type"))
+      .limit(topK)
+  }
+
+  /**
    * Rolling distinct active users (DAU/WAU/MAU): for every day in the
    * observed range, the EXACT count of distinct users with ≥1 event in
    * the trailing `windowDays` window.

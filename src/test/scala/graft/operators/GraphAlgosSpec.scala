@@ -660,4 +660,69 @@ class GraphAlgosSpec extends SparkSpec {
     // every walk emits exactly length+1 steps on a sink-free graph
     assert(out.keys.groupBy(_._1).values.forall(_.size == 4))
   }
+
+  private def md5hex32(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def lubyPrioReplica(v: Long): Long =
+    (java.lang.Long.parseLong(md5hex32(v.toString).take(8), 16) %
+      1073741824L) * 2147483648L + v
+
+  test("maximalIndependentSet equals a driver-side Luby replica") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a disjoint edge 6-7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val out = GraphAlgos.maximalIndependentSet(pairs)
+      .collect().map(_.getLong(0)).toSet
+    // replica: fixed-priority Luby over the adjacency map
+    val adj = Map(1L -> Set(2L), 2L -> Set(1L, 3L), 3L -> Set(2L, 4L),
+      4L -> Set(3L, 5L), 5L -> Set(4L), 6L -> Set(7L), 7L -> Set(6L))
+    var active = adj.keySet
+    var mis = Set.empty[Long]
+    while (active.nonEmpty) {
+      val win = active.filter(v =>
+        (adj(v) & active).forall(u =>
+          lubyPrioReplica(v) < lubyPrioReplica(u)))
+      mis ++= win
+      active = active -- win -- win.flatMap(adj)
+    }
+    assert(out == mis)
+    // structural: independent and maximal on the hand graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+    assert(edges.forall { case (a, b) => !(out(a) && out(b)) })
+    assert(adj.keySet.forall(v => out(v) || adj(v).exists(out)))
+  }
+
+  test("maximalIndependentSet: independent, maximal, deterministic") {
+    val pairs = GraphAlgos.coOccurrencePairs(
+      GraphStore.tpch(spark, "/root/testdata/sf0.001"),
+      label = "contains", minShared = 2).localCheckpoint()
+    val mis = GraphAlgos.maximalIndependentSet(pairs)
+    val misSet = mis.collect().map(_.getLong(0)).toSet
+    val edgeList = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // no edge keeps both endpoints
+    assert(edgeList.forall { case (a, b) => !(misSet(a) && misSet(b)) })
+    // every non-member has a member neighbor (maximality)
+    val nbrs = (edgeList ++ edgeList.map(_.swap))
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    assert(nbrs.keySet.forall(v => misSet(v) || nbrs(v).exists(misSet)))
+    // fixed priorities: repeated runs agree exactly
+    val again = GraphAlgos.maximalIndependentSet(pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == misSet)
+  }
+
+  test("maximalIndependentSet convergence cap throws; uncapped doesn't") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      GraphAlgos.maximalIndependentSet(pairs, maxRounds = 0)
+    }
+    // requireConverged=false returns the (empty) partial set instead
+    assert(GraphAlgos.maximalIndependentSet(pairs, maxRounds = 0,
+      requireConverged = false).count() == 0L)
+  }
 }

@@ -2186,6 +2186,37 @@ class OperatorsSpec extends SparkSpec {
     assert(a.length == 20)
   }
 
+  test("textRank: hand-computed int64 fixed-point ranks") {
+    import spark.implicits._
+    // graph: a-b (w 1), b-c (w 3: b->c twice + c->b once); wdeg
+    // a=1, b=4, c=3; two iterations of rank·85·w div (100·wdeg)
+    val df = Seq("a b c", "b c b").toDF("text")
+    val out = TextOps.textRank(df, minCount = 1, iters = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // iter1: a = 1500 + (10000·85·1) div 400            = 3625
+    //        b = 1500 + 8500 (from a) + 8500 (from c)   = 18500
+    //        c = 1500 + (10000·85·3) div 400            = 7875
+    // iter2: a = 1500 + (18500·85)   div 400            = 5431
+    //        b = 1500 + 3081 (from a) + 6693 (from c)   = 11274
+    //        c = 1500 + (18500·85·3) div 400            = 13293
+    assert(out == Seq(("c", 13293L), ("b", 11274L), ("a", 5431L)))
+  }
+
+  test("textRank: hub word outranks leaves; vocab bound applies") {
+    import spark.implicits._
+    // star: hub adjacent to every leaf; rare word cut by minCount
+    val df = Seq("hub x1", "hub x2", "hub x3", "hub x4", "rare")
+      .toDF("text")
+    val out = TextOps.textRank(df, minCount = 1, iters = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head._1 == "hub")
+    // an edgeless vocab word keeps the restart-only rank 15%·scale
+    assert(out.toMap.apply("rare") == 1500L)
+    val cut = TextOps.textRank(df, minCount = 2, iters = 2, topK = 10)
+      .collect().map(r => r.getString(0))
+    assert(cut.toSeq == Seq("hub")) // only 'hub' appears >= 2 times
+  }
+
   test("lineFilters: each C4 rule fires on its own line shape") {
     import spark.implicits._
     val page = Seq(

@@ -475,6 +475,57 @@ class EventStreamSpec extends SparkSpec {
     assert(r.filter(col("period_offset") < 0).count() == 0)
   }
 
+  test("scd2States: LOCF intervals, same-day tie-break, singleton") {
+    import spark.implicits._
+    def at(day: Int, hour: Int) =
+      new Timestamp((day * 86400L + hour * 3600L) * 1000L)
+    val ev = Seq(
+      // u1: day 10 has a then b (b is the day's last state); nothing
+      // until day 13's a -> intervals (b, 10..12), (a, 13..13)
+      (1L, at(10, 1), 1L, "a"), (2L, at(10, 2), 1L, "b"),
+      (3L, at(13, 0), 1L, "a"),
+      // u2: one event -> one single-day interval
+      (4L, at(5, 0), 2L, "x"),
+      // u3: identical ts, higher event_id wins the day
+      (5L, at(7, 3), 3L, "p"), (6L, at(7, 3), 3L, "q")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStreamOps.scd2States(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, "b", 10L, 12L), (1L, "a", 13L, 13L),
+      (2L, "x", 5L, 5L), (3L, "q", 7L, 7L)))
+    // intervals tile each user's span without overlap
+    val u1 = out.filter(_._1 == 1L).toSeq.sortBy(_._3)
+    assert(u1.sliding(2).forall {
+      case Seq(a, b) => a._4 + 1 == b._3
+      case _ => true
+    })
+  }
+
+  test("sessionPatterns: ordered pair support across gap sessions") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 session 1: view@0, click@10, view@20
+      (1L, ts(0), 1L, "view"), (2L, ts(10), 1L, "click"),
+      (3L, ts(20), 1L, "view"),
+      // u1 session 2 (gap > 30 min): view@60, purchase@70
+      (4L, ts(60), 1L, "view"), (5L, ts(70), 1L, "purchase"),
+      // u2 one session: click then view
+      (6L, ts(0), 2L, "click"), (7L, ts(5), 2L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStreamOps.sessionPatterns(ev, minSupport = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // click->view supported by u1 s1 AND u2; the rest once each
+    assert(out.toSeq == Seq(
+      ("click", "view", 2L), ("view", "click", 1L),
+      ("view", "purchase", 1L)))
+    // support threshold prunes singleton patterns
+    val thr = EventStreamOps.sessionPatterns(ev, minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(thr.toSeq == Seq(("click", "view")))
+  }
+
   test("gapFill: LOCF grid with per-bucket last observation") {
     import spark.implicits._
     // hourly buckets; base epoch 1700000000s → bucket b0 = 472222
