@@ -317,6 +317,18 @@ object SparkEntry {
     // recall-floor face: rotation preserves cosine exactly, so the
     // UNROTATED brute force stays the ground truth (probed min hits 2
     // at sf0.01; floor 1 = the plain-PQ floor, with the same margin)
+    // the full IVFADC+rerank stack (probed cells -> residual-code ADC
+    // shortlist -> exact rerank): recall floor hash-checked per query
+    "ann_recall_ivfpq" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      operators.SimilarityOps.recallAtK(
+        operators.SimilarityOps.ivfPqRerank(q, e,
+          ivfModel(spark, sfDir), ivfPqBooks(spark, sfDir),
+          nprobe = 12, k = 5, shortlist = 100),
+        operators.SimilarityOps.bruteForceTopK(q, e, k = 5),
+        k = 5, floor = 1)
+    }),
     "ann_recall_opq" -> ((spark, sfDir) => {
       val e = embs(spark, sfDir)
       val (rot, books) = opqModel(spark, sfDir)
@@ -894,6 +906,13 @@ object SparkEntry {
         operators.GraphAlgos.coOccurrencePairs(
           sources.GraphStore.tpch(spark, sfDir), label = "contains",
           minShared = 2), k = 3, maxRounds = 4)),
+    // bipartite butterfly (4-cycle) counts per part: C(shared, 2)
+    // summed over co-occurrence partners — pure int64 on the salted
+    // wedge projection
+    "graph_butterflies" -> ((spark, sfDir) =>
+      operators.GraphAlgos.butterflyCounts(
+        sources.GraphStore.tpch(spark, sfDir), label = "contains",
+        minShared = 2)),
     // Luby maximal independent set with DETERMINISTIC md5 priorities
     // over the part co-occurrence projection: each round's winners are
     // strict local priority minima, so the fixed draw makes the whole
@@ -1033,6 +1052,20 @@ object SparkEntry {
     // ORC ingest/egress fidelity: per-source aggregates + md5-derived
     // content checksums of the ORC-round-tripped corpus vs the oracle's
     // aggregates over the SOURCE parquet (the source_csv pattern)
+    // two parquet generations (gen-1 written without lang/n_chars),
+    // re-read as ONE table via mergeSchema: the union schema resolves
+    // from footers and gen-1 rows surface the added columns as nulls
+    "source_schema_evolution" -> ((spark, sfDir) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sev_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      sources.Layout.schemaEvolutionRoundTrip(docs(spark, sfDir), dir,
+        col("doc_id") % 2 === 0, Seq("lang", "n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          count(col("lang")).as("lang_present"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
     "source_orc" -> ((spark, sfDir) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
         java.lang.Integer.toHexString(sfDir.hashCode)
@@ -1425,6 +1458,17 @@ object SparkEntry {
     pqCache.getOrElseUpdate((spark, sfDir),
       operators.SimilarityOps.fitPq(
         embs(spark, sfDir), m = 8, k = 16, iters = 3))
+
+  // IVF-PQ books = PQ fitted on coarse-quantizer residuals (IVFADC);
+  // deterministic given the deterministic ivfModel
+  private val ivfPqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Array[Double]]]]
+  private def ivfPqBooks(spark: SparkSession,
+                         sfDir: String): Array[Array[Array[Double]]] =
+    ivfPqCache.getOrElseUpdate((spark, sfDir),
+      operators.SimilarityOps.fitIvfPq(
+        embs(spark, sfDir), ivfModel(spark, sfDir), m = 8, k = 16,
+        iters = 3))
 
   // OPQ model = (rotation, codebooks fitted in the rotated space);
   // both deterministic, cached like the other index-build-time models
@@ -1906,6 +1950,10 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "ann_recall_opq" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "ann_recall_ivfpq" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
@@ -2668,6 +2716,18 @@ object SparkEntry {
           |FROM (SELECT id_a AS v FROM r12 UNION ALL SELECT id_b FROM r12)
           |GROUP BY 1""".stripMargin
     },
+    // butterflies(v) = sum of C(shared, 2) over v's counted pairs;
+    // `//` == Spark `div` on nonnegative int64
+    "graph_butterflies" ->
+      """WITH ce AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+        |    l_partkey + 2000000000 AS p FROM lineitem),
+        |pp AS (SELECT a.p AS id_a, b.p AS id_b, count(*) AS c
+        |  FROM ce a JOIN ce b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |b AS (SELECT id_a AS id, c * (c - 1) // 2 AS bf FROM pp
+        |  UNION ALL SELECT id_b, c * (c - 1) // 2 FROM pp)
+        |SELECT id, CAST(sum(bf) AS BIGINT) AS butterflies
+        |FROM b GROUP BY id""".stripMargin,
     // Luby MIS unroll: 8 MATERIALIZED rounds; winners = strict local
     // minima of the packed (30-bit md5 draw)·2^31 + id priority among
     // still-active neighbors — all integers, draws engine-identical,
@@ -3250,6 +3310,15 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.id < b.id
         |WHERE levenshtein(a.str, b.str) <= 1""".stripMargin,
     // aggregates over the SOURCE parquet must survive the ORC hop
+    // gen-1 (even doc_id) rows must read back with NULL lang/n_chars
+    "source_schema_evolution" ->
+      """SELECT source, count(*) AS docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN lang END)
+        |    AS lang_present,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY source""".stripMargin,
     "source_orc" ->
       """SELECT source, count(*) AS docs,
         |  CAST(sum(length(text)) AS BIGINT) AS chars,

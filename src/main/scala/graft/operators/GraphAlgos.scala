@@ -700,6 +700,30 @@ object GraphAlgos {
   }
 
   /**
+   * Per-vertex BUTTERFLY counts (bipartite 4-cycles) — the bipartite
+   * graph's triangle analog (Sanei-Mehri et al., KDD 2018): a
+   * butterfly is two "source" vertices sharing two "destination"
+   * vertices (two orders sharing two parts), the motif behind
+   * bipartite clustering coefficients and fraud/lockstep detection
+   * where triangle machinery is useless (bipartite graphs have none).
+   * For destination vertex v: butterflies(v) = Σ over co-occurrence
+   * partners u of C(shared(v,u), 2) — computed entirely on the
+   * [[coOccurrencePairs]] projection (chunk-salted wedge join, so a
+   * celebrity source fans out in bounded chunks), one int64 projection
+   * and one partial-aggregable sum on top. No floats anywhere.
+   * Output: `(id, butterflies)` for vertices in ≥1 counted pair.
+   */
+  def butterflyCounts(g: GraphStore, label: String,
+                      minShared: Int = 2,
+                      chunkSize: Int = 512): DataFrame = {
+    val pairs = coOccurrencePairs(g, label, minShared, chunkSize)
+      .withColumn("__b", expr("shared * (shared - 1) div 2"))
+    pairs.select(col("id_a").as("id"), col("__b"))
+      .union(pairs.select(col("id_b").as("id"), col("__b")))
+      .groupBy(col("id")).agg(sum(col("__b")).as("butterflies"))
+  }
+
+  /**
    * Per-vertex triangle counts over an undirected edge list
    * (`id_a < id_b`, unique per pair — [[coOccurrencePairs]] output
    * shape). Degree-oriented enumeration (the compact-forward /

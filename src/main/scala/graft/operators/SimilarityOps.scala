@@ -730,6 +730,122 @@ object SimilarityOps {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Residual vectors w.r.t. each element's nearest coarse centroid:
+    * `(__id, __cell, __rv)` with `__rv = v − c(cell)` re-emitted as
+    * float (the corpus vector convention, so the PQ machinery applies
+    * unchanged). One broadcast argmin + one narrow zip_with — the
+    * per-element HOF runs once at encode time, never in the search
+    * path. */
+  private def ivfResiduals(df: DataFrame, cdf: DataFrame): DataFrame =
+    assignCells(df, cdf, carry = Seq("__v"))
+      .join(broadcast(cdf.select(col("__cell"), col("__cvec"))), "__cell")
+      .select(col("__id"), col("__cell"),
+        expr("transform(zip_with(__v, __cvec, (x, y) -> x - y), " +
+          "z -> cast(z as float))").as("__rv"))
+
+  /**
+   * Fit PQ codebooks on IVF RESIDUALS — the IVFADC composition
+   * (Jégou et al., PAMI 2011) every production-scale FAISS deployment
+   * runs: the coarse quantizer removes the vector's cell mean, so the
+   * per-subspace codebooks spend their bits on the residual
+   * distribution (much tighter than raw vectors) and search can be
+   * restricted to probed cells. Deterministic given deterministic
+   * `centroids` ([[fitIvfCentroids]]) — seedless md5 sample + Lloyd's.
+   */
+  def fitIvfPq(corpus: DataFrame, centroids: Array[Array[Double]],
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               dim: Int = 64, m: Int = 8, k: Int = 16,
+               iters: Int = 4): Array[Array[Array[Double]]] = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val res = ivfResiduals(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      centroidsDf(corpus.sparkSession, centroids))
+    fitPq(res.select(col("__id").as(idCol), col("__rv").as(vecCol)),
+      idCol, vecCol, dim, m, k, iters)
+  }
+
+  /**
+   * IVF-PQ search with exact re-ranking (IVFADC + rerank — the full
+   * production ANN stack): the corpus lives as (cell, m residual
+   * codes); each query probes its `nprobe` nearest cells, builds one
+   * ADC lookup table PER PROBED CELL from its residual there
+   * (`q − c(cell)`), folds the LUT over only that cell's codes, and
+   * the `shortlist` best candidates get the TRUE cosine on original
+   * vectors. Per-neighbor search work is m LUT lookups + a
+   * partial-aggregable sum; full vectors are touched for a per-query
+   * CONSTANT candidate set — at 100 TB the corpus scans as m-byte
+   * codes within probed cells only, which is what neither plain PQ
+   * (whole-corpus code scan) nor plain IVF (full vectors in cells)
+   * gives. The (cell, sub, code) LUT join hits each (query, neighbor)
+   * pair exactly m times because a neighbor sits in exactly one cell.
+   * Output matches [[bruteForceTopK]]: `(query_id, neighbor_id,
+   * cosine, rank)`.
+   */
+  def ivfPqRerank(queries: DataFrame, corpus: DataFrame,
+                  centroids: Array[Array[Double]],
+                  books: Array[Array[Array[Double]]],
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  nprobe: Int = 4, k: Int = 10,
+                  shortlist: Int = 100): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val spark = queries.sparkSession
+    val m = books.length
+    val dim = m * books.head.head.length
+    val cdf = centroidsDf(spark, centroids)
+    val bdf = codebooksDf(spark, books)
+    // corpus face: cell + residual codes (built once at index time)
+    val res = ivfResiduals(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), cdf)
+    val codes = pqEncode(
+        res.select(col("__id").as(idCol), col("__rv").as(vecCol)),
+        books, idCol, vecCol)
+      .join(res.select(col("__id").as(idCol), col("__cell")), idCol)
+      .select(col(idCol).as("neighbor_id"), col("__cell"),
+        posexplode(col("codes")).as(Seq("__sub", "__code")))
+    // query face: per probed cell, the residual's ADC lookup table
+    val qres = probeCells(
+        queries.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+        cdf, nprobe, carry = Seq("__v"))
+      .join(broadcast(cdf.select(col("__cell"), col("__cvec"))), "__cell")
+      .select(col("__id"), col("__cell"),
+        expr("transform(zip_with(__v, __cvec, (x, y) -> x - y), " +
+          "z -> cast(z as float))").as("__rv"))
+    // bdf's code id column is also named __cell — rename the probed
+    // IVF cell to __ivf around the codebook join, then emit the join
+    // shape (__cell = IVF cell, __code = codebook entry)
+    val lutTbl = qres
+      .select(col("__id").as("query_id"), col("__cell").as("__ivf"),
+        explode(expr(
+          s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, " +
+          s"slice(__rv, s * ${dim / m} + 1, ${dim / m}) AS sv))"))
+          .as("__p"))
+      .select(col("query_id"), col("__ivf"), col("__p.sub").as("__sub"),
+        col("__p.sv").as("__v"))
+      .join(broadcast(bdf), "__sub").withColumn("__d", cellDist)
+      .select(col("query_id"), col("__ivf").as("__cell"), col("__sub"),
+        col("__cell").as("__code"), col("__d"))
+    val cand = codes.join(broadcast(lutTbl), Seq("__cell", "__sub", "__code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__d")).as("__dist"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("__dist"), col("neighbor_id"))))
+      .filter(col("rank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
+    cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /**
    * Recall-floor gate face: per query, whether an approximate top-k
    * (`approx`) retrieved at least `floor` of the exact top-k

@@ -224,4 +224,27 @@ object Layout {
       .mode("overwrite").saveAsTable(dt)
     spark.table(ft).join(spark.table(dt), Seq(key))
   }
+
+  /**
+   * Schema-evolution round trip: write two parquet GENERATIONS of the
+   * same logical table — gen-1 lacks `droppedCols` (an older
+   * producer's schema), gen-2 carries the full schema — then read the
+   * union with `mergeSchema`, which unions the file footers into one
+   * schema and back-fills a file's missing columns with nulls. This
+   * is the lake reality at 100 TB: years of immutable files written
+   * under evolving schemas must stay readable as ONE table without
+   * rewriting history. Schema resolution touches only footers (no
+   * data scan), and per-file column pruning still reads just the
+   * columns each file actually has.
+   */
+  def schemaEvolutionRoundTrip(df: DataFrame, dir: String,
+                               gen1Filter: Column,
+                               droppedCols: Seq[String]): DataFrame = {
+    df.filter(gen1Filter).drop(droppedCols: _*)
+      .write.mode("overwrite").parquet(s"$dir/g1")
+    df.filter(!gen1Filter)
+      .write.mode("overwrite").parquet(s"$dir/g2")
+    df.sparkSession.read.option("mergeSchema", "true")
+      .parquet(s"$dir/g1", s"$dir/g2")
+  }
 }

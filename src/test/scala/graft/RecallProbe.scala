@@ -32,6 +32,14 @@ object RecallProbe {
     val pq = operators.SimilarityOps.fitPq(e, m = 8, k = 16, iters = 3)
     hits("pq_rerank50(floor=1)",
       operators.SimilarityOps.pqRerank(q, e, pq, k = 5, shortlist = 50))
+    val ivfpq = operators.SimilarityOps.fitIvfPq(e, ivf, m = 8, k = 16,
+      iters = 3)
+    hits("ivfpq_nprobe8_rerank50(floor=1)",
+      operators.SimilarityOps.ivfPqRerank(q, e, ivf, ivfpq, nprobe = 8,
+        k = 5, shortlist = 50))
+    hits("ivfpq_nprobe12_rerank100",
+      operators.SimilarityOps.ivfPqRerank(q, e, ivf, ivfpq, nprobe = 12,
+        k = 5, shortlist = 100))
     // OPQ face: rotate corpus+queries, fit PQ in the rotated space,
     // rerank — rotation preserves exact cosine, so the unrotated brute
     // force stays the ground truth

@@ -661,6 +661,25 @@ class GraphAlgosSpec extends SparkSpec {
     assert(out.keys.groupBy(_._1).values.forall(_.size == 4))
   }
 
+  test("butterflyCounts: hand-checked bipartite 4-cycles") {
+    import spark.implicits._
+    // orders o1..o3 (src) contain parts (dst): p1,p2 shared by all
+    // three orders -> C(3,2)=3 butterflies on the (p1,p2) pair; p3
+    // only ever co-occurs once -> below minShared=2
+    val e = Seq((1L, 11L), (1L, 12L), (1L, 13L), (2L, 11L), (2L, 12L),
+      (3L, 11L), (3L, 12L)).map { case (s, d) => (s, d, "contains") }
+      .toDF("src", "dst", "label")
+    val g = GraphStore((1L to 13L).toDF("id"), e)
+    val out = GraphAlgos.butterflyCounts(g, "contains")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(11L -> 3L, 12L -> 3L))
+    // minShared=1 admits the single-co-occurrence pairs at zero
+    // butterflies (C(1,2) = 0) — counts never change, coverage does
+    val loose = GraphAlgos.butterflyCounts(g, "contains", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(loose == Map(11L -> 3L, 12L -> 3L, 13L -> 0L))
+  }
+
   private def md5hex32(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -2617,6 +2617,56 @@ class OperatorsSpec extends SparkSpec {
     assert(nOut <= 4 && nOut < nIn, s"$nIn -> $nOut files")
   }
 
+  test("schemaEvolutionRoundTrip: union schema, null back-fill, no loss") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sev").toString
+    val back = graft.sources.Layout.schemaEvolutionRoundTrip(
+      docs, base, col("doc_id") % 2 === 0, Seq("lang", "n_chars"))
+    // every row survives; the merged schema carries the added columns
+    assert(back.count() == docs.count())
+    assert(back.columns.toSet == docs.columns.toSet)
+    // gen-1 (even ids) rows surface dropped columns as nulls; gen-2
+    // rows keep their values byte-for-byte
+    assert(back.filter(col("doc_id") % 2 === 0 &&
+      (col("lang").isNotNull || col("n_chars").isNotNull)).count() == 0)
+    val odd = back.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val oddSrc = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(odd.exceptAll(oddSrc).count() == 0)
+    assert(oddSrc.exceptAll(odd).count() == 0)
+  }
+
+  test("ivfPqRerank: all-cells + full shortlist = brute force; recall") {
+    val queries = embs.filter(col("vec_id") < 20).cache()
+    val k = 10
+    val cents = SimilarityOps.fitIvfCentroids(embs, k = 8, iters = 2)
+    val books = SimilarityOps.fitIvfPq(embs, cents, m = 8, k = 16,
+      iters = 2)
+    def pairs(df: DataFrame): Set[(Long, Long)] = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityOps.bruteForceTopK(queries, embs, k = k))
+    // probing EVERY cell with a corpus-wide shortlist removes both
+    // approximations — the result must be exactly brute force
+    val n = embs.count().toInt
+    val full = SimilarityOps.ivfPqRerank(queries, embs, cents, books,
+      nprobe = 8, k = k, shortlist = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = SimilarityOps.bruteForceTopK(queries, embs, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == brute)
+    // the production setting still clears a recall floor
+    val prod = pairs(SimilarityOps.ivfPqRerank(queries, embs, cents,
+      books, nprobe = 4, k = k, shortlist = 100))
+    val recall = (exact & prod).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall too low: $recall")
+    // deterministic: seedless fit + deterministic search
+    val again = pairs(SimilarityOps.ivfPqRerank(queries, embs, cents,
+      books, nprobe = 4, k = k, shortlist = 100))
+    assert(again == prod)
+  }
+
   test("weightedSample equals driver-side A-ES max-ticket selection") {
     import spark.implicits._
     val rows = (1L to 40L).map(id => (id, id % 5)).toDF("doc_id", "wt")
