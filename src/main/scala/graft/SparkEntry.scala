@@ -1078,6 +1078,59 @@ object SparkEntry {
             "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
             .as("text_h"))
     }),
+    // CDC MERGE apply: a changelog with multi-version updates,
+    // tombstone deletes (winning over same-key updates) and inserts
+    // folds into the base via latest-per-key partial agg + ONE
+    // full-outer join; the final state is directly SQL-expressible
+    "source_merge_upsert" -> ((spark, sfDir) => {
+      val base = docs(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val upd1 = base.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit("stale-draft").as("text"),
+          col("lang"), col("source"), lit(1L).as("version"),
+          lit(false).as("deleted"))
+      val upd2 = base.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" [v2]")).as("text"), col("lang"),
+          col("source"), lit(2L).as("version"), lit(false).as("deleted"))
+      val dels = base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("source"),
+          lit(3L).as("version"), lit(true).as("deleted"))
+      val ins = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat(lit("new-"), col("doc_id").cast("string")).as("text"),
+          lit("xx").as("lang"), lit("cdc").as("source"),
+          lit(1L).as("version"), lit(false).as("deleted"))
+      sources.Layout.mergeUpsert(base,
+          upd1.unionByName(upd2).unionByName(dels).unionByName(ins),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)")
+            .as("text_h"),
+          col("lang"), col("source"))
+    }),
+    // snapshot-as-of read over the committed increment log: three
+    // committed ingests plus one crashed (uncommitted) leftover;
+    // "as of 2" sees exactly the first two — commit markers totally
+    // order the log, uncommitted dirs are invisible
+    "source_time_travel" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val state = freshStateDir("graft_ttstate")
+      (0 to 2).foreach { r =>
+        val inc = operators.StateStore.nextDir(spark, state)
+        d.filter(col("doc_id") % 3 === r).write.mode("overwrite")
+          .parquet(s"$inc/docs")
+        operators.StateStore.commit(spark, inc)
+      }
+      d.filter(col("doc_id") % 5 === 0).write.mode("overwrite")
+        .parquet(s"${operators.StateStore.nextDir(spark, state)}/docs")
+      operators.StateStore.readAsOf(spark, state, "docs", 2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("chars"))
+    }),
 
     // ---- round-9 second continuation ----
     // Apriori level-2 association rules: integer per-mille confidence
@@ -3326,6 +3379,30 @@ object SparkEntry {
         |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
         |    AS BIGINT) AS text_h
         |FROM documents GROUP BY source""".stripMargin,
+    // MERGE final state, expressed directly: %7 keys deleted; %3 keys
+    // (that survive) carry the v2 text; %11 keys also insert a new row
+    // in the shifted id space
+    "source_merge_upsert" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+        |    AS BIGINT) AS text_h,
+        |  lang, source
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' [v2]' ELSE text END
+        |      AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, 'new-' || CAST(doc_id AS VARCHAR),
+        |    'xx', 'cdc'
+        |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin,
+    // as-of-2 sees exactly the first two committed thirds of the corpus
+    "source_time_travel" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id % 3 < 2 GROUP BY source""".stripMargin,
     // Apriori level-2 rules: all-integer support/confidence/lift on the
     // distinct basket-membership projection; `//` == Spark `div` on
     // nonnegative int64

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * Versioned on-disk state for incremental (cross-snapshot) operators —
@@ -150,6 +150,30 @@ object StateStore {
       while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
       new String(bos.toByteArray, "UTF-8")
     } finally in.close()
+  }
+
+  /**
+   * Time-travel read: table `table` as of the first `upToIncrements`
+   * COMMITTED increments — the Iceberg/Delta "read snapshot N" face
+   * on the store's append-only layout. Because increments are
+   * immutable once committed and the commit marker totally orders
+   * them, "as of increment k" is simply the union of the first k
+   * committed dirs that carry the table: reproducible forever (audit,
+   * bisecting a bad ingest, training-set freezes) with no extra
+   * metadata. Uncommitted leftovers are invisible by construction.
+   * Reads only footers+data of the selected dirs; at 100 TB the
+   * per-increment dirs are the partition pruning.
+   */
+  def readAsOf(spark: SparkSession, root: String, table: String,
+               upToIncrements: Int): DataFrame = {
+    val f = fs(spark, root)
+    val dirs = committed(spark, root).take(upToIncrements)
+      .map(d => s"$d/$table")
+      .filter(d => f.exists(new Path(d)))
+    require(dirs.nonEmpty,
+      s"readAsOf: no committed '$table' under $root in the first " +
+        s"$upToIncrements increments")
+    spark.read.parquet(dirs: _*)
   }
 
   /** Recursively delete a state root (or any path) — the one shared

@@ -247,4 +247,41 @@ object Layout {
     df.sparkSession.read.option("mergeSchema", "true")
       .parquet(s"$dir/g1", s"$dir/g2")
   }
+
+  /**
+   * CDC MERGE apply (the lakehouse `MERGE INTO` core): fold a
+   * changelog into a base snapshot. `changes` carries the base's
+   * columns plus `versionCol` (monotone per key) and `deletedCol`
+   * (boolean tombstone); per key the HIGHEST version wins, then the
+   * winner upserts (replaces the base row, or inserts a new key) or,
+   * if it is a tombstone, deletes the key. Change rows are full row
+   * images (standard CDC), so a null data value in the winner is
+   * written as null, not "keep old".
+   *
+   * Scale shape: latest-per-key is `max(struct(version, …))` — a
+   * PARTIAL-aggregable reduction (map-side combine collapses each
+   * key's change burst before the exchange; no window, no sort), then
+   * ONE full-outer hash join on the key against the base. At 100 TB
+   * the base side can be bucketed on the key ([[bucketedJoin]]) so
+   * nightly merges pay no base-side shuffle at all. Determinism:
+   * callers must keep `(key, version)` unique — ties would fall to
+   * lexicographic row order, which is engine-convention territory.
+   */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                  versionCol: String = "version",
+                  deletedCol: String = "deleted"): DataFrame = {
+    val dataCols = base.columns.toSeq.filterNot(keys.contains)
+    val packed = struct(
+      (versionCol +: deletedCol +: dataCols).map(col): _*)
+    val latest = changes.groupBy(keys.map(col): _*)
+      .agg(max(packed).as("__c"))
+      .select(keys.map(col) ++
+        Seq(col(s"__c.$deletedCol").as("__del")) ++
+        dataCols.map(d => col(s"__c.$d").as(s"__new_$d")): _*)
+    base.join(latest, keys, "full_outer")
+      .filter(col("__del").isNull || !col("__del"))
+      .select(keys.map(col) ++ dataCols.map(d =>
+        when(col("__del").isNotNull, col(s"__new_$d"))
+          .otherwise(col(d)).as(d)): _*)
+  }
 }

@@ -2637,6 +2637,63 @@ class OperatorsSpec extends SparkSpec {
     assert(oddSrc.exceptAll(odd).count() == 0)
   }
 
+  test("mergeUpsert: latest version wins; tombstones; inserts; null updates") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "txt", "score")
+    val changes = Seq(
+      (1L, "a-v1", 11, 1L, false), // superseded
+      (1L, "a-v2", 12, 2L, false), // latest wins
+      (2L, "b-v1", 21, 1L, false),
+      (2L, "gone", 0, 2L, true),   // tombstone wins over the update
+      (4L, "d", 40, 1L, false),    // pure insert
+      (5L, "x", 0, 1L, true))      // delete of an absent key: no-op
+      .toDF("id", "txt", "score", "version", "deleted")
+    val out = graft.sources.Layout.mergeUpsert(base, changes, Seq("id"))
+    assert(out.columns.toSeq == Seq("id", "txt", "score"))
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "a-v2", 12), (3L, "c", 30), (4L, "d", 40)))
+    // change rows are full row images: a null in the winner is WRITTEN
+    val nulled = graft.sources.Layout.mergeUpsert(base,
+      Seq((3L, Option.empty[String], 31, 1L, false))
+        .toDF("id", "txt", "score", "version", "deleted"),
+      Seq("id")).filter(col("id") === 3L).collect().head
+    assert(nulled.isNullAt(1) && nulled.getInt(2) == 31)
+    // latest-per-key is an aggregate, never a per-key window sort
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("StateStore.readAsOf: committed prefix; uncommitted invisible") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tt").toString + "/state"
+    def part(r: Int) = Seq((r.toLong, s"row$r")).toDF("id", "s")
+    (0 to 2).foreach { r =>
+      val inc = StateStore.nextDir(spark, root)
+      part(r).write.mode("overwrite").parquet(s"$inc/t")
+      StateStore.commit(spark, inc)
+    }
+    // crashed 4th ingest: table written, COMMIT never lands
+    part(9).write.mode("overwrite")
+      .parquet(s"${StateStore.nextDir(spark, root)}/t")
+    def ids(k: Int) = StateStore.readAsOf(spark, root, "t", k)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(1) == Set(0L))
+    assert(ids(2) == Set(0L, 1L))
+    assert(ids(Int.MaxValue) == Set(0L, 1L, 2L))
+    // the retry overwrites the SAME index; once committed it appears
+    val inc = StateStore.nextDir(spark, root)
+    assert(inc.endsWith("/inc_3"))
+    part(3).write.mode("overwrite").parquet(s"$inc/t")
+    StateStore.commit(spark, inc)
+    assert(ids(Int.MaxValue) == Set(0L, 1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      StateStore.readAsOf(spark, root, "missing", 2)
+    }
+    StateStore.delete(root)
+  }
+
   test("ivfPqRerank: all-cells + full shortlist = brute force; recall") {
     val queries = embs.filter(col("vec_id") < 20).cache()
     val k = 10
