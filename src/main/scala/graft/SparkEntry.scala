@@ -329,6 +329,18 @@ object SparkEntry {
         operators.SimilarityOps.bruteForceTopK(q, e, k = 5),
         k = 5, floor = 1)
     }),
+    // PCA-truncation retrieval (coarse search in the top 16 of 64
+    // variance-ordered components, exact rerank): recall floor
+    // hash-checked per query (probed min hits 2 at sf0.01; floor 1)
+    "ann_recall_pca" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      operators.SimilarityOps.recallAtK(
+        operators.SimilarityOps.pcaRerank(q, e, pcaModel(spark, sfDir),
+          dims = 16, k = 5, shortlist = 100),
+        operators.SimilarityOps.bruteForceTopK(q, e, k = 5),
+        k = 5, floor = 1)
+    }),
     "ann_recall_opq" -> ((spark, sfDir) => {
       val e = embs(spark, sfDir)
       val (rot, books) = opqModel(spark, sfDir)
@@ -1523,6 +1535,15 @@ object SparkEntry {
         embs(spark, sfDir), ivfModel(spark, sfDir), m = 8, k = 16,
         iters = 3))
 
+  // plain PCA rotation (descending-variance axes) for the truncation
+  // retrieval face; deterministic like the other fitted models
+  private val pcaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Double]]]
+  private def pcaModel(spark: SparkSession,
+                       sfDir: String): Array[Array[Double]] =
+    pcaCache.getOrElseUpdate((spark, sfDir),
+      operators.SimilarityOps.fitPcaRotation(embs(spark, sfDir)))
+
   // OPQ model = (rotation, codebooks fitted in the rotated space);
   // both deterministic, cached like the other index-build-time models
   private val opqCache = scala.collection.concurrent.TrieMap
@@ -2007,6 +2028,10 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "ann_recall_ivfpq" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "ann_recall_pca" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -847,6 +847,64 @@ object SimilarityOps {
   }
 
   /**
+   * Plain PCA rotation: rows = principal axes in DESCENDING variance
+   * order (no subspace permutation — [[fitOpqRotation]]'s allocation
+   * is right for PQ codebooks, wrong for truncation, where the top
+   * axes must come first). One corpus pass for the covariance; the
+   * dim×dim eigenproblem is driver-side, model-as-data.
+   */
+  def fitPcaRotation(corpus: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     dim: Int = 64): Array[Array[Double]] = {
+    import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = corpus.select(col(vecCol)).rdd
+      .map(r => MlVectors.dense(
+        r.getSeq[Float](0).map(_.toDouble).toArray))
+    val pc = new RowMatrix(rows).computePrincipalComponents(dim)
+    Array.tabulate(dim, dim)((t, i) => pc(i, t))
+  }
+
+  /**
+   * Dimensionality-reduction retrieval (the Matryoshka/PCA-truncation
+   * deployment): coarse-search in the first `dims` PCA components —
+   * where most of the variance, hence most of the cosine, lives —
+   * then exact-rerank the `shortlist` best on ORIGINAL vectors. The
+   * coarse pass streams `dims`-wide slices (at `dims = dim/4` the
+   * scan reads 4× fewer bytes and the dot kernel does 4× fewer
+   * multiplies); full-width vectors are touched only for a per-query
+   * CONSTANT candidate set. With `dims = dim` the rotation is
+   * orthonormal so reduced cosine == exact cosine and the result IS
+   * brute force (the spec's equality face). Output matches
+   * [[bruteForceTopK]]: `(query_id, neighbor_id, cosine, rank)`.
+   */
+  def pcaRerank(queries: DataFrame, corpus: DataFrame,
+                rot: Array[Array[Double]], dims: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                k: Int = 10, shortlist: Int = 100): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    def reduce(df: DataFrame): DataFrame =
+      applyOpqRotation(df, rot, idCol, vecCol)
+        .select(col(idCol),
+          expr(s"slice($vecCol, 1, $dims)").as(vecCol))
+    val cand = bruteForceTopK(reduce(queries), reduce(corpus), idCol,
+        vecCol, k = shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
+    cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /**
    * Recall-floor gate face: per query, whether an approximate top-k
    * (`approx`) retrieved at least `floor` of the exact top-k
    * (`exact`) — both in the `(query_id, neighbor_id, …)` shape. Emits

@@ -50,6 +50,15 @@ object RecallProbe {
     hits("opq_rerank50",
       operators.SimilarityOps.pqRerank(qr, er, opqBooks, k = 5,
         shortlist = 50))
+    // PCA-truncation face: coarse-search in the top 16 of 64
+    // components, exact rerank
+    val prot = operators.SimilarityOps.fitPcaRotation(e, dim = 64)
+    hits("pca16_rerank50",
+      operators.SimilarityOps.pcaRerank(q, e, prot, dims = 16, k = 5,
+        shortlist = 50))
+    hits("pca16_rerank100",
+      operators.SimilarityOps.pcaRerank(q, e, prot, dims = 16, k = 5,
+        shortlist = 100))
     spark.stop()
   }
 }

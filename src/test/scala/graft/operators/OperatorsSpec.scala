@@ -2724,6 +2724,38 @@ class OperatorsSpec extends SparkSpec {
     assert(again == prod)
   }
 
+  test("pcaRerank: orthonormal rotation; full dims = brute force; recall") {
+    val queries = embs.filter(col("vec_id") < 20).cache()
+    val k = 10
+    val rot = SimilarityOps.fitPcaRotation(embs)
+    // the rotation is orthonormal: R·Rᵀ = I (so dots/norms survive)
+    for (i <- rot.indices; j <- rot.indices) {
+      val d = rot(i).zip(rot(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"R·Rt[$i][$j] = $d")
+    }
+    def pairs(df: DataFrame): Set[(Long, Long)] = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full-width + corpus-wide shortlist removes both approximations
+    val n = embs.count().toInt
+    val full = SimilarityOps.pcaRerank(queries, embs, rot, dims = 64,
+      k = k, shortlist = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = SimilarityOps.bruteForceTopK(queries, embs, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == brute)
+    // the production truncation still clears a recall floor
+    val exact = pairs(SimilarityOps.bruteForceTopK(queries, embs, k = k))
+    val prod = pairs(SimilarityOps.pcaRerank(queries, embs, rot,
+      dims = 16, k = k, shortlist = 100))
+    val recall = (exact & prod).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PCA recall too low: $recall")
+    // deterministic: seedless fit + deterministic search
+    assert(pairs(SimilarityOps.pcaRerank(queries, embs, rot, dims = 16,
+      k = k, shortlist = 100)) == prod)
+  }
+
   test("weightedSample equals driver-side A-ES max-ticket selection") {
     import spark.implicits._
     val rows = (1L to 40L).map(id => (id, id % 5)).toDF("doc_id", "wt")
