@@ -135,6 +135,119 @@ object GraphAlgos {
   }
 
   /**
+   * Strongly connected components of a DIRECTED edge list — the
+   * coloring algorithm (Orzan 2004; the peel phase of Slota et al.'s
+   * MultiStep), the standard distributed SCC since Tarjan's DFS stack
+   * is inherently sequential. Repeatedly over the remaining subgraph:
+   *
+   *  1. FORWARD-flood colors to a fixpoint: `color(v)` = max id with a
+   *     directed path to `v` (self included) — one partial-aggregable
+   *     max join per round.
+   *  2. Each color class holds exactly one root `r` (`color(r) = r`),
+   *     and the members that can REACH `r` without leaving the class
+   *     are precisely `SCC(r)`: if `color(v)=r` then `r →* v`, and any
+   *     `u →* v` with `v →* r` forces `u ≤ r`, so mutual reachability
+   *     with `r` is equivalent to (same color ∧ reaches `r`). Mark
+   *     them by BACKWARD flood from the roots along same-color edges.
+   *  3. Emit marked classes as SCCs (`scc_id` = min member id), peel
+   *     them, repeat — every remaining max-id vertex roots its own
+   *     class, so each pass removes ≥1 SCC per color chain.
+   *
+   * Everything is integer joins/aggregations — deterministic on any
+   * engine, no seeds — so the final labeling is oracle-checkable
+   * whenever the true SCCs are known. Cycle-free vertices emit as
+   * singletons.
+   *
+   * Scale shape: the remaining edges are kept TWICE, hash-partitioned
+   * on `src` (forward face) and `dst` (backward face) once per peel
+   * round, so every flood round joins with no exchange on the edge
+   * side (the LPA move); the backward flood is DELTA-driven (only the
+   * newly marked frontier joins the edge list). Floods run O(diameter)
+   * rounds, each localCheckpointed (iterative-loop invariant). Bounds
+   * fail loud under `requireConverged` rather than emit a wrong
+   * fixpoint (the kCore contract).
+   * Output: `(id, scc_id)` for every vertex incident to an edge.
+   */
+  def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 8,
+                                  maxFlood: Int = 64,
+                                  requireConverged: Boolean = true): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    var rem = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var reS = e0.repartition(col("src")).localCheckpoint()
+    var reD = e0.repartition(col("dst")).localCheckpoint()
+    var out: DataFrame = null
+    var outer = 0
+    var done = false
+    while (!done && outer < maxOuter) {
+      outer += 1
+      // (1) forward coloring to a fixpoint
+      var color = rem.select(col("id"), col("id").as("color"))
+        .localCheckpoint()
+      var flood = 0
+      var changed = 1L
+      while (changed > 0 && flood < maxFlood) {
+        flood += 1
+        val msgs = reS.join(color, reS("src") === color("id"))
+          .groupBy(reS("dst")).agg(max(col("color")).as("__m"))
+        val next = color.join(msgs, color("id") === msgs("dst"), "left")
+          .select(color("id"),
+            greatest(col("color"), coalesce(col("__m"), col("color")))
+              .as("color"),
+            (coalesce(col("__m"), lit(Long.MinValue)) > col("color"))
+              .as("__chg"))
+          .localCheckpoint()
+        changed = next.filter(col("__chg")).count()
+        color = next.drop("__chg")
+      }
+      if (requireConverged && changed > 0)
+        throw new IllegalStateException(
+          s"SCC forward flood did not converge in $maxFlood rounds")
+      // (2) backward marking within color classes, delta-driven
+      val vc = color.select(col("id").as("__vid"), col("color").as("__vc"))
+        .localCheckpoint()
+      var mark = color.filter(col("id") === col("color")).localCheckpoint()
+      var frontier = mark
+      var mflood = 0
+      var fsize = frontier.count()
+      while (fsize > 0 && mflood < maxFlood) {
+        mflood += 1
+        // v → w with w freshly marked and color(v) == color(w) ⇒ mark v
+        val cand = reD.join(frontier, reD("dst") === frontier("id"))
+          .select(reD("src").as("id"), col("color")).distinct()
+          .join(vc, col("id") === col("__vid") &&
+            col("color") === col("__vc"), "left_semi")
+        frontier = cand.join(mark, Seq("id"), "left_anti").localCheckpoint()
+        fsize = frontier.count()
+        if (fsize > 0) mark = mark.union(frontier).localCheckpoint()
+      }
+      if (requireConverged && fsize > 0)
+        throw new IllegalStateException(
+          s"SCC backward flood did not converge in $maxFlood rounds")
+      // (3) emit marked SCCs, peel, reduce both edge faces
+      val sccs = mark.groupBy(col("color")).agg(min(col("id")).as("scc_id"))
+      val emit = mark.join(sccs, "color").select(col("id"), col("scc_id"))
+      out = (if (out == null) emit else out.union(emit)).localCheckpoint()
+      val remNext = rem.join(mark.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint()
+      done = remNext.isEmpty
+      if (!done) {
+        rem = remNext
+        val pruned = reS
+          .join(rem.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(rem.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        reS = pruned.repartition(col("src")).localCheckpoint()
+        reD = pruned.repartition(col("dst")).localCheckpoint()
+      }
+    }
+    if (requireConverged && !done)
+      throw new IllegalStateException(
+        s"SCC peel did not finish in $maxOuter passes")
+    out
+  }
+
+  /**
    * Fixed-iteration PageRank power method, DataFrame-native:
    * r₀ = 1; rₖ₊₁(v) = resetProb + (1-resetProb)·Σ_{u→v} rₖ(u)/outdeg(u)
    * (GraphX's un-normalized formulation — dangling mass is dropped, so
