@@ -27,6 +27,7 @@ object Demo {
       sys.exit(2)
     }
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.session.timeZone", "UTC")
       .appName("graft-demo")

@@ -43,6 +43,7 @@ object Emu {
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.session.timeZone", "UTC")
       .appName("graft-emu")

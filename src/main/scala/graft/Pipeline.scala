@@ -28,6 +28,7 @@ object Pipeline {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val budget = args.lift(1).map(_.toInt).getOrElse(512)
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.session.timeZone", "UTC")
       .appName("graft-pipeline")

@@ -44,6 +44,7 @@ object Server {
     val port = args.lift(1).map(_.toInt).getOrElse(9181)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.session.timeZone", "UTC")
       .appName("graft-server")

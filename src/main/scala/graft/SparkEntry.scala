@@ -1906,7 +1906,9 @@ object SparkEntry {
          |  ON m.id = d.doc_id
          |WHERE coalesce(m.c, d.doc_id) = d.doc_id""".stripMargin,
     // star edges per key value (min-id hub), undirected closure —
-    // same recursive-CTE pattern as dedup_cluster
+    // same recursive-CTE pattern as dedup_cluster. e1 drops null/empty
+    // normalized text to mirror multiKeyResolve's missing-signal filter
+    // (an all-whitespace doc must NOT link every other blank doc)
     "dedup_entity_resolution" ->
       """WITH RECURSIVE
         |d AS (SELECT doc_id,
@@ -1915,7 +1917,8 @@ object SparkEntry {
         |  'http://s.com/u' || CAST(doc_id % 97 AS VARCHAR) AS k2
         | FROM documents),
         |e1 AS (SELECT doc_id AS u,
-        |  min(doc_id) OVER (PARTITION BY k1) AS v FROM d),
+        |  min(doc_id) OVER (PARTITION BY k1) AS v FROM d
+        |  WHERE k1 IS NOT NULL AND k1 <> ''),
         |e2 AS (SELECT doc_id AS u,
         |  min(doc_id) OVER (PARTITION BY k2) AS v FROM d),
         |ed AS (SELECT u, v FROM e1 WHERE u <> v

@@ -124,7 +124,11 @@ object Layout {
    * `outDir`, and return the re-read table. The data motion is one
    * hash exchange on the bin id; row content is untouched (the gate's
    * checksum aggregates prove it). `maxBins` caps the exchange width;
-   * each reduce task writes exactly one output file.
+   * each reduce task writes exactly one output file — EXACTLY, not
+   * approximately: bins are keyed by [[exactBinKeys]] salts chosen so
+   * Spark's hash partitioning maps each bin to its own reduce task
+   * (plain 0..n-1 bin ids hash-collide — two bins can share a task
+   * and emit a ~2×targetBytes file while another task sits empty).
    */
   def compactShards(spark: SparkSession, inDir: String, outDir: String,
                     targetBytes: Long, maxBins: Int = 64): DataFrame = {
@@ -146,13 +150,37 @@ object Layout {
       (s.getPath.getName, bin)
     }.toMap
     val nBins = bin + 1
-    val binOf = udfFreeBinLookup(spark, assign)
+    val keys = exactBinKeys(nBins)
+    val binOf = udfFreeBinLookup(spark,
+      assign.map { case (f, b) => (f, keys(b)) })
     spark.read.parquet(inDir)
       .withColumn("__bin", binOf)
       .repartition(nBins, col("__bin"))
       .drop("__bin")
       .write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir)
+  }
+
+  /** Bin-id salts that make the compaction exchange EXACT: key(b) is
+    * the smallest non-negative int whose Murmur3 hash (seed 42 — the
+    * function `HashPartitioning` evaluates on an int column) lands in
+    * reduce partition b of n, so `repartition(n, __bin)` places every
+    * bin in its own task. LayoutSpec cross-checks the salt table
+    * against Spark's own `hash()` so a partitioner change fails loud.
+    * Expected search cost is n·H(n) probes (coupon collector) —
+    * microseconds at the ≤64-bin scale this compactor caps at. */
+  private[graft] def exactBinKeys(nBins: Int): Array[Int] = {
+    val keys = new Array[Int](nBins)
+    val found = new Array[Boolean](nBins)
+    var k = 0
+    var left = nBins
+    while (left > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+      val p = ((h % nBins) + nBins) % nBins
+      if (!found(p)) { found(p) = true; keys(p) = k; left -= 1 }
+      k += 1
+    }
+    keys
   }
 
   /** file→bin as a broadcast join-free CASE chain (file count is

@@ -16,6 +16,10 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the application-wide injection path (same as every graft main):
+      // GraftExtensionsSpec proves kernels resolve in a newSession()
+      // whose temp registry never saw register()
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")

@@ -2617,6 +2617,21 @@ class OperatorsSpec extends SparkSpec {
     assert(nOut <= 4 && nOut < nIn, s"$nIn -> $nOut files")
   }
 
+  test("exactBinKeys: distinct tasks, agrees with Spark's own hash()") {
+    import spark.implicits._
+    for (n <- Seq(1, 2, 3, 4, 7, 16, 64)) {
+      val keys = graft.sources.Layout.exactBinKeys(n)
+      assert(keys.distinct.length == n)
+      // cross-check against the engine: pmod(hash(key), n) — hash() IS
+      // Murmur3 seed 42, the function HashPartitioning evaluates — must
+      // send key(b) to partition b, or one-file-per-bin breaks silently
+      val got = keys.toSeq.zipWithIndex.toDF("k", "b")
+        .select(col("b"), pmod(hash(col("k")), lit(n)).as("p"))
+        .filter(col("b") =!= col("p")).count()
+      assert(got == 0, s"salt table disagrees with hash() at n=$n")
+    }
+  }
+
   test("schemaEvolutionRoundTrip: union schema, null back-fill, no loss") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-sev").toString
