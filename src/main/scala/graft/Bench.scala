@@ -59,7 +59,11 @@ object Bench {
     "dedup_edit_distance", "graph_walks", "embed_knn_graph",
     "events_gapfill",
     // round-9 fifth-session additions
-    "dedup_best_survivors", "embed_bitext_pairs", "join_bloom_prefilter")
+    "dedup_best_survivors", "embed_bitext_pairs", "join_bloom_prefilter",
+    // round-10: SCC joins the iterative-graph family in the headline
+    // (latency = flood rounds × job overhead at sf0.1, the graph_walks
+    // precedent; ProbeScc is the in-JVM steady probe)
+    "graph_scc")
 
   /** Cross-family JIT warmup set (run at the small warmup sf, never at
     * the benched sf): one gate per shared-infra family. */

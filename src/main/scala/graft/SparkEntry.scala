@@ -1374,7 +1374,51 @@ object SparkEntry {
         .groupBy(col("tier"))
         .agg(count(lit(1)).as("events"), sum(col("cents")).as("cents_sum"))
     }),
+
+    // ---- round-10 operators ----
+    // strongly connected components over a planted directed graph:
+    // successor rings (every 40th part's 4 earliest orders chained
+    // into a cycle — each weak component is a union of vertex-sharing
+    // cycles, hence strongly connected and WCC-oracle-checkable) plus
+    // a literal 3-cycle chain X→Y→Z with DESCENDING max ids, which
+    // forces exactly 3 peel passes (one color class per pass holds two
+    // SCCs) — the multi-pass face a pure ring fixture never exercises.
+    // maxFlood bounds the color/mark floods at the merged-ring
+    // diameter with slack; requireConverged certifies-or-throws
+    "graph_scc" -> ((spark, sfDir) => {
+      val g0 = sources.GraphStore.tpch(spark, sfDir)
+      val rings = operators.GraphAlgos.successorRings(
+        sources.GraphStore(g0.vertices,
+          g0.edges.filter(col("dst") % 40 === 0)),
+        label = "contains", ringLen = 4)
+      // seqThreshold=64: big enough to absorb the gadget remainder
+      // after pass 1, small enough that the sf0.01 correctness sweep
+      // exercises the DISTRIBUTED floods (the ring graph is ~200
+      // vertices there — the default 256 would swallow it whole)
+      operators.GraphAlgos.stronglyConnectedComponents(
+        rings.union(sccGadget(spark)), maxOuter = 4, maxFlood = 128,
+        seqThreshold = 64)
+    }),
   )
+
+  /** The planted multi-pass SCC gadget: three 3-cycles X > Y > Z (by
+    * max id) chained by DAG edges X→Y→Z. Forward coloring paints all
+    * nine vertices with X's max, so pass 1 can only mark X (nothing
+    * downstream reaches the root), pass 2 only Y, pass 3 Z — pinning
+    * the peel loop's multi-pass behavior deterministically. Ids sit at
+    * 3·10⁹+, disjoint from every TPC-H vertex id (< 2.1·10⁹). */
+  private def sccGadget(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (3000000031L, 3000000032L), (3000000032L, 3000000033L),
+      (3000000033L, 3000000031L),
+      (3000000021L, 3000000022L), (3000000022L, 3000000023L),
+      (3000000023L, 3000000021L),
+      (3000000011L, 3000000012L), (3000000012L, 3000000013L),
+      (3000000013L, 3000000011L),
+      (3000000033L, 3000000021L), (3000000023L, 3000000011L))
+      .toDF("src", "dst")
+  }
 
   /** Count-min heavy-hitter oracle, shared by the batch gate
     * (`curation_countmin`) and the REAL incremental run
@@ -3906,5 +3950,48 @@ object SparkEntry {
         |SELECT tier, count(*) AS events,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM e JOIN t USING (user_id) GROUP BY 1""".stripMargin,
+
+    // SCC over the planted graph, from STRUCTURE knowledge: every ring
+    // edge lies on its part's cycle, so a weak component of the ring
+    // subgraph is a union of vertex-sharing directed cycles = one SCC
+    // (scc_id = min member, the operator's canonical); the gadget's
+    // SCCs are its three literal 3-cycles (the X→Y→Z DAG edges link
+    // them only weakly and are excluded from the closure). Ring
+    // selection mirrors successorRings exactly: per part (every 40th),
+    // the 4 smallest order ids in ascending order, closed into a
+    // cycle. The recursive closure is bounded: components are small
+    // ring unions (sum of |comp|² pairs, ~10⁴ at sf0.01).
+    "graph_scc" ->
+      """WITH RECURSIVE
+        |sel AS MATERIALIZED (SELECT p, o FROM (
+        |  SELECT p, o, row_number() OVER (PARTITION BY p ORDER BY o)
+        |    AS rn
+        |  FROM (SELECT DISTINCT l_partkey + 2000000000 AS p,
+        |          l_orderkey + 1000000000 AS o
+        |        FROM lineitem WHERE l_partkey % 40 = 0))
+        |  WHERE rn <= 4),
+        |ring AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT o AS src,
+        |    coalesce(lead(o) OVER (PARTITION BY p ORDER BY o),
+        |             min(o) OVER (PARTITION BY p)) AS dst
+        |  FROM sel)),
+        |und AS MATERIALIZED (SELECT src AS u, dst AS v FROM ring
+        |  UNION SELECT dst, src FROM ring),
+        |verts AS (SELECT DISTINCT u AS id FROM und),
+        |reach(id, r) AS (SELECT id, id FROM verts
+        |  UNION SELECT e.v, x.r FROM reach x JOIN und e ON e.u = x.id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS scc_id
+        |FROM reach GROUP BY id
+        |UNION ALL
+        |SELECT id, scc_id FROM (VALUES
+        |  (3000000031::BIGINT, 3000000031::BIGINT),
+        |  (3000000032::BIGINT, 3000000031::BIGINT),
+        |  (3000000033::BIGINT, 3000000031::BIGINT),
+        |  (3000000021::BIGINT, 3000000021::BIGINT),
+        |  (3000000022::BIGINT, 3000000021::BIGINT),
+        |  (3000000023::BIGINT, 3000000021::BIGINT),
+        |  (3000000011::BIGINT, 3000000011::BIGINT),
+        |  (3000000012::BIGINT, 3000000011::BIGINT),
+        |  (3000000013::BIGINT, 3000000011::BIGINT)) g(id, scc_id)""".stripMargin,
   )
 }

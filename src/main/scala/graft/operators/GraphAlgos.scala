@@ -135,6 +135,85 @@ object GraphAlgos {
   }
 
   /**
+   * Deterministic successor-ring construction over a bipartite edge
+   * label: for every right-vertex ("hub", e.g. a part), take its
+   * `ringLen` smallest left-neighbors (orders) and chain them into a
+   * directed cycle o₁→o₂→…→o_k→o₁ in ascending id order (k ≤ ringLen;
+   * a single neighbor yields a self-loop). This is the planted-SCC
+   * fixture for [[stronglyConnectedComponents]]: every output edge
+   * lies on its hub's cycle, so each weakly-connected component of
+   * the result — a union of directed cycles connected through shared
+   * vertices — is strongly connected, which makes the true SCC
+   * labeling computable by ANY engine as WCC min-id (the `graph_scc`
+   * oracle face; the TPC-H graph itself is a DAG by construction, so
+   * cycles must be planted, the `withTypoPayload` move).
+   *
+   * Scale shape: neighbor selection rides
+   * [[graft.functions.BoundedMinIds]] — each map task keeps ≤ringLen
+   * ids per hub (constant-size buffer; a 10⁹-degree hub costs O(n) map
+   * time, never a per-hub window SORT) and the shuffle carries
+   * ≤ringLen entries per (partition, hub). Ring chaining is a
+   * codegen'd array transform over the ≤ringLen result plus one
+   * explode — one shuffle total, plan-guarded.
+   *
+   * Id-domain caveat: BoundedMinIds orders ids as STRINGS, so the
+   * ascending-id claim needs equal-width decimal ids — true for the
+   * TPC-H graph's offset ids (all order ids are 10-digit, key+10⁹).
+   */
+  def successorRings(g: GraphStore, label: String,
+                     ringLen: Int): DataFrame = {
+    require(ringLen >= 1, s"ringLen must be >= 1, got $ringLen")
+    val spark = g.edges.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    // no (hub, o) distinct: BoundedMinIds' sorted-set buffer dedups
+    // duplicate neighbor ids for free — an exchange saved
+    val pairs = g.edges.filter(col("label") === label)
+      .select(col("dst").as("hub"), col("src").as("o"))
+    pairs.groupBy("hub")
+      .agg(graft.functions.VectorExpressions
+        .boundedMinIds(col("o"), col("o"), ringLen).as("os"))
+      .select(explode(expr(
+        "transform(os, (x, i) -> struct(cast(x AS BIGINT) AS src, " +
+          "cast(element_at(os, cast((i + 1) % size(os) AS INT) + 1) " +
+          "AS BIGINT) AS dst))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+  }
+
+  /** One forward max-coloring round of [[stronglyConnectedComponents]]
+    * — split out un-materialized so OperatorPlanSpec can assert the
+    * round's plan never re-exchanges the pre-partitioned edge face
+    * (`reS` arrives hash-partitioned on `src` and checkpointed; only
+    * the color side and the message aggregation may shuffle). */
+  private[operators] def sccForwardRound(reS: DataFrame,
+                                         color: DataFrame): DataFrame = {
+    val msgs = reS.join(color, reS("src") === color("id"))
+      .groupBy(reS("dst")).agg(max(col("color")).as("__m"))
+    color.join(msgs, color("id") === msgs("dst"), "left")
+      .select(color("id"),
+        greatest(col("color"), coalesce(col("__m"), col("color")))
+          .as("color"),
+        (coalesce(col("__m"), lit(Long.MinValue)) > col("color"))
+          .as("__chg"))
+  }
+
+  /** One backward DELTA round of [[stronglyConnectedComponents]]:
+    * only the freshly marked `frontier` joins the edge face (never the
+    * whole marked set), candidates stay same-color via a semi-join and
+    * drop already-marked ids via an anti-join. Un-materialized for the
+    * plan guard, same contract as [[sccForwardRound]]. */
+  private[operators] def sccBackwardRound(reD: DataFrame,
+                                          frontier: DataFrame,
+                                          vc: DataFrame,
+                                          mark: DataFrame): DataFrame = {
+    val cand = reD.join(frontier, reD("dst") === frontier("id"))
+      .select(reD("src").as("id"), col("color")).distinct()
+      .join(vc, col("id") === col("__vid") &&
+        col("color") === col("__vc"), "left_semi")
+    cand.join(mark, Seq("id"), "left_anti")
+  }
+
+  /**
    * Strongly connected components of a DIRECTED edge list — the
    * coloring algorithm (Orzan 2004; the peel phase of Slota et al.'s
    * MultiStep), the standard distributed SCC since Tarjan's DFS stack
@@ -163,14 +242,66 @@ object GraphAlgos {
    * round, so every flood round joins with no exchange on the edge
    * side (the LPA move); the backward flood is DELTA-driven (only the
    * newly marked frontier joins the edge list). Floods run O(diameter)
-   * rounds, each localCheckpointed (iterative-loop invariant). Bounds
-   * fail loud under `requireConverged` rather than emit a wrong
-   * fixpoint (the kCore contract).
+   * rounds in blocks of [[SccBlock]] composed per checkpoint job
+   * (per-round job overhead dominates on the shrinking remainder;
+   * monotone floods make block-final convergence checks exact — the
+   * backward flood needs one confirming block of slack inside
+   * `maxFlood`). Bounds fail loud under `requireConverged` rather
+   * than emit a wrong fixpoint (the kCore contract).
    * Output: `(id, scc_id)` for every vertex incident to an edge.
    */
+  /** Flood rounds composed per checkpoint/convergence job in
+    * [[stronglyConnectedComponents]] — plan depth grows ~2^block, so
+    * keep it small; 2 measured best at sf0.1 (larger blocks repay
+    * the saved job submissions in plan analysis). */
+  private val SccBlock = 2
+
+  /** Driver-side iterative Kosaraju over the bounded peel remainder —
+    * the serial phase of Slota et al.'s MultiStep: after the first
+    * coloring passes strip the large SCCs, the remainder is a long
+    * thin condensation tail where every distributed round costs a
+    * full job for a handful of vertices. Labels are canonicalized to
+    * min member id (the distributed emit's convention), so the two
+    * phases agree exactly — GraphAlgosSpec pins the equivalence. */
+  private def sequentialScc(vs: Array[Long],
+                            es: Array[(Long, Long)]): Map[Long, Long] = {
+    import scala.collection.mutable
+    val fwd = es.groupMap(_._1)(_._2).withDefaultValue(Array.empty[Long])
+    val rev = es.groupMap(_._2)(_._1).withDefaultValue(Array.empty[Long])
+    val seen = mutable.HashSet[Long]()
+    val order = mutable.ArrayBuffer[Long]()
+    for (v0 <- vs.sorted) if (!seen(v0)) {
+      val stack = mutable.Stack[(Long, Int)]((v0, 0))
+      seen += v0
+      while (stack.nonEmpty) {
+        val (v, i) = stack.pop()
+        val nbrs = fwd(v)
+        if (i < nbrs.length) {
+          stack.push((v, i + 1))
+          val w = nbrs(i)
+          if (!seen(w)) { seen += w; stack.push((w, 0)) }
+        } else order += v
+      }
+    }
+    val label = mutable.HashMap[Long, Long]()
+    for (v0 <- order.reverseIterator) if (!label.contains(v0)) {
+      val stack = mutable.Stack[Long](v0)
+      label(v0) = v0
+      while (stack.nonEmpty) {
+        val v = stack.pop()
+        for (w <- rev(v)) if (!label.contains(w)) {
+          label(w) = v0; stack.push(w)
+        }
+      }
+    }
+    val mins = label.groupMapReduce(_._2)(_._1)(math.min)
+    label.map { case (v, r) => (v, mins(r)) }.toMap
+  }
+
   def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 8,
                                   maxFlood: Int = 64,
-                                  requireConverged: Boolean = true): DataFrame = {
+                                  requireConverged: Boolean = true,
+                                  seqThreshold: Int = 256): DataFrame = {
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
     var rem = e0.select(col("src").as("id"))
@@ -181,30 +312,57 @@ object GraphAlgos {
     var outer = 0
     var done = false
     while (!done && outer < maxOuter) {
+      // (0) sequential tail: once the remainder fits the bounded
+      // collect (≤seqThreshold vertices — the IndexStore-style cap),
+      // finish with driver Kosaraju instead of paying O(diameter)
+      // distributed rounds per remaining SCC chain link. Specs that
+      // exercise the distributed floods pass seqThreshold = 0.
+      if (rem.count() <= seqThreshold) {
+        val vs = rem.collect().map(_.getLong(0))
+        val es = reS.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val tail = sequentialScc(vs, es).toSeq.toDF("id", "scc_id")
+        out = if (out == null) tail else out.union(tail)
+        done = true
+      } else {
       outer += 1
-      // (1) forward coloring to a fixpoint
+      // (1) forward coloring to a fixpoint. Rounds run in BLOCKS of
+      // SccBlock composed into one checkpoint job: a flood round is
+      // tiny (the graph shrinks every peel), so per-round wall time is
+      // dominated by job-scheduling overhead, not work — batching cut
+      // the sf0.1 gate ~2× measured. Convergence is checked on the
+      // BLOCK's final round only, which is exact for a monotone flood:
+      // once a round changes nothing, every later round changes
+      // nothing, so final-round-quiet ⟺ fixpoint reached.
       var color = rem.select(col("id"), col("id").as("color"))
         .localCheckpoint()
       var flood = 0
       var changed = 1L
       while (changed > 0 && flood < maxFlood) {
-        flood += 1
-        val msgs = reS.join(color, reS("src") === color("id"))
-          .groupBy(reS("dst")).agg(max(col("color")).as("__m"))
-        val next = color.join(msgs, color("id") === msgs("dst"), "left")
-          .select(color("id"),
-            greatest(col("color"), coalesce(col("__m"), col("color")))
-              .as("color"),
-            (coalesce(col("__m"), lit(Long.MinValue)) > col("color"))
-              .as("__chg"))
-          .localCheckpoint()
+        val k = math.min(SccBlock, maxFlood - flood)
+        var last: DataFrame = null
+        var cur = color
+        for (_ <- 1 to k) {
+          last = sccForwardRound(reS, cur)
+          cur = last.drop("__chg")
+        }
+        flood += k
+        val next = last.localCheckpoint()
         changed = next.filter(col("__chg")).count()
         color = next.drop("__chg")
       }
       if (requireConverged && changed > 0)
         throw new IllegalStateException(
           s"SCC forward flood did not converge in $maxFlood rounds")
-      // (2) backward marking within color classes, delta-driven
+      // (2) backward marking within color classes, delta-driven and
+      // blocked like the forward flood. Only mark is checkpointed per
+      // block; the next frontier is recovered as mark \ prevMark (the
+      // union of the block's per-round frontiers — a SUPERSET of the
+      // true final frontier when the flood went quiet mid-block, which
+      // is harmless: already-marked candidates anti-join away next
+      // block). Convergence therefore needs one confirming block after
+      // the last marking round — size maxFlood with that slack.
       val vc = color.select(col("id").as("__vid"), col("color").as("__vc"))
         .localCheckpoint()
       var mark = color.filter(col("id") === col("color")).localCheckpoint()
@@ -212,15 +370,19 @@ object GraphAlgos {
       var mflood = 0
       var fsize = frontier.count()
       while (fsize > 0 && mflood < maxFlood) {
-        mflood += 1
-        // v → w with w freshly marked and color(v) == color(w) ⇒ mark v
-        val cand = reD.join(frontier, reD("dst") === frontier("id"))
-          .select(reD("src").as("id"), col("color")).distinct()
-          .join(vc, col("id") === col("__vid") &&
-            col("color") === col("__vc"), "left_semi")
-        frontier = cand.join(mark, Seq("id"), "left_anti").localCheckpoint()
+        val k = math.min(SccBlock, maxFlood - mflood)
+        var fr = frontier
+        var mk = mark
+        for (_ <- 1 to k) {
+          // v → w with w freshly marked, color(v) == color(w) ⇒ mark v
+          fr = sccBackwardRound(reD, fr, vc, mk)
+          mk = mk.union(fr)
+        }
+        mflood += k
+        val markNext = mk.localCheckpoint()
+        frontier = markNext.join(mark, Seq("id"), "left_anti")
         fsize = frontier.count()
-        if (fsize > 0) mark = mark.union(frontier).localCheckpoint()
+        mark = markNext
       }
       if (requireConverged && fsize > 0)
         throw new IllegalStateException(
@@ -239,6 +401,7 @@ object GraphAlgos {
           .join(rem.select(col("id").as("dst")), Seq("dst"), "left_semi")
         reS = pruned.repartition(col("src")).localCheckpoint()
         reD = pruned.repartition(col("dst")).localCheckpoint()
+      }
       }
     }
     if (requireConverged && !done)

@@ -744,4 +744,133 @@ class GraphAlgosSpec extends SparkSpec {
     assert(GraphAlgos.maximalIndependentSet(pairs, maxRounds = 0,
       requireConverged = false).count() == 0L)
   }
+
+  // ---------------- strongly connected components ----------------
+
+  private def sccMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("scc: hand-checked graph with cycles, a bridge, and sources") {
+    import spark.implicits._
+    // 3-cycle {1,2,3} -> 2-cycle {4,5}; 6 feeds the first cycle;
+    // 5 -> 7 dangles. Expected SCCs: {1,2,3}, {4,5}, {6}, {7}.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (6L, 1L), (5L, 7L)).toDF("src", "dst")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L)
+    // distributed floods (seqThreshold=0) and the sequential tail
+    // (default threshold swallows a 7-vertex graph) must both get it
+    assert(sccMap(GraphAlgos.stronglyConnectedComponents(
+      e, seqThreshold = 0)) == expect)
+    assert(sccMap(GraphAlgos.stronglyConnectedComponents(e)) == expect)
+  }
+
+  test("scc equals a driver-side Kosaraju replica on a seeded graph") {
+    import spark.implicits._
+    // deterministic pseudo-random digraph: 40 vertices, 90 edges
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(90)((rnd.nextInt(40).toLong,
+      rnd.nextInt(40).toLong)).distinct.filter(p => p._1 != p._2)
+    val out = sccMap(GraphAlgos.stronglyConnectedComponents(
+      edges.toDF("src", "dst"), maxOuter = 40, maxFlood = 128,
+      seqThreshold = 0))
+    // Kosaraju: order by first-DFS finish time, assign on the reverse
+    val vs = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val fwd = edges.groupMap(_._1)(_._2)
+      .view.mapValues(_.toList).toMap.withDefaultValue(Nil)
+    val rev = edges.groupMap(_._2)(_._1)
+      .view.mapValues(_.toList).toMap.withDefaultValue(Nil)
+    var seen = Set.empty[Long]
+    var order = List.empty[Long]
+    def dfs1(v: Long): Unit = if (!seen(v)) {
+      seen += v; fwd(v).foreach(dfs1); order ::= v
+    }
+    vs.sorted.foreach(dfs1)
+    var label = Map.empty[Long, Long]
+    def dfs2(v: Long, root: Long): Unit = if (!label.contains(v)) {
+      label += v -> root; rev(v).foreach(dfs2(_, root))
+    }
+    order.foreach(v => if (!label.contains(v)) dfs2(v, v))
+    // canonicalize the replica to min-member ids
+    val canon = label.groupMapReduce(_._2)(_._1)(math.min)
+    val expect = label.view.mapValues(canon).toMap
+    assert(out == expect)
+  }
+
+  test("scc peel boundary: the 3-cycle chain needs exactly 3 passes") {
+    import spark.implicits._
+    // X {31,32,33} -> Y {21,22,23} -> Z {11,12,13}: the forward flood
+    // paints everything with X's max, so each pass strips one cycle
+    val e = Seq((31L, 32L), (32L, 33L), (33L, 31L),
+      (21L, 22L), (22L, 23L), (23L, 21L),
+      (11L, 12L), (12L, 13L), (13L, 11L),
+      (33L, 21L), (23L, 11L)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      GraphAlgos.stronglyConnectedComponents(e, maxOuter = 2,
+        seqThreshold = 0)
+    }
+    val out = sccMap(GraphAlgos.stronglyConnectedComponents(
+      e, maxOuter = 3, seqThreshold = 0))
+    assert(out == Map(31L -> 31L, 32L -> 31L, 33L -> 31L,
+      21L -> 21L, 22L -> 21L, 23L -> 21L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L))
+  }
+
+  test("scc flood boundary: a 10-cycle certifies at its diameter") {
+    import spark.implicits._
+    val e = (0 until 10).map(i => (i.toLong, ((i + 1) % 10).toLong))
+      .toDF("src", "dst")
+    intercept[IllegalStateException] {
+      GraphAlgos.stronglyConnectedComponents(e, maxFlood = 5,
+        seqThreshold = 0)
+    }
+    // 9 marking rounds + the blocked backward flood's one confirming
+    // block: 16 is the smallest block-aligned cap that certifies
+    val out = sccMap(GraphAlgos.stronglyConnectedComponents(
+      e, maxFlood = 16, seqThreshold = 0))
+    assert(out.keySet == (0L until 10L).toSet && out.values.toSet == Set(0L))
+  }
+
+  test("scc: sequential tail equals the distributed labeling") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(50).toLong,
+      rnd.nextInt(50).toLong)).distinct.filter(p => p._1 != p._2)
+      .toDF("src", "dst")
+    val dist = sccMap(GraphAlgos.stronglyConnectedComponents(
+      edges, maxOuter = 50, maxFlood = 128, seqThreshold = 0))
+    val seq = sccMap(GraphAlgos.stronglyConnectedComponents(
+      edges, seqThreshold = 10000))
+    assert(seq == dist)
+  }
+
+  test("scc: self-loops are singleton SCCs, isolated from the rest") {
+    import spark.implicits._
+    val e = Seq((1L, 1L), (2L, 3L)).toDF("src", "dst")
+    val out = sccMap(GraphAlgos.stronglyConnectedComponents(e))
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("successorRings: chained bottom-k neighbors, self-loop, merge") {
+    import spark.implicits._
+    // hub 100: orders 5,3,9,7 -> bottom-3 {3,5,7} ring 3->5->7->3
+    // hub 200: single order 9 -> self-loop
+    // hub 300: orders 7,8 -> 7->8->7 (shares 7 with hub 100's ring)
+    val edges = Seq((5L, 100L), (3L, 100L), (9L, 100L), (7L, 100L),
+      (9L, 200L), (7L, 300L), (8L, 300L))
+      .map { case (o, h) => (o, h, "contains") }
+      .toDF("src", "dst", "label")
+    val verts = Seq(1L).toDF("id")
+    val rings = GraphAlgos.successorRings(
+      graft.sources.GraphStore(verts, edges), "contains", ringLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rings == Set((3L, 5L), (5L, 7L), (7L, 3L), (9L, 9L),
+      (7L, 8L), (8L, 7L)))
+    // the planted-fixture theorem the graph_scc oracle rides on: the
+    // shared vertex merges both rings into ONE strongly connected set
+    val scc = sccMap(GraphAlgos.stronglyConnectedComponents(
+      graft.sources.GraphStore(verts, edges).edges.sparkSession
+        .createDataFrame(rings.toSeq).toDF("src", "dst")))
+    assert(scc == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 8L -> 3L, 9L -> 9L))
+  }
 }

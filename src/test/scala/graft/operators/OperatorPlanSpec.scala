@@ -232,6 +232,55 @@ class OperatorPlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(1500))
   }
 
+  test("successorRings: bounded per-hub top-k, no window sort") {
+    val g = graft.sources.GraphStore.tpch(spark, "/root/testdata/sf0.001")
+    val p = plan(GraphAlgos.successorRings(
+      graft.sources.GraphStore(g.vertices,
+        g.edges.filter(col("dst") % 20 === 0)), "contains", ringLen = 6))
+    // neighbor selection must combine map-side with a constant-size
+    // buffer — a hot hub must never sort its full neighbor list
+    assert(p.contains("partial_graft_bounded_min_ids"), p.take(1500))
+    assert(!p.contains("Window"), "no per-hub window sort:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the graph derivation's own edge distinct + the bounded agg + the
+    // output distinct — nothing else shuffles (no per-pair dedup: the
+    // agg's sorted-set buffer absorbs duplicates)
+    val exchanges =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"$exchanges exchanges:\n${p.take(2500)}")
+  }
+
+  test("scc rounds: pre-partitioned edge faces never re-exchange") {
+    import spark.implicits._
+    val e = (1L to 300L).map(i => (i, i % 37 + 1)).toDF("src", "dst")
+      .filter(col("src") =!= col("dst"))
+    val reS = e.repartition(col("src")).localCheckpoint()
+    val reD = e.repartition(col("dst")).localCheckpoint()
+    val color = reS.select(col("src").as("id"))
+      .union(reD.select(col("dst"))).distinct()
+      .select(col("id"), col("id").as("color")).localCheckpoint()
+    // forward round: the color side and the message agg may shuffle
+    // (3 exchanges); a 4th would mean reS lost its partitioning
+    val pf = plan(GraphAlgos.sccForwardRound(reS, color))
+    assert(!pf.contains("CartesianProduct") &&
+      !pf.contains("BroadcastNestedLoopJoin"), pf.take(1500))
+    val fx = pf.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(fx <= 3, s"$fx exchanges (edge face re-exchanged?):\n" +
+      pf.take(3000))
+    // backward round: frontier-delta join + distinct + semi/anti color
+    // checks shuffle; the reD face must not add one on top
+    val vc = color.select(col("id").as("__vid"), col("color").as("__vc"))
+      .localCheckpoint()
+    val mark = color.filter(col("id") === col("color")).localCheckpoint()
+    val pb = plan(GraphAlgos.sccBackwardRound(reD, mark, vc, mark))
+    assert(!pb.contains("CartesianProduct") &&
+      !pb.contains("BroadcastNestedLoopJoin"), pb.take(1500))
+    val bx = pb.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(bx <= 5, s"$bx exchanges (edge face re-exchanged?):\n" +
+      pb.take(3000))
+  }
+
   test("labelPropagationSync: no per-round exchange on the edge side") {
     import spark.implicits._
     val pairs = (1L to 400L).flatMap(i => Seq((i, i % 97 + 1000L)))
