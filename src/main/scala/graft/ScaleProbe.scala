@@ -14,6 +14,16 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled","true")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // task-time distribution per probed op: the hot-key claims are
+    // claims about the MAX task, not the total (a flat total can hide
+    // one straggler doing all the work) — report median/max task ms
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null) taskMs.add(t.taskInfo.duration)
+      })
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
     // replicate with id offsets AND a per-copy token prefix so copies are
@@ -25,10 +35,20 @@ object ScaleProbe {
     println(s"docs=${docs.count()} (${mult}x of $n)")
     def time(name: String)(f: => Long): Unit =
       if (only.forall(_.exists(name.contains))) {
+        taskMs.clear()
         val t0 = System.nanoTime()
         val r = f
-        println(f"$name: ${(System.nanoTime()-t0)/1e9}%.1fs rows=$r")
+        val secs = (System.nanoTime()-t0)/1e9
+        Thread.sleep(300) // listener bus is async; let TaskEnd drain
+        val ds = taskMs.toArray(Array.empty[java.lang.Long])
+          .map(_.longValue()).sorted
+        val (med, mx) =
+          if (ds.isEmpty) (0L, 0L) else (ds(ds.length / 2), ds.last)
+        println(f"$name: $secs%.1fs rows=$r tasks=${ds.length} " +
+          f"medianTaskMs=$med maxTaskMs=$mx")
       }
+    def wanted(names: String*): Boolean =
+      only.forall(pats => names.exists(n => pats.exists(n.contains)))
     time("minhashLsh")(operators.DedupOps.minhashLsh(docs, tau = 0.8).count())
     time("simhash")(operators.DedupOps.simhash(docs, maxDist = 3).count())
     time("exact")(operators.DedupOps.exact(docs).count())
@@ -100,15 +120,14 @@ object ScaleProbe {
     // archive ingest (touched-bucket semi-join pruning; the
     // nightly-crawl economics the operator exists for)
     val mhState = s"/tmp/graft_probe_mhstate_${ProcessHandle.current().pid()}"
-    if (only.forall(o => "minhashIncArchive".contains(o) ||
-        "minhashIncIncrement".contains(o))) {
+    if (wanted("minhashIncArchive", "minhashIncIncrement")) {
       operators.StateStore.delete(mhState)
       // the archive ingest must RUN even when only the increment is
       // being timed — an increment over empty state would skip the
       // semi-join pruning path and measure a standalone first ingest
       val archive = () => operators.DedupOps.minhashLshIncremental(
         docs.filter(col("doc_id") % 100 =!= 0), mhState, tau = 0.8).count()
-      if (only.forall(o => "minhashIncArchive".contains(o)))
+      if (wanted("minhashIncArchive"))
         time("minhashIncArchive")(archive())
       else archive()
       time("minhashIncIncrement")(operators.DedupOps.minhashLshIncremental(
@@ -157,6 +176,26 @@ object ScaleProbe {
       streaming.EventStreamOps.exactQuantiles(events).count())
     time("sessionPaths")(
       streaming.EventStreamOps.sessionPaths(events).count())
+    // planted hot user: HALF of all events collapse onto one account —
+    // bucketed sessionization must stay flat vs the uniform run (the
+    // naive per-user window would sort the hot account in one task);
+    // compare maxTaskMs across the pair, not just totals
+    // the filter forces __session to be COMPUTED for every row — a
+    // bare count() lets Catalyst prune the whole window/join chain
+    def drained(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("__session") >= 0).count()
+    time("gapSessionsUniform")(drained(
+      streaming.EventStreamOps.gapSessions(events, 1800)))
+    time("gapSessionsHot")(drained(
+      streaming.EventStreamOps.gapSessions(
+        events.withColumn("user_id",
+          when(col("event_id") % 2 === 0, lit(1L))
+            .otherwise(col("user_id"))), 1800)))
+    time("gapSessionsHotNaive")(drained(
+      streaming.EventStreamOps.gapSessionsNaive(
+        events.withColumn("user_id",
+          when(col("event_id") % 2 === 0, lit(1L))
+            .otherwise(col("user_id"))), 1800)))
     time("intervalJoin") {
       import spark.implicits._
       val periods = (0L until 10L).map(i =>
@@ -247,6 +286,11 @@ object ScaleProbe {
       operators.GraphAlgos.randomWalks(g, starts, length = 8).count()
     }
 
+    if (!wanted("lshTopK", "ivfTopK", "bruteTopK", "pqRerank",
+        "semanticDedup", "embNearDup", "knnGraph", "knnClusters",
+        "mutualBestMatch", "prototypeOutliers")) {
+      spark.stop(); return
+    }
     val ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val embs = (0 until mult).map { i =>
       ebase.select((col("vec_id") + lit(i.toLong * 1000000)).as("vec_id"),

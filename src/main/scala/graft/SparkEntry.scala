@@ -533,21 +533,15 @@ object SparkEntry {
         .select(col("event_type"), col("event_id"), round(col("value"), 2).as("value"),
           col("rn").cast("int").as("rn"))
     }),
-    "events_sessions" -> ((spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
-      val gapped = events(spark, sfDir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 1800,
-            lit(1)).otherwise(lit(0)))
-        .withColumn("session_id",
-          sum(col("new_session")).over(byUser).cast("long"))
-      gapped.groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("events"))
-    }),
+    // hot-user-proof sessionization: per-(user, hour-bucket) local
+    // sessions + boundary merge over bucket summaries — identical ids
+    // to the single-window formulation the oracle runs
+    "events_sessions" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.gapSessions(events(spark, sfDir),
+        gapSeconds = 1800)
+        .withColumn("session_id", col("__session"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("events"))),
     // point-in-time feature join: each click annotated with the same
     // user's latest purchase at-or-before it (union + keyed window,
     // not a per-row range join — see EventStreamOps.asofJoin)
@@ -1399,6 +1393,16 @@ object SparkEntry {
         rings.union(sccGadget(spark)), maxOuter = 4, maxFlood = 128,
         seqThreshold = 64)
     }),
+    // REAL incremental sequential patterns: bounded per-(user, open
+    // session, type) min/max state over the time-ordered replay,
+    // drained to completion — must equal the batch report verbatim
+    // (shares the events_seq_patterns oracle)
+    "events_stream_patterns" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedPatterns(spark,
+        s"$sfDir/events.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_evpat_" +
+          java.lang.Integer.toHexString(sfDir.hashCode) +
+          s"_p${ProcessHandle.current().pid()}")),
   )
 
   /** The planted multi-pass SCC gadget: three 3-cycles X > Y > Z (by
@@ -1466,6 +1470,30 @@ object SparkEntry {
       |  WHERE e.event_type = 'purchase' AND (epoch_us(e.ts) > s2.s2_us OR
       |    (epoch_us(e.ts) = s2.s2_us AND e.event_id > s2.s2_ord))) WHERE rn = 1)"""
       .stripMargin
+
+  /** Gap-session pair-support report — shared verbatim by the
+    * batch gate (`events_seq_patterns`) and the REAL incremental
+    * run (`events_stream_patterns`). */
+  private val SeqPatternsOracleSql: String =
+    """WITH g AS (SELECT user_id, event_id, event_type, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_ts FROM events),
+        |s AS (SELECT user_id, event_type, ts,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |    CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS sess FROM g),
+        |t AS (SELECT user_id, sess, event_type AS ty,
+        |  min(ts) AS t0, max(ts) AS t1
+        |  FROM s GROUP BY 1, 2, 3)
+        |SELECT a.ty AS from_type, b.ty AS to_type,
+        |  count(*) AS support
+        |FROM t a JOIN t b ON a.user_id = b.user_id AND a.sess = b.sess
+        |WHERE a.ty <> b.ty AND a.t0 < b.t1
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY support DESC, from_type, to_type LIMIT 20""".stripMargin
 
   private val FunnelOracleSql: String =
     s"""$FunnelOracleBody
@@ -2325,27 +2353,10 @@ object SparkEntry {
     // session-scoped ordered pair support: a session supports a->b iff
     // min ts(a) < max ts(b) within it; the test runs on the bounded
     // per-(session, type) min/max projection
-    "events_seq_patterns" ->
-      """WITH g AS (SELECT user_id, event_id, event_type, ts,
-        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    AS prev_ts FROM events),
-        |s AS (SELECT user_id, event_type, ts,
-        |  CAST(sum(CASE WHEN prev_ts IS NULL OR
-        |    CAST(floor(epoch(ts)) AS BIGINT) -
-        |    CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-        |    THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    AS BIGINT) AS sess FROM g),
-        |t AS (SELECT user_id, sess, event_type AS ty,
-        |  min(ts) AS t0, max(ts) AS t1
-        |  FROM s GROUP BY 1, 2, 3)
-        |SELECT a.ty AS from_type, b.ty AS to_type,
-        |  count(*) AS support
-        |FROM t a JOIN t b ON a.user_id = b.user_id AND a.sess = b.sess
-        |WHERE a.ty <> b.ty AND a.t0 < b.t1
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY support DESC, from_type, to_type LIMIT 20""".stripMargin,
-    // union + keyed running window — the exact algorithm the Spark
+    "events_seq_patterns" -> SeqPatternsOracleSql,
+    // the REAL incremental run must reproduce the batch report
+    "events_stream_patterns" -> SeqPatternsOracleSql,
+        // union + keyed running window — the exact algorithm the Spark
     // asofJoin runs, re-expressed relationally (right rows sort before
     // left at equal ts; greatest event_id wins among equal-ts rights)
     "events_asof_join" ->

@@ -436,6 +436,91 @@ object EventStreamOps {
   }
 
   /**
+   * Hot-user-proof gap sessionization: appends a per-user session id
+   * (`__session`, 1-based in time order — a new session starts when
+   * the gap since the previous event exceeds `gapSeconds`, measured on
+   * truncated epoch SECONDS like every gap gate) WITHOUT an unbounded
+   * per-user window. The naive `lag().over(partitionBy(user))` drags a
+   * bot account's entire history through one task's sort — at crawl
+   * scale the 10⁹-event machine account is exactly the row you must
+   * not serialize on. Same decomposition as [[interArrival]]:
+   *
+   *  1. per-(user, `bucketSec` time-bucket) windows assign LOCAL
+   *     session indexes — task size bounded by bucket occupancy,
+   *     never account age;
+   *  2. a second window over per-bucket SUMMARY rows (one row per
+   *     active (user, bucket) — calendar-bounded) merges each
+   *     bucket's first local session into the previous bucket's last
+   *     iff the boundary delta ≤ gap, and prefix-sums the per-bucket
+   *     session-start counts into global bases;
+   *  3. one co-partitioned equi-join stamps `base + local − merged`
+   *     back onto the events.
+   *
+   * The merge test compares ACTUAL boundary timestamps, so the result
+   * equals the single-window formulation for ANY bucket size (a
+   * session spanning k buckets merges k−1 times; a quiet bucket in
+   * between can never satisfy the gap test when `bucketSec ≥
+   * gapSeconds`, and is handled by the timestamp comparison even when
+   * it isn't). EventStreamSpec pins equality against the naive
+   * formulation; the plan guard pins that the only per-user-only
+   * window rides aggregate summary rows.
+   */
+  def gapSessions(events: DataFrame, gapSeconds: Long,
+                  keyCol: String = "user_id",
+                  bucketSec: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__s", col("ts").cast("long"))
+      .withColumn("__bkt", expr(s"__s div ${bucketSec}L"))
+    val wb = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col("__us"), col("event_id"))
+    val local = base
+      .withColumn("__d", col("__s") - lag(col("__s"), 1).over(wb))
+      .withColumn("__new",
+        when(col("__d").isNull || col("__d") > gapSeconds, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__ls", sum(col("__new")).over(wb))
+    val summary = local.groupBy(col(keyCol), col("__bkt"))
+      .agg(max(col("__ls")).as("__nls"), min(col("__s")).as("__first"),
+        max(col("__s")).as("__last"))
+    val wu = Window.partitionBy(col(keyCol)).orderBy(col("__bkt"))
+    val chained = summary
+      .withColumn("__mp",
+        when(col("__first") - lag(col("__last"), 1).over(wu) <=
+          gapSeconds, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__base", coalesce(
+        sum(col("__nls") - col("__mp"))
+          .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("__bkt"), col("__mp"), col("__base"))
+    local.join(chained, Seq(keyCol, "__bkt"))
+      .withColumn("__session",
+        col("__base") + col("__ls") - col("__mp"))
+      .drop("__us", "__s", "__bkt", "__d", "__new", "__ls", "__mp",
+        "__base")
+  }
+
+  /** The single-window formulation [[gapSessions]] replaces — kept
+    * (test-only) as the equality reference: correct, but a hot user's
+    * whole history sorts in one task. */
+  private[graft] def gapSessionsNaive(events: DataFrame,
+                                          gapSeconds: Long,
+                                          keyCol: String = "user_id")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("ts").cast("long") - col("__prev").cast("long") >
+            gapSeconds, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__session", sum(col("__new")).over(byUser))
+      .drop("__prev", "__new")
+  }
+
+  /**
    * Sequential-pattern support over gap-based sessions (PrefixSpan's
    * level-2 output — the "what do users do next" report): for every
    * ORDERED event-type pair (a, b), the number of sessions containing
@@ -454,16 +539,8 @@ object EventStreamOps {
                       minSupport: Long = 2, topK: Int = 20,
                       keyCol: String = "user_id",
                       typeCol: String = "event_type"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy(col(keyCol))
-      .orderBy(col("ts"), col("event_id"))
-    val gapped = events
-      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
-      .withColumn("__new",
-        when(col("__prev").isNull ||
-          col("ts").cast("long") - col("__prev").cast("long") >
-            gapSeconds, lit(1)).otherwise(lit(0)))
-      .withColumn("__sess", sum(col("__new")).over(byUser))
+    val gapped = gapSessions(events, gapSeconds, keyCol)
+      .withColumn("__sess", col("__session"))
     val typed = gapped
       .groupBy(col(keyCol), col("__sess"), col(typeCol).as("__ty"))
       .agg(min(col("ts")).as("__t0"), max(col("ts")).as("__t1"))
@@ -653,17 +730,8 @@ object EventStreamOps {
                    maxLen: Int = 5, k: Int = 20,
                    keyCol: String = "user_id",
                    typeCol: String = "event_type"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExpressions.register(events.sparkSession)
-    val byUser = Window.partitionBy(col(keyCol))
-      .orderBy(col("ts"), col("event_id"))
-    val sessions = events
-      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
-      .withColumn("__new",
-        when(col("__prev").isNull ||
-          col("ts").cast("long") - col("__prev").cast("long") > gapSeconds,
-          lit(1)).otherwise(lit(0)))
-      .withColumn("__session", sum(col("__new")).over(byUser).cast("long"))
+    val sessions = gapSessions(events, gapSeconds, keyCol)
     sessions
       .groupBy(col(keyCol), col("__session"))
       .agg(graft.functions.VectorExpressions.boundedMinIds(
@@ -987,19 +1055,7 @@ object EventStreamOps {
     import spark.implicits._
     require(stages.nonEmpty, "funnel needs at least one stage")
     val name = s"graft_stream_fn_${runCounter.incrementAndGet()}"
-    readEvents(spark, path)
-      .repartitionByRange(shards, col("ts"), col("event_id"))
-      .sortWithinPartitions("ts", "event_id")
-      .write.mode("overwrite").parquet(shardDir)
-    // part-file names sort in range order; give them strictly
-    // increasing mtimes so the file source's oldest-first admission
-    // replays ranges in event-time order
-    val parts = new java.io.File(shardDir).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val base = System.currentTimeMillis() - parts.length * 2000L
-    parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(base + i * 1000L) }
-    val schema = spark.read.parquet(shardDir).schema
+    val schema = timeOrderedShards(spark, path, shardDir, shards)
     val stageIdx = stages.zipWithIndex.toMap
     val k = stages.size
     val typed = spark.readStream.schema(schema)
@@ -1052,6 +1108,108 @@ object EventStreamOps {
       (1 to k).map(i => element_at(col("__m.stage_us"), i)
         .as(s"s${i}_us")) :+
       col("__m.stages_completed").as("stages_completed"): _*)
+  }
+
+  final case class PatEvent(user_id: Long, us: Long, ord: Long,
+                            ty: String)
+  final case class PatState(lastUs: Long, sess: Long, tys: Seq[String],
+                            t0s: Seq[Long], t1s: Seq[Long])
+  final case class PatUpdate(user_id: Long, sess: Long, ty: String,
+                             t0: Long, t1: Long)
+
+  /**
+   * REAL incremental sequential-pattern mining — the streamed face of
+   * [[sessionPatterns]], completing the incremental story for the last
+   * batch-only report. Per-user state is the OPEN gap-session's
+   * per-type (min, max) timestamp pair plus the last-seen second —
+   * bounded by the type vocabulary, never event volume (the
+   * [[streamedFunnel]] bounded-state shape). Each micro-batch: events
+   * (replayed in event-time order by [[timeOrderedShards]]) extend or
+   * close the open session; a closed session's rows and the batch-end
+   * open-session rows are emitted in Update mode. t0 is set by a
+   * type's first in-order event and t1 only grows, so the sink's
+   * min/max per (user, session, type) recovers the exact final pairs;
+   * the pair-support tail over that table is [[sessionPatterns]]'
+   * verbatim, and the gate shares the batch oracle verbatim.
+   */
+  def streamedPatterns(spark: SparkSession, path: String,
+                       shardDir: String, gapSeconds: Long = 1800,
+                       minSupport: Long = 2, topK: Int = 20,
+                       shards: Int = 4, minTriggers: Int = 3)
+      : DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_sp_${runCounter.incrementAndGet()}"
+    val schema = timeOrderedShards(spark, path, shardDir, shards)
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(shardDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long").as("ord"),
+        col("event_type").as("ty"))
+      .as[PatEvent]
+    val updates = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatState, PatUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[PatEvent],
+         state: GroupState[PatState]) =>
+          val st = state.getOption
+            .getOrElse(PatState(Long.MinValue, 0L, Nil, Nil, Nil))
+          var lastUs = st.lastUs
+          var sess = st.sess
+          val m = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+          st.tys.indices.foreach(i => m(st.tys(i)) = (st.t0s(i), st.t1s(i)))
+          val outBuf = scala.collection.mutable.ArrayBuffer[PatUpdate]()
+          rows.toVector.sortBy(e => (e.us, e.ord)).foreach { e =>
+            // gap on truncated SECONDS — the batch/oracle convention
+            if (sess == 0L ||
+                e.us / 1000000L - lastUs / 1000000L > gapSeconds) {
+              // close the open session: flush its rows under its id
+              m.foreach { case (ty, (t0, t1)) =>
+                outBuf += PatUpdate(uid, sess, ty, t0, t1) }
+              m.clear()
+              sess += 1
+            }
+            val cur = m.getOrElse(e.ty, (e.us, e.us))
+            m(e.ty) = (math.min(cur._1, e.us), math.max(cur._2, e.us))
+            lastUs = e.us
+          }
+          // the still-open session's rows as of this batch end
+          m.foreach { case (ty, (t0, t1)) =>
+            outBuf += PatUpdate(uid, sess, ty, t0, t1) }
+          state.update(PatState(lastUs, sess, m.keys.toSeq,
+            m.values.map(_._1).toSeq, m.values.map(_._2).toSeq))
+          outBuf.iterator
+      }
+    withStatePartitions(spark, 8) {
+      val q = toMemorySink(updates.toDF(), name, OutputMode.Update())
+      try {
+        q.processAllAvailable()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= minTriggers,
+          s"patterns drain ran $dataBatches data batches; " +
+            s"expected >= $minTriggers (file metering ignored?)")
+      } finally q.stop()
+    }
+    // localCheckpoint: (a) the pair join self-joins this table, and a
+    // MemorySink view cannot re-alias its references on the second
+    // face (INTERNAL_ERROR: conflicting references); (b) it is the
+    // bounded (user, session, type) projection — tiny by contract
+    val t = spark.table(name)
+      .groupBy(col("user_id"), col("sess"), col("ty"))
+      .agg(min(col("t0")).as("__t0"), max(col("t1")).as("__t1"))
+      .localCheckpoint()
+    val a = t.select(col("user_id"), col("sess"),
+      col("ty").as("from_type"), col("__t0"))
+    val b = t.select(col("user_id"), col("sess"),
+      col("ty").as("to_type"), col("__t1"))
+    a.join(b, Seq("user_id", "sess"))
+      .filter(col("from_type") =!= col("to_type") &&
+        col("__t0") < col("__t1"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("from_type"), col("to_type"))
+      .limit(topK)
   }
 
   /**
@@ -1142,6 +1300,28 @@ object EventStreamOps {
     * partitions beat the session's 32. (A production deployment sizes
     * this to key cardinality — state partitioning, like any shuffle,
     * is the scale knob, and it is fixed for the life of a query.) */
+  /** Write `path`'s events as `shards` time-range-sorted parquet parts
+    * with strictly increasing mtimes, so a `maxFilesPerTrigger=1` file
+    * source replays them oldest-first in event-time order — the replay
+    * harness every REAL incremental gate drains. Returns the schema. */
+  private def timeOrderedShards(spark: SparkSession, path: String,
+                                shardDir: String, shards: Int)
+      : org.apache.spark.sql.types.StructType = {
+    readEvents(spark, path)
+      .repartitionByRange(shards, col("ts"), col("event_id"))
+      .sortWithinPartitions("ts", "event_id")
+      .write.mode("overwrite").parquet(shardDir)
+    // part-file names sort in range order; give them strictly
+    // increasing mtimes so the file source's oldest-first admission
+    // replays ranges in event-time order
+    val parts = new java.io.File(shardDir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 1000L) }
+    spark.read.parquet(shardDir).schema
+  }
+
   private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)

@@ -337,6 +337,82 @@ class OperatorsSpec extends SparkSpec {
     assert(p1.subsetOf(full))
   }
 
+  test("compact crash points: a recovering reader always sees a whole root") {
+    import java.nio.file.{Files, Paths}
+    // the claim under test: committed() runs recovery FIRST, so a
+    // reader (readAsOf rides committed()) arriving after a crash at
+    // ANY step of compact() observes either the full pre-compact dir
+    // set or the full post-compact single dir — never a half-swapped
+    // root. Enumerate every crash point by replaying compact()'s step
+    // sequence by hand and stopping (then injecting a reader) at each.
+    import spark.implicits._
+    def freshStore(tag: String): String = {
+      val root = tmpState(s"cmp_pts_$tag")
+      for (i <- 0 until 3) {
+        val dir = StateStore.nextDir(spark, root)
+        (i * 10 until i * 10 + 10).map(_.toLong).toDF("id")
+          .write.mode("overwrite").parquet(s"$dir/t")
+        StateStore.commit(spark, dir)
+      }
+      root
+    }
+    // replay compact()'s observable on-disk steps 1..6:
+    //   1 stage tables under .compact_tmp     4 delete SOME old dirs
+    //   2 stage token + stage COMMIT          5 delete ALL old dirs + rename
+    //   3 root COMPACTING marker              6 everything but marker removal
+    def crashAt(root: String, step: Int): Unit = {
+      val token = "tok-spec"
+      if (step >= 1) {
+        spark.read.parquet(s"$root/inc_0/t", s"$root/inc_1/t",
+          s"$root/inc_2/t").write.mode("overwrite")
+          .parquet(s"$root/.compact_tmp/t")
+      }
+      if (step >= 2) {
+        Files.write(Paths.get(s"$root/.compact_tmp/COMPACT_TOKEN"),
+          token.getBytes("UTF-8"))
+        Files.write(Paths.get(s"$root/.compact_tmp/COMMIT"),
+          Array.empty[Byte])
+      }
+      if (step >= 3)
+        Files.write(Paths.get(s"$root/COMPACTING"), token.getBytes("UTF-8"))
+      if (step >= 4) StateStore.delete(s"$root/inc_1")
+      if (step >= 5) {
+        StateStore.delete(s"$root/inc_0")
+        StateStore.delete(s"$root/inc_2")
+        Files.move(Paths.get(s"$root/.compact_tmp"),
+          Paths.get(s"$root/inc_0"))
+      }
+      // step 6 == 5 here: marker removal is the one remaining write,
+      // and the post-rename inc_0 carries the marker's token
+    }
+    for (step <- 1 to 5) {
+      val root = freshStore(s"s$step")
+      crashAt(root, step)
+      // the reader: recovery runs inside committed()/readAsOf
+      val seen = StateStore.readAsOf(spark, root, "t", 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(seen == (0L until 30L).toSet,
+        s"crash point $step: reader saw ${seen.size} of 30 rows")
+      val dirs = StateStore.committed(spark, root).map(stripScheme)
+      if (step < 3) {
+        // marker not yet written: the OLD dirs are still the truth and
+        // the stale stage must not surface as a committed increment
+        assert(dirs == Seq(s"$root/inc_0", s"$root/inc_1", s"$root/inc_2"),
+          s"crash point $step: $dirs")
+      } else {
+        // point of no return passed: recovery must finish the swap
+        assert(dirs == Seq(s"$root/inc_0"), s"crash point $step: $dirs")
+        assert(!Files.exists(Paths.get(s"$root/COMPACTING")))
+        assert(!Files.exists(Paths.get(s"$root/.compact_tmp")))
+      }
+      // a subsequent real compact converges to the same single dir
+      StateStore.compact(spark, root)
+      assert(StateStore.readAsOf(spark, root, "t", 3)
+        .collect().map(_.getLong(0)).toSet == (0L until 30L).toSet)
+      StateStore.delete(root)
+    }
+  }
+
   test("prefix-filtered token jaccard equals brute force") {
     val expected = brutePairs(0.95, shingleN = 1)
     val got = DedupOps.tokenJaccard(docs, tau = 0.95).select("id_a", "id_b")

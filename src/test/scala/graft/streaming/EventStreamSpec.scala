@@ -94,6 +94,54 @@ class EventStreamSpec extends SparkSpec {
       h.getLong(5), h.getLong(6)) == ((3L, 2L, 10L, 20L, 30L, 15L)))
   }
 
+  test("gapSessions equals the single-window formulation") {
+    val ev = EventStreamOps.readEvents(spark,
+      "/root/testdata/sf0.001/events.parquet").cache()
+    val cols = ev.columns.map(col) :+ col("__session")
+    val want = EventStreamOps.gapSessionsNaive(ev, 1800)
+      .select(cols: _*)
+    // hour buckets force many boundary merges on this fixture; a
+    // bucket SMALLER than the gap must also agree (the merge test
+    // compares actual timestamps, not bucket adjacency)
+    for (bucket <- Seq(3600L, 900L, 86400L)) {
+      val got = EventStreamOps.gapSessions(ev, 1800, bucketSec = bucket)
+        .select(cols: _*)
+      assert(got.exceptAll(want).count() == 0, s"bucket=$bucket extra")
+      assert(want.exceptAll(got).count() == 0, s"bucket=$bucket missing")
+    }
+    // hand case: one session spanning three hour-buckets (deltas at
+    // exactly the gap — NOT a new session), then a gap one second
+    // past the threshold opening session 2
+    import spark.implicits._
+    val hand = Seq(
+      (1L, 0L), (2L, 1800L), (3L, 3600L), (4L, 5400L),
+      (5L, 7201L)).toDF("event_id", "s")
+      .select(col("event_id"), timestamp_seconds(col("s")).as("ts"),
+        lit(7L).as("user_id"))
+    val h = EventStreamOps.gapSessions(hand, 1800)
+      .select("event_id", "__session").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("gapSessions: per-user-only windows ride summary rows only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val ev = EventStreamOps.readEvents(spark,
+      "/root/testdata/sf0.001/events.parquet")
+    val plan = EventStreamOps.gapSessions(ev, 1800)
+      .queryExecution.sparkPlan
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      if (w.partitionSpec.length < 2)
+        assert(w.child.collectFirst { case a: BaseAggregateExec => a }
+          .nonEmpty,
+          "a per-user-only window must sit above bucket SUMMARY " +
+            "aggregates, never over raw events: " + w.toString.take(500))
+    }
+  }
+
   test("session windows close after the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -377,6 +425,24 @@ class EventStreamSpec extends SparkSpec {
     // vacuously single-batch)
     intercept[IllegalArgumentException] {
       EventStreamOps.streamedFunnel(spark, path, shardDir, stages,
+        shards = 2, minTriggers = 5)
+    }
+  }
+
+  test("streamedPatterns equals the batch report; meters batches") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft-spshards").toString
+    val streamed = EventStreamOps.streamedPatterns(
+      spark, path, shardDir, shards = 4, minTriggers = 3)
+    val batch = EventStreamOps.sessionPatterns(readEvents(spark, path))
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // unmet trigger floor fails loudly (the in-order replay claim must
+    // not be vacuously single-batch)
+    intercept[IllegalArgumentException] {
+      EventStreamOps.streamedPatterns(spark, path, shardDir,
         shards = 2, minTriggers = 5)
     }
   }
