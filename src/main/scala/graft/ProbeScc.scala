@@ -7,9 +7,9 @@ import org.apache.spark.sql.SparkSession
   * passes, never one cold run). */
 object ProbeScc {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[16]")
+    val spark = SparkSession.builder().master(sys.env.getOrElse("GRAFT_PROBE_MASTER", "local[16]"))
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_PROBE_PARTS", "16"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1403,6 +1403,46 @@ object SparkEntry {
         s"${System.getProperty("java.io.tmpdir")}/graft_evpat_" +
           java.lang.Integer.toHexString(sfDir.hashCode) +
           s"_p${ProcessHandle.current().pid()}")),
+    // retrieval eval harness: the bm25 run scored against
+    // term-containment qrels — per-query hits / first rank / RR(ppm)
+    // / recall(pm), all integer-exact
+    "text_retrieval_metrics" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val d = docs(spark, sfDir)
+      val run = operators.TextOps.bm25TopK(d, Bm25Queries, k = 5)
+      val terms = Bm25Queries.map { case (q, str) =>
+        (q, str.trim.split("\\s+").head) }.toDF("query_id", "__term")
+      val qrels = d.join(broadcast(terms),
+        array_contains(split(trim(col("text")), " "), col("__term")))
+        .select(col("query_id"), col("doc_id"))
+      operators.TextOps.retrievalMetrics(run, qrels, k = 5)
+    }),
+    // temperature-scaled mixing (T=2) over a planted skewed source
+    // split (bucket j holds ~(2j+1)% of docs): low-resource sources
+    // replicate via epochs, high-resource ones downsample
+    "curation_temperature_mix" -> ((spark, sfDir) =>
+      operators.CurationOps.temperatureMix(
+        docs(spark, sfDir).withColumn("source",
+          concat(lit("s"), floor(sqrt(col("doc_id") % 100))
+            .cast("long").cast("string"))),
+        budget = 400)),
+    // per-source preference pairs (chosen = longest doc, rejected =
+    // shortest, id tiebreaks, margin >= 1)
+    "curation_preference_pairs" -> ((spark, sfDir) =>
+      operators.CurationOps.preferencePairs(docs(spark, sfDir),
+        group = col("source"), quality = length(col("text")))),
+    // cross-source contamination matrix over planted shared
+    // boilerplate (every 10th doc becomes one of 5 templates)
+    "curation_source_overlap" -> ((spark, sfDir) =>
+      operators.CurationOps.sourceOverlap(
+        docs(spark, sfDir).withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(lit("boilerplate notice number "),
+              expr("(doc_id div 10) % 5").cast("string")))
+            .otherwise(col("text"))))),
+    // per-source bigram diversity (distinct ratio in exact per-mille)
+    "text_ngram_diversity" -> ((spark, sfDir) =>
+      operators.TextOps.ngramDiversity(docs(spark, sfDir))),
   )
 
   /** The planted multi-pass SCC gadget: three 3-cycles X > Y > Z (by
@@ -1470,6 +1510,35 @@ object SparkEntry {
       |  WHERE e.event_type = 'purchase' AND (epoch_us(e.ts) > s2.s2_us OR
       |    (epoch_us(e.ts) = s2.s2_us AND e.event_id > s2.s2_ord))) WHERE rn = 1)"""
       .stripMargin
+
+  /** Integer-exact BM25 chain through CTE `r` (per-query ranked
+    * scores) — shared by the `text_bm25` gate and the
+    * `text_retrieval_metrics` eval harness built on the same run.
+    * Query terms mirror [[Bm25Queries]], pre-deduplicated. */
+  private val Bm25CtePrefix: String =
+    """WITH q(query_id, term) AS (VALUES
+      |  (1, 'spark'), (1, 'join'),
+      |  (2, 'hash'), (2, 'table'), (2, 'scan'),
+      |  (3, 'customer'), (3, 'query'),
+      |  (4, 'slow'), (4, 'batch'), (4, 'window')),
+      |t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+      |  FROM documents),
+      |e AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+      |c AS (SELECT doc_id, dl, term, count(*) AS tf FROM e
+      |  GROUP BY 1, 2, 3),
+      |d AS (SELECT term, count(*) AS df FROM c GROUP BY term),
+      |s AS (SELECT count(*) AS n,
+      |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+      |    // count(*) AS a FROM documents),
+      |sc AS (SELECT q.query_id, c.doc_id, CAST(sum(
+      |    (1000 * (s.n - d.df + 1) // (d.df + 1)) * (44 * s.a * c.tf)
+      |      // (20 * s.a * c.tf + 6 * s.a + 18 * c.dl)
+      |  ) AS BIGINT) AS score
+      |  FROM c JOIN q USING (term) JOIN d USING (term) CROSS JOIN s
+      |  GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc)""".stripMargin
 
   /** Gap-session pair-support report — shared verbatim by the
     * batch gate (`events_seq_patterns`) and the REAL incremental
@@ -3225,32 +3294,105 @@ object SparkEntry {
     // ratio 44·A·tf // (20·A·tf + 6·A + 18·dl) with A = floor(avgdl);
     // all int64, so the per-doc sum is order-free and hash-exact.
     // Query terms mirror SparkEntry.Bm25Queries, pre-deduplicated.
-    "text_bm25" ->
-      """WITH q(query_id, term) AS (VALUES
-        |  (1, 'spark'), (1, 'join'),
-        |  (2, 'hash'), (2, 'table'), (2, 'scan'),
-        |  (3, 'customer'), (3, 'query'),
-        |  (4, 'slow'), (4, 'batch'), (4, 'window')),
-        |t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
-        |  FROM documents),
-        |e AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
-        |c AS (SELECT doc_id, dl, term, count(*) AS tf FROM e
-        |  GROUP BY 1, 2, 3),
-        |d AS (SELECT term, count(*) AS df FROM c GROUP BY term),
-        |s AS (SELECT count(*) AS n,
-        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
-        |    // count(*) AS a FROM documents),
-        |sc AS (SELECT q.query_id, c.doc_id, CAST(sum(
-        |    (1000 * (s.n - d.df + 1) // (d.df + 1)) * (44 * s.a * c.tf)
-        |      // (20 * s.a * c.tf + 6 * s.a + 18 * c.dl)
-        |  ) AS BIGINT) AS score
-        |  FROM c JOIN q USING (term) JOIN d USING (term) CROSS JOIN s
-        |  GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score, row_number() OVER
-        |  (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-        |  FROM sc)
+    "text_bm25" -> (Bm25CtePrefix +
+      """
         |SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
-        |FROM r WHERE rank <= 5""".stripMargin,
+        |FROM r WHERE rank <= 5""".stripMargin),
+    // retrieval eval harness over the SAME bm25 run: qrels = docs
+    // whose token list contains the query's first term; hits/first
+    // rank/RR(ppm)/recall(pm) all truncating-int — oracle-exact
+    "text_retrieval_metrics" -> (Bm25CtePrefix +
+      """,
+        |run AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 5),
+        |ft(query_id, term) AS (VALUES
+        |  (1, 'spark'), (2, 'hash'), (3, 'customer'), (4, 'slow')),
+        |qr AS (SELECT ft.query_id, t.doc_id FROM ft
+        |  JOIN t ON list_contains(t.w, ft.term)),
+        |rel AS (SELECT query_id, count(*) AS rel_total FROM qr
+        |  GROUP BY 1),
+        |hit AS (SELECT r2.query_id, count(*) AS hits_at_k,
+        |    min(r2.rank) AS fr
+        |  FROM run r2 JOIN qr ON qr.query_id = r2.query_id
+        |    AND qr.doc_id = r2.doc_id
+        |  GROUP BY 1),
+        |qs AS (SELECT DISTINCT query_id FROM run)
+        |SELECT qs.query_id,
+        |  CAST(coalesce(rel.rel_total, 0) AS BIGINT) AS rel_total,
+        |  CAST(coalesce(hit.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+        |  CAST(coalesce(hit.fr, 0) AS INTEGER) AS first_rank,
+        |  CAST(CASE WHEN hit.fr IS NULL THEN 0
+        |    ELSE 1000000 // hit.fr END AS BIGINT) AS rr_ppm,
+        |  CAST(CASE WHEN coalesce(rel.rel_total, 0) = 0 THEN 0
+        |    ELSE (1000 * coalesce(hit.hits_at_k, 0)) // rel.rel_total
+        |    END AS BIGINT) AS recall_pm
+        |FROM qs LEFT JOIN rel USING (query_id)
+        |  LEFT JOIN hit USING (query_id)""".stripMargin),
+    // temperature mixing (T=2): integer sqrt weights, exact per-mille
+    // rates, the mixSources epoch/keep machinery verbatim
+    "curation_temperature_mix" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    's' || CAST(CAST(floor(sqrt(doc_id % 100)) AS BIGINT)
+        |      AS VARCHAR) AS source
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM d0 GROUP BY 1),
+        |w AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w
+        |  FROM c),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+        |r AS (SELECT source, (400 * w * 1000) // (tw * n) AS wpm
+        |  FROM w CROSS JOIN t),
+        |d AS (SELECT d0.doc_id, d0.source, r.wpm FROM d0
+        |  JOIN r USING (source) WHERE wpm > 0),
+        |e AS (SELECT doc_id, source, wpm,
+        |    unnest(range(0, greatest(CAST(ceil(wpm / 1000.0) AS BIGINT),
+        |      1))) AS e
+        |  FROM d),
+        |u AS (SELECT doc_id, source, wpm, e,
+        |    CAST('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)
+        |      || ':' || CAST(e AS VARCHAR)), 1, 8) AS BIGINT) AS u
+        |  FROM e)
+        |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+        |FROM u WHERE u * 1000 < (wpm - e * 1000) * 4294967296""".stripMargin,
+    // planted-template overlap: distinct (md5 text, source) pairs
+    // self-joined on the key, ordered source pairs counted
+    "curation_source_overlap" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'boilerplate notice number '
+        |      || CAST((doc_id // 10) % 5 AS VARCHAR) ELSE text END
+        |      AS text
+        |  FROM documents),
+        |t AS (SELECT DISTINCT md5(text) AS k, source FROM d)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS shared_texts
+        |FROM t a JOIN t b ON a.k = b.k AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    // bigram slice construction mirrored verbatim; short docs emit
+    // their whole text as one gram on both engines
+    "text_ngram_diversity" ->
+      """WITH t AS (SELECT source, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT source, array_to_string(w[i:i+1], ' ') AS g
+        |  FROM t, unnest(range(1, greatest(len(w) - 1, 1) + 1))
+        |    AS u(i))
+        |SELECT source, count(*) AS ngrams,
+        |  count(DISTINCT g) AS distinct_ngrams,
+        |  (1000 * count(DISTINCT g)) // count(*) AS diversity_pm
+        |FROM g GROUP BY source""".stripMargin,
+    // DPO/reward preference pairs: per-group quality extremes with
+    // deterministic id tiebreaks and a minimum margin
+    "curation_preference_pairs" ->
+      """WITH d AS (SELECT doc_id, source AS group_key,
+        |    CAST(length(text) AS BIGINT) AS q FROM documents),
+        |c AS (SELECT group_key, doc_id AS chosen_id, q AS chosen_q,
+        |    row_number() OVER (PARTITION BY group_key
+        |      ORDER BY q DESC, doc_id) AS rn FROM d),
+        |r AS (SELECT group_key, doc_id AS rejected_id, q AS rejected_q,
+        |    row_number() OVER (PARTITION BY group_key
+        |      ORDER BY q ASC, doc_id) AS rn FROM d)
+        |SELECT c.group_key, c.chosen_id, c.chosen_q, r.rejected_id,
+        |  r.rejected_q, c.chosen_q - r.rejected_q AS margin
+        |FROM c JOIN r USING (group_key)
+        |WHERE c.rn = 1 AND r.rn = 1
+        |  AND c.chosen_q - r.rejected_q >= 1""".stripMargin,
     // cohort/offset arithmetic is truncating int64 division of
     // nonnegative epoch-micros — `div` (Spark) == `//` (DuckDB)
     "events_retention" ->

@@ -793,6 +793,116 @@ object CurationOps {
   }
 
   /**
+   * Temperature-scaled source mixing at T=2 (α=1/2) — the multilingual
+   * resampling rule (XLM-R / mT5: sample source s with probability
+   * ∝ n_s^α, α<1 upsampling low-resource sources): integer source
+   * weights w_s = ⌊√n_s⌋ (exact on both engines — IEEE sqrt is
+   * correctly rounded and n_s < 2⁵² — unlike pow(n, α), which is NOT
+   * correctly rounded and 1-ulp-fragile cross-engine; this is why the
+   * temperature is fixed at 2 rather than a parameter), per-source
+   * keep rate in exact per-mille
+   * `wpm_s = (budget · w_s · 1000) div (Σw · n_s)` (int64 — document
+   * bound: budget·w·1000 < 2⁶³), then the [[mixSources]] epoch/keep
+   * machinery verbatim: rates > 1000‰ replicate via epochs, the
+   * fractional epoch keeps by the md5 uniform test. Expected output
+   * size ≈ `budget` with per-source shares ∝ √n_s.
+   *
+   * Scale shape: one partial-aggregable source count (broadcast back —
+   * the source table is a mixing table, bounded by construction), a
+   * broadcast rate join, and the narrow epoch explode. No shuffle over
+   * the corpus beyond the count.
+   */
+  def temperatureMix(df: DataFrame, budget: Long,
+                     idCol: String = "doc_id",
+                     sourceCol: String = "source",
+                     salt: String = "tmix"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast(LongType))
+    val tot = counts.agg(sum(col("__w")).as("__tw"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__wpm",
+        expr(s"(${budget}L * __w * 1000L) div (__tw * __n)"))
+      .select(col(sourceCol), col("__wpm"))
+    val epochs = explode(sequence(lit(0),
+      greatest(ceil(col("__wpm") / 1000.0).cast("int") - 1, lit(0))))
+    val u = conv(substring(md5(concat_ws(":", lit(salt),
+      col(idCol).cast(StringType), col("__e").cast(StringType))),
+      1, 8), 16, 10).cast(LongType)
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(col("__wpm") > 0)
+      .withColumn("__e", epochs)
+      .filter(u * 1000L < (col("__wpm") - col("__e") * 1000L) *
+        4294967296L)
+      .select(col(idCol), col(sourceCol),
+        col("__e").cast(LongType).as("epoch"))
+  }
+
+  /**
+   * Preference-pair mining for reward-model / DPO training data:
+   * within each group (prompt cluster, domain, dedup canonical), pair
+   * the highest-quality document (`chosen`) with the lowest-quality
+   * one (`rejected`), with deterministic id-ascending tiebreaks and a
+   * minimum quality margin (degenerate single-doc or equal-quality
+   * groups never emit — `minMargin ≥ 1` enforced). Pure int64, fully
+   * oracle-exact.
+   *
+   * Scale shape: both extremes are partial-aggregable `min(struct)`
+   * folds in ONE aggregate pass — a hot group (a viral prompt with
+   * 10⁸ responses) collapses map-side, never a per-group sort or
+   * window.
+   */
+  def preferencePairs(df: DataFrame, group: Column, quality: Column,
+                      minMargin: Long = 1,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(minMargin >= 1, s"minMargin must be >= 1, got $minMargin")
+    df.select(group.as("group_key"), quality.cast("long").as("__q"),
+        col(idCol).as("__id"))
+      .groupBy(col("group_key"))
+      .agg(
+        min(struct((-col("__q")).as("nq"), col("__id").as("id")))
+          .as("__c"),
+        min(struct(col("__q").as("q"), col("__id").as("id")))
+          .as("__r"))
+      .select(col("group_key"),
+        col("__c.id").as("chosen_id"), (-col("__c.nq")).as("chosen_q"),
+        col("__r.id").as("rejected_id"), col("__r.q").as("rejected_q"))
+      .withColumn("margin", col("chosen_q") - col("rejected_q"))
+      .filter(col("margin") >= minMargin)
+  }
+
+  /**
+   * Cross-source contamination matrix — the dataset-governance report
+   * ("which sources share verbatim text?") that catches mirror sites,
+   * syndicated boilerplate, and benchmark leakage BETWEEN corpus
+   * components before mixing: for every ordered source pair (a < b),
+   * the number of distinct texts present verbatim in both. Texts
+   * travel as md5 keys (narrow shuffle; deterministic on both engines,
+   * so even a collision renders identically — oracle-exact).
+   *
+   * Scale shape: one distinct over (text-key, source) — a duplicated
+   * text collapses to ≤|sources| rows no matter how many copies — then
+   * a self-equi-join on the key whose per-key fan-out is bounded by
+   * the SOURCE vocabulary (≤ |sources|² pairs per text, never copy
+   * count²; no salt needed for exactly that reason), and a
+   * partial-aggregable pair count. The distinct table is lazily
+   * checkpointed (self-joined intermediates invariant).
+   */
+  def sourceOverlap(df: DataFrame, sourceCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val t = df.select(md5(col(textCol)).as("__k"),
+        col(sourceCol).as("__s")).distinct()
+      .localCheckpoint(false)
+    val a = t.select(col("__k"), col("__s").as("source_a"))
+    val b = t.select(col("__k"), col("__s").as("source_b"))
+    a.join(b, Seq("__k"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_texts"))
+  }
+
+  /**
    * Token-span decontamination (the Llama-3-style refinement of
    * [[decontaminate]]): instead of flagging a whole document for one
    * shared n-gram, mark the CONTAMINATED TOKEN POSITIONS — every token

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.graphx.{Edge, Graph => XGraph}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.GraphStore
@@ -302,8 +302,31 @@ object GraphAlgos {
                                   maxFlood: Int = 64,
                                   requireConverged: Boolean = true,
                                   seqThreshold: Int = 256): DataFrame = {
+    val spark = edges.sparkSession
     val e0 = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint()
+    // Size the flood rounds' shuffle width to the data: a round is
+    // O(remaining edges) of work split across every shuffle partition,
+    // and on a small/shrinking remainder the per-task scheduling floor
+    // dominates — 32 partitions ran the sf0.1 gate 1.4× slower than 4
+    // (measured, ProbeScc). One partition per ~50k edges, capped at
+    // the cluster's parallelism, applied via the scoped-conf pattern
+    // of EventStreamOps.withStatePartitions (restored in finally).
+    val nPart = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      e0.count() / 50000L + 1L)).toInt
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = spark.conf.get(partKey)
+    spark.conf.set(partKey, nPart.toString)
+    try {
+    sccLoop(spark, e0, maxOuter, maxFlood, requireConverged,
+      seqThreshold)
+    } finally spark.conf.set(partKey, prevPart)
+  }
+
+  private def sccLoop(spark: SparkSession, e0: DataFrame, maxOuter: Int,
+                      maxFlood: Int, requireConverged: Boolean,
+                      seqThreshold: Int): DataFrame = {
     var rem = e0.select(col("src").as("id"))
       .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
     var reS = e0.repartition(col("src")).localCheckpoint()
@@ -320,7 +343,6 @@ object GraphAlgos {
       if (rem.count() <= seqThreshold) {
         val vs = rem.collect().map(_.getLong(0))
         val es = reS.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val spark = edges.sparkSession
         import spark.implicits._
         val tail = sequentialScc(vs, es).toSeq.toDF("id", "scc_id")
         out = if (out == null) tail else out.union(tail)

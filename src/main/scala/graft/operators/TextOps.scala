@@ -894,6 +894,75 @@ object TextOps {
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /**
+   * Retrieval-quality metrics over a ranked run against relevance
+   * judgments — the eval harness every retrieval stack (BM25, ANN,
+   * rerankers) reports through: per query, the number of relevant
+   * documents, hits in the top `k`, the first relevant rank, the
+   * reciprocal rank in exact ppm (`1000000 div first_rank` — MRR is
+   * its mean), and recall@k in exact per-mille. All integer arithmetic
+   * (truncating div both engines), so the whole report is
+   * oracle-exact; queries with no relevant retrieved render rank 0 /
+   * rr 0 rather than dropping (the report must show the failure).
+   *
+   * Inputs: `run(query_id, doc_id, rank)` (any extra columns ignored),
+   * `qrels(query_id, doc_id)`. Scale shape: one (query, doc) equi-
+   * semi-join + partial-aggregable count/min per query — bounded by
+   * run size (q·k rows), never corpus size; qrels side shuffles once.
+   */
+  def retrievalMetrics(run: DataFrame, qrels: DataFrame,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = qrels.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("rel_total"))
+    val hit = run.select(col("query_id"), col("doc_id"), col("rank"))
+      .filter(col("rank") <= k)
+      .join(qrels.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__hits"), min(col("rank")).as("__fr"))
+    run.select(col("query_id")).distinct()
+      .join(rel, Seq("query_id"), "left")
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rel_total"), lit(0L)).as("rel_total"),
+        coalesce(col("__hits"), lit(0L)).as("hits_at_k"),
+        coalesce(col("__fr"), lit(0)).cast(IntegerType).as("first_rank"),
+        when(col("__fr").isNull, lit(0L))
+          .otherwise(expr("1000000L div __fr")).as("rr_ppm"),
+        when(coalesce(col("rel_total"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("(1000L * coalesce(__hits, 0L)) div rel_total"))
+          .as("recall_pm"))
+  }
+
+  /**
+   * Per-source n-gram diversity — the self-repetition metric behind
+   * Self-BLEU-style generation/corpus diversity reports: for each
+   * source, total bigram occurrences (repeats counted), distinct
+   * bigrams, and the distinct ratio in exact per-mille (a templated /
+   * boilerplate-heavy source scores low). A doc shorter than `n`
+   * tokens contributes its whole text as one gram (both engines
+   * render the same slice). All integer arithmetic — oracle-exact.
+   *
+   * Scale shape: narrow gram explode (no shuffle), then one two-phase
+   * distinct aggregate per source — hot sources combine map-side.
+   * Fixed at n=2: the slice construction is mirrored verbatim in the
+   * DuckDB oracle, and bigrams are the standard diversity unit.
+   */
+  def ngramDiversity(df: DataFrame,
+                     sourceCol: String = "source",
+                     textCol: String = "text"): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        split(trim(col(textCol)), " ").as("__w"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, greatest(size(__w) - 1, 1)), " +
+          "i -> concat_ws(' ', slice(__w, i, 2)))")).as("__g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("ngrams"),
+        countDistinct(col("__g")).as("distinct_ngrams"))
+      .withColumn("diversity_pm",
+        expr("(1000L * distinct_ngrams) div ngrams"))
+
   /** Attach all text-analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -281,6 +281,22 @@ class OperatorPlanSpec extends SparkSpec {
       pb.take(3000))
   }
 
+  test("preferencePairs: one partial-agg pass, no per-group window") {
+    val p = plan(CurationOps.preferencePairs(docs, col("source"),
+      length(col("text"))))
+    assert(p.contains("partial_min"), p.take(1200))
+    assert(!p.contains("Window"), "no per-group sort:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("temperatureMix: broadcast rate join, no corpus-side sort") {
+    val p = plan(CurationOps.temperatureMix(docs, budget = 100))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      p.take(1500))
+  }
+
   test("labelPropagationSync: no per-round exchange on the edge side") {
     import spark.implicits._
     val pairs = (1L to 400L).flatMap(i => Seq((i, i % 97 + 1000L)))

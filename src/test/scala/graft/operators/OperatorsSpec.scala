@@ -413,6 +413,92 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("retrievalMetrics: hand-checked hits, first rank, RR, recall") {
+    import spark.implicits._
+    val run = Seq((1, 10L, 1), (1, 11L, 2), (1, 12L, 3),
+      (2, 20L, 1), (2, 21L, 2), (3, 30L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1, 11L), (1, 12L), (1, 99L), (3, 31L))
+      .toDF("query_id", "doc_id")
+    val out = TextOps.retrievalMetrics(run, qrels, k = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // q1: 3 relevant, one hit (11 at rank 2; 12 is past k) -> RR 1/2,
+    // recall 1/3
+    assert(out(1) == ((3L, 1L, 2, 500000L, 333L)))
+    // q2: no judgments at all -> zeros, but the row must exist
+    assert(out(2) == ((0L, 0L, 0, 0L, 0L)))
+    // q3: a judged doc that was never retrieved -> recall 0, rank 0
+    assert(out(3) == ((1L, 0L, 0, 0L, 0L)))
+  }
+
+  test("temperatureMix: epochs replicate low-resource sources exactly") {
+    import spark.implicits._
+    val df = ((1 to 1).map(i => (i.toLong, "a")) ++
+      (101 to 200).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val out = CurationOps.temperatureMix(df, budget = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // w_a=1, w_b=10, tot=11: rate_a = 50*1*1000/(11*1) = 4545 permille
+    // -> epochs 0..3 are kept UNCONDITIONALLY (full-weight epochs pass
+    // the uniform test for every u < 2^32), epoch 4 fractionally
+    val aCopies = out.count(_._2 == "a")
+    assert(aCopies == 4 || aCopies == 5, s"a copies = $aCopies")
+    assert(out.filter(_._2 == "a").map(_._3).sorted.take(4).toSeq ==
+      Seq(0L, 1L, 2L, 3L))
+    // rate_b = 454 permille: a binomial(100) at p=.454 — wide bounds
+    val bCopies = out.count(_._2 == "b")
+    assert(bCopies > 25 && bCopies < 70, s"b copies = $bCopies")
+    assert(out.forall(_._3 >= 0) && out.distinct.length == out.length)
+    // deterministic: the exact same multiset on a rerun
+    val again = CurationOps.temperatureMix(df, budget = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
+  test("preferencePairs: extremes, tiebreaks, degenerate groups drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g1", "aaaaaaaaaa"), (2L, "g1", "bbbbbbbbbb"),
+      (3L, "g1", "ccccc"),
+      (4L, "g2", "dddd"),
+      (5L, "g3", "eee"), (6L, "g3", "fff"))
+      .toDF("doc_id", "group", "text")
+    val out = CurationOps.preferencePairs(df, col("group"),
+      length(col("text"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // g1: chosen = min id among the length-10 tie (1), rejected = 3
+    assert(out == Map("g1" -> ((1L, 10L, 3L, 5L, 5L))))
+    // g2 (single doc) and g3 (equal quality) never emit
+  }
+
+  test("sourceOverlap: shared texts counted once per source pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "sa", "shared one"), (2L, "sb", "shared one"),
+      (3L, "sb", "shared one"), // duplicate copy must not double-count
+      (4L, "sc", "shared one"),
+      (5L, "sa", "shared two"), (6L, "sc", "shared two"),
+      (7L, "sa", "only here")).toDF("doc_id", "source", "text")
+    val out = CurationOps.sourceOverlap(df).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map(("sa", "sb") -> 1L, ("sa", "sc") -> 2L,
+      ("sb", "sc") -> 1L))
+  }
+
+  test("ngramDiversity: exact bigram counts, short-doc edge") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x y x y"),   // bigrams: "x y","y x","x y" -> 3 total, 2 uniq
+      ("a", "x y"),       // "x y" -> total 4, uniq stays 2
+      ("b", "solo")).toDF("source", "text") // 1-token doc: 1 gram
+    val out = TextOps.ngramDiversity(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out == Map("a" -> ((4L, 2L, 500L)), "b" -> ((1L, 1L, 1000L))))
+  }
+
   test("prefix-filtered token jaccard equals brute force") {
     val expected = brutePairs(0.95, shingleN = 1)
     val got = DedupOps.tokenJaccard(docs, tau = 0.95).select("id_a", "id_b")
