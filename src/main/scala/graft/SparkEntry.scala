@@ -1443,6 +1443,16 @@ object SparkEntry {
     // per-source bigram diversity (distinct ratio in exact per-mille)
     "text_ngram_diversity" -> ((spark, sfDir) =>
       operators.TextOps.ngramDiversity(docs(spark, sfDir))),
+    // robust scaling: clip per-type values at the exact [1%, 99%]
+    // type-1 quantiles, report clipped integer-cent moments
+    "events_winsorize" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.winsorizedStats(events(spark, sfDir))),
+    // double-sweep diameter lower bound: BFS from the min vertex, BFS
+    // again from the farthest — maxHops matches the oracle's unroll
+    // depth, certify-or-throw (the kCore contract)
+    "graph_diameter" -> ((spark, sfDir) =>
+      operators.GraphAlgos.doubleSweepDiameter(
+        sources.GraphStore.tpch(spark, sfDir), maxHops = 12)),
   )
 
   /** The planted multi-pass SCC gadget: three 3-cycles X > Y > Z (by
@@ -3703,6 +3713,76 @@ object SparkEntry {
         |SELECT event_type, p_pm, CAST(min(cents) AS BIGINT) AS q_cents
         |FROM m, p WHERE cum * 1000 >= p_pm * n
         |GROUP BY 1, 2""".stripMargin,
+    // double-sweep diameter: two 12-round unrolled single-source BFS
+    // chains (converged rounds are no-ops; the Spark side THROWS past
+    // 12, so both engines describe the same fixpoint); pivot = max
+    // distance then min id; output = the second sweep's max-distance
+    // group
+    "graph_diameter" -> {
+      def unroll(pfx: String, n: Int): String =
+        (1 to n).map { i =>
+          val frontier = if (i == 1) s"${pfx}v0" else s"${pfx}f${i - 1}"
+          s""",
+             |${pfx}f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS id
+             |  FROM $frontier f JOIN e ON e.src = f.id
+             |  WHERE NOT EXISTS (SELECT 1 FROM ${pfx}v${i - 1} v
+             |    WHERE v.id = e.dst)),
+             |${pfx}v$i AS MATERIALIZED (SELECT * FROM ${pfx}v${i - 1}
+             |  UNION ALL SELECT id, $i FROM ${pfx}f$i)""".stripMargin
+        }.mkString
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT CAST(o_custkey AS BIGINT) AS src,
+        |    o_orderkey + 1000000000 AS dst FROM orders
+        |  UNION ALL
+        |  SELECT DISTINCT l_orderkey + 1000000000,
+        |    l_partkey + 2000000000 FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+        |  WHERE src <> dst),
+        |av0 AS MATERIALIZED (SELECT min(least(src, dst)) AS id, 0 AS d
+        |  FROM e)""".stripMargin +
+        unroll("a", 12) +
+        """,
+          |p AS (SELECT id FROM av12 ORDER BY d DESC, id LIMIT 1),
+          |bv0 AS MATERIALIZED (SELECT id, 0 AS d FROM p)""".stripMargin +
+        unroll("b", 12) +
+        """
+          |SELECT (SELECT id FROM p) AS pivot_id,
+          |  CAST(d AS BIGINT) AS diameter_lb, count(*) AS peripheral
+          |FROM bv12 GROUP BY d ORDER BY d DESC LIMIT 1""".stripMargin
+    },
+    // winsorized stats: type-1 quantile clip bounds from the same
+    // value-compressed substrate as events_quantiles, then clipped
+    // int64 moments
+    "events_winsorize" ->
+      """WITH c AS (SELECT event_type,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, cents,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY event_type) AS n FROM c),
+        |p AS (SELECT unnest([10, 990]) AS p_pm),
+        |q AS (SELECT event_type, p_pm, CAST(min(cents) AS BIGINT)
+        |    AS q_cents
+        |  FROM m, p WHERE cum * 1000 >= p_pm * n GROUP BY 1, 2),
+        |b AS (SELECT event_type,
+        |    min(CASE WHEN p_pm = 10 THEN q_cents END) AS lo,
+        |    min(CASE WHEN p_pm = 990 THEN q_cents END) AS hi
+        |  FROM q GROUP BY 1),
+        |e AS (SELECT e.event_type,
+        |    CAST(floor(e.value * 100) AS BIGINT) AS cents, b.lo, b.hi
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, count(*) AS events,
+        |  CAST(min(lo) AS BIGINT) AS lo_cents,
+        |  CAST(min(hi) AS BIGINT) AS hi_cents,
+        |  CAST(sum(greatest(lo, least(hi, cents))) AS BIGINT)
+        |    AS clipped_cents_sum,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS capped_low,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS capped_high
+        |FROM e GROUP BY 1""".stripMargin,
     // ROLLUP grouping sets with sentinel-rendered levels; GROUPING()
     // bit order (first arg most significant) matches Spark grouping_id
     "events_rollup" ->

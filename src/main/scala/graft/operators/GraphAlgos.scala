@@ -305,23 +305,28 @@ object GraphAlgos {
     val spark = edges.sparkSession
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().localCheckpoint()
-    // Size the flood rounds' shuffle width to the data: a round is
-    // O(remaining edges) of work split across every shuffle partition,
-    // and on a small/shrinking remainder the per-task scheduling floor
-    // dominates — 32 partitions ran the sf0.1 gate 1.4× slower than 4
-    // (measured, ProbeScc). One partition per ~50k edges, capped at
-    // the cluster's parallelism, applied via the scoped-conf pattern
-    // of EventStreamOps.withStatePartitions (restored in finally).
+    withAdaptiveShuffleWidth(spark, e0.count()) {
+      sccLoop(spark, e0, maxOuter, maxFlood, requireConverged,
+        seqThreshold)
+    }
+  }
+
+  /** Size iterative rounds' shuffle width to the data: a round is
+    * O(edges) of work split across every shuffle partition, and on a
+    * small graph the per-task scheduling floor dominates — 32
+    * partitions ran the sf0.1 SCC gate 1.4× slower than 4 (measured,
+    * ProbeScc). One partition per ~50k rows, capped at the cluster's
+    * parallelism, applied via the scoped-conf pattern of
+    * EventStreamOps.withStatePartitions (restored in finally). */
+  private def withAdaptiveShuffleWidth[A](spark: SparkSession,
+                                          rows: Long)(f: => A): A = {
     val nPart = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
-      e0.count() / 50000L + 1L)).toInt
+      rows / 50000L + 1L)).toInt
     val partKey = "spark.sql.shuffle.partitions"
     val prevPart = spark.conf.get(partKey)
     spark.conf.set(partKey, nPart.toString)
-    try {
-    sccLoop(spark, e0, maxOuter, maxFlood, requireConverged,
-      seqThreshold)
-    } finally spark.conf.set(partKey, prevPart)
+    try f finally spark.conf.set(partKey, prevPart)
   }
 
   private def sccLoop(spark: SparkSession, e0: DataFrame, maxOuter: Int,
@@ -430,6 +435,78 @@ object GraphAlgos {
       throw new IllegalStateException(
         s"SCC peel did not finish in $maxOuter passes")
     out
+  }
+
+  /** Single-source BFS distances to convergence over a pre-partitioned
+    * undirected edge face: `(id, d)` for every vertex reachable from
+    * `start` within `maxHops` (frontier-delta rounds, each
+    * localCheckpointed; certify-or-throw past the cap — the kCore
+    * contract, so an unrolled oracle of the same depth describes the
+    * same set). */
+  private def bfsFrom(spark: SparkSession, reS: DataFrame, start: Long,
+                      maxHops: Int,
+                      requireConverged: Boolean): DataFrame = {
+    import spark.implicits._
+    var dist = Seq((start, 0)).toDF("id", "d").localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    var fsize = 1L
+    while (fsize > 0 && hop < maxHops) {
+      hop += 1
+      val next = reS.join(frontier, reS("src") === frontier("id"))
+        .select(reS("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("d", lit(hop))
+        .localCheckpoint()
+      fsize = next.count()
+      if (fsize > 0) dist = dist.union(next).localCheckpoint()
+      frontier = next
+    }
+    if (requireConverged && fsize > 0)
+      throw new IllegalStateException(
+        s"BFS did not converge in $maxHops hops")
+    dist
+  }
+
+  /**
+   * Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS from
+   * a deterministic seed (the smallest edge-incident vertex id), take
+   * the farthest vertex (max distance, min id tiebreak) as the pivot,
+   * BFS again — the pivot's eccentricity is the classic tight lower
+   * bound on the graph diameter (exact on trees; within a few percent
+   * on real graphs, vs O(n·m) for the exact diameter). Both sweeps run
+   * to convergence under `maxHops` certify-or-throw, so the unrolled
+   * oracle of the same depth describes the same fixpoint. Everything
+   * is integer BFS — deterministic, oracle-exact.
+   * Output: one row `(pivot_id, diameter_lb, peripheral)` where
+   * `peripheral` counts vertices at the pivot's eccentricity.
+   *
+   * Scale shape: the undirected edge face is hash-partitioned on the
+   * join key ONCE (the LPA move); each hop is one equi-join + distinct
+   * + anti-join on the frontier DELTA, never the visited set; shuffle
+   * width sized to the edge count ([[withAdaptiveShuffleWidth]]).
+   * Driver state is two bounded scalars (seed, pivot).
+   */
+  def doubleSweepDiameter(g: GraphStore, maxHops: Int = 12,
+                          requireConverged: Boolean = true): DataFrame = {
+    val spark = g.edges.sparkSession
+    val e0 = g.edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst"), col("src"))).distinct()
+    withAdaptiveShuffleWidth(spark, und.count()) {
+      val reS = und.repartition(col("src")).localCheckpoint()
+      val start = reS.agg(min(least(col("src"), col("dst"))))
+        .collect().head.getLong(0)
+      val d1 = bfsFrom(spark, reS, start, maxHops, requireConverged)
+      val pivot = d1.orderBy(col("d").desc, col("id").asc).limit(1)
+        .collect().head.getLong(0)
+      val d2 = bfsFrom(spark, reS, pivot, maxHops, requireConverged)
+      // one aggregate: the max-distance group IS (ecc, peripheral)
+      d2.groupBy(col("d")).agg(count(lit(1)).as("peripheral"))
+        .orderBy(col("d").desc).limit(1)
+        .select(lit(pivot).as("pivot_id"),
+          col("d").cast("long").as("diameter_lb"), col("peripheral"))
+    }
   }
 
   /**

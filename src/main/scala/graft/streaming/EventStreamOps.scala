@@ -685,6 +685,47 @@ object EventStreamOps {
   }
 
   /**
+   * Winsorized per-type value statistics — the robust-scaling /
+   * outlier-capping report every feature pipeline runs before
+   * normalization: values are clipped to the type's exact
+   * [`loPm`, `hiPm`] per-mille quantiles (type-1, from
+   * [[exactQuantiles]]' value-compressed substrate — never a
+   * per-type sort over events) and the clipped integer-cent moments
+   * reported alongside the clip bounds and how many rows each side
+   * capped. Pure int64 — oracle-exact.
+   *
+   * Scale shape: the quantile table is per-(type, bound) — broadcast
+   * back onto the stream; one partial-aggregable pass computes every
+   * output column.
+   */
+  def winsorizedStats(events: DataFrame, loPm: Int = 10,
+                      hiPm: Int = 990,
+                      typeCol: String = "event_type",
+                      valueCol: String = "value"): DataFrame = {
+    require(loPm >= 0 && hiPm <= 1000 && loPm < hiPm,
+      s"need 0 <= loPm < hiPm <= 1000, got $loPm/$hiPm")
+    val qs = exactQuantiles(events, Seq(loPm, hiPm), typeCol, valueCol)
+      .groupBy(col(typeCol))
+      .agg(min(when(col("p_pm") === loPm, col("q_cents"))).as("__lo"),
+        min(when(col("p_pm") === hiPm, col("q_cents"))).as("__hi"))
+    events
+      .select(col(typeCol),
+        floor(col(valueCol) * 100).cast("long").as("__cents"))
+      .join(broadcast(qs), Seq(typeCol))
+      .withColumn("__clip",
+        greatest(col("__lo"), least(col("__hi"), col("__cents"))))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("events"),
+        min(col("__lo")).as("lo_cents"),
+        min(col("__hi")).as("hi_cents"),
+        sum(col("__clip")).as("clipped_cents_sum"),
+        sum(when(col("__cents") < col("__lo"), 1L).otherwise(0L))
+          .as("capped_low"),
+        sum(when(col("__cents") > col("__hi"), 1L).otherwise(0L))
+          .as("capped_high"))
+  }
+
+  /**
    * Batch interval join via bucketization — "which events fall inside
    * which validity periods" (promo windows, experiment arms, incident
    * ranges) without the nested-loop theta join Spark would otherwise

@@ -745,6 +745,28 @@ class GraphAlgosSpec extends SparkSpec {
       requireConverged = false).count() == 0L)
   }
 
+  test("doubleSweepDiameter: exact on a tree, certify-or-throw") {
+    import spark.implicits._
+    // star-with-tails: 1-2-3-4-5 path plus 3-6, 6-7 branch: farthest
+    // from min vertex 1 is 7 (d=4)... pivot BFS gives true diameter 4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 6L), (6L, 7L)).toDF("src", "dst")
+    val g = graft.sources.GraphStore(Seq(1L).toDF("id"),
+      edges.withColumn("label", lit("e")))
+    val out = GraphAlgos.doubleSweepDiameter(g, maxHops = 8)
+      .collect().head
+    // sweep 1 from vertex 1: farthest are {5, 7} at d=4 -> pivot 5
+    // (min id); sweep 2 from 5: ecc 4, peripheral = the d=4 shell
+    // {1 (5-4-3-2-1), 7 (5-4-3-6-7)}
+    assert(out.getLong(0) == 5L)
+    assert(out.getLong(1) == 4L)
+    assert(out.getLong(2) == 2L)
+    // a hop cap below the eccentricity must throw, not under-report
+    intercept[IllegalStateException] {
+      GraphAlgos.doubleSweepDiameter(g, maxHops = 2)
+    }
+  }
+
   // ---------------- strongly connected components ----------------
 
   private def sccMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =

@@ -447,6 +447,22 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("winsorizedStats: hand-checked clip bounds and capped counts") {
+    import spark.implicits._
+    // one type, cents 1..10 (values 0.01..0.10): p50 bound = 5, p90 = 9
+    val ev = (1 to 10).map(i => ("t", i / 100.0)).toDF("event_type", "value")
+    val out = EventStreamOps.winsorizedStats(ev, loPm = 500, hiPm = 900)
+      .collect().head
+    assert(out.getString(0) == "t")
+    assert(out.getLong(1) == 10L)     // events
+    assert(out.getLong(2) == 5L)      // lo = type-1 p50
+    assert(out.getLong(3) == 9L)      // hi = type-1 p90
+    // clipped: 5,5,5,5,5,6,7,8,9,9 -> 64
+    assert(out.getLong(4) == 64L)
+    assert(out.getLong(5) == 4L)      // 1..4 capped low
+    assert(out.getLong(6) == 1L)      // 10 capped high
+  }
+
   test("streamedCountMin equals the batch sketch chain") {
     val path = "/root/testdata/sf0.001/documents.parquet"
     val shardDir = java.nio.file.Files
