@@ -1453,6 +1453,23 @@ object SparkEntry {
     "graph_diameter" -> ((spark, sfDir) =>
       operators.GraphAlgos.doubleSweepDiameter(
         sources.GraphStore.tpch(spark, sfDir), maxHops = 12)),
+    // Luby-on-the-line-graph maximal matching over the co-purchase
+    // projection: strict deterministic edge priorities (md5 +
+    // endpoint-sum tiebreak) make each round's local-minimum winners
+    // — and the 8-round unrolled oracle — exact
+    "graph_matching" -> ((spark, sfDir) =>
+      operators.GraphAlgos.maximalMatching(
+        operators.GraphAlgos.coOccurrencePairs(
+          sources.GraphStore.tpch(spark, sfDir), label = "contains",
+          minShared = 2), maxRounds = 8)),
+    // ColBERT-style MaxSim late interaction: 4 token sub-vectors per
+    // embedding, per-query-token max cosine against any doc token,
+    // left-folded exact double sum — ranked on the raw score
+    "embed_maxsim" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      operators.SimilarityOps.maxSimTopK(
+        e.filter(col("vec_id") < 10), e, k = 5)
+    }),
   )
 
   /** The planted multi-pass SCC gadget: three 3-cycles X > Y > Z (by
@@ -3750,6 +3767,73 @@ object SparkEntry {
           |SELECT (SELECT id FROM p) AS pivot_id,
           |  CAST(d AS BIGINT) AS diameter_lb, count(*) AS peripheral
           |FROM bv12 GROUP BY d ORDER BY d DESC LIMIT 1""".stripMargin
+    },
+    // maximal-matching unroll (the graph_mis pattern on the line
+    // graph): per round, an edge wins iff its priority is the min at
+    // BOTH endpoints; winners' endpoints deactivate their edges
+    "graph_matching" -> {
+      val base =
+        """WITH ce AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+          |    l_partkey + 2000000000 AS p FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.p AS id_a, b.p AS id_b
+          |  FROM ce a JOIN ce b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |ea0 AS MATERIALIZED (SELECT id_a, id_b,
+          |  (CAST('0x' || substr(md5(CAST(id_a AS VARCHAR) || ':' ||
+          |     CAST(id_b AS VARCHAR)), 1, 8) AS BIGINT)
+          |   % 1073741824) * 2147483648
+          |  + (id_a + id_b) % 2147483648 AS p FROM e0)""".stripMargin
+      val rounds = (1 to 8).map { i =>
+        s""",
+           |vm$i AS MATERIALIZED (SELECT v, min(p) AS mn FROM (
+           |  SELECT id_a AS v, p FROM ea${i - 1}
+           |  UNION ALL SELECT id_b, p FROM ea${i - 1}) GROUP BY v),
+           |w$i AS MATERIALIZED (SELECT e.id_a, e.id_b FROM ea${i - 1} e
+           |  JOIN vm$i a ON a.v = e.id_a AND a.mn = e.p
+           |  JOIN vm$i b ON b.v = e.id_b AND b.mn = e.p),
+           |ea$i AS MATERIALIZED (SELECT * FROM ea${i - 1} e
+           |  WHERE NOT EXISTS (SELECT 1 FROM w$i w
+           |    WHERE w.id_a = e.id_a OR w.id_a = e.id_b
+           |       OR w.id_b = e.id_a OR w.id_b = e.id_b))""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT id_a, id_b FROM (
+          |  SELECT * FROM w1 UNION ALL SELECT * FROM w2
+          |  UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4
+          |  UNION ALL SELECT * FROM w5 UNION ALL SELECT * FROM w6
+          |  UNION ALL SELECT * FROM w7 UNION ALL SELECT * FROM w8)"""
+          .stripMargin
+    },
+    // MaxSim: per (query, neighbor, query-token) the max token cosine
+    // (each cosine = the engine-exact double dot/norm single division
+    // over a 16-element slice), then the LEFT-FOLDED exact sum — the
+    // identical double expression tree the Spark side evaluates
+    "embed_maxsim" -> {
+      def tdot(ae: String, as: String, be: String, bs: String): String =
+        s"list_sum([CAST($ae[i + $as * 16] AS DOUBLE) * " +
+        s"CAST($be[i + $bs * 16] AS DOUBLE) for i in range(1, 17)])"
+      def m(t: Int): String = s"max(CASE WHEN qt = $t THEN m END)"
+      s"""WITH pr AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  q.embedding AS qe, b.embedding AS be
+         |  FROM embeddings q JOIN embeddings b
+         |    ON q.vec_id < 10 AND b.vec_id <> q.vec_id),
+         |c AS (SELECT query_id, neighbor_id, st.s AS qt,
+         |  max(${tdot("qe", "st.s", "be", "tt.t")}
+         |    / (sqrt(${tdot("qe", "st.s", "qe", "st.s")})
+         |       * sqrt(${tdot("be", "tt.t", "be", "tt.t")}))) AS m
+         |  FROM pr, (SELECT unnest(range(4)) AS s) st,
+         |    (SELECT unnest(range(4)) AS t) tt
+         |  GROUP BY 1, 2, 3),
+         |v AS (SELECT query_id, neighbor_id,
+         |  ((${m(0)} + ${m(1)}) + ${m(2)}) + ${m(3)} AS score
+         |  FROM c GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS rank FROM v)
+         |SELECT query_id, neighbor_id, round(score, 4) AS maxsim,
+         |  CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5"""
+        .stripMargin
     },
     // winsorized stats: type-1 quantile clip bounds from the same
     // value-compressed substrate as events_quantiles, then clipped

@@ -1604,4 +1604,82 @@ object GraphAlgos {
     if (winnersAcc.isEmpty) e0.select(col("id_a").as("id")).limit(0)
     else winnersAcc.reduce(_ union _).select(col("id"))
   }
+
+  /** Deterministic edge priority for [[maximalMatching]]: md5 of the
+    * canonical `"a:b"` pair string (the cross-engine 32-bit idiom of
+    * [[lubyPrio]]) shifted up, plus `(id_a+id_b) mod 2^31` as the
+    * tiebreak — ADJACENT edges share one endpoint and differ in the
+    * other, so their endpoint sums differ and the priority order is
+    * strict among every pair of adjacent edges (a tie would deadlock
+    * the local-minimum rule; non-adjacent ties are harmless). */
+  private def edgePrio(a: String, b: String): Column = expr(
+    s"(cast(conv(substring(md5(concat(cast($a as string), ':', " +
+    s"cast($b as string))), 1, 8), 16, 10) as bigint) % 1073741824) " +
+    s"* 2147483648 + pmod($a + $b, 2147483648)")
+
+  /**
+   * Maximal matching by parallel local-minimum edge selection — Luby
+   * symmetry-breaking on the line graph (the Israeli-Itai idiom with
+   * fixed deterministic priorities): each round, an edge whose
+   * priority is the strict minimum among all edges at BOTH of its
+   * endpoints joins the matching; its endpoints' remaining edges
+   * deactivate. With a strict priority order on adjacent edges the
+   * result is exactly the sequential greedy matching by ascending
+   * priority (the lexicographically-first maximal matching), so a
+   * driver replica can verify it and an unrolled oracle describes the
+   * same fixpoint. Maximal (no augmenting-edge left), not maximum —
+   * the standard ≥1/2-approximation every distributed dedup-pairing /
+   * resource-assignment pass uses.
+   *
+   * Input: undirected pair list (`id_a < id_b`, unique per pair).
+   * Output: `(id_a, id_b)` — the matched pairs.
+   *
+   * Scale shape: one partial-aggregable min per vertex (a celebrity
+   * vertex's incident-edge priorities combine map-side — never a
+   * per-vertex window), two equi-joins to test the min at both
+   * endpoints, two anti-joins to deactivate — all on vertex ids;
+   * rounds localCheckpoint (the iterative-loop invariant); the
+   * matching is the lazy union of per-round checkpointed winner
+   * frontiers. `requireConverged` throws past `maxRounds` (the
+   * unrolled-oracle contract of [[maximalIndependentSet]]).
+   */
+  def maximalMatching(pairs: DataFrame, maxRounds: Int = 8,
+                      requireConverged: Boolean = true): DataFrame = {
+    var ea = pairs.select(col("id_a"), col("id_b"),
+      edgePrio("id_a", "id_b").as("__p")).localCheckpoint()
+    var remaining = ea.count()
+    var winnersAcc = List.empty[DataFrame]
+    var round = 0
+    while (remaining > 0L && round < maxRounds) {
+      val inc = ea.select(col("id_a").as("__v"), col("__p"))
+        .union(ea.select(col("id_b").as("__v"), col("__p")))
+      val vmin = inc.groupBy(col("__v")).agg(min(col("__p")).as("__mn"))
+      val winners = ea
+        .join(vmin.select(col("__v").as("id_a"), col("__mn").as("__ma")),
+          Seq("id_a"))
+        .join(vmin.select(col("__v").as("id_b"), col("__mn").as("__mb")),
+          Seq("id_b"))
+        .filter(col("__p") === col("__ma") && col("__p") === col("__mb"))
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val matchedV = winners.select(col("id_a").as("__v"))
+        .union(winners.select(col("id_b").as("__v"))).distinct()
+      ea = ea
+        .join(matchedV.select(col("__v").as("id_a")), Seq("id_a"),
+          "left_anti")
+        .join(matchedV.select(col("__v").as("id_b")), Seq("id_b"),
+          "left_anti")
+        .localCheckpoint()
+      winnersAcc ::= winners
+      remaining = ea.count()
+      round += 1
+    }
+    if (remaining > 0L && requireConverged)
+      throw new IllegalStateException(
+        s"maximalMatching did not converge in $maxRounds rounds " +
+        s"($remaining edges still active) — a $maxRounds-round " +
+        "unrolled oracle would diverge")
+    if (winnersAcc.isEmpty) pairs.select(col("id_a"), col("id_b")).limit(0)
+    else winnersAcc.reduce(_ union _).select(col("id_a"), col("id_b"))
+  }
 }

@@ -94,6 +94,70 @@ object SimilarityOps {
   }
 
   /**
+   * ColBERT-style late-interaction (MaxSim) top-k: each vector is
+   * viewed as `tokens` contiguous sub-vectors ("token embeddings");
+   * score(q, d) = Σ over query tokens of the MAX cosine against any
+   * document token (Khattab & Zaharia, SIGIR'20). Multi-vector
+   * retrieval keeps per-token detail a single pooled vector loses —
+   * the standard rerank face over an ANN candidate stage.
+   *
+   * Cross-engine float parity: every token cosine is a single
+   * division of the engine-exact double dot/norm chain ([[dot]]);
+   * the per-query-token max is order-free; and the final score sums
+   * the `tokens` maxes in one EXPLICITLY LEFT-FOLDED expression
+   * (`((m0+m1)+m2)+m3`) — both engines evaluate the identical double
+   * expression tree, so the raw score (ranked on, rounded for
+   * display) is bit-exact. The per-token max and the token pivot are
+   * both partial-aggregable group-bys — no window until the final
+   * bounded rank.
+   *
+   * Scale shape: the query token table broadcasts (bounded query
+   * batches, the [[bruteForceTopK]] contract); the corpus side is
+   * one codegen'd scan + two map-side-combining aggregations. This
+   * is the exact face — at corpus scale feed `corpus` as the
+   * candidate set of an ANN stage ([[lshTopK]]/[[ivfTopK]]) and
+   * MaxSim-rerank only the candidates.
+   */
+  def maxSimTopK(queries: DataFrame, corpus: DataFrame,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 dim: Int = 64, tokens: Int = 4,
+                 k: Int = 10): DataFrame = {
+    require(dim % tokens == 0, s"dim=$dim must split into $tokens tokens")
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val sd = dim / tokens
+    def tokenView(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), posexplode(expr(
+          s"transform(sequence(0, ${tokens - 1}), s -> " +
+          s"slice($vecCol, s * $sd + 1, $sd))")).as(Seq("__t", "__tv")))
+        .select(col(id), col("__t"), col("__tv"),
+          l2norm(col("__tv")).as("__tn"))
+    val qt = tokenView(queries, "query_id")
+      .select(col("query_id"), col("__t").as("__qt"),
+        col("__tv").as("__qv"), col("__tn").as("__qn"))
+    val dt = tokenView(corpus, "neighbor_id")
+    // per (query, neighbor, query-token): best document token
+    val best = dt.crossJoin(broadcast(qt))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos",
+        dot(col("__qv"), col("__tv")) / (col("__qn") * col("__tn")))
+      .groupBy(col("query_id"), col("neighbor_id"), col("__qt"))
+      .agg(max(col("__cos")).as("__m"))
+    // pivot the token maxes to columns, then the balanced exact sum
+    val tokenMax = (0 until tokens).map(t =>
+      max(when(col("__qt") === t, col("__m"))).as(s"__m$t"))
+    val pivoted = best.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(tokenMax.head, tokenMax.tail: _*)
+    val score = (0 until tokens).map(t => col(s"__m$t"))
+      .reduce((a, b) => (a + b)) // left fold == the oracle's parens
+    pivoted.withColumn("__score", score)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("__score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__score"), 4).as("maxsim"), col("rank"))
+  }
+
+  /**
    * Mutual-kNN graph construction over an embedding corpus — the
    * substrate semantic-clustering pipelines (SemDeDup-style cluster
    * refinement, kNN-graph community detection, label propagation over

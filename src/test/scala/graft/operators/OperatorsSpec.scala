@@ -639,6 +639,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("maxsim top-k matches a driver-side late-interaction reference") {
+    val k = 5
+    val out = SimilarityOps.maxSimTopK(
+      embs.filter(col("vec_id") === 0), embs, k = k)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val vecs = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    // 4 tokens of 16 dims; per query token the max doc-token cosine,
+    // summed by the same left fold the operator and oracle use
+    def maxsim(q: Array[Float], d: Array[Float]): Double =
+      (0 until 4).map(s => (0 until 4).map(t =>
+        cos(q.slice(s * 16, s * 16 + 16), d.slice(t * 16, t * 16 + 16)))
+        .max).reduce(_ + _)
+    val qv = vecs(0L)
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, maxsim(qv, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+      .map { case (id, s) =>
+        (id, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(out == expected)
+  }
+
   test("lsh top-k achieves reasonable recall vs brute force") {
     val queries = embs.filter(col("vec_id") < 20).cache()
     val k = 10
