@@ -121,3 +121,119 @@ case class BoundedMinIds(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(sortKey = newChildren(0), id = newChildren(1))
 }
+
+/**
+ * Bounded per-key top-`cap` (sortKey, id) PAIRS: keeps the `cap`
+ * smallest `(double sortKey, long id)` pairs seen in the group and
+ * returns them ascending as `array<struct<s: double, id: bigint>>` —
+ * the position in the array IS the rank.
+ *
+ * This is [[BoundedMinIds]] for the ANN top-k cut: `row_number().over(
+ * partitionBy(query).orderBy(score, id))` drags every scored
+ * (query, neighbor) row through one task's sort per query — at corpus
+ * scale the per-query candidate set is the whole corpus for the exact
+ * faces, and the window shuffle carries q·corpus rows. This aggregate
+ * makes the cut partial-aggregable: each map task keeps ≤cap pairs per
+ * query (constant-size buffer, early-skip once full), the shuffle
+ * carries ≤cap entries per (partition, query), and the reduce merge is
+ * a bounded sorted-set union. Selection and order are IDENTICAL to the
+ * window formulation (the union of per-partition top-caps contains the
+ * global top-cap; ties break by id ascending). Descending sorts ride a
+ * negated sortKey (exact in IEEE doubles). NaN sort keys order largest
+ * (total order), matching Spark's sort; null sortKey/id rows are
+ * skipped like [[BoundedMinIds]].
+ */
+case class BoundedMinPairs(
+    sortKey: Expression,
+    id: Expression,
+    cap: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+
+  require(cap > 0, s"cap must be positive, got $cap")
+
+  private def ord: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
+    new java.util.TreeSet[(Double, Long)](ord)
+
+  override def update(buf: java.util.TreeSet[(Double, Long)],
+                      input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+    val k = sortKey.eval(input)
+    val i = id.eval(input)
+    if (k != null && i != null) {
+      val cand = (k.asInstanceOf[Double], i.asInstanceOf[Long])
+      if (buf.size < cap || ord.lt(cand, buf.last())) {
+        buf.add(cand)
+        if (buf.size > cap) buf.pollLast()
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[(Double, Long)],
+                     other: java.util.TreeSet[(Double, Long)])
+      : java.util.TreeSet[(Double, Long)] = {
+    val it = other.iterator()
+    var done = false
+    while (it.hasNext && !done) {
+      val cand = it.next()
+      if (buf.size < cap || ord.lt(cand, buf.last())) {
+        buf.add(cand)
+        if (buf.size > cap) buf.pollLast()
+      } else done = true // `other` is ascending: the rest are larger
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (s, id) = it.next()
+      out(i) = InternalRow(s, id)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val (s, i) = it.next()
+      out.writeDouble(s); out.writeLong(i)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.add((in.readDouble(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def children: Seq[Expression] = Seq(sortKey, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_bounded_min_pairs"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedMinPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedMinPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(sortKey = newChildren(0), id = newChildren(1))
+}
