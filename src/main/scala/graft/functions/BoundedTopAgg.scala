@@ -122,6 +122,37 @@ case class BoundedMinIds(
     copy(sortKey = newChildren(0), id = newChildren(1))
 }
 
+/** Mutable bounded MULTISET of (sortKey, id) pairs — [[BoundedMinPairs]]'
+  * aggregation buffer. Entries carry a multiplicity so duplicate input
+  * rows rank exactly like `row_number` would rank them (the TreeSet
+  * form silently collapsed equal pairs — an untested divergence from
+  * the window formulation this replaces). */
+final class PairBag {
+  val m = new java.util.TreeMap[(Double, Long), Int](PairBag.ord)
+  var total = 0
+
+  /** One bounded insert: admit when under `cap`, or when strictly
+    * smaller than the current max (then evict one instance of the
+    * max). A candidate EQUAL to the max of a full bag is rank cap+1 in
+    * the window formulation — correctly skipped. */
+  def add(cand: (Double, Long), cap: Int): Unit = {
+    if (total < cap) {
+      m.merge(cand, 1, (a: Int, b: Int) => a + b)
+      total += 1
+    } else if (PairBag.ord.lt(cand, m.lastKey())) {
+      m.merge(cand, 1, (a: Int, b: Int) => a + b)
+      val last = m.lastEntry()
+      if (last.getValue > 1) m.put(last.getKey, last.getValue - 1)
+      else m.remove(last.getKey)
+    }
+  }
+}
+
+object PairBag {
+  val ord: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+}
+
 /**
  * Bounded per-key top-`cap` (sortKey, id) PAIRS: keeps the `cap`
  * smallest `(double sortKey, long id)` pairs seen in the group and
@@ -136,12 +167,14 @@ case class BoundedMinIds(
  * makes the cut partial-aggregable: each map task keeps ≤cap pairs per
  * query (constant-size buffer, early-skip once full), the shuffle
  * carries ≤cap entries per (partition, query), and the reduce merge is
- * a bounded sorted-set union. Selection and order are IDENTICAL to the
- * window formulation (the union of per-partition top-caps contains the
- * global top-cap; ties break by id ascending). Descending sorts ride a
- * negated sortKey (exact in IEEE doubles). NaN sort keys order largest
- * (total order), matching Spark's sort; null sortKey/id rows are
- * skipped like [[BoundedMinIds]].
+ * a bounded sorted-multiset union. Selection and order are IDENTICAL
+ * to the window formulation (the union of per-partition top-caps
+ * contains the global top-cap; ties break by id ascending; duplicate
+ * (sortKey, id) input rows carry multiplicity, exactly as row_number
+ * counts them). Descending sorts ride a negated sortKey (exact in IEEE
+ * doubles). NaN sort keys order largest (total order), matching
+ * Spark's sort; null sortKey/id rows are skipped like
+ * [[BoundedMinIds]].
  */
 case class BoundedMinPairs(
     sortKey: Expression,
@@ -149,76 +182,76 @@ case class BoundedMinPairs(
     cap: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+  extends TypedImperativeAggregate[PairBag] {
 
   require(cap > 0, s"cap must be positive, got $cap")
 
-  private def ord: Ordering[(Double, Long)] =
-    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+  override def createAggregationBuffer(): PairBag = new PairBag
 
-  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
-    new java.util.TreeSet[(Double, Long)](ord)
-
-  override def update(buf: java.util.TreeSet[(Double, Long)],
-                      input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+  override def update(buf: PairBag, input: InternalRow): PairBag = {
     val k = sortKey.eval(input)
     val i = id.eval(input)
-    if (k != null && i != null) {
-      val cand = (k.asInstanceOf[Double], i.asInstanceOf[Long])
-      if (buf.size < cap || ord.lt(cand, buf.last())) {
-        buf.add(cand)
-        if (buf.size > cap) buf.pollLast()
+    if (k != null && i != null)
+      buf.add((k.asInstanceOf[Double], i.asInstanceOf[Long]), cap)
+    buf
+  }
+
+  override def merge(buf: PairBag, other: PairBag): PairBag = {
+    val it = other.m.entrySet().iterator()
+    var done = false
+    while (it.hasNext && !done) {
+      val e = it.next()
+      // `other` is ascending: once a key can't be admitted (full bag,
+      // key >= max), none of the rest can
+      if (buf.total >= cap && !PairBag.ord.lt(e.getKey, buf.m.lastKey()))
+        done = true
+      else {
+        var c = e.getValue
+        while (c > 0) { buf.add(e.getKey, cap); c -= 1 }
       }
     }
     buf
   }
 
-  override def merge(buf: java.util.TreeSet[(Double, Long)],
-                     other: java.util.TreeSet[(Double, Long)])
-      : java.util.TreeSet[(Double, Long)] = {
-    val it = other.iterator()
-    var done = false
-    while (it.hasNext && !done) {
-      val cand = it.next()
-      if (buf.size < cap || ord.lt(cand, buf.last())) {
-        buf.add(cand)
-        if (buf.size > cap) buf.pollLast()
-      } else done = true // `other` is ascending: the rest are larger
-    }
-    buf
-  }
-
-  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: PairBag): Any = {
+    val out = new Array[Any](buf.total)
+    val it = buf.m.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
-      val (s, id) = it.next()
-      out(i) = InternalRow(s, id)
-      i += 1
+      val e = it.next()
+      val (s, id) = e.getKey
+      var c = e.getValue
+      while (c > 0) { out(i) = InternalRow(s, id); i += 1; c -= 1 }
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+  override def serialize(buf: PairBag): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.iterator()
+    out.writeInt(buf.m.size())
+    val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
-      val (s, i) = it.next()
-      out.writeDouble(s); out.writeLong(i)
+      val e = it.next()
+      out.writeDouble(e.getKey._1); out.writeLong(e.getKey._2)
+      out.writeInt(e.getValue)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): PairBag = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.add((in.readDouble(), in.readLong())); i += 1 }
+    while (i < n) {
+      val k = (in.readDouble(), in.readLong())
+      val c = in.readInt()
+      buf.m.put(k, c)
+      buf.total += c
+      i += 1
+    }
     buf
   }
 

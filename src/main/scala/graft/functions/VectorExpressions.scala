@@ -513,7 +513,9 @@ object VectorExpressions {
     // aggregate: the analyzer wraps a bare AggregateFunction returned
     // by a registry builder in an AggregateExpression (Complete)
     "graft_bounded_min_ids" -> (exprs => BoundedMinIds(exprs(0), exprs(1),
-      intLitAt(exprs, 2, "graft_bounded_min_ids cap"))))
+      intLitAt(exprs, 2, "graft_bounded_min_ids cap"))),
+    "graft_bounded_min_pairs" -> (exprs => BoundedMinPairs(exprs(0),
+      exprs(1), intLitAt(exprs, 2, "graft_bounded_min_pairs cap"))))
 
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
@@ -556,4 +558,6 @@ object VectorExpressions {
   }
   def boundedMinIds(sortKey: Column, id: Column, cap: Int): Column =
     call_function("graft_bounded_min_ids", sortKey, id, lit(cap))
+  def boundedMinPairs(sortKey: Column, id: Column, cap: Int): Column =
+    call_function("graft_bounded_min_pairs", sortKey, id, lit(cap))
 }

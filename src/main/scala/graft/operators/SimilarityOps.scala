@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -38,6 +37,40 @@ object SimilarityOps {
     dot(a, b) / (l2norm(a) * l2norm(b))
 
   /**
+   * Bounded per-key top-`k` cut — the shared rank stage of every ANN
+   * face here. Replaces `row_number().over(partitionBy(key)
+   * .orderBy(score, id)) … filter(rank <= k)`: the window drags each
+   * key's FULL candidate set through one task's sort (for the exact
+   * faces that set is the whole corpus per query), while
+   * [[graft.functions.BoundedMinPairs]] is partial-aggregable — map
+   * tasks keep ≤k pairs per key, the shuffle carries ≤k entries per
+   * (partition, key), the reduce merge is a bounded multiset union.
+   * Selection and order equal the window formulation exactly (ties by
+   * id ascending; duplicate (score, id) rows carry multiplicity); the
+   * raw score is reconstructed exactly (negation is exact in IEEE
+   * doubles). Requires a LONG-castable id (every vec_id here). NaN
+   * scores rank last in either direction (no operator here can
+   * produce one: norms are positive and vectors non-empty).
+   * Output: `(keyCol, idCol, scoreCol, rank)` — rank 1-based, ranked
+   * on the RAW score.
+   */
+  private def boundedTopK(df: DataFrame, keyCol: String, idCol: String,
+                          scoreCol: String, k: Int,
+                          descending: Boolean): DataFrame = {
+    val sk = if (descending) -col(scoreCol) else col(scoreCol)
+    df.groupBy(col(keyCol))
+      .agg(graft.functions.VectorExpressions.boundedMinPairs(
+        sk.cast("double"), col(idCol).cast("long"), k).as("__top"))
+      .select(col(keyCol),
+        posexplode(col("__top")).as(Seq("__pos", "__pair")))
+      .select(col(keyCol),
+        col("__pair.id").as(idCol),
+        (if (descending) -col("__pair.s") else col("__pair.s"))
+          .as(scoreCol),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
+  /**
    * Exact top-k by cosine for each query vector. `queries` is expected
    * to be small (it is broadcast); ties broken by corpus id for
    * determinism. Returns `(query_id, neighbor_id, cosine, rank)`.
@@ -55,10 +88,8 @@ object SimilarityOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    scored
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    boundedTopK(scored, "query_id", "neighbor_id", "cosine", k,
+        descending = true)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
@@ -122,6 +153,55 @@ object SimilarityOps {
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  dim: Int = 64, tokens: Int = 4,
                  k: Int = 10): DataFrame = {
+    val (qt, dt) = maxSimViews(queries, corpus, idCol, vecCol, dim, tokens)
+    maxSimCut(dt.crossJoin(broadcast(qt)), tokens, k)
+  }
+
+  /**
+   * MaxSim over TOKEN-level ANN candidates — the PRODUCTION
+   * late-interaction deployment ([[maxSimTopK]]'s scaladoc contract
+   * made operational, and the retrieval shape of Khattab & Zaharia's
+   * ColBERT: each query token retrieves candidate documents by
+   * token-embedding ANN, then the full MaxSim scores only the
+   * candidates). A pooled-vector shortlist is the WRONG stage-1 here
+   * — pooling destroys exactly the per-token detail MaxSim ranks on
+   * (measured: pooled-LSH top-50 recalls <2/5 of the exact MaxSim
+   * top-5 for most queries at sf0.01; token-level candidates recall
+   * ≥4/5).
+   *
+   * Stage 1: doc TOKEN sub-vectors are sign-bucketed
+   * ([[signBuckets]] on the `dim/tokens`-wide token space); each
+   * query token probes its own bucket per table — candidates are
+   * collision-bounded bucket equi-joins, never a corpus scan. Stage
+   * 2: one equi-join restricts the token views to candidate pairs
+   * and [[maxSimCut]] scores tokens² cosines per CANDIDATE (never
+   * tokens² × corpus). Output matches [[maxSimTopK]]:
+   * `(query_id, neighbor_id, maxsim, rank)`; the recall gate
+   * hash-checks a floor against the exact face.
+   */
+  def maxSimRerank(queries: DataFrame, corpus: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   dim: Int = 64, tokens: Int = 4, k: Int = 10,
+                   nBits: Int = 8, nTables: Int = 8): DataFrame = {
+    val (qt, dt) = maxSimViews(queries, corpus, idCol, vecCol, dim, tokens)
+    val sd = dim / tokens
+    val db = dt.select(col("neighbor_id"),
+      explode(signBuckets(col("__tv"), sd, nBits, nTables)).as("__bucket"))
+    val qb = qt.select(col("query_id"),
+      explode(signBuckets(col("__qv"), sd, nBits, nTables)).as("__bucket"))
+    val cand = db.join(broadcast(qb), "__bucket")
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    maxSimCut(dt.join(cand, "neighbor_id").join(broadcast(qt), "query_id"),
+      tokens, k)
+  }
+
+  /** Token views of the query and corpus sides for MaxSim: each
+    * embedding split into `tokens` contiguous sub-vectors with norms.
+    * Returns `(qt, dt)` — qt: `(query_id, __qt, __qv, __qn)`,
+    * dt: `(neighbor_id, __t, __tv, __tn)`. */
+  private def maxSimViews(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, dim: Int,
+                          tokens: Int): (DataFrame, DataFrame) = {
     require(dim % tokens == 0, s"dim=$dim must split into $tokens tokens")
     graft.functions.VectorExpressions.register(queries.sparkSession)
     val sd = dim / tokens
@@ -134,9 +214,17 @@ object SimilarityOps {
     val qt = tokenView(queries, "query_id")
       .select(col("query_id"), col("__t").as("__qt"),
         col("__tv").as("__qv"), col("__tn").as("__qn"))
-    val dt = tokenView(corpus, "neighbor_id")
+    (qt, tokenView(corpus, "neighbor_id"))
+  }
+
+  /** Shared MaxSim scoring + bounded cut over (query token × doc
+    * token) pair rows: per-(query, neighbor, query-token) max cosine,
+    * token pivot, the explicitly left-folded exact sum, then the
+    * bounded top-k. Both aggregations are partial-aggregable. */
+  private def maxSimCut(pairsTok: DataFrame, tokens: Int,
+                        k: Int): DataFrame = {
     // per (query, neighbor, query-token): best document token
-    val best = dt.crossJoin(broadcast(qt))
+    val best = pairsTok
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__cos",
         dot(col("__qv"), col("__tv")) / (col("__qn") * col("__tn")))
@@ -149,10 +237,8 @@ object SimilarityOps {
       .agg(tokenMax.head, tokenMax.tail: _*)
     val score = (0 until tokens).map(t => col(s"__m$t"))
       .reduce((a, b) => (a + b)) // left fold == the oracle's parens
-    pivoted.withColumn("__score", score)
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("__score").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    boundedTopK(pivoted.withColumn("__score", score),
+        "query_id", "neighbor_id", "__score", k, descending = true)
       .select(col("query_id"), col("neighbor_id"),
         round(col("__score"), 4).as("maxsim"), col("rank"))
   }
@@ -192,13 +278,12 @@ object SimilarityOps {
                        dim: Int, idCol: String,
                        vecCol: String): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
-    val topk = knnCandidates(df, nBits, nTables, dim, idCol, vecCol)
+    val scored = knnCandidates(df, nBits, nTables, dim, idCol, vecCol)
       .filter(col("src") =!= col("dst"))
       .withColumn("__cos",
         dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
-      .withColumn("rank", row_number().over(Window.partitionBy("src")
-        .orderBy(col("__cos").desc, col("dst"))))
-      .filter(col("rank") <= k)
+    val topk = boundedTopK(scored, "src", "dst", "__cos", k,
+        descending = true)
       .select(col("src"), col("dst"), col("rank"), col("__cos"))
       .localCheckpoint(false) // joined against its own reversal below
     val rev = topk.select(col("dst").as("src"), col("src").as("dst"),
@@ -505,14 +590,13 @@ object SimilarityOps {
       cdf, nprobe, carry = Seq("__v", "__qn"))
       .select(col("__id").as("query_id"), col("__v").as("__qv"),
         col("__qn"), col("__cell"))
-    q.join(c, "__cell")
+    val scored = q.join(c, "__cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    boundedTopK(scored, "query_id", "neighbor_id", "cosine", k,
+        descending = true)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
@@ -663,14 +747,13 @@ object SimilarityOps {
     val codes = pqEncode(corpus, books, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"),
         posexplode(col("codes")).as(Seq("__sub", "__code")))
-    codes.join(if (broadcastLut) broadcast(lut) else lut,
+    val scored = codes.join(if (broadcastLut) broadcast(lut) else lut,
         Seq("__sub", "__code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__d")).as("__dist"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("__dist"), col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    boundedTopK(scored, "query_id", "neighbor_id", "__dist", k,
+        descending = false)
       .select(col("query_id"), col("neighbor_id"),
         round(col("__dist"), 4).as("pq_dist"), col("rank"))
   }
@@ -784,12 +867,12 @@ object SimilarityOps {
       col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
-    cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
+    val rescored = cand.join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
       .withColumn("cosine",
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    boundedTopK(rescored, "query_id", "neighbor_id", "cosine", k,
+        descending = true)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
@@ -888,24 +971,23 @@ object SimilarityOps {
       .join(broadcast(bdf), "__sub").withColumn("__d", cellDist)
       .select(col("query_id"), col("__ivf").as("__cell"), col("__sub"),
         col("__cell").as("__code"), col("__d"))
-    val cand = codes.join(broadcast(lutTbl), Seq("__cell", "__sub", "__code"))
+    val adc = codes.join(broadcast(lutTbl), Seq("__cell", "__sub", "__code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__d")).as("__dist"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("__dist"), col("neighbor_id"))))
-      .filter(col("rank") <= shortlist)
+    val cand = boundedTopK(adc, "query_id", "neighbor_id", "__dist",
+        shortlist, descending = false)
       .select(col("query_id"), col("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
-    cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
+    val rescored = cand.join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
       .withColumn("cosine",
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    boundedTopK(rescored, "query_id", "neighbor_id", "cosine", k,
+        descending = true)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
@@ -958,12 +1040,12 @@ object SimilarityOps {
       col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
-    cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
+    val rescored = cand.join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
       .withColumn("cosine",
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    boundedTopK(rescored, "query_id", "neighbor_id", "cosine", k,
+        descending = true)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
@@ -1037,14 +1119,13 @@ object SimilarityOps {
     // (native probe-expansion kernel — no per-element HOF lambda)
     val probes = qBase.withColumn("__bucket", explode(
       graft.functions.VectorExpressions.lshProbes(col("__bs"), nBits, 1)))
-    probes.join(c, "__bucket")
+    val scored = probes.join(c, "__bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    boundedTopK(scored, "query_id", "neighbor_id", "cosine", k,
+        descending = true)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }

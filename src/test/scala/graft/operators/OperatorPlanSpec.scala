@@ -430,6 +430,26 @@ class OperatorPlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("ANN top-k cut: partial-aggregable BoundedMinPairs, no window") {
+    // r10 verdict #2: every per-query rank in SimilarityOps must ride
+    // the bounded aggregate — a row_number window would drag each
+    // query's full candidate set (the whole corpus, for exact faces)
+    // through one task's sort
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.filter(col("vec_id") < 3)
+    for ((name, df) <- Seq(
+        "bruteForceTopK" -> SimilarityOps.bruteForceTopK(queries, embs, k = 5),
+        "lshTopK" -> SimilarityOps.lshTopK(queries, embs, k = 5),
+        "maxSimTopK" -> SimilarityOps.maxSimTopK(queries, embs, k = 5))) {
+      val p = plan(df)
+      assert(p.contains("partial_graft_bounded_min_pairs"),
+        s"$name:\n" + p.take(1500))
+      assert(!p.contains("Window"),
+        s"$name still has a window sort:\n" + p.take(1500))
+    }
+  }
+
   test("knnGraph: exact face broadcasts; LSH face equi-joins buckets") {
     val embs = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
