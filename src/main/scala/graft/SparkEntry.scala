@@ -30,6 +30,17 @@ object SparkEntry {
   // cluster the same cache spreads across executor storage memory.
   private val graphCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Graft]
+
+  /** Forget the memoized per-session graphs so a full storage reset
+    * (`spark.catalog.clearCache()`) can rebuild the shared graph /
+    * index caches fresh: after clearCache the old Graft's DataFrames
+    * are no longer registered with the CacheManager, so keeping the
+    * memo would silently serve UNCACHED re-scans forever. Driver-side
+    * model memos (ivf/pq/opq/pca) hold plain arrays, not Spark
+    * storage — they survive a reset unchanged. */
+  def dropGraphCache(spark: SparkSession): Unit =
+    graphCache.keys.filter(_._1 eq spark).foreach(graphCache.remove)
+
   private def g(spark: SparkSession, sfDir: String): Graft =
     graphCache.getOrElseUpdate((spark, sfDir), {
       val gr = Graft(GraphStore.tpch(spark, sfDir).cached())
@@ -1403,6 +1414,18 @@ object SparkEntry {
         s"${System.getProperty("java.io.tmpdir")}/graft_evpat_" +
           java.lang.Integer.toHexString(sfDir.hashCode) +
           s"_p${ProcessHandle.current().pid()}")),
+    // REAL incremental gap sessionization: three bounded scalars of
+    // per-user state over the time-ordered replay; shares the
+    // events_sessions oracle verbatim (r10 verdict #8 — the last
+    // flagship batch report whose streaming twin used a different
+    // definition)
+    "events_stream_gap_sessions" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedGapSessions(spark,
+        s"$sfDir/events.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_evgap_" +
+          java.lang.Integer.toHexString(sfDir.hashCode) +
+          s"_p${ProcessHandle.current().pid()}",
+        gapSeconds = 1800)),
     // retrieval eval harness: the bm25 run scored against
     // term-containment qrels — per-query hits / first rank / RR(ppm)
     // / recall(pm), all integer-exact
@@ -1469,6 +1492,19 @@ object SparkEntry {
       val e = embs(spark, sfDir)
       operators.SimilarityOps.maxSimTopK(
         e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+    // the production late-interaction composition (r10 verdict #5):
+    // pooled-vector LSH shortlist → MaxSim rerank of candidates only,
+    // recall-floor hash-checked against the exact MaxSim face (the
+    // ann_recall_* pattern — floor sits below the measured per-query
+    // minimum at sf0.01, re-printable via RecallProbe)
+    "embed_maxsim_rerank" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      operators.SimilarityOps.recallAtK(
+        operators.SimilarityOps.maxSimRerank(q, e, k = 5),
+        operators.SimilarityOps.maxSimTopK(q, e, k = 5),
+        k = 5, floor = 2)
     }),
   )
 
@@ -2202,6 +2238,10 @@ object SparkEntry {
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "embed_maxsim_rerank" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(2 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "ann_recall_pca" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
@@ -2406,6 +2446,15 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
         | FROM events) WHERE rn <= 3""".stripMargin,
     "events_sessions" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+        |s AS (SELECT user_id, event_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id FROM g)
+        |SELECT user_id, session_id, count(*) AS events FROM s GROUP BY user_id, session_id""".stripMargin,
+    // the REAL incremental run must equal the batch report VERBATIM —
+    // same oracle as events_sessions
+    "events_stream_gap_sessions" ->
       """WITH g AS (SELECT user_id, event_id, ts,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
         |s AS (SELECT user_id, event_id,

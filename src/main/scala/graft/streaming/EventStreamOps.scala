@@ -1253,6 +1253,83 @@ object EventStreamOps {
       .limit(topK)
   }
 
+  final case class GapEvent(user_id: Long, us: Long, ord: Long)
+  final case class GapState(lastUs: Long, sess: Long, n: Long)
+  final case class GapUpdate(user_id: Long, session_id: Long,
+                             events: Long)
+
+  /**
+   * REAL incremental gap sessionization — the streamed face of
+   * [[gapSessions]], sharing the `events_sessions` oracle VERBATIM
+   * (r10 verdict #8: `sessionize` rides Spark's native session_window,
+   * a DIFFERENT definition; this one computes the library's own).
+   * Per-user state is three scalars — last-seen second, open session
+   * id, open session's event count — bounded regardless of history
+   * length (the [[streamedFunnel]]/[[streamedPatterns]] shape). Each
+   * micro-batch (replayed in event-time order by the
+   * [[timeOrderedShards]] harness): an over-gap event closes the open
+   * session (its final count is emitted under its id) and opens the
+   * next; the open session's running count is emitted at batch end.
+   * A session's count only grows across batches and a close emits its
+   * final value, so the sink's MAX per (user, session) recovers the
+   * exact batch report: `(user_id, session_id, events)` with 1-based
+   * time-ordered ids — byte-identical to [[gapSessions]] grouped the
+   * same way.
+   */
+  def streamedGapSessions(spark: SparkSession, path: String,
+                          shardDir: String, gapSeconds: Long = 1800,
+                          shards: Int = 4, minTriggers: Int = 3)
+      : DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_gs_${runCounter.incrementAndGet()}"
+    val schema = timeOrderedShards(spark, path, shardDir, shards)
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(shardDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long").as("ord"))
+      .as[GapEvent]
+    val updates = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[GapEvent],
+         state: GroupState[GapState]) =>
+          val st = state.getOption.getOrElse(GapState(Long.MinValue, 0L, 0L))
+          var lastUs = st.lastUs
+          var sess = st.sess
+          var n = st.n
+          val outBuf = scala.collection.mutable.ArrayBuffer[GapUpdate]()
+          rows.toVector.sortBy(e => (e.us, e.ord)).foreach { e =>
+            // gap on truncated SECONDS — the batch/oracle convention
+            if (sess == 0L ||
+                e.us / 1000000L - lastUs / 1000000L > gapSeconds) {
+              if (sess > 0L) outBuf += GapUpdate(uid, sess, n)
+              sess += 1
+              n = 0L
+            }
+            n += 1
+            lastUs = e.us
+          }
+          // the still-open session's running count as of this batch end
+          outBuf += GapUpdate(uid, sess, n)
+          state.update(GapState(lastUs, sess, n))
+          outBuf.iterator
+      }
+    withStatePartitions(spark, 8) {
+      val q = toMemorySink(updates.toDF(), name, OutputMode.Update())
+      try {
+        q.processAllAvailable()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= minTriggers,
+          s"gap-session drain ran $dataBatches data batches; " +
+            s"expected >= $minTriggers (file metering ignored?)")
+      } finally q.stop()
+    }
+    spark.table(name)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(col("events")).as("events"))
+  }
+
   /**
    * Cohort retention analysis: users are assigned to the period of
    * their FIRST event (the cohort), and each (cohort, period-offset)

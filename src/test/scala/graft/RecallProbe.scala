@@ -59,6 +59,17 @@ object RecallProbe {
     hits("pca16_rerank100",
       operators.SimilarityOps.pcaRerank(q, e, prot, dims = 16, k = 5,
         shortlist = 100))
+    // MaxSim rerank face: ground truth is the EXACT MaxSim ranking,
+    // not pooled brute force (late interaction ranks differently)
+    val msExact = operators.SimilarityOps.maxSimTopK(q, e, k = 5)
+      .select("query_id", "neighbor_id").cache()
+    val msApprox = operators.SimilarityOps.maxSimRerank(q, e, k = 5)
+    val msHits = msExact.join(
+        msApprox.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    println(s"maxsim_token_rerank(floor=2): ${msHits.mkString(" ")}")
     spark.stop()
   }
 }

