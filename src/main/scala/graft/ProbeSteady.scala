@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Proof probe for the round-10 verdict finding #1 (steady-series
+ * contamination): the 2× full-gate cold/warm sweeps leave dead lazy
+ * caches + broadcasts that inflate the steady tail 2-5× vs isolated
+ * reruns (`dedup_best_survivors` recorded 14.2 s vs 2.2 s isolated).
+ *
+ * The experiment, in ONE JVM so the box floor cancels:
+ *   1. "isolated" — after the normal warmup only, time each probe
+ *      gate's steady median (the number an isolated rerun would see);
+ *   2. contaminate — run the FULL gate sweep cold+warm, exactly as
+ *      Bench does (same per-gate Sweep + periodic GC discipline);
+ *   3. "in-sweep" — apply [[Bench.resetStorage]] (the fix) and time
+ *      the same steady medians again.
+ * PASSES when every in-sweep median ≤ `ratio` × its isolated median
+ * (default 1.3, the verdict's bound); exits nonzero otherwise. Run
+ * with the benched sf for the real claim; sf0.01 for a quick check:
+ *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ProbeSteady /root/testdata/sf0.1"
+ */
+object ProbeSteady {
+  private val ProbeGates = Seq(
+    "dedup_best_survivors", "events_gapfill", "join_bloom_prefilter",
+    "embed_knn_graph")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val ratio = if (args.length > 1) args(1).toDouble else 1.3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .appName("graft-probe-steady")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var sinceGc = 0
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Sweep.transientStorage(spark)
+      sinceGc += 1
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
+      dt
+    }
+    def steadyMedian(name: String): Double = {
+      val ts = Seq.fill(3)(timeOne(name)).sorted
+      ts(1)
+    }
+
+    // same JIT warmup + shared-cache startup as Bench
+    SparkEntry.queries.get("traverse_2hop").foreach { fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    ProbeGates.foreach(timeOne) // JIT-warm the probe gates themselves
+
+    val isolated = ProbeGates.map(n => n -> steadyMedian(n)).toMap
+    isolated.foreach { case (n, t) => println(f"isolated  $n%-24s $t%.3f s") }
+
+    println(s"contaminating: full cold+warm sweep over " +
+      s"${SparkEntry.queries.size} gates at $sfDir ...")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(timeOne); names.foreach(timeOne)
+
+    Bench.resetStorage(spark, sfDir)
+    val inSweep = ProbeGates.map(n => n -> steadyMedian(n)).toMap
+    var ok = true
+    inSweep.foreach { case (n, t) =>
+      val r = t / isolated(n)
+      val verdict = if (r <= ratio) "OK" else { ok = false; "FAIL" }
+      println(f"in-sweep  $n%-24s $t%.3f s  (${r}%.2fx isolated) $verdict")
+    }
+    spark.stop()
+    if (!ok) {
+      println(s"FAIL: in-sweep steady exceeds ${ratio}x isolated — " +
+        "resetStorage is not releasing the sweep's storage")
+      sys.exit(1)
+    }
+    println("PASS: post-reset in-sweep steady matches isolated steady")
+  }
+}

@@ -39,7 +39,18 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val r = f
         val secs = (System.nanoTime()-t0)/1e9
-        Thread.sleep(300) // listener bus is async; let TaskEnd drain
+        // listener bus is async: a fixed sleep undercounts TaskEnd
+        // events under load (r10 advice), skewing the exact numbers
+        // the hot-key claims are judged from — poll until the count
+        // stabilizes across two consecutive reads instead
+        var prev = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 2 && waited < 10000) {
+          Thread.sleep(100); waited += 100
+          val cur = taskMs.size()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
         val ds = taskMs.toArray(Array.empty[java.lang.Long])
           .map(_.longValue()).sorted
         val (med, mx) =

@@ -301,41 +301,39 @@ object GraphAlgos {
   def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 8,
                                   maxFlood: Int = 64,
                                   requireConverged: Boolean = true,
-                                  seqThreshold: Int = 256): DataFrame = {
+                                  seqThreshold: Int = 4096): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().localCheckpoint()
-    withAdaptiveShuffleWidth(spark, e0.count()) {
-      sccLoop(spark, e0, maxOuter, maxFlood, requireConverged,
-        seqThreshold)
-    }
+    sccLoop(spark, e0, adaptiveWidth(spark, e0.count()), maxOuter,
+      maxFlood, requireConverged, seqThreshold)
   }
 
-  /** Size iterative rounds' shuffle width to the data: a round is
-    * O(edges) of work split across every shuffle partition, and on a
+  /** Size an iterative loop's edge-face partition count to the data: a
+    * round is O(edges) of work split across every partition, and on a
     * small graph the per-task scheduling floor dominates — 32
     * partitions ran the sf0.1 SCC gate 1.4× slower than 4 (measured,
     * ProbeScc). One partition per ~50k rows, capped at the cluster's
-    * parallelism, applied via the scoped-conf pattern of
-    * EventStreamOps.withStatePartitions (restored in finally). */
-  private def withAdaptiveShuffleWidth[A](spark: SparkSession,
-                                          rows: Long)(f: => A): A = {
-    val nPart = math.max(1L, math.min(
+    * parallelism. The width is threaded through EXPLICIT
+    * `repartition(n, key)` calls on the pre-partitioned edge faces —
+    * join sides then co-locate to that width by Spark's distribution
+    * negotiation, and the loop's group-bys coalesce under AQE — never
+    * via a session-global `spark.sql.shuffle.partitions` mutation,
+    * which under the concurrent-serving mains (Server/Emu) would leak
+    * a narrowed width into other in-flight queries (r10 advice). */
+  private def adaptiveWidth(spark: SparkSession, rows: Long): Int =
+    math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       rows / 50000L + 1L)).toInt
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevPart = spark.conf.get(partKey)
-    spark.conf.set(partKey, nPart.toString)
-    try f finally spark.conf.set(partKey, prevPart)
-  }
 
-  private def sccLoop(spark: SparkSession, e0: DataFrame, maxOuter: Int,
+  private def sccLoop(spark: SparkSession, e0: DataFrame, width: Int,
+                      maxOuter: Int,
                       maxFlood: Int, requireConverged: Boolean,
                       seqThreshold: Int): DataFrame = {
     var rem = e0.select(col("src").as("id"))
       .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
-    var reS = e0.repartition(col("src")).localCheckpoint()
-    var reD = e0.repartition(col("dst")).localCheckpoint()
+    var reS = e0.repartition(width, col("src")).localCheckpoint()
+    var reD = e0.repartition(width, col("dst")).localCheckpoint()
     var out: DataFrame = null
     var outer = 0
     var done = false
@@ -426,8 +424,8 @@ object GraphAlgos {
         val pruned = reS
           .join(rem.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(rem.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        reS = pruned.repartition(col("src")).localCheckpoint()
-        reD = pruned.repartition(col("dst")).localCheckpoint()
+        reS = pruned.repartition(width, col("src")).localCheckpoint()
+        reD = pruned.repartition(width, col("dst")).localCheckpoint()
       }
       }
     }
@@ -484,7 +482,8 @@ object GraphAlgos {
    * Scale shape: the undirected edge face is hash-partitioned on the
    * join key ONCE (the LPA move); each hop is one equi-join + distinct
    * + anti-join on the frontier DELTA, never the visited set; shuffle
-   * width sized to the edge count ([[withAdaptiveShuffleWidth]]).
+   * width sized to the edge count ([[adaptiveWidth]], threaded as
+   * explicit repartition widths — never a session-conf mutation).
    * Driver state is two bounded scalars (seed, pivot).
    */
   def doubleSweepDiameter(g: GraphStore, maxHops: Int = 12,
@@ -493,20 +492,19 @@ object GraphAlgos {
     val e0 = g.edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val und = e0.union(e0.select(col("dst"), col("src"))).distinct()
-    withAdaptiveShuffleWidth(spark, und.count()) {
-      val reS = und.repartition(col("src")).localCheckpoint()
-      val start = reS.agg(min(least(col("src"), col("dst"))))
-        .collect().head.getLong(0)
-      val d1 = bfsFrom(spark, reS, start, maxHops, requireConverged)
-      val pivot = d1.orderBy(col("d").desc, col("id").asc).limit(1)
-        .collect().head.getLong(0)
-      val d2 = bfsFrom(spark, reS, pivot, maxHops, requireConverged)
-      // one aggregate: the max-distance group IS (ecc, peripheral)
-      d2.groupBy(col("d")).agg(count(lit(1)).as("peripheral"))
-        .orderBy(col("d").desc).limit(1)
-        .select(lit(pivot).as("pivot_id"),
-          col("d").cast("long").as("diameter_lb"), col("peripheral"))
-    }
+    val width = adaptiveWidth(spark, und.count())
+    val reS = und.repartition(width, col("src")).localCheckpoint()
+    val start = reS.agg(min(least(col("src"), col("dst"))))
+      .collect().head.getLong(0)
+    val d1 = bfsFrom(spark, reS, start, maxHops, requireConverged)
+    val pivot = d1.orderBy(col("d").desc, col("id").asc).limit(1)
+      .collect().head.getLong(0)
+    val d2 = bfsFrom(spark, reS, pivot, maxHops, requireConverged)
+    // one aggregate: the max-distance group IS (ecc, peripheral)
+    d2.groupBy(col("d")).agg(count(lit(1)).as("peripheral"))
+      .orderBy(col("d").desc).limit(1)
+      .select(lit(pivot).as("pivot_id"),
+        col("d").cast("long").as("diameter_lb"), col("peripheral"))
   }
 
   /**
@@ -1611,7 +1609,17 @@ object GraphAlgos {
     * tiebreak — ADJACENT edges share one endpoint and differ in the
     * other, so their endpoint sums differ and the priority order is
     * strict among every pair of adjacent edges (a tie would deadlock
-    * the local-minimum rule; non-adjacent ties are harmless). */
+    * the local-minimum rule; non-adjacent ties are harmless).
+    *
+    * Id-domain PRECONDITION (r10 advice; the successorRings
+    * string-ordering-caveat pattern): the tiebreak sums are taken mod
+    * 2^31, so strictness among adjacent edges (a,b) vs (a,c) needs
+    * `|b − c| < 2^31` — guaranteed when all vertex ids fit in
+    * `[0, 2^31)`, which covers the TPC-H graph's id arithmetic
+    * (max ≈ 2.2e9 + partkey < 2^31.2 ... the DIFFERENCE of two ids is
+    * what matters, and it is < 2^31 whenever ids span < 2^31).
+    * [[maximalMatching]] enforces the span bound with a fail-loud
+    * check; callers with wider id ranges must re-key first. */
   private def edgePrio(a: String, b: String): Column = expr(
     s"(cast(conv(substring(md5(concat(cast($a as string), ':', " +
     s"cast($b as string))), 1, 8), 16, 10) as bigint) % 1073741824) " +
@@ -1647,6 +1655,20 @@ object GraphAlgos {
                       requireConverged: Boolean = true): DataFrame = {
     var ea = pairs.select(col("id_a"), col("id_b"),
       edgePrio("id_a", "id_b").as("__p")).localCheckpoint()
+    // [[edgePrio]]'s strict-adjacent-order argument needs the id SPAN
+    // under 2^31 (the tiebreak is mod 2^31); fail loud instead of
+    // risking a local-minimum deadlock / oracle divergence on wider
+    // domains (one cheap aggregate over the checkpointed edge set)
+    val span = ea.agg(
+        min(least(col("id_a"), col("id_b"))).cast("long"),
+        max(greatest(col("id_a"), col("id_b"))).cast("long"))
+      .collect().headOption
+    span.filter(r => !r.isNullAt(0)).foreach { r =>
+      require(r.getLong(1) - r.getLong(0) < (1L << 31),
+        s"maximalMatching needs vertex-id span < 2^31 for strict " +
+        s"adjacent-edge priorities (got [${r.getLong(0)}, " +
+        s"${r.getLong(1)}]) — re-key ids first")
+    }
     var remaining = ea.count()
     var winnersAcc = List.empty[DataFrame]
     var round = 0
