@@ -535,14 +535,13 @@ object SparkEntry {
       streaming.EventStreamOps.streamedDedup(
         spark, s"$sfDir/events.parquet")),
     "events_topn_per_type" -> ((spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("value").desc, col("event_id"))
-      events(spark, sfDir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("event_type"), col("event_id"), round(col("value"), 2).as("value"),
-          col("rn").cast("int").as("rn"))
+      // event_type is a HOT key (a handful of values over the whole
+      // log) — the bounded partial-aggregable cut, never a per-type
+      // window sort (same move as the ANN top-k rewiring)
+      operators.SimilarityOps.boundedTopK(events(spark, sfDir),
+          "event_type", "event_id", "value", 3, descending = true)
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 2).as("value"), col("rank").as("rn"))
     }),
     // hot-user-proof sessionization: per-(user, hour-bucket) local
     // sessions + boundary merge over bucket summaries — identical ids

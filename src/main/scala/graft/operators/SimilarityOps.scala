@@ -54,9 +54,9 @@ object SimilarityOps {
    * Output: `(keyCol, idCol, scoreCol, rank)` — rank 1-based, ranked
    * on the RAW score.
    */
-  private def boundedTopK(df: DataFrame, keyCol: String, idCol: String,
-                          scoreCol: String, k: Int,
-                          descending: Boolean): DataFrame = {
+  private[graft] def boundedTopK(df: DataFrame, keyCol: String,
+                                 idCol: String, scoreCol: String, k: Int,
+                                 descending: Boolean): DataFrame = {
     val sk = if (descending) -col(scoreCol) else col(scoreCol)
     df.groupBy(col(keyCol))
       .agg(graft.functions.VectorExpressions.boundedMinPairs(
