@@ -14,10 +14,31 @@ object ProbeScc {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
     for (i <- 1 to 5) {
+      // phase split: the gate = ring-fixture derivation + SCC loop
+      val g0 = graft.sources.GraphStore.tpch(spark, sf)
       val t0 = System.nanoTime()
+      jobs.set(0)
+      val rings = operators.GraphAlgos.successorRings(
+        graft.sources.GraphStore(g0.vertices,
+          g0.edges.filter(org.apache.spark.sql.functions.col("dst")
+            % 40 === 0)),
+        label = "contains", ringLen = 4)
+      val nr = rings.count()
+      val t1 = System.nanoTime()
+      val jr = jobs.get()
       val n = SparkEntry.queries("graph_scc")(spark, sf).count()
-      println(f"pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      val t2 = System.nanoTime()
+      println(f"pass $i: rings ${(t1 - t0) / 1e9}%.2f s ($jr jobs, " +
+        f"$nr edges) | gate ${(t2 - t1) / 1e9}%.2f s " +
+        f"(${jobs.get() - jr} jobs) rows=$n")
       Sweep.transientStorage(spark)
     }
   }

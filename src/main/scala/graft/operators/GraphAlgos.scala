@@ -183,19 +183,37 @@ object GraphAlgos {
   /** One forward max-coloring round of [[stronglyConnectedComponents]]
     * — split out un-materialized so OperatorPlanSpec can assert the
     * round's plan never re-exchanges the pre-partitioned edge face
-    * (`reS` arrives hash-partitioned on `src` and checkpointed; only
-    * the color side and the message aggregation may shuffle). */
-  private[operators] def sccForwardRound(reS: DataFrame,
-                                         color: DataFrame): DataFrame = {
-    val msgs = reS.join(color, reS("src") === color("id"))
-      .groupBy(reS("dst")).agg(max(col("color")).as("__m"))
-    color.join(msgs, color("id") === msgs("dst"), "left")
-      .select(color("id"),
-        greatest(col("color"), coalesce(col("__m"), col("color")))
-          .as("color"),
-        (coalesce(col("__m"), lit(Long.MinValue)) > col("color"))
-          .as("__chg"))
-  }
+    * (`reSelf` arrives hash-partitioned on `src` and checkpointed;
+    * only the color side and the message aggregation may shuffle).
+    *
+    * `reSelf` carries one IDENTITY edge `(v, v, __self=true)` per
+    * remaining vertex next to the real edges (`__self=false`): a
+    * vertex's own color arrives as a self-message, so the round
+    * references the color table ONCE — `next(v) = max over in-edges ∪
+    * self of color(u)`, with `__chg = next > self-message`. (The old
+    * two-reference form — join + greatest against the same table —
+    * doubled the logical plan per composed round, capping flood blocks
+    * at 2 rounds/job; the linear form composes [[SccBlockSmall]]
+    * rounds per checkpoint job.) When the caller wraps the face in a
+    * `broadcast()` hint (small mode), the join is a
+    * BroadcastHashJoin and the whole round costs ONE exchange — on a
+    * tiny remainder a flood round is pure stage-scheduling floor, and
+    * halving the stages halved the sf0.1 gate (plan-guarded).
+    *
+    * The same kernel runs BOTH floods: the backward marking phase is
+    * this max-propagation over the REVERSED same-color edge face
+    * (reach(v) = max id reachable FROM v along same-color edges; the
+    * class root r is the max id of its class, so reach(v) == color(v)
+    * ⟺ v reaches r ⟺ v ∈ SCC(r) — mutual reachability with the root
+    * in two max-floods, no mark/frontier state). */
+  private[operators] def sccForwardRound(reSelf: DataFrame,
+                                         color: DataFrame): DataFrame =
+    reSelf.join(color, reSelf("src") === color("id"))
+      .groupBy(reSelf("dst").as("id"))
+      .agg(max(col("color")).as("color"),
+        max(when(col("__self"), col("color"))).as("__old"))
+      .select(col("id"), col("color"),
+        (col("color") > col("__old")).as("__chg"))
 
   /** One backward DELTA round of [[stronglyConnectedComponents]]:
     * only the freshly marked `frontier` joins the edge face (never the
@@ -251,10 +269,27 @@ object GraphAlgos {
    * Output: `(id, scc_id)` for every vertex incident to an edge.
    */
   /** Flood rounds composed per checkpoint/convergence job in
-    * [[stronglyConnectedComponents]] — plan depth grows ~2^block, so
-    * keep it small; 2 measured best at sf0.1 (larger blocks repay
-    * the saved job submissions in plan analysis). */
+    * [[stronglyConnectedComponents]]' delta-driven backward mode —
+    * that round references the mark set twice, so plan depth grows
+    * ~2^block; keep it small. */
   private val SccBlock = 2
+
+  /** Rounds per job for the small-remainder floods: the linear round
+    * form composes 16 rounds into one checkpoint job — on a tiny
+    * remainder a round is pure scheduling floor, and 16× fewer
+    * convergence checks (plus the broadcast join halving each round's
+    * stages and the isolated AQE-off session) cut the sf0.1 gate from
+    * ~200 jobs / ~8 s to ~40 jobs / ~4 s. On a LARGE remainder wasted
+    * post-fixpoint rounds inside a block are full shuffles, so the
+    * delta/2-block path stays the default. */
+  private val SccBlockSmall = 16
+
+  /** Remainder edge count under which the flood loops switch to the
+    * job-count-optimized small-graph mode (full-table linear backward
+    * + [[SccBlockSmall]] blocks): ~4 partitions of [[adaptiveWidth]]'s
+    * 50k-rows-per-partition sizing — below it, per-round data volume
+    * is far under the per-job scheduling floor. */
+  private val SccSmallEdges = 200000L
 
   /** Driver-side iterative Kosaraju over the bounded peel remainder —
     * the serial phase of Slota et al.'s MultiStep: after the first
@@ -303,9 +338,29 @@ object GraphAlgos {
                                   requireConverged: Boolean = true,
                                   seqThreshold: Int = 4096): DataFrame = {
     val spark = edges.sparkSession
-    val e0 = edges.select(col("src").cast("long").as("src"),
+    val e00 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().localCheckpoint()
-    sccLoop(spark, e0, adaptiveWidth(spark, e0.count()), maxOuter,
+    val n0 = e00.count()
+    val width = adaptiveWidth(spark, n0)
+    // Small graphs run the WHOLE loop on an isolated child session
+    // with AQE off and static width-sized shuffles: AQE's per-stage
+    // re-optimization is pure overhead on a remainder this small
+    // (measured at sf0.1: ~100 AQE stage jobs ≈ 55 ms each for 32
+    // flood rounds over 2000 edges; static plans run the same rounds
+    // as ~20 whole-job submissions). newSession() isolates the conf —
+    // concurrent queries under Server/Emu never see the narrowed
+    // width or the AQE toggle (the r10 advice contract), and the
+    // child shares the SparkContext, so checkpointed RDDs and the
+    // returned DataFrame work across the boundary.
+    val (loopSession, e0) =
+      if (n0 <= SccSmallEdges) {
+        val child = spark.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", width.toString)
+        child.conf.set("spark.sql.adaptive.enabled", "false")
+        (child,
+          child.createDataFrame(e00.rdd, e00.schema).localCheckpoint())
+      } else (spark, e00)
+    sccLoop(loopSession, e0, n0, width, maxOuter,
       maxFlood, requireConverged, seqThreshold)
   }
 
@@ -326,14 +381,57 @@ object GraphAlgos {
       spark.sparkContext.defaultParallelism.toLong,
       rows / 50000L + 1L)).toInt
 
-  private def sccLoop(spark: SparkSession, e0: DataFrame, width: Int,
-                      maxOuter: Int,
+  /** Run [[sccForwardRound]] to a fixpoint over `face` (edge face with
+    * identity edges, pre-partitioned on src): blocks of
+    * [[SccBlockSmall]] doubling rounds (small mode) or [[SccBlock]]
+    * plain rounds per checkpoint job; certify-or-throw past
+    * `maxFlood` TOTAL rounds. Returns the converged `(id, color)`. */
+  private def maxFloodLoop(face: DataFrame, init: DataFrame,
+                           small: Boolean, maxFlood: Int,
+                           requireConverged: Boolean,
+                           phase: String): DataFrame = {
+    val block = if (small) SccBlockSmall else SccBlock
+    // small mode: the bounded face rides a broadcast join, so a round
+    // is ONE exchange (the aggregation) instead of two
+    val face1 = if (small) broadcast(face) else face
+    var color = init.localCheckpoint()
+    var flood = 0
+    var changed = 1L
+    while (changed > 0 && flood < maxFlood) {
+      val k = math.min(block, maxFlood - flood)
+      var last: DataFrame = null
+      var cur = color
+      for (_ <- 1 to k) {
+        last = sccForwardRound(face1, cur)
+        cur = last.drop("__chg")
+      }
+      flood += k
+      val next = last.localCheckpoint()
+      changed = next.filter(col("__chg")).count()
+      color = next.drop("__chg")
+    }
+    if (sys.env.contains("GRAFT_SCC_DEBUG"))
+      System.err.println(s"[scc] $phase flood: $flood rounds " +
+        s"(block $block, small=$small)")
+    if (requireConverged && changed > 0)
+      throw new IllegalStateException(
+        s"SCC $phase flood did not converge in $maxFlood rounds")
+    color
+  }
+
+  private def sccLoop(spark: SparkSession, e0: DataFrame, n0: Long,
+                      width: Int, maxOuter: Int,
                       maxFlood: Int, requireConverged: Boolean,
                       seqThreshold: Int): DataFrame = {
+    var sess = spark
+    // true once the loop runs on an isolated child session (small
+    // start, or migrated below when a large graph peels small)
+    var isolated =
+      sess.conf.getOption("spark.sql.adaptive.enabled").contains("false")
     var rem = e0.select(col("src").as("id"))
       .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
-    var reS = e0.repartition(width, col("src")).localCheckpoint()
-    var reD = e0.repartition(width, col("dst")).localCheckpoint()
+    var edges = e0
+    var edgeCount = n0
     var out: DataFrame = null
     var outer = 0
     var done = false
@@ -345,74 +443,100 @@ object GraphAlgos {
       // exercise the distributed floods pass seqThreshold = 0.
       if (rem.count() <= seqThreshold) {
         val vs = rem.collect().map(_.getLong(0))
-        val es = reS.collect().map(r => (r.getLong(0), r.getLong(1)))
-        import spark.implicits._
+        val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val s0 = sess // stable identifier for the implicits import
+        import s0.implicits._
         val tail = sequentialScc(vs, es).toSeq.toDF("id", "scc_id")
         out = if (out == null) tail else out.union(tail)
         done = true
       } else {
       outer += 1
-      // (1) forward coloring to a fixpoint. Rounds run in BLOCKS of
-      // SccBlock composed into one checkpoint job: a flood round is
-      // tiny (the graph shrinks every peel), so per-round wall time is
-      // dominated by job-scheduling overhead, not work — batching cut
-      // the sf0.1 gate ~2× measured. Convergence is checked on the
-      // BLOCK's final round only, which is exact for a monotone flood:
-      // once a round changes nothing, every later round changes
-      // nothing, so final-round-quiet ⟺ fixpoint reached.
-      var color = rem.select(col("id"), col("id").as("color"))
-        .localCheckpoint()
-      var flood = 0
-      var changed = 1L
-      while (changed > 0 && flood < maxFlood) {
-        val k = math.min(SccBlock, maxFlood - flood)
-        var last: DataFrame = null
-        var cur = color
-        for (_ <- 1 to k) {
-          last = sccForwardRound(reS, cur)
-          cur = last.drop("__chg")
-        }
-        flood += k
-        val next = last.localCheckpoint()
-        changed = next.filter(col("__chg")).count()
-        color = next.drop("__chg")
-      }
-      if (requireConverged && changed > 0)
-        throw new IllegalStateException(
-          s"SCC forward flood did not converge in $maxFlood rounds")
-      // (2) backward marking within color classes, delta-driven and
-      // blocked like the forward flood. Only mark is checkpointed per
-      // block; the next frontier is recovered as mark \ prevMark (the
-      // union of the block's per-round frontiers — a SUPERSET of the
-      // true final frontier when the flood went quiet mid-block, which
-      // is harmless: already-marked candidates anti-join away next
-      // block). Convergence therefore needs one confirming block after
-      // the last marking round — size maxFlood with that slack.
+      // job-count vs data-volume mode split: a small remainder's round
+      // is pure scheduling floor, so compose SccBlockSmall linear
+      // rounds per job over a broadcast face; a large remainder pays
+      // real shuffles per round, so check convergence every SccBlock
+      // rounds and keep the backward flood delta-driven
+      val small = edgeCount <= SccSmallEdges
+      // (1) forward coloring to a fixpoint (identity edges carry each
+      // vertex's own color — see sccForwardRound). Convergence is
+      // checked on a BLOCK's final round only, which is exact for a
+      // monotone flood: once a round
+      // changes nothing, every later round changes nothing, so
+      // final-round-quiet ⟺ fixpoint reached.
+      val reSelf = edges
+        .select(col("src"), col("dst"), lit(false).as("__self"))
+        .union(rem.select(col("id").as("src"), col("id").as("dst"),
+          lit(true).as("__self")))
+        .repartition(width, col("src")).localCheckpoint()
+      val color = maxFloodLoop(reSelf,
+        rem.select(col("id"), col("id").as("color")),
+        small, maxFlood, requireConverged, "forward")
+      // (2) backward marking within color classes, blocked like the
+      // forward flood.
       val vc = color.select(col("id").as("__vid"), col("color").as("__vc"))
         .localCheckpoint()
-      var mark = color.filter(col("id") === col("color")).localCheckpoint()
-      var frontier = mark
-      var mflood = 0
-      var fsize = frontier.count()
-      while (fsize > 0 && mflood < maxFlood) {
-        val k = math.min(SccBlock, maxFlood - mflood)
-        var fr = frontier
-        var mk = mark
-        for (_ <- 1 to k) {
-          // v → w with w freshly marked, color(v) == color(w) ⇒ mark v
-          fr = sccBackwardRound(reD, fr, vc, mk)
-          mk = mk.union(fr)
+      var mark: DataFrame = null
+      if (small) {
+        // the SAME max-flood kernel over the REVERSED same-color edge
+        // face (annotated once per peel — the color test never
+        // re-joins per round): reach(v) = max id reachable FROM v
+        // along same-color edges; the class root is the max id of its
+        // class, so reach == color ⟺ member of the root's SCC
+        val ebSelfRev = edges
+          .join(vc.select(col("__vid").as("dst"),
+            col("__vc").as("__cd")), "dst")
+          .join(vc.select(col("__vid").as("src"),
+            col("__vc").as("__cs")), "src")
+          .filter(col("__cd") === col("__cs"))
+          .select(col("dst").as("src"), col("src").as("dst"),
+            lit(false).as("__self"))
+          .union(rem.select(col("id").as("src"), col("id").as("dst"),
+            lit(true).as("__self")))
+          .repartition(width, col("src")).localCheckpoint()
+        val reach = maxFloodLoop(ebSelfRev,
+          rem.select(col("id"), col("id").as("color")),
+          small = true, maxFlood, requireConverged, "backward")
+        mark = reach.withColumnRenamed("color", "__reach")
+          .join(vc, col("id") === col("__vid"))
+          .filter(col("__reach") === col("__vc"))
+          .select(col("id"), col("__vc").as("color"))
+          .localCheckpoint()
+      } else {
+        // delta-driven mode: only the freshly marked frontier joins
+        // the edge face. Only mark is checkpointed per block; the
+        // next frontier is recovered as mark \ prevMark (a SUPERSET
+        // of the true final frontier when the flood went quiet
+        // mid-block — harmless: already-marked candidates anti-join
+        // away next block). Convergence therefore needs one
+        // confirming block after the last marking round — size
+        // maxFlood with that slack.
+        val reD = edges.repartition(width, col("dst")).localCheckpoint()
+        var mk0 = color.filter(col("id") === col("color"))
+          .localCheckpoint()
+        var frontier = mk0
+        var mflood = 0
+        var fsize = frontier.count()
+        while (fsize > 0 && mflood < maxFlood) {
+          val k = math.min(SccBlock, maxFlood - mflood)
+          var fr = frontier
+          var mk = mk0
+          for (_ <- 1 to k) {
+            // v → w with w freshly marked, color(v) == color(w) ⇒ mark v
+            fr = sccBackwardRound(reD, fr, vc, mk)
+            mk = mk.union(fr)
+          }
+          mflood += k
+          val markNext = mk.localCheckpoint()
+          frontier = markNext.join(mk0, Seq("id"), "left_anti")
+          fsize = frontier.count()
+          mk0 = markNext
         }
-        mflood += k
-        val markNext = mk.localCheckpoint()
-        frontier = markNext.join(mark, Seq("id"), "left_anti")
-        fsize = frontier.count()
-        mark = markNext
+        if (requireConverged && fsize > 0)
+          throw new IllegalStateException(
+            s"SCC backward flood did not converge in $maxFlood rounds")
+        mark = mk0
       }
-      if (requireConverged && fsize > 0)
-        throw new IllegalStateException(
-          s"SCC backward flood did not converge in $maxFlood rounds")
-      // (3) emit marked SCCs, peel, reduce both edge faces
+      // (3) emit marked SCCs, peel, re-derive the remaining edge set
       val sccs = mark.groupBy(col("color")).agg(min(col("id")).as("scc_id"))
       val emit = mark.join(sccs, "color").select(col("id"), col("scc_id"))
       out = (if (out == null) emit else out.union(emit)).localCheckpoint()
@@ -421,11 +545,27 @@ object GraphAlgos {
       done = remNext.isEmpty
       if (!done) {
         rem = remNext
-        val pruned = reS
+        edges = edges
           .join(rem.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(rem.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        reS = pruned.repartition(width, col("src")).localCheckpoint()
-        reD = pruned.repartition(width, col("dst")).localCheckpoint()
+          .localCheckpoint()
+        edgeCount = edges.count()
+        // a large graph that peeled small migrates to the isolated
+        // AQE-off child session (see stronglyConnectedComponents) —
+        // checkpointed RDDs carry across; one-time Row round-trip on
+        // a ≤SccSmallEdges remainder
+        if (!isolated && edgeCount <= SccSmallEdges) {
+          isolated = true
+          val child = sess.newSession()
+          child.conf.set("spark.sql.shuffle.partitions", width.toString)
+          child.conf.set("spark.sql.adaptive.enabled", "false")
+          def mv(df: DataFrame): DataFrame =
+            child.createDataFrame(df.rdd, df.schema).localCheckpoint()
+          edges = mv(edges)
+          rem = mv(rem)
+          if (out != null) out = mv(out)
+          sess = child
+        }
       }
       }
     }

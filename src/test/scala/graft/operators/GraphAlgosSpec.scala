@@ -888,12 +888,15 @@ class GraphAlgosSpec extends SparkSpec {
     import spark.implicits._
     val e = (0 until 10).map(i => (i.toLong, ((i + 1) % 10).toLong))
       .toDF("src", "dst")
+    // the 9-hop cycle floods in 9 changing rounds + 1 quiet round to
+    // certify; a cap of 5 exhausts mid-change and must throw...
     intercept[IllegalStateException] {
       GraphAlgos.stronglyConnectedComponents(e, maxFlood = 5,
         seqThreshold = 0)
     }
-    // 9 marking rounds + the blocked backward flood's one confirming
-    // block: 16 is the smallest block-aligned cap that certifies
+    // ...and 16 (two 8-round small-mode blocks: rounds 1-9 change,
+    // 10-16 quiet) certifies both the forward coloring and the
+    // backward reach flood
     val out = sccMap(GraphAlgos.stronglyConnectedComponents(
       e, maxFlood = 16, seqThreshold = 0))
     assert(out.keySet == (0L until 10L).toSet && out.values.toSet == Set(0L))

@@ -255,19 +255,29 @@ class OperatorPlanSpec extends SparkSpec {
     import spark.implicits._
     val e = (1L to 300L).map(i => (i, i % 37 + 1)).toDF("src", "dst")
       .filter(col("src") =!= col("dst"))
-    val reS = e.repartition(col("src")).localCheckpoint()
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct()
+    val reSelf = e.select(col("src"), col("dst"), lit(false).as("__self"))
+      .union(verts.select(col("id"), col("id"), lit(true)))
+      .repartition(col("src")).localCheckpoint()
     val reD = e.repartition(col("dst")).localCheckpoint()
-    val color = reS.select(col("src").as("id"))
-      .union(reD.select(col("dst"))).distinct()
+    val color = verts
       .select(col("id"), col("id").as("color")).localCheckpoint()
-    // forward round: the color side and the message agg may shuffle
-    // (3 exchanges); a 4th would mean reS lost its partitioning
-    val pf = plan(GraphAlgos.sccForwardRound(reS, color))
+    // large-mode round: the color side and the message agg may shuffle
+    // (3 exchanges); a 4th would mean reSelf lost its partitioning
+    val pf = plan(GraphAlgos.sccForwardRound(reSelf, color))
     assert(!pf.contains("CartesianProduct") &&
       !pf.contains("BroadcastNestedLoopJoin"), pf.take(1500))
     val fx = pf.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(fx <= 3, s"$fx exchanges (edge face re-exchanged?):\n" +
       pf.take(3000))
+    // small-mode round: the bounded face broadcasts, so the ONLY
+    // exchange is the message aggregation — one stage per round
+    val ps = plan(GraphAlgos.sccForwardRound(broadcast(reSelf), color))
+    assert(ps.contains("BroadcastHashJoin"), ps.take(1500))
+    val sx = ps.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(sx <= 1, s"$sx exchanges (broadcast round must cost one):\n" +
+      ps.take(3000))
     // backward round: frontier-delta join + distinct + semi/anti color
     // checks shuffle; the reD face must not add one on top
     val vc = color.select(col("id").as("__vid"), col("color").as("__vc"))
