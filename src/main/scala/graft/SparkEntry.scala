@@ -1492,6 +1492,30 @@ object SparkEntry {
       operators.SimilarityOps.maxSimTopK(
         e.filter(col("vec_id") < 10), e, k = 5)
     }),
+    // contrastive hard-negative mining: per anchor, the top-5
+    // most-similar vectors with a DIFFERENT label (exact face;
+    // label-mismatch filter before the bounded cut)
+    "embed_hard_negatives" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      operators.SimilarityOps.hardNegatives(
+        e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+    // ROUGE-2 overlap eval between adjacent-doc pairs (candidate =
+    // doc i, reference = doc i+1): clipped bigram overlap + exact
+    // per-mille precision/recall/F1
+    "text_rouge" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val cand = d.select(col("doc_id"), col("text").as("__cand"))
+      val ref = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("__ref"))
+      operators.TextOps.rougeN(cand.join(ref, "doc_id"),
+        "__cand", "__ref", Seq("doc_id"), n = 2)
+    }),
+    // fixed-width value histogram per type ($5 bins on the integer
+    // cents rendering) — the drift-monitoring report
+    "events_value_histogram" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.valueHistogram(events(spark, sfDir),
+        widthCents = 500)),
     // the production late-interaction composition (r10 verdict #5):
     // pooled-vector LSH shortlist → MaxSim rerank of candidates only,
     // recall-floor hash-checked against the exact MaxSim face (the
@@ -2241,6 +2265,50 @@ object SparkEntry {
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(2 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // hard negatives: the ann_topk chain with a label-mismatch filter
+    "embed_hard_negatives" ->
+      s"""WITH d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  ${sqlDot("a", "a")} AS aa, ${sqlDot("b", "b")} AS bb, ${sqlDot("a", "b")} AS ab
+         | FROM embeddings a JOIN embeddings b
+         |   ON a.vec_id < 10 AND b.vec_id != a.vec_id AND b.label != a.label),
+         |r AS (SELECT query_id, neighbor_id, ab/(sqrt(aa)*sqrt(bb)) AS cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY ab/(sqrt(aa)*sqrt(bb)) DESC, neighbor_id) AS rank FROM d)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    // ROUGE-2 on adjacent-doc pairs: clipped bigram overlap, exact
+    // per-mille P/R/F1 (F1 = 2o/(c+r), one integer division)
+    "text_rouge" ->
+      """WITH p AS (SELECT a.doc_id, a.text AS cand, b.text AS ref
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |cw AS (SELECT doc_id, string_split(trim(cand), ' ') AS w FROM p),
+        |rw AS (SELECT doc_id, string_split(trim(ref), ' ') AS w FROM p),
+        |cg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g,
+        |    count(*) AS cc
+        |  FROM cw, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |rg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g,
+        |    count(*) AS rc
+        |  FROM rw, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |o AS (SELECT cg.doc_id,
+        |    CAST(sum(least(cc, rc)) AS BIGINT) AS ov
+        |  FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.g = rg.g
+        |  GROUP BY 1),
+        |base AS (SELECT doc_id,
+        |  CAST(greatest(len(string_split(trim(cand), ' ')) - 1, 1) AS BIGINT) AS cand_ngrams,
+        |  CAST(greatest(len(string_split(trim(ref), ' ')) - 1, 1) AS BIGINT) AS ref_ngrams FROM p)
+        |SELECT base.doc_id,
+        |  CAST(coalesce(ov, 0) AS BIGINT) AS overlap,
+        |  cand_ngrams, ref_ngrams,
+        |  CAST((1000 * coalesce(ov, 0)) // cand_ngrams AS BIGINT) AS precision_pm,
+        |  CAST((1000 * coalesce(ov, 0)) // ref_ngrams AS BIGINT) AS recall_pm,
+        |  CAST((2000 * coalesce(ov, 0)) // (cand_ngrams + ref_ngrams) AS BIGINT) AS f1_pm
+        |FROM base LEFT JOIN o ON base.doc_id = o.doc_id""".stripMargin,
+    "events_value_histogram" ->
+      """WITH c AS (SELECT event_type,
+        |  CAST(floor(value * 100) AS BIGINT) // 500 AS bin
+        |  FROM events)
+        |SELECT event_type, bin, bin * 500 AS lo_cents, count(*) AS n
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "ann_recall_pca" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor

@@ -322,6 +322,45 @@ object SimilarityOps {
   }
 
   /**
+   * HARD-negative mining for contrastive training: for each anchor,
+   * the `k` most-similar corpus vectors carrying a DIFFERENT label —
+   * the highest-loss negatives that make contrastive batches
+   * informative (the DPR/SimCSE practice), complementing
+   * [[negativeSamples]]' uniform draws. The label-mismatch filter
+   * runs BEFORE the bounded cut, so every anchor gets k true
+   * negatives, not k neighbors minus the same-label ones.
+   *
+   * Exact face: the anchor set broadcasts (bounded, the
+   * [[bruteForceTopK]] contract) against one codegen'd corpus scan;
+   * the cut is the partial-aggregable [[boundedTopK]] — never a
+   * per-anchor window. At corpus scale feed `corpus` as an ANN
+   * candidate stage's output, exactly like [[maxSimRerank]].
+   * Output: `(query_id, neighbor_id, cosine, rank)`.
+   */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label",
+                    k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(anchors.sparkSession)
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"),
+      col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"),
+      col(labelCol).as("__cl"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("__ql") =!= col("__cl"))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    boundedTopK(scored, "query_id", "neighbor_id", "cosine", k,
+        descending = true)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /**
    * Deterministic negative sampling for contrastive training: each
    * anchor id draws `k` pseudo-random OTHER ids from a dense id space
    * `[0, n)` — `cand = h(salt:anchor:j) mod n`, bumped by one

@@ -963,6 +963,59 @@ object TextOps {
       .withColumn("diversity_pm",
         expr("(1000L * distinct_ngrams) div ngrams"))
 
+  /**
+   * ROUGE-n overlap between candidate/reference text pairs — the
+   * summarization/generation eval metric (Lin 2004), and the
+   * verbatim-overlap audit a distillation pipeline runs between model
+   * outputs and their sources. Per pair: the CLIPPED n-gram overlap
+   * (Σ over distinct grams of min(candidate count, reference count) —
+   * a repeated gram only matches as often as the reference carries
+   * it), both gram totals, and precision / recall / F1 in exact
+   * per-mille (`F1 = 2o/(c+r)` — the algebraic collapse of 2PR/(P+R),
+   * so one integer division, no float chain). Gram construction
+   * mirrors [[ngramDiversity]]'s slice convention (a document shorter
+   * than `n` tokens contributes its single short slice, so totals are
+   * ≥ 1 and the divisions are total).
+   *
+   * Scale shape: per-side gram counts are partial-aggregable
+   * group-bys bounded by text length; the overlap is one
+   * (pair-key, gram) equi-join; totals come straight off the token
+   * array sizes (no second aggregation). No windows, no collects.
+   * Output: `(keyCols…, overlap, cand_ngrams, ref_ngrams,
+   * precision_pm, recall_pm, f1_pm)` — one row per input pair.
+   */
+  def rougeN(pairs: DataFrame, candCol: String, refCol: String,
+             keyCols: Seq[String], n: Int = 2): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val k = keyCols.map(col)
+    def grams(c: String): Column = expr(
+      s"transform(sequence(1, greatest(size(split(trim($c), ' ')) " +
+      s"- ${n - 1}, 1)), i -> " +
+      s"concat_ws(' ', slice(split(trim($c), ' '), i, $n)))")
+    def sideCounts(c: String, cnt: String): DataFrame = pairs
+      .select(k :+ explode(grams(c)).as("__g"): _*)
+      .groupBy(k :+ col("__g"): _*)
+      .agg(count(lit(1)).as(cnt))
+    val overlap = sideCounts(candCol, "__cc")
+      .join(sideCounts(refCol, "__rc"), keyCols :+ "__g")
+      .groupBy(k: _*)
+      .agg(sum(least(col("__cc"), col("__rc"))).as("overlap"))
+    pairs
+      .select(k ++ Seq(
+        expr(s"cast(greatest(size(split(trim($candCol), ' ')) " +
+          s"- ${n - 1}, 1) as bigint)").as("cand_ngrams"),
+        expr(s"cast(greatest(size(split(trim($refCol), ' ')) " +
+          s"- ${n - 1}, 1) as bigint)").as("ref_ngrams")): _*)
+      .join(overlap, keyCols, "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .select(k ++ Seq(col("overlap"), col("cand_ngrams"),
+        col("ref_ngrams"),
+        expr("(1000 * overlap) div cand_ngrams").as("precision_pm"),
+        expr("(1000 * overlap) div ref_ngrams").as("recall_pm"),
+        expr("(2000 * overlap) div (cand_ngrams + ref_ngrams)")
+          .as("f1_pm")): _*)
+  }
+
   /** Attach all text-analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -284,6 +284,31 @@ object EventStreamOps {
   }
 
   /**
+   * Fixed-width value histogram per event type — the
+   * distribution-monitoring report (drift dashboards, alert
+   * baselining) on the integer-cents rendering every value gate
+   * shares (`floor(value·100)`, the [[exactQuantiles]] substrate).
+   * Bin id = cents div `widthCents` (truncating int64 division —
+   * engine-identical on the nonnegative value domain, the same
+   * contract as the quantile gates; a signed domain would need
+   * dailyTrend's sign-split floor). One partial-aggregable group-by:
+   * map-side combine bounds a hot type's contribution to the bin
+   * vocabulary, never its event count.
+   * Output: `(event_type, bin, lo_cents, n)`.
+   */
+  def valueHistogram(events: DataFrame,
+                     widthCents: Long = 500): DataFrame = {
+    require(widthCents > 0, s"widthCents must be positive, got $widthCents")
+    events.select(col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("__c"))
+      .withColumn("bin", expr(s"__c div ${widthCents}L"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_cents", col("bin") * widthCents)
+      .select(col("event_type"), col("bin"), col("lo_cents"), col("n"))
+  }
+
+  /**
    * Statistical outlier detection on the integer-cents rendering of
    * `value`, grouped by event type: an event is anomalous when its
    * squared z-score exceeds `k²` against its type's population

@@ -693,6 +693,40 @@ class OperatorsSpec extends SparkSpec {
     assert(hits.values.forall(_ >= 2), s"recall floor breached: $hits")
   }
 
+  test("hardNegatives: never same-label, ranked like brute force") {
+    val k = 5
+    val q = embs.filter(col("vec_id") < 10)
+    val labels = embs.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val out = SimilarityOps.hardNegatives(q, embs, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.length == 10 * k)
+    out.foreach { case (a, n, _) =>
+      assert(labels(a) != labels(n), s"same-label negative $a -> $n") }
+    // equals brute force restricted to label-mismatched corpus rows
+    val refQ0 = SimilarityOps.bruteForceTopK(
+        q.filter(col("vec_id") === 0),
+        embs.filter(col("label") =!= lit(labels(0L))), k = k)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    val gotQ0 = out.filter(_._1 == 0L).map(t => (t._2, t._3)).toSet
+    assert(gotQ0 == refQ0)
+  }
+
+  test("rougeN: hand-checked clipped overlap and per-mille scores") {
+    import spark.implicits._
+    // cand "a b a b c" vs ref "a b a b a b": bigrams cand
+    // {ab:2, ba:1, bc:1} (4), ref {ab:3, ba:2} (5); clipped overlap
+    // = min(2,3) + min(1,2) = 3
+    val pairs = Seq((1L, "a b a b c", "a b a b a b"),
+      (2L, "x y", "p q")).toDF("pair_id", "cand", "ref")
+    val out = TextOps.rougeN(pairs, "cand", "ref", Seq("pair_id"), n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out(1L) == ((3L, 4L, 5L, 750L, 600L, 666L)))
+    assert(out(2L) == ((0L, 1L, 1L, 0L, 0L, 0L)))
+  }
+
   test("lsh top-k achieves reasonable recall vs brute force") {
     val queries = embs.filter(col("vec_id") < 20).cache()
     val k = 10

@@ -472,6 +472,18 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("valueHistogram: cents bins, totals reconcile") {
+    import spark.implicits._
+    val ev = Seq(("t", 0.01), ("t", 4.99), ("t", 5.00), ("t", 12.34),
+      ("u", 0.0)).toDF("event_type", "value")
+    val out = EventStreamOps.valueHistogram(ev, widthCents = 500)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // cents 1, 499 -> bin 0; 500 -> bin 1; 1234 -> bin 2; 0 -> bin 0
+    assert(out == Set(("t", 0L, 0L, 2L), ("t", 1L, 500L, 1L),
+      ("t", 2L, 1000L, 1L), ("u", 0L, 0L, 1L)))
+  }
+
   test("winsorizedStats: hand-checked clip bounds and capped counts") {
     import spark.implicits._
     // one type, cents 1..10 (values 0.01..0.10): p50 bound = 5, p90 = 9
