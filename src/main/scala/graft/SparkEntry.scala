@@ -1516,6 +1516,30 @@ object SparkEntry {
     "events_value_histogram" -> ((spark, sfDir) =>
       streaming.EventStreamOps.valueHistogram(events(spark, sfDir),
         widthCents = 500)),
+    // REAL incremental histogram: bounded (type, bin) streaming state,
+    // drained == batch (shares the events_value_histogram oracle)
+    "events_stream_value_histogram" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedValueHistogram(spark,
+        s"$sfDir/events.parquet", widthCents = 500)),
+    // binary-quantized retrieval: 64 sign bits per vector, Hamming
+    // top-k — integer-exact, so the approximate face itself is
+    // hash-checked, not just a recall floor
+    "embed_binary_hamming" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      operators.SimilarityOps.binaryHammingTopK(
+        e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+    // binary shortlist -> exact cosine rerank, recall floor vs brute
+    // force (the pqRerank deployment shape at 32x compression)
+    "ann_recall_binary" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      operators.SimilarityOps.recallAtK(
+        operators.SimilarityOps.binaryRerank(q, e, k = 5,
+          shortlist = 100),
+        operators.SimilarityOps.bruteForceTopK(q, e, k = 5),
+        k = 5, floor = 2)
+    }),
     // the production late-interaction composition (r10 verdict #5):
     // pooled-vector LSH shortlist → MaxSim rerank of candidates only,
     // recall-floor hash-checked against the exact MaxSim face (the
@@ -2309,6 +2333,31 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, bin, bin * 500 AS lo_cents, count(*) AS n
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // the REAL incremental run must equal the batch histogram verbatim
+    "events_stream_value_histogram" ->
+      """WITH c AS (SELECT event_type,
+        |  CAST(floor(value * 100) AS BIGINT) // 500 AS bin
+        |  FROM events)
+        |SELECT event_type, bin, bin * 500 AS lo_cents, count(*) AS n
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // sign-bit signatures as two unsigned-32-bit halves (bit 63 is
+    // engine-dependent sign territory); Hamming = xor popcounts
+    "embed_binary_hamming" ->
+      """WITH s AS (SELECT vec_id,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END for i in range(1, 33)]) AS BIGINT) AS sa,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END for i in range(33, 65)]) AS BIGINT) AS sb
+        | FROM embeddings),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS h
+        | FROM s a JOIN s b ON a.vec_id < 10 AND b.vec_id != a.vec_id),
+        |r AS (SELECT query_id, neighbor_id, h,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS rank FROM d)
+        |SELECT query_id, neighbor_id, CAST(h AS BIGINT) AS hamming,
+        |  CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    "ann_recall_binary" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(2 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "ann_recall_pca" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor

@@ -321,6 +321,81 @@ object SimilarityOps {
     }
   }
 
+  /** One 32-bit half of the raw SIGN signature of a 64-dim vector:
+    * bit i set iff component `from + i + 1` is > 0, packed into a
+    * positive BIGINT. Two unsigned-32-bit halves instead of one
+    * 64-bit word — bit 63 via `1 << 63` is engine-dependent sign
+    * territory (the repo's cross-engine hash invariant). The HOF
+    * interprets per element, but it runs ONCE per vector to build the
+    * signature (not per candidate pair), so the hot path — the
+    * Hamming popcounts — stays codegen'd. */
+  private def signHalf(vecCol: String, from: Int): Column = expr(
+    s"aggregate(transform(sequence(0, 31), i -> " +
+    s"IF(element_at($vecCol, i + ${from + 1}) > 0D, " +
+    s"shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)")
+
+  /**
+   * Binary-quantized retrieval (sign / "binary embedding" face): each
+   * 64-dim vector compresses to its 64 sign bits (32× smaller than
+   * float32 — the memory face BELOW PQ), and neighbors rank by
+   * HAMMING distance between signatures, ties by id. Sign-bit Hamming
+   * approximates angular distance (the same random-hyperplane fact
+   * [[lshTopK]] buckets on, here with the identity basis), and the
+   * whole chain is INTEGER-exact — unlike the cosine faces, this
+   * top-k is directly hash-checkable cross-engine, not just
+   * recall-floor-checkable. Queries broadcast; the corpus side is one
+   * codegen'd scan of two xor+popcount columns; the cut is the
+   * bounded partial-aggregable [[boundedTopK]].
+   * Output: `(query_id, neighbor_id, hamming, rank)`.
+   */
+  def binaryHammingTopK(queries: DataFrame, corpus: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      signHalf(vecCol, 0).as("__qa"), signHalf(vecCol, 32).as("__qb"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      signHalf(vecCol, 0).as("__ca"), signHalf(vecCol, 32).as("__cb"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", expr(
+        "bit_count(__qa ^ __ca) + bit_count(__qb ^ __cb)").cast("long"))
+    boundedTopK(scored, "query_id", "neighbor_id", "hamming", k,
+        descending = false)
+      .select(col("query_id"), col("neighbor_id"),
+        col("hamming").cast("long").as("hamming"), col("rank"))
+  }
+
+  /**
+   * Binary shortlist → exact rerank: [[binaryHammingTopK]]'s
+   * `shortlist` cheapest-Hamming candidates per query re-scored by
+   * true cosine and cut to `k` — the production deployment of binary
+   * embeddings (scan 8-byte signatures, touch float vectors only for
+   * a per-query CONSTANT candidate set; the [[pqRerank]] shape).
+   * Output matches [[bruteForceTopK]].
+   */
+  def binaryRerank(queries: DataFrame, corpus: DataFrame,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   k: Int = 10, shortlist: Int = 100): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val cand = binaryHammingTopK(queries, corpus, idCol, vecCol,
+        k = shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
+    val rescored = cand.join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    boundedTopK(rescored, "query_id", "neighbor_id", "cosine", k,
+        descending = true)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /**
    * HARD-negative mining for contrastive training: for each anchor,
    * the `k` most-similar corpus vectors carrying a DIFFERENT label —

@@ -1500,6 +1500,35 @@ object EventStreamOps {
   }
 
   /**
+   * REAL incremental value histogram — the streamed twin of
+   * [[valueHistogram]]: file source → (type, bin) counting
+   * aggregation → memory sink, drained to completion. The streaming
+   * state is EXACTLY the (type, bin) vocabulary regardless of stream
+   * length, and counter addition is associative, so the drained table
+   * equals the batch build — the gate shares the
+   * `events_value_histogram` oracle verbatim (the streamedCountMin
+   * contract).
+   */
+  def streamedValueHistogram(spark: SparkSession, path: String,
+                             widthCents: Long = 500): DataFrame = {
+    val name = s"graft_stream_vh_${runCounter.incrementAndGet()}"
+    val counts = streamFromParquet(spark, path)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("__c"))
+      .withColumn("bin", expr(s"__c div ${widthCents}L"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    withStatePartitions(spark, 8) {
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .withColumn("lo_cents", col("bin") * widthCents)
+      .select(col("event_type"), col("bin"), col("lo_cents"), col("n"))
+  }
+
+  /**
    * REAL incremental gap-based sessionization: file source →
    * `session_window` aggregation → memory sink, drained to completion.
    * Session-window semantics: an event extends a session while its

@@ -59,6 +59,8 @@ object RecallProbe {
     hits("pca16_rerank100",
       operators.SimilarityOps.pcaRerank(q, e, prot, dims = 16, k = 5,
         shortlist = 100))
+    hits("binary_rerank100(floor=2)",
+      operators.SimilarityOps.binaryRerank(q, e, k = 5, shortlist = 100))
     // MaxSim rerank face: ground truth is the EXACT MaxSim ranking,
     // not pooled brute force (late interaction ranks differently)
     val msExact = operators.SimilarityOps.maxSimTopK(q, e, k = 5)

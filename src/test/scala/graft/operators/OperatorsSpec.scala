@@ -693,6 +693,48 @@ class OperatorsSpec extends SparkSpec {
     assert(hits.values.forall(_ >= 2), s"recall floor breached: $hits")
   }
 
+  test("binaryHammingTopK equals a driver-side signature replica") {
+    val k = 5
+    val out = SimilarityOps.binaryHammingTopK(
+        embs.filter(col("vec_id") === 0), embs, k = k)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    val vecs = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sig(v: Array[Float]): (Long, Long) = {
+      var a = 0L; var b = 0L
+      for (i <- 0 until 32) if (v(i) > 0) a |= 1L << i
+      for (i <- 0 until 32) if (v(32 + i) > 0) b |= 1L << i
+      (a, b)
+    }
+    val q = sig(vecs(0L))
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val s = sig(v)
+        (id, (java.lang.Long.bitCount(q._1 ^ s._1) +
+          java.lang.Long.bitCount(q._2 ^ s._2)).toLong)
+      }
+      .sortBy { case (id, h) => (h, id) }.take(k)
+      .zipWithIndex.map { case ((id, h), i) => (id, h, i + 1) }
+    assert(out == expected)
+  }
+
+  test("binaryRerank: full-depth output, recall floor vs brute force") {
+    val k = 5
+    val q = embs.filter(col("vec_id") < 10)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityOps.bruteForceTopK(q, embs, k = k))
+    val approx = SimilarityOps.binaryRerank(q, embs, k = k,
+      shortlist = 100)
+    val ap = pairs(approx)
+    assert(approx.count() == 10 * k)
+    val hits = exact.groupBy(_._1).map { case (qid, ps) =>
+      qid -> ps.count(ap.contains) }
+    assert(hits.values.forall(_ >= 2), s"recall floor breached: $hits")
+  }
+
   test("hardNegatives: never same-label, ranked like brute force") {
     val k = 5
     val q = embs.filter(col("vec_id") < 10)

@@ -472,6 +472,15 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamedValueHistogram equals the batch histogram") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = EventStreamOps.streamedValueHistogram(spark, path)
+    val batch = EventStreamOps.valueHistogram(readEvents(spark, path))
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("valueHistogram: cents bins, totals reconcile") {
     import spark.implicits._
     val ev = Seq(("t", 0.01), ("t", 4.99), ("t", 5.00), ("t", 12.34),
