@@ -1516,6 +1516,15 @@ object SparkEntry {
     "events_value_histogram" -> ((spark, sfDir) =>
       streaming.EventStreamOps.valueHistogram(events(spark, sfDir),
         widthCents = 500)),
+    // leakage-safe splits: hashed on the GROUP key so same-source
+    // docs never straddle train/test
+    "curation_group_splits" -> ((spark, sfDir) =>
+      operators.CurationOps.groupSplits(docs(spark, sfDir))),
+    // daily top-3 users by event count — bounded cut, never a
+    // per-day window sort
+    "events_daily_top_users" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.dailyTopUsers(events(spark, sfDir),
+        k = 3)),
     // REAL incremental histogram: bounded (type, bin) streaming state,
     // drained == batch (shares the events_value_histogram oracle)
     "events_stream_value_histogram" -> ((spark, sfDir) =>
@@ -2781,6 +2790,24 @@ object SparkEntry {
         |         = 'f' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+    // leakage-safe splits: same nibble recipe, hashed on the GROUP key
+    "curation_group_splits" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5('split:' || source), 1, 1)
+        |         IN ('d', 'e') THEN 'val'
+        |       WHEN substr(md5('split:' || source), 1, 1)
+        |         = 'f' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+    "events_daily_top_users" ->
+      """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    user_id, count(*) AS events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, user_id, events,
+        |  row_number() OVER (PARTITION BY day
+        |    ORDER BY events DESC, user_id) AS rank FROM d)
+        |SELECT day, user_id, events, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
     "graph_common_neighbors" ->
       """WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
         |  FROM lineitem)

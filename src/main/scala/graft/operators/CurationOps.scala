@@ -713,6 +713,28 @@ object CurationOps {
   }
 
   /**
+   * LEAKAGE-SAFE split assignment: like [[assignSplits]] but hashed on
+   * a GROUP key (url domain, source, near-dup cluster id) so every
+   * member of a group lands in the SAME split — the property that
+   * keeps near-duplicates and same-site pages from straddling
+   * train/test (the split-leakage failure mode document-level hashing
+   * cannot prevent). Same salted-md5 nibble recipe: 13/16 train,
+   * 2/16 val, 1/16 test; pure narrow map, growth-stable,
+   * engine-reproducible. Output: `(idCol, groupCol, split)`.
+   */
+  def groupSplits(df: DataFrame, idCol: String = "doc_id",
+                  groupCol: String = "source",
+                  salt: String = "split"): DataFrame = {
+    val nibble = substring(
+      md5(concat_ws(":", lit(salt), col(groupCol).cast(StringType))),
+      1, 1)
+    df.select(col(idCol), col(groupCol),
+      when(nibble.isin("d", "e"), lit("val"))
+        .when(nibble === "f", lit("test"))
+        .otherwise(lit("train")).as("split"))
+  }
+
+  /**
    * Deterministic shard-shuffle for training-data export: assign every
    * document a shard (salted-md5 hash mod `nShards`) and a
    * pseudo-random position within its shard (ordered by the full md5,

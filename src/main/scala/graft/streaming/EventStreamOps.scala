@@ -284,6 +284,29 @@ object EventStreamOps {
   }
 
   /**
+   * Daily top-`k` leaderboard: per day, the k most-active users by
+   * event count (ties by user id) — the trending/abuse-monitoring
+   * report. Two partial-aggregable passes and nothing else: (day,
+   * user) counts combine map-side, then the bounded
+   * [[graft.operators.SimilarityOps.boundedTopK]] cut keeps ≤k users
+   * per day per map task — a hot DAY (launch spike) never sorts its
+   * full user list in one task, the exact hazard a
+   * `row_number().over(partitionBy(day))` window would plant.
+   * Output: `(day, user_id, events, rank)`.
+   */
+  def dailyTopUsers(events: DataFrame, k: Int = 3,
+                    keyCol: String = "user_id"): DataFrame = {
+    val daily = events.select(
+        expr("unix_micros(ts) div 86400000000").as("day"), col(keyCol))
+      .groupBy(col("day"), col(keyCol))
+      .agg(count(lit(1)).as("events"))
+    graft.operators.SimilarityOps.boundedTopK(daily, "day", keyCol,
+        "events", k, descending = true)
+      .select(col("day"), col(keyCol),
+        col("events").cast("long").as("events"), col("rank"))
+  }
+
+  /**
    * Fixed-width value histogram per event type — the
    * distribution-monitoring report (drift dashboards, alert
    * baselining) on the integer-cents rendering every value gate

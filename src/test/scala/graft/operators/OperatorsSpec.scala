@@ -1518,6 +1518,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("groupSplits: every member of a group shares one split") {
+    val out = CurationOps.groupSplits(docs).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    // the leakage-safety property: one split per group
+    val perGroup = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(perGroup.values.forall(_.size == 1))
+    // and the fixture has more than one group and more than one split
+    assert(perGroup.size > 1)
+    assert(out.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("dailyTopUsers: hand fixture, bounded cut, no window") {
+    import spark.implicits._
+    // epoch millis directly — Timestamp.valueOf would read the JVM tz
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    def ts(day: Int, s: Int) = new java.sql.Timestamp(
+      base + day * 86400000L + s * 1000L)
+    // day 0: u1 x3, u2 x2, u3 x1, u4 x1 (tie by id: u3 takes rank 3)
+    val ev = (Seq.fill(3)((ts(0, 1), 1L)) ++ Seq.fill(2)((ts(0, 2), 2L)) ++
+      Seq((ts(0, 3), 3L), (ts(0, 4), 4L), (ts(1, 1), 9L)))
+      .toDF("ts", "user_id")
+    val out = graft.streaming.EventStreamOps.dailyTopUsers(ev, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val d0 = 19723L // 2024-01-01 in epoch days
+    assert(out == Set((d0, 1L, 3L, 1), (d0, 2L, 2L, 2), (d0, 3L, 1L, 3),
+      (d0 + 1, 9L, 1L, 1)))
+    val p = graft.streaming.EventStreamOps.dailyTopUsers(ev, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_graft_bounded_min_pairs"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
   test("assignSplits: deterministic, stable, three-way") {
     val a = CurationOps.assignSplits(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
