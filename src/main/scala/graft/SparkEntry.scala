@@ -1516,6 +1516,23 @@ object SparkEntry {
     "events_value_histogram" -> ((spark, sfDir) =>
       streaming.EventStreamOps.valueHistogram(events(spark, sfDir),
         widthCents = 500)),
+    // INCREMENTAL connected components: two edge drops ingested
+    // against a fresh state; each ingest contracts the previous
+    // labels to star edges (label-sized, never the edge history) —
+    // the union must equal the one-shot CC over all edges
+    "graph_cc_incremental" -> ((spark, sfDir) => {
+      val g0 = sources.GraphStore.tpch(spark, sfDir)
+      val sub = g0.edges
+        .filter(col("label") === "placed" || col("quantity") >= 52.0)
+        .select(col("src"), col("dst"))
+      val state = freshStateDir("graft_ccstate")
+      operators.GraphAlgos.ccIncremental(
+        sub.filter(pmod(col("src") + col("dst"), lit(2)) === 0), state)
+      operators.GraphAlgos.ccIncremental(
+          sub.filter(pmod(col("src") + col("dst"), lit(2)) === 1), state)
+        .groupBy(col("component").as("root"))
+        .agg(count(lit(1)).as("size"))
+    }),
     // leakage-safe splits: hashed on the GROUP key so same-source
     // docs never straddle train/test
     "curation_group_splits" -> ((spark, sfDir) =>
@@ -2790,6 +2807,28 @@ object SparkEntry {
         |         = 'f' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+    // incremental CC: same subgraph as graph_components but components
+    // cover EDGE-INCIDENT vertices only (the operator sees edges, not
+    // the vertex table — isolated singletons are a downstream join)
+    "graph_cc_incremental" ->
+      """WITH RECURSIVE
+        | e0 AS (
+        |   SELECT CAST(o_custkey AS BIGINT) AS u, CAST(o_orderkey + 1000000000 AS BIGINT) AS v FROM orders
+        |   UNION ALL
+        |   SELECT CAST(l_orderkey + 1000000000 AS BIGINT), CAST(l_partkey + 2000000000 AS BIGINT)
+        |   FROM (SELECT l_orderkey, l_partkey, sum(l_quantity) AS q FROM lineitem GROUP BY 1, 2)
+        |   WHERE q >= 52.0
+        | ),
+        | und AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        | nodes AS (SELECT DISTINCT u AS id FROM und),
+        | reach(id, r) AS (
+        |   SELECT id, id FROM nodes
+        |   UNION
+        |   SELECT e.v, r.r FROM reach r JOIN und e ON e.u = r.id
+        | )
+        |SELECT comp AS root, count(*) AS size
+        |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |GROUP BY comp""".stripMargin,
     // leakage-safe splits: same nibble recipe, hashed on the GROUP key
     "curation_group_splits" ->
       """SELECT doc_id, source,

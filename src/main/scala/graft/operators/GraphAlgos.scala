@@ -51,6 +51,76 @@ object GraphAlgos {
     out
   }
 
+  /**
+   * INCREMENTAL connected components over a [[StateStore]] edge
+   * stream: each call ingests an edge drop and returns the labeling
+   * of EVERY vertex seen so far, without re-reading old edge drops.
+   * The state per increment holds the drop's (deduplicated,
+   * canonically ordered) edges — the idempotence ledger — and the
+   * post-ingest `labels` table. An ingest runs CC over the previous
+   * labels rendered as STAR edges (`component → member`) unioned with
+   * the new drop: contracting a graph's components to stars preserves
+   * its connectivity relation exactly, so
+   * `CC(stars(CC(A)) ∪ B) = CC(A ∪ B)` — and because labels are
+   * canonical MIN ids and the old component id itself is a star
+   * endpoint, the merged labels stay canonical min ids, equal to a
+   * one-shot recompute over the union (spec-pinned, including a drop
+   * that MERGES two previously separate components).
+   *
+   * Scale shape: the per-ingest graph is |V| star edges + |B| new
+   * edges — label-sized, never the edge history (the property that
+   * makes nightly graph ingests affordable when E ≫ V). Re-presented
+   * edges anti-join out against the ledger and short-circuit before
+   * committing (the [[graft.operators.StateStore]] retry contract);
+   * the returned DataFrame reads back the COMMITTED labels table, so
+   * later ingests to the same path never change an earlier call's
+   * result. Components cover edge-incident vertices (the operator
+   * sees only edges); join a vertex table downstream for isolated
+   * singletons. Output: `(id, component)`, component = min member id.
+   */
+  def ccIncremental(newEdges: DataFrame, statePath: String): DataFrame = {
+    val spark = newEdges.sparkSession
+    val prior = StateStore.committed(spark, statePath)
+    val norm = newEdges.select(
+      least(col("src"), col("dst")).cast("long").as("src"),
+      greatest(col("src"), col("dst")).cast("long").as("dst")).distinct()
+    val incoming = if (prior.isEmpty) norm else
+      norm.join(spark.read.parquet(prior.map(_ + "/edges"): _*),
+        Seq("src", "dst"), "left_anti")
+    def lastLabels(dirs: Seq[String]): DataFrame =
+      spark.read.parquet(dirs.last + "/labels")
+    if (incoming.isEmpty && prior.nonEmpty) return lastLabels(prior)
+    if (incoming.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType))))
+    // write the drop ONCE, derive everything from the read-back (the
+    // exactIncremental pattern: ledger and labels can never diverge)
+    val dir = StateStore.nextDir(spark, statePath)
+    incoming.write.mode("overwrite").parquet(s"$dir/edges")
+    val fresh = spark.read.parquet(s"$dir/edges")
+    val prevLabels =
+      if (prior.isEmpty) None else Some(lastLabels(prior))
+    val stars = prevLabels.map(_.filter(col("id") =!= col("component"))
+      .select(col("component").as("src"), col("id").as("dst")))
+    val edgesAll = stars.fold(fresh)(fresh.union)
+    val verts = prevLabels
+      .map(l => fresh.select(col("src").as("id"))
+        .union(fresh.select(col("dst")))
+        .union(l.select(col("id"))))
+      .getOrElse(fresh.select(col("src").as("id"))
+        .union(fresh.select(col("dst"))))
+      .distinct()
+    connectedComponents(GraphStore(verts, edgesAll))
+      .write.mode("overwrite").parquet(s"$dir/labels")
+    StateStore.commit(spark, dir)
+    spark.read.parquet(s"$dir/labels")
+  }
+
   /** Connected components (undirected): `(id, component)` where
     * component = smallest vertex id in the component. */
   def connectedComponents(g: GraphStore): DataFrame = {

@@ -797,7 +797,7 @@ class GraphAlgosSpec extends SparkSpec {
     // from min vertex 1 is 7 (d=4)... pivot BFS gives true diameter 4
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (3L, 6L), (6L, 7L)).toDF("src", "dst")
-    val g = graft.sources.GraphStore(Seq(1L).toDF("id"),
+    val g = GraphStore(Seq(1L).toDF("id"),
       edges.withColumn("label", lit("e")))
     val out = GraphAlgos.doubleSweepDiameter(g, maxHops = 8)
       .collect().head
@@ -817,6 +817,40 @@ class GraphAlgosSpec extends SparkSpec {
 
   private def sccMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("ccIncremental: union equality, merge path, idempotence") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-ccstate").toString
+    // drop A: components {1,2,3} and {10,11}; drop B merges them via
+    // (3,10) and adds a fresh one {20,21} — the star-merge path
+    val dropA = Seq((2L, 1L), (2L, 3L), (11L, 10L)).toDF("src", "dst")
+    val dropB = Seq((3L, 10L), (20L, 21L)).toDF("src", "dst")
+    val afterA = labels(GraphAlgos.ccIncremental(dropA, state))
+    assert(afterA == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val afterB = labels(GraphAlgos.ccIncremental(dropB, state))
+    val oneShot = labels(GraphAlgos.connectedComponents(
+      GraphStore(
+        Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id"),
+        dropA.union(dropB))))
+    assert(afterB == oneShot)
+    assert(afterB(11L) == 1L) // the old {10,11} component re-rooted
+    // a re-presented drop (even reordered/reversed) is a no-op that
+    // neither changes labels nor grows the state
+    val nDirs = StateStore.committed(spark, state).size
+    val again = labels(GraphAlgos.ccIncremental(
+      dropB.select(col("dst").as("src"), col("src").as("dst")), state))
+    assert(again == afterB)
+    assert(StateStore.committed(spark, state).size == nDirs)
+    // committed-read-back purity: the afterB call's FRAME still
+    // answers the same after a later ingest
+    val holdB = GraphAlgos.ccIncremental(
+      Seq((30L, 31L)).toDF("src", "dst"), state)
+    assert(labels(holdB).contains(30L))
+  }
 
   test("scc: hand-checked graph with cycles, a bridge, and sources") {
     import spark.implicits._
@@ -933,14 +967,14 @@ class GraphAlgosSpec extends SparkSpec {
       .toDF("src", "dst", "label")
     val verts = Seq(1L).toDF("id")
     val rings = GraphAlgos.successorRings(
-      graft.sources.GraphStore(verts, edges), "contains", ringLen = 3)
+      GraphStore(verts, edges), "contains", ringLen = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rings == Set((3L, 5L), (5L, 7L), (7L, 3L), (9L, 9L),
       (7L, 8L), (8L, 7L)))
     // the planted-fixture theorem the graph_scc oracle rides on: the
     // shared vertex merges both rings into ONE strongly connected set
     val scc = sccMap(GraphAlgos.stronglyConnectedComponents(
-      graft.sources.GraphStore(verts, edges).edges.sparkSession
+      GraphStore(verts, edges).edges.sparkSession
         .createDataFrame(rings.toSeq).toDF("src", "dst")))
     assert(scc == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 8L -> 3L, 9L -> 9L))
   }
