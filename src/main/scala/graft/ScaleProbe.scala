@@ -315,6 +315,36 @@ object ScaleProbe {
     val cents256 = operators.SimilarityOps.fitIvfCentroids(embs, k = 256, iters = 1)
     time("ivfTopK_k256")(operators.SimilarityOps.ivfTopK(q, embs, cents256, nprobe = 16, k = 10).count())
     time("bruteTopK")(operators.SimilarityOps.bruteForceTopK(q, embs, k = 10).count())
+    // the r11 bounded-cut claim: the OLD row_number formulation drags
+    // every query's FULL scored corpus through one task's sort — kept
+    // here as an inline replica so the task-time gap stays measured
+    time("bruteTopK_windowReplica") {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorExpressions.register(spark)
+      val qq = q.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"),
+        operators.SimilarityOps.l2norm(col("embedding")).as("__qn"))
+      val c = embs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv"),
+        operators.SimilarityOps.l2norm(col("embedding")).as("__cn"))
+      broadcast(qq).crossJoin(c)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", operators.SimilarityOps.dot(
+          col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 10)
+        .count()
+    }
+    time("binaryHammingTopK")(operators.SimilarityOps
+      .binaryHammingTopK(q, embs, k = 10).count())
+    time("hardNegatives") {
+      val labeled = embs.withColumn("label",
+        (col("vec_id") % 16).cast("int"))
+      operators.SimilarityOps.hardNegatives(
+        labeled.filter(col("vec_id") < 20), labeled, k = 10).count()
+    }
     time("pqRerank") {
       val books = operators.SimilarityOps.fitPq(embs, m = 8, k = 16, iters = 3)
       operators.SimilarityOps.pqRerank(q, embs, books, k = 10,
