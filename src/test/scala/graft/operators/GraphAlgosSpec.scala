@@ -818,6 +818,19 @@ class GraphAlgosSpec extends SparkSpec {
   private def sccMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
 
+  test("scc leaves the calling session's conf untouched") {
+    // the r10 advice contract: iterative-loop width/AQE tuning must
+    // never leak into concurrent queries — SCC now runs small graphs
+    // on an isolated child session instead of mutating shared conf
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    GraphAlgos.stronglyConnectedComponents(e, seqThreshold = 0).count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe)
+  }
+
   test("ccIncremental: union equality, merge path, idempotence") {
     import spark.implicits._
     def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
