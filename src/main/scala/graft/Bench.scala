@@ -63,7 +63,12 @@ object Bench {
     // round-10: SCC joins the iterative-graph family in the headline
     // (latency = flood rounds × job overhead at sf0.1, the graph_walks
     // precedent; ProbeScc is the in-JVM steady probe)
-    "graph_scc")
+    "graph_scc",
+    // round-11: the structurally-new shapes — a drained stateful
+    // stream, a two-stage token-ANN rerank, and a state-store
+    // incremental graph ingest (fresh state dir per invocation)
+    "events_stream_gap_sessions", "embed_maxsim_rerank",
+    "graph_cc_incremental")
 
   /** Cross-family JIT warmup set (run at the small warmup sf, never at
     * the benched sf): one gate per shared-infra family. */
