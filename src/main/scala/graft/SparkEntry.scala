@@ -1024,6 +1024,12 @@ object SparkEntry {
     // integer arithmetic (DECIMAL(38) == HUGEINT) — no float, no sqrt
     "events_anomaly" -> ((spark, sfDir) =>
       streaming.EventStreamOps.anomalies(events(spark, sfDir), k = 3)),
+    // REAL incremental anomalies: three int64 scalars of per-type
+    // streaming state; drained moments == batch moments exactly, so
+    // the report equals the batch face verbatim (shared oracle)
+    "events_stream_anomaly" -> ((spark, sfDir) =>
+      streaming.EventStreamOps.streamedAnomalies(spark,
+        s"$sfDir/events.parquet", k = 3)),
     // exact cosine radius search: raw-similarity filter, rounded
     // display (the float invariant), no rank window
     "ann_radius" -> ((spark, sfDir) => {
@@ -3743,6 +3749,21 @@ object SparkEntry {
     // (n·x − sum)² > k²·(n·sumsq − sum²); DuckDB HUGEINT == Spark
     // DECIMAL(38,0), both exact — boundary cases engine-identical
     "events_anomaly" ->
+      """WITH b AS (SELECT event_id, event_type,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(sum(cents * cents) AS BIGINT) AS sq
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_id, b.event_type, b.cents
+        |FROM b JOIN m USING (event_type)
+        |WHERE m.n >= 2 AND
+        |  (CAST(m.n AS HUGEINT) * b.cents - m.s) *
+        |  (CAST(m.n AS HUGEINT) * b.cents - m.s) >
+        |  9 * (CAST(m.n AS HUGEINT) * m.sq -
+        |       CAST(m.s AS HUGEINT) * m.s)""".stripMargin,
+    // the REAL incremental run must equal the batch report verbatim
+    "events_stream_anomaly" ->
       """WITH b AS (SELECT event_id, event_type,
         |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
         |m AS (SELECT event_type, count(*) AS n,

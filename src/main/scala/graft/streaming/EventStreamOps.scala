@@ -355,6 +355,13 @@ object EventStreamOps {
     val moments = base.groupBy(col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
         sum(col("cents") * col("cents")).as("sq"))
+    anomalyFlag(base, moments, k, typeCol)
+  }
+
+  /** The z²>k² flag over precomputed per-type int64 moments — shared
+    * by the batch face and [[streamedAnomalies]]' drained moments. */
+  private def anomalyFlag(base: DataFrame, moments: DataFrame, k: Int,
+                          typeCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       c.cast(dec)
@@ -365,6 +372,37 @@ object EventStreamOps {
         lit(k.toLong * k) * (d(col("n")) * col("sq") -
           d(col("s")) * col("s")))
       .select(col("event_id"), col(typeCol), col("cents"))
+  }
+
+  /**
+   * REAL incremental anomaly detection — the streamed twin of
+   * [[anomalies]]: the per-type integer moments (n, Σcents, Σcents²)
+   * fold across micro-batches in a streaming aggregation whose state
+   * is EXACTLY three int64 scalars per type regardless of stream
+   * length; int64 addition is associative, so the drained moments are
+   * bit-identical to the batch build and the z²>k² flag over them
+   * reproduces the batch report verbatim (the gate shares the
+   * `events_anomaly` oracle). The flagged-event scan itself is the
+   * batch side — at scale it runs wherever the events land, against
+   * moments the stream maintained for free.
+   */
+  def streamedAnomalies(spark: SparkSession, path: String, k: Int = 3,
+                        typeCol: String = "event_type"): DataFrame = {
+    val name = s"graft_stream_an_${runCounter.incrementAndGet()}"
+    val moments = streamFromParquet(spark, path)
+      .select(col(typeCol),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("sq"))
+    withStatePartitions(spark, 8) {
+      val q = moments.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val base = readEvents(spark, path).select(col("event_id"),
+      col(typeCol), floor(col("value") * 100).cast("long").as("cents"))
+    anomalyFlag(base, spark.table(name), k, typeCol)
   }
 
   /**

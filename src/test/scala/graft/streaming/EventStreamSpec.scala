@@ -472,6 +472,15 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamedAnomalies equals the batch anomaly report") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = EventStreamOps.streamedAnomalies(spark, path, k = 3)
+    val batch = EventStreamOps.anomalies(readEvents(spark, path), k = 3)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streamedValueHistogram equals the batch histogram") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val streamed = EventStreamOps.streamedValueHistogram(spark, path)
