@@ -154,6 +154,11 @@ object Pipeline {
     val sharded = operators.CurationOps.shardShuffle(spanned, nShards = 8)
     val nShardsOut = sharded.select(col("shard")).distinct().count()
 
+    // 12b. leakage-safe split assignment hashed on the SOURCE group —
+    // near-duplicates and same-site pages never straddle train/test
+    val nValTest = operators.CurationOps.groupSplits(spanned)
+      .filter(col("split") =!= "train").count()
+
     // 13. final corpus stats
     val stats = spanned.agg(
       sum(col("tokens")).as("tokens"),
@@ -164,7 +169,7 @@ object Pipeline {
       s""""exact":$nExact,"near_dedup":$nDeduped,"para_dedup":$nPara,""" +
       s""""decontaminated":$nClean,"span_clean":$nSpanClean,""" +
       s""""mixed_epochs":$nMixed,"bpe_tokens":$bpeTokens,""" +
-      s""""bins":$nBins,"shards":$nShardsOut,""" +
+      s""""bins":$nBins,"shards":$nShardsOut,"heldout_docs":$nValTest,""" +
       s""""tokens":${stats.getLong(0)},"avg_quality":${stats.getDouble(1)},""" +
       s""""avg_ratio":${stats.getDouble(2)},""" +
       s""""budget":$budget,"sf":"$sfDir"}""")
