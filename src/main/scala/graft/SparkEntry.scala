@@ -567,6 +567,20 @@ object SparkEntry {
           col("purchase_event_id"),
           round(col("purchase_value"), 2).as("purchase_value"))
     }),
+    // forward as-of: each click annotated with the NEXT purchase
+    // at-or-after it (conversion-lag / time-to-event view)
+    "events_asof_forward" -> ((spark, sfDir) => {
+      val ev = events(spark, sfDir)
+      streaming.EventStreamOps.asofJoinForward(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        keyCol = "user_id", tsCol = "ts", ordCol = "event_id",
+        leftCols = Seq("event_id"), payload = Seq("event_id", "value"),
+        prefix = "next_")
+        .select(col("event_id"), col("user_id"),
+          col("next_event_id"),
+          round(col("next_value"), 2).as("next_value"))
+    }),
     // ordered view->click->purchase funnel: earliest strict-after
     // traversal per user; stage timestamps as epoch-micros int64
     "events_funnel" -> ((spark, sfDir) =>
@@ -2667,6 +2681,23 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, purchase_event_id,
         |  round(pv, 2) AS purchase_value FROM m WHERE side = 1""".stripMargin,
+    // forward mirror: left rows sort BEFORE right at equal ts (side
+    // 0 vs 1), first_value over the following frame
+    "events_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id AS ord, event_id,
+        |    NULL::BIGINT AS p_id, NULL::DOUBLE AS p_val
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, event_id, NULL, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT *,
+        |    first_value(p_id IGNORE NULLS) OVER w AS next_event_id,
+        |    first_value(p_val IGNORE NULLS) OVER w AS nv
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, ord
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, next_event_id,
+        |  round(nv, 2) AS next_value FROM m WHERE side = 0""".stripMargin,
     // greedy earliest-first funnel, replicated stage by stage: first
     // view per user, first click strictly after it ((ts, event_id)
     // lexicographic), first purchase strictly after that. The REAL

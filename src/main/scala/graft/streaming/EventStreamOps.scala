@@ -201,6 +201,45 @@ object EventStreamOps {
   }
 
   /**
+   * FORWARD as-of join — the time-mirror of [[asofJoin]]: each left
+   * row annotated with the same key's EARLIEST right row at-or-after
+   * it (next-event semantics: click → next purchase, the
+   * conversion-lag / time-to-event query). Same union + keyed-window
+   * decomposition (one shuffle on the key, never a per-row range
+   * join): `first(ignoreNulls)` over currentRow → unboundedFollowing,
+   * with left rows ordered BEFORE right rows at equal timestamps so a
+   * same-instant right row counts as "after" (mirroring the backward
+   * face's at-or-before inclusion).
+   */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      keyCol: String, tsCol: String, ordCol: String,
+                      leftCols: Seq[String], payload: Seq[String],
+                      prefix: String = "next_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val side = "__side"
+    val ord = "__ord"
+    val lRows = left.select(
+      (col(keyCol) +: col(tsCol) +: lit(0).as(side) +: col(ordCol).as(ord) +:
+        (leftCols.map(col) ++
+          payload.map(p => lit(null).cast(right.schema(p).dataType)
+            .as(s"$prefix$p")))): _*)
+    val rRows = right.select(
+      (col(keyCol) +: col(tsCol) +: lit(1).as(side) +: col(ordCol).as(ord) +:
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(p => col(p).as(s"$prefix$p")))): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(side).asc, col(ord).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = payload.foldLeft(lRows.unionByName(rRows)) { (df, p) =>
+      df.withColumn(s"$prefix$p",
+        first(col(s"$prefix$p"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col(side) === 0)
+      .select((col(keyCol) +: leftCols.map(col)) ++
+        payload.map(p => col(s"$prefix$p")): _*)
+  }
+
+  /**
    * REAL incremental count-min sketch: the
    * [[graft.operators.CurationOps.countMinHeavyHitters]] chain with
    * the sketch counters maintained ACROSS micro-batches by a streaming

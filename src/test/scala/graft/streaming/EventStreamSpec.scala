@@ -304,6 +304,25 @@ class EventStreamSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(9L))
   }
 
+  test("asofJoinForward picks the earliest right row at-or-after") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, ts(10), 1L), (11L, ts(30), 1L), (12L, ts(50), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (100L, ts(10), 1L, 5.0),  // same-ts: inclusive match for id 10
+      (101L, ts(20), 1L, 7.0),  // before id 11 — skipped forward
+      (102L, ts(40), 1L, 9.0),  // earliest after id 11
+      (103L, ts(20), 2L, 3.0))  // before id 12 — user 2 unmatched
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = EventStreamOps.asofJoinForward(left, right, "user_id",
+        "ts", "event_id", leftCols = Seq("event_id"),
+        payload = Seq("event_id", "value"), prefix = "n_")
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out == Set((10L, 100L), (11L, 102L), (12L, -1L)))
+  }
+
   test("trailingWindow counts and cent-sums the trailing range") {
     import spark.implicits._
     val ev = Seq(
