@@ -146,6 +146,27 @@ object ScaleProbe {
       operators.StateStore.delete(mhState)
     }
 
+    // incremental CC: big-archive ingest once, then a tiny edge drop —
+    // the increment's CC runs over |V| star edges + |B| new edges,
+    // never the archive's edge history (the label-contraction claim)
+    val ccState = s"/tmp/graft_probe_ccstate_${ProcessHandle.current().pid()}"
+    if (wanted("ccIncArchive", "ccIncIncrement")) {
+      operators.StateStore.delete(ccState)
+      val g0 = sources.GraphStore.tpch(spark, "/root/testdata/sf0.1")
+      val sub = g0.edges.filter(col("label") === "placed" ||
+        col("quantity") >= 52.0).select(col("src"), col("dst")).cache()
+      val archive = () => operators.GraphAlgos.ccIncremental(
+        sub.filter(pmod(col("src") + col("dst"), lit(100)) =!= 0),
+        ccState).count()
+      if (wanted("ccIncArchive")) time("ccIncArchive")(archive())
+      else archive()
+      time("ccIncIncrement")(operators.GraphAlgos.ccIncremental(
+        sub.filter(pmod(col("src") + col("dst"), lit(100)) === 0),
+        ccState).count())
+      operators.StateStore.delete(ccState)
+      sub.unpersist()
+    }
+
     val evbase = streaming.EventStreamOps.readEvents(
       spark, "/root/testdata/sf0.1/events.parquet")
     val events = (0 until mult).map { i =>
