@@ -1536,6 +1536,20 @@ object SparkEntry {
     "events_value_histogram" -> ((spark, sfDir) =>
       streaming.EventStreamOps.valueHistogram(events(spark, sfDir),
         widthCents = 500)),
+    // word-level vocabulary profile: tokens/types/hapax + exact
+    // per-mille TTR and hapax ratios per source
+    "text_vocab_profile" -> ((spark, sfDir) =>
+      operators.TextOps.vocabularyProfile(docs(spark, sfDir))),
+    // directed reciprocity of the successor-ring fixture (2-rings
+    // contribute mutual pairs; longer rings do not)
+    "graph_reciprocity" -> ((spark, sfDir) => {
+      val g0 = sources.GraphStore.tpch(spark, sfDir)
+      operators.GraphAlgos.reciprocity(
+        operators.GraphAlgos.successorRings(
+          sources.GraphStore(g0.vertices,
+            g0.edges.filter(col("dst") % 40 === 0)),
+          label = "contains", ringLen = 4))
+    }),
     // INCREMENTAL connected components: two edge drops ingested
     // against a fresh state; each ingest contracts the previous
     // labels to star edges (label-sized, never the edge history) —
@@ -2844,6 +2858,39 @@ object SparkEntry {
         |         = 'f' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+    "text_vocab_profile" ->
+      """WITH w AS (SELECT source, unnest(string_split(trim(text), ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, count(*) AS c FROM w
+        |  WHERE len(w) > 0 GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS tokens,
+        |  count(*) AS types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST((1000 * count(*)) // sum(c) AS BIGINT) AS ttr_pm,
+        |  CAST((1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS hapax_pm
+        |FROM c GROUP BY source""".stripMargin,
+    // reciprocity over the ring fixture (the graph_scc sel/ring CTEs)
+    "graph_reciprocity" ->
+      """WITH sel AS MATERIALIZED (SELECT p, o FROM (
+        |  SELECT p, o, row_number() OVER (PARTITION BY p ORDER BY o)
+        |    AS rn
+        |  FROM (SELECT DISTINCT l_partkey + 2000000000 AS p,
+        |          l_orderkey + 1000000000 AS o
+        |        FROM lineitem WHERE l_partkey % 40 = 0))
+        |  WHERE rn <= 4),
+        |ring AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT o AS src,
+        |    coalesce(lead(o) OVER (PARTITION BY p ORDER BY o),
+        |             min(o) OVER (PARTITION BY p)) AS dst
+        |  FROM sel)),
+        |r0 AS (SELECT src, dst FROM ring WHERE src != dst),
+        |m AS (SELECT a.src, a.dst FROM r0 a
+        |  JOIN r0 b ON a.src = b.dst AND a.dst = b.src)
+        |SELECT CAST((SELECT count(*) FROM r0) AS BIGINT) AS edges,
+        |  CAST((SELECT count(*) FROM m) AS BIGINT) AS reciprocal,
+        |  CAST((1000 * (SELECT count(*) FROM m)) //
+        |    greatest((SELECT count(*) FROM r0), 1) AS BIGINT)
+        |    AS reciprocity_pm""".stripMargin,
     // incremental CC: same subgraph as graph_components but components
     // cover EDGE-INCIDENT vertices only (the operator sees edges, not
     // the vertex table — isolated singletons are a downstream join)

@@ -52,6 +52,31 @@ object GraphAlgos {
   }
 
   /**
+   * Directed-graph reciprocity: the per-mille fraction of directed
+   * edges whose REVERSE edge also exists — the classic mutuality
+   * statistic (social follows, citation exchanges, mutual links;
+   * near-zero on hierarchy-shaped graphs). One distinct + one self
+   * semi-join on the canonical edge set, pure int64 counts, a single
+   * floor division (engine-exact). Self-loops are excluded (a loop is
+   * trivially its own reverse). Output one row:
+   * `(edges, reciprocal, reciprocity_pm)`.
+   */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false) // self-joined: compute lineage once
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val tot = e.agg(count(lit(1)).as("edges"))
+    val rec = e.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("reciprocal"))
+    tot.crossJoin(rec)
+      .select(col("edges"), col("reciprocal"),
+        expr("(1000 * reciprocal) div greatest(edges, 1)")
+          .as("reciprocity_pm"))
+  }
+
+  /**
    * INCREMENTAL connected components over a [[StateStore]] edge
    * stream: each call ingests an edge drop and returns the labeling
    * of EVERY vertex seen so far, without re-reading old edge drops.

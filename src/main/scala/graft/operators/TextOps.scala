@@ -964,6 +964,33 @@ object TextOps {
         expr("(1000L * distinct_ngrams) div ngrams"))
 
   /**
+   * Word-level vocabulary profile per source: token count, type count
+   * (distinct words), hapax legomena (words seen exactly once), and
+   * type-token / hapax ratios in exact per-mille — the corpus
+   * linguistics report (lexical richness, OCR-garbage and template
+   * detection: templated sources show low TTR, OCR noise shows high
+   * hapax). Two partial-aggregable passes: (source, word) counts
+   * combine map-side, then one source-level fold — a giant source is
+   * bounded by its vocabulary at the second pass, never its token
+   * volume. Output: `(source, tokens, types, hapax, ttr_pm,
+   * hapax_pm)`.
+   */
+  def vocabularyProfile(df: DataFrame, sourceCol: String = "source",
+                        textCol: String = "text"): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("source"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("source"))
+      .agg(sum(col("__c")).as("tokens"),
+        count(lit(1)).as("types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("tokens"), col("types"), col("hapax"),
+        expr("(1000 * types) div tokens").as("ttr_pm"),
+        expr("(1000 * hapax) div types").as("hapax_pm"))
+
+  /**
    * ROUGE-n overlap between candidate/reference text pairs — the
    * summarization/generation eval metric (Lin 2004), and the
    * verbatim-overlap audit a distillation pipeline runs between model

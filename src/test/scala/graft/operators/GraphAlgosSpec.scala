@@ -818,6 +818,17 @@ class GraphAlgosSpec extends SparkSpec {
   private def sccMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
 
+  test("reciprocity: mutual pairs counted once per direction") {
+    import spark.implicits._
+    // 1<->2 mutual (2 reciprocal edges), 2->3 one-way, 4->4 self-loop
+    // (excluded), duplicate (1,2) collapsed
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (4L, 4L))
+      .toDF("src", "dst")
+    val out = GraphAlgos.reciprocity(e).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) ==
+      ((3L, 2L, 666L)))
+  }
+
   test("scc leaves the calling session's conf untouched") {
     // the r10 advice contract: iterative-loop width/AQE tuning must
     // never leak into concurrent queries — SCC now runs small graphs

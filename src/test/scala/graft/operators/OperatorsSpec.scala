@@ -487,6 +487,19 @@ class OperatorsSpec extends SparkSpec {
       ("sb", "sc") -> 1L))
   }
 
+  test("vocabularyProfile: tokens/types/hapax per-mille, hand-checked") {
+    import spark.implicits._
+    // source a: "x x y" + "y z" -> tokens 5, types {x:2,y:2,z:1} = 3,
+    // hapax {z} = 1; ttr = 3000 div 5 = 600; hapax_pm = 1000 div 3 = 333
+    val df = Seq(("a", "x x y"), ("a", "y z"), ("b", "q"))
+      .toDF("source", "text")
+    val out = TextOps.vocabularyProfile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("a") == ((5L, 3L, 1L, 600L, 333L)))
+    assert(out("b") == ((1L, 1L, 1L, 1000L, 1000L)))
+  }
+
   test("ngramDiversity: exact bigram counts, short-doc edge") {
     import spark.implicits._
     val df = Seq(
