@@ -21,9 +21,17 @@ import org.apache.spark.sql.SparkSession
  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ProbeSteady /root/testdata/sf0.1"
  */
 object ProbeSteady {
-  private val ProbeGates = Seq(
-    "dedup_best_survivors", "events_gapfill", "join_bloom_prefilter",
-    "embed_knn_graph")
+  /** The FULL headline set (r11 verdict #2: the earlier fixed 4-gate
+    * subset couldn't catch contamination or stalls landing on other
+    * gates). Override with SPARK_GRAFT_ONLY for a quick targeted run
+    * (the historic 4-gate subset was dedup_best_survivors,
+    * events_gapfill, join_bloom_prefilter, embed_knn_graph). */
+  private def probeGates: Seq[String] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    Bench.Headline.filter(n => only.forall(_.contains(n)))
+  }
+  private val ProbeGates = probeGates
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

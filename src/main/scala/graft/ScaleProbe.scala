@@ -167,6 +167,42 @@ object ScaleProbe {
       sub.unpersist()
     }
 
+    // E ≫ V regime (r11 verdict #1's probe): hash the tpch edge list
+    // into a 4096-vertex universe — repeated-link/multigraph shape —
+    // and grow the ARCHIVE 1× → 10× (to ~1200:1 edge:vertex) while the
+    // drop and the label set stay fixed. The claim under test: an
+    // ingest costs the drop + labels, never E_history — the bloom
+    // ledger classifies fresh drop edges with zero archive I/O and the
+    // exact-verify reads only FP-touched buckets, so ccIncIncrementEV
+    // must stay FLAT across the two archive scales
+    if (wanted("ccIncArchiveEV", "ccIncIncrementEV")) {
+      val g0 = sources.GraphStore.tpch(spark, "/root/testdata/sf0.1")
+      def mapped(i: Int) = g0.edges.select(
+        pmod(xxhash64(col("src"), lit(i * 2)), lit(4096L)).as("src"),
+        pmod(xxhash64(col("dst"), lit(i * 2 + 1)), lit(4096L)).as("dst"))
+      for (scale <- Seq(1, 10)) {
+        val ccStateEV = s"/tmp/graft_probe_ccstate_ev_${scale}_" +
+          ProcessHandle.current().pid()
+        operators.StateStore.delete(ccStateEV)
+        val all = (0 until scale).map(mapped).reduce(_ unionByName _)
+          .cache()
+        // drop: a fixed ~1% slice of copy 0; archive: everything else
+        val cut = pmod(col("src") + col("dst"), lit(100)) === 0
+        val drop = mapped(0).filter(cut)
+        val archive = all.exceptAll(drop)
+        println(s"denseEdges_x$scale=${all.count()} vertices<=4096")
+        val ingestArchive = () => operators.GraphAlgos.ccIncremental(
+          archive, ccStateEV).count()
+        if (wanted("ccIncArchiveEV"))
+          time(s"ccIncArchiveEV_x$scale")(ingestArchive())
+        else ingestArchive()
+        time(s"ccIncIncrementEV_x$scale")(operators.GraphAlgos
+          .ccIncremental(drop, ccStateEV).count())
+        operators.StateStore.delete(ccStateEV)
+        all.unpersist()
+      }
+    }
+
     val evbase = streaming.EventStreamOps.readEvents(
       spark, "/root/testdata/sf0.1/events.parquet")
     val events = (0 until mult).map { i =>

@@ -38,8 +38,13 @@ object SparkEntry {
     * memo would silently serve UNCACHED re-scans forever. Driver-side
     * model memos (ivf/pq/opq/pca) hold plain arrays, not Spark
     * storage — they survive a reset unchanged. */
-  def dropGraphCache(spark: SparkSession): Unit =
+  def dropGraphCache(spark: SparkSession): Unit = {
     graphCache.keys.filter(_._1 eq spark).foreach(graphCache.remove)
+    // the shared BFS/co-occurrence substrates are cache()-backed the
+    // same way — a reset must forget them too or they'd serve
+    // permanently uncached re-scans
+    operators.GraphAlgos.dropSubstrateCache(spark)
+  }
 
   private def g(spark: SparkSession, sfDir: String): Graft =
     graphCache.getOrElseUpdate((spark, sfDir), {
@@ -1567,6 +1572,27 @@ object SparkEntry {
         .groupBy(col("component").as("root"))
         .agg(count(lit(1)).as("size"))
     }),
+    // cc state compaction mid-sequence: two ingested thirds fold into
+    // one dir (edges/blooms union, labels LAST — the per-operator
+    // reader contract), the third drop ingests against the compacted
+    // state, and the final labeling must still equal the one-shot CC
+    // — graph_cc_incremental's oracle verbatim
+    "graph_cc_compacted" -> ((spark, sfDir) => {
+      val g0 = sources.GraphStore.tpch(spark, sfDir)
+      val sub = g0.edges
+        .filter(col("label") === "placed" || col("quantity") >= 52.0)
+        .select(col("src"), col("dst"))
+      val state = freshStateDir("graft_cccstate")
+      operators.GraphAlgos.ccIncremental(
+        sub.filter(pmod(col("src") + col("dst"), lit(3)) === 0), state)
+      operators.GraphAlgos.ccIncremental(
+        sub.filter(pmod(col("src") + col("dst"), lit(3)) === 1), state)
+      operators.GraphAlgos.ccCompact(spark, state)
+      operators.GraphAlgos.ccIncremental(
+          sub.filter(pmod(col("src") + col("dst"), lit(3)) === 2), state)
+        .groupBy(col("component").as("root"))
+        .agg(count(lit(1)).as("size"))
+    }),
     // leakage-safe splits: hashed on the GROUP key so same-source
     // docs never straddle train/test
     "curation_group_splits" -> ((spark, sfDir) =>
@@ -1588,6 +1614,19 @@ object SparkEntry {
       val e = embs(spark, sfDir)
       operators.SimilarityOps.binaryHammingTopK(
         e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+    // INCREMENTAL binary retrieval: two embedding drops ingested into
+    // the persistent signature table; the post-ingest query must equal
+    // the one-shot Hamming top-k over the union corpus —
+    // embed_binary_hamming's oracle verbatim (integer-exact)
+    "embed_binary_incremental" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      val state = freshStateDir("graft_bhstate")
+      operators.SimilarityOps.binaryHammingIncremental(q,
+        e.filter(col("vec_id") % 2 === 0), state, k = 5).count()
+      operators.SimilarityOps.binaryHammingIncremental(q,
+        e.filter(col("vec_id") % 2 === 1), state, k = 5)
     }),
     // binary shortlist -> exact cosine rerank, recall floor vs brute
     // force (the pqRerank deployment shape at 32x compression)
@@ -2414,6 +2453,19 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS rank FROM d)
         |SELECT query_id, neighbor_id, CAST(h AS BIGINT) AS hamming,
         |  CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    // increment ∪ archive == one-shot: embed_binary_hamming verbatim
+    "embed_binary_incremental" ->
+      """WITH s AS (SELECT vec_id,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END for i in range(1, 33)]) AS BIGINT) AS sa,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END for i in range(33, 65)]) AS BIGINT) AS sb
+        | FROM embeddings),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS h
+        | FROM s a JOIN s b ON a.vec_id < 10 AND b.vec_id != a.vec_id),
+        |r AS (SELECT query_id, neighbor_id, h,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS rank FROM d)
+        |SELECT query_id, neighbor_id, CAST(h AS BIGINT) AS hamming,
+        |  CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5""".stripMargin,
     "ann_recall_binary" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(2 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
@@ -2913,12 +2965,33 @@ object SparkEntry {
         |SELECT comp AS root, count(*) AS size
         |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
         |GROUP BY comp""".stripMargin,
+    // compaction is read-equivalent: the final labeling over the same
+    // union subgraph — graph_cc_incremental's oracle verbatim
+    "graph_cc_compacted" ->
+      """WITH RECURSIVE
+        | e0 AS (
+        |   SELECT CAST(o_custkey AS BIGINT) AS u, CAST(o_orderkey + 1000000000 AS BIGINT) AS v FROM orders
+        |   UNION ALL
+        |   SELECT CAST(l_orderkey + 1000000000 AS BIGINT), CAST(l_partkey + 2000000000 AS BIGINT)
+        |   FROM (SELECT l_orderkey, l_partkey, sum(l_quantity) AS q FROM lineitem GROUP BY 1, 2)
+        |   WHERE q >= 52.0
+        | ),
+        | und AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        | nodes AS (SELECT DISTINCT u AS id FROM und),
+        | reach(id, r) AS (
+        |   SELECT id, id FROM nodes
+        |   UNION
+        |   SELECT e.v, r.r FROM reach r JOIN und e ON e.u = r.id
+        | )
+        |SELECT comp AS root, count(*) AS size
+        |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |GROUP BY comp""".stripMargin,
     // leakage-safe splits: same nibble recipe, hashed on the GROUP key
     "curation_group_splits" ->
       """SELECT doc_id, source,
-        |  CASE WHEN substr(md5('split:' || source), 1, 1)
+        |  CASE WHEN substr(md5('split:' || coalesce(source, '__null__')), 1, 1)
         |         IN ('d', 'e') THEN 'val'
-        |       WHEN substr(md5('split:' || source), 1, 1)
+        |       WHEN substr(md5('split:' || coalesce(source, '__null__')), 1, 1)
         |         = 'f' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,

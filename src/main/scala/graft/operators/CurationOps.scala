@@ -720,13 +720,19 @@ object CurationOps {
    * train/test (the split-leakage failure mode document-level hashing
    * cannot prevent). Same salted-md5 nibble recipe: 13/16 train,
    * 2/16 val, 1/16 test; pure narrow map, growth-stable,
-   * engine-reproducible. Output: `(idCol, groupCol, split)`.
+   * engine-reproducible. A NULL group key coalesces to a sentinel
+   * BEFORE hashing — without it engines silently diverge (Spark's
+   * concat_ws skips nulls and hashes the bare salt; SQL `||` yields
+   * NULL and falls to the default arm), and all null-keyed docs still
+   * land in ONE split, preserving the leakage guarantee.
+   * Output: `(idCol, groupCol, split)`.
    */
   def groupSplits(df: DataFrame, idCol: String = "doc_id",
                   groupCol: String = "source",
                   salt: String = "split"): DataFrame = {
     val nibble = substring(
-      md5(concat_ws(":", lit(salt), col(groupCol).cast(StringType))),
+      md5(concat_ws(":", lit(salt),
+        coalesce(col(groupCol).cast(StringType), lit("__null__")))),
       1, 1)
     df.select(col(idCol), col(groupCol),
       when(nibble.isin("d", "e"), lit("val"))

@@ -76,6 +76,53 @@ object GraphAlgos {
           .as("reciprocity_pm"))
   }
 
+  /** Hash-bucket fanout of the [[ccIncremental]] edge ledger's hive
+    * partitioning — the exact-verify read prunes to the (few)
+    * bloom-positive buckets instead of scanning the archive. 64 keeps
+    * per-increment file counts sane (≤64 files after the pre-write
+    * repartition) while a handful of FP edges touch ≈ that many
+    * buckets. */
+  private[graft] val CcLedgerBuckets = 64
+  /** Per-increment edge-bloom sizing: 2^25 bits (4 MiB) holds ~3M
+    * edges per state at ~1e-5 FP with 5 hashes — FP rate only costs
+    * verify I/O, never correctness (no false negatives). */
+  private[graft] val CcBloomBits = 1 << 25
+  private[graft] val CcBloomHashes = 5
+
+  /** OR-fold of the committed increments' edge blooms (each dir stores
+    * the bloom of ITS OWN edges — the fold equals a filter over the
+    * union, and stays correct after [[ccCompact]] unions the per-dir
+    * bloom tables; 4 MiB × few dirs, a trivial driver fold). */
+  private def foldEdgeBlooms(spark: SparkSession,
+                             dirs: Seq[String]): Array[Byte] = {
+    val rows = spark.read.parquet(dirs.map(_ + "/bloom"): _*)
+      .collect().map(_.getAs[Array[Byte]](0))
+    rows.reduce((a, b) =>
+      Array.tabulate(a.length)(i => (a(i) | b(i)).toByte))
+  }
+
+  /** The archive-edge ledger read of an [[ccIncremental]] ingest,
+    * PRUNED to the given hash buckets — exposed for the plan-guard
+    * spec, which asserts the scan carries partition filters (i.e. an
+    * ingest's exact-verify never reads untouched archive buckets). */
+  private[graft] def ccArchiveLedger(spark: SparkSession,
+      prior: Seq[String], touched: Seq[Int]): DataFrame =
+    // per-root reads + union (multi-root partition inference is
+    // unsupported); the bucket filter pushes through the Union into
+    // each scan's partition filters
+    prior.map(p => spark.read.parquet(s"$p/edges"))
+      .reduce(_.unionByName(_))
+      .filter(col("__bk").isin(touched.map(Int.box): _*))
+
+  /** Compact an [[ccIncremental]] state root: edge ledger and blooms
+    * union (both readers fold associatively — the anti-join probes the
+    * union, blooms OR), but `labels` is a LAST-TABLE read
+    * ([[ccIncremental]] reads only the newest labels), so the generic
+    * union compaction would be wrong for it — this wrapper passes the
+    * per-operator reader contract to [[StateStore.compact]]. */
+  def ccCompact(spark: SparkSession, statePath: String): Unit =
+    StateStore.compact(spark, statePath, lastTables = Set("labels"))
+
   /**
    * INCREMENTAL connected components over a [[StateStore]] edge
    * stream: each call ingests an edge drop and returns the labeling
@@ -94,24 +141,54 @@ object GraphAlgos {
    *
    * Scale shape: the per-ingest graph is |V| star edges + |B| new
    * edges — label-sized, never the edge history (the property that
-   * makes nightly graph ingests affordable when E ≫ V). Re-presented
-   * edges anti-join out against the ledger and short-circuit before
-   * committing (the [[graft.operators.StateStore]] retry contract);
-   * the returned DataFrame reads back the COMMITTED labels table, so
-   * later ingests to the same path never change an earlier call's
-   * result. Components cover edge-incident vertices (the operator
-   * sees only edges); join a vertex table downstream for isolated
-   * singletons. Output: `(id, component)`, component = min member id.
+   * makes nightly graph ingests affordable when E ≫ V). The
+   * idempotence LEDGER obeys the same bound: re-presented edges are
+   * detected by a bloom prefilter over the committed edge hashes
+   * (per-increment filters OR-fold, so the check is one driver-side
+   * byte fold — NO archive scan), and only the bloom-POSITIVE drop
+   * edges (re-presents + the filter's ~1e-5 FP tail) exact-verify
+   * against an archive read PARTITION-PRUNED to their hash buckets
+   * (edges persist hive-partitioned by `__bk = hash(src,dst) mod
+   * [[CcLedgerBuckets]]`). Blooms never false-negative, so
+   * bloom-negative edges are *definitely* new and the split is exact;
+   * a fresh nightly drop therefore ingests without touching the edge
+   * history at all — the cost tracks the drop + labels, not
+   * E_history. Re-presented edges short-circuit before committing
+   * (the [[graft.operators.StateStore]] retry contract); the returned
+   * DataFrame reads back the COMMITTED labels table, so later ingests
+   * to the same path never change an earlier call's result.
+   * Components cover edge-incident vertices (the operator sees only
+   * edges); join a vertex table downstream for isolated singletons.
+   * Output: `(id, component)`, component = min member id.
    */
   def ccIncremental(newEdges: DataFrame, statePath: String): DataFrame = {
     val spark = newEdges.sparkSession
     val prior = StateStore.committed(spark, statePath)
+    // canonical drop, hashed once: __h feeds the bloom, __bk the
+    // bucket layout; computed lineage runs once (self-referenced)
     val norm = newEdges.select(
-      least(col("src"), col("dst")).cast("long").as("src"),
-      greatest(col("src"), col("dst")).cast("long").as("dst")).distinct()
-    val incoming = if (prior.isEmpty) norm else
-      norm.join(spark.read.parquet(prior.map(_ + "/edges"): _*),
-        Seq("src", "dst"), "left_anti")
+        least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst")).distinct()
+      .withColumn("__h", xxhash64(col("src"), col("dst")))
+      .withColumn("__bk",
+        pmod(col("__h"), lit(CcLedgerBuckets.toLong)).cast("int"))
+      .localCheckpoint(false)
+    val incoming = (if (prior.isEmpty) norm else {
+      val bloomBc = spark.sparkContext.broadcast(
+        foldEdgeBlooms(spark, prior))
+      val inBloom = graft.functions.VectorExpressions.bloomContainsBc(
+        col("__h"), bloomBc, CcBloomBits, CcBloomHashes)
+      val definiteNew = norm.filter(!inBloom)
+      val maybeOld = norm.filter(inBloom)
+      // touched buckets of the POSITIVE subset only — bounded by
+      // CcLedgerBuckets, so the collect is a constant-size driver hop
+      val touched = maybeOld.select(col("__bk")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      definiteNew.unionByName(
+        maybeOld.join(ccArchiveLedger(spark, prior, touched)
+            .select(col("src"), col("dst")),
+          Seq("src", "dst"), "left_anti"))
+    }).localCheckpoint(false) // isEmpty + write: materialize once
     def lastLabels(dirs: Seq[String]): DataFrame =
       spark.read.parquet(dirs.last + "/labels")
     if (incoming.isEmpty && prior.nonEmpty) return lastLabels(prior)
@@ -124,10 +201,19 @@ object GraphAlgos {
           org.apache.spark.sql.types.StructField("component",
             org.apache.spark.sql.types.LongType))))
     // write the drop ONCE, derive everything from the read-back (the
-    // exactIncremental pattern: ledger and labels can never diverge)
+    // exactIncremental pattern: ledger and labels can never diverge);
+    // repartition by bucket first so each bucket lands as one file,
+    // not one file per (task × bucket)
     val dir = StateStore.nextDir(spark, statePath)
-    incoming.write.mode("overwrite").parquet(s"$dir/edges")
-    val fresh = spark.read.parquet(s"$dir/edges")
+    incoming.repartition(col("__bk"))
+      .write.partitionBy("__bk").mode("overwrite").parquet(s"$dir/edges")
+    val freshAll = spark.read.parquet(s"$dir/edges")
+    val bloom = CurationOps.bloomFromHashes(
+      freshAll.select(col("__h")), CcBloomBits, CcBloomHashes)
+    import spark.implicits._
+    Seq(Tuple1(bloom)).toDF("__bloom").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+    val fresh = freshAll.select(col("src"), col("dst"))
     val prevLabels =
       if (prior.isEmpty) None else Some(lastLabels(prior))
     val stars = prevLabels.map(_.filter(col("id") =!= col("component"))
@@ -476,6 +562,50 @@ object GraphAlgos {
       spark.sparkContext.defaultParallelism.toLong,
       rows / 50000L + 1L)).toInt
 
+  // ---- shared BFS substrates (r11 verdict #5) ----------------------
+  // The landmark-BFS family (closeness/harmonic/diameter) and the
+  // co-occurrence family (clustering/matching/weighted-LPA) each
+  // rebuilt their adjacency substrate from the raw edge table on
+  // every call — dozens of first-touch jobs per cold gate. The
+  // substrates are pure functions of the (canonicalized) input plan,
+  // so they memoize as SHARED LAZY CACHES: keyed by the analyzed
+  // plan's canonical form, registered with the CacheManager (lazy —
+  // the self-join invariant), safe under concurrent serving (cache()
+  // is, sweeping is not). [[dropSubstrateCache]] must run whenever the
+  // session's storage is reset (`spark.catalog.clearCache()` forgets
+  // the registrations; a kept memo would serve uncached re-scans
+  // forever — the dropGraphCache invariant).
+  private val substrateCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, Any), DataFrame]
+
+  /** Forget memoized substrates for `spark` (call alongside every
+    * `clearCache()` — SparkEntry.dropGraphCache does). */
+  def dropSubstrateCache(spark: SparkSession): Unit =
+    substrateCache.keys.filter(_._1 eq spark)
+      .foreach(substrateCache.remove)
+
+  private def memoSubstrate(spark: SparkSession, key: Any)
+                           (build: => DataFrame): DataFrame =
+    substrateCache.getOrElseUpdate((spark, key), build.cache())
+
+  /** The canonical undirected BFS face: self-loops dropped, both
+    * directions, deduplicated, hash-partitioned ONCE on the join key
+    * at [[adaptiveWidth]] — BFS reachability and hop distances are
+    * invariant to the dedup/loop-drop, so closeness, harmonic and
+    * double-sweep diameter share ONE cached face per edge plan
+    * instead of three first-touch builds. */
+  private def undirectedFace(g: GraphStore): DataFrame = {
+    val spark = g.edges.sparkSession
+    val key = ("undface",
+      g.edges.queryExecution.analyzed.canonicalized)
+    memoSubstrate(spark, key) {
+      val e0 = g.edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+      val und = e0.union(e0.select(col("dst"), col("src"))).distinct()
+      und.repartition(adaptiveWidth(spark, und.count()), col("src"))
+    }
+  }
+
   /** Run [[sccForwardRound]] to a fixpoint over `face` (edge face with
     * identity edges, pre-partitioned on src): blocks of
     * [[SccBlockSmall]] doubling rounds (small mode) or [[SccBlock]]
@@ -724,11 +854,9 @@ object GraphAlgos {
   def doubleSweepDiameter(g: GraphStore, maxHops: Int = 12,
                           requireConverged: Boolean = true): DataFrame = {
     val spark = g.edges.sparkSession
-    val e0 = g.edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-    val und = e0.union(e0.select(col("dst"), col("src"))).distinct()
-    val width = adaptiveWidth(spark, und.count())
-    val reS = und.repartition(width, col("src")).localCheckpoint()
+    // the shared cached face (closeness/harmonic/diameter build it
+    // once per edge plan — r11 verdict #5's cold-pass fix)
+    val reS = undirectedFace(g)
     val start = reS.agg(min(least(col("src"), col("dst"))))
       .collect().head.getLong(0)
     val d1 = bfsFrom(spark, reS, start, maxHops, requireConverged)
@@ -1215,12 +1343,20 @@ object GraphAlgos {
    */
   def coOccurrencePairs(g: GraphStore, label: String, minShared: Int = 2,
                         chunkSize: Int = 512): DataFrame = {
-    val e = g.edges.filter(col("label") === label)
-      .select(col("src"), col("dst"))
-    saltedDstPairs(e, chunkSize)
-      .groupBy(col("dst_a").as("id_a"), col("dst_b").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+    val spark = g.edges.sparkSession
+    // the projection is the expensive substrate several gates share
+    // (clustering, matching, weighted LPA) — memoize per (edge plan,
+    // params) as a shared lazy cache (r11 verdict #5)
+    val key = ("coocc", label, minShared, chunkSize,
+      g.edges.queryExecution.analyzed.canonicalized)
+    memoSubstrate(spark, key) {
+      val e = g.edges.filter(col("label") === label)
+        .select(col("src"), col("dst"))
+      saltedDstPairs(e, chunkSize)
+        .groupBy(col("dst_a").as("id_a"), col("dst_b").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+    }
   }
 
   /**
@@ -1502,10 +1638,9 @@ object GraphAlgos {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val spark = g.edges.sparkSession
     import spark.implicits._
-    val und = g.edges.select(col("src"), col("dst"))
-      .union(g.edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint(false)
+    // shared cached face — dedup/loop-drop don't change BFS hop
+    // distances, so the canonical face serves this family verbatim
+    val und = undirectedFace(g)
     var frontier = landmarks.toDF("lm")
       .select(col("lm"), col("lm").as("id")).localCheckpoint()
     var visited = frontier.withColumn("dist", lit(0L)).localCheckpoint()

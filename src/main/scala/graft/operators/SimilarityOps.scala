@@ -49,8 +49,12 @@ object SimilarityOps {
    * id ascending; duplicate (score, id) rows carry multiplicity); the
    * raw score is reconstructed exactly (negation is exact in IEEE
    * doubles). Requires a LONG-castable id (every vec_id here). NaN
-   * scores rank last in either direction (no operator here can
-   * produce one: norms are positive and vectors non-empty).
+   * scores are EXCLUDED before the cut: a NaN cosine (zero-norm
+   * vector, 0/0) is an undefined similarity, and the two
+   * formulations rank NaN oppositely (desc windows sort NaN
+   * greatest = rank 1; the negated aggregate's total order ranks it
+   * last) — filtering makes the parity contract hold on ARBITRARY
+   * inputs instead of resting on fixture data never producing one.
    * Output: `(keyCol, idCol, scoreCol, rank)` — rank 1-based, ranked
    * on the RAW score.
    */
@@ -58,7 +62,8 @@ object SimilarityOps {
                                  idCol: String, scoreCol: String, k: Int,
                                  descending: Boolean): DataFrame = {
     val sk = if (descending) -col(scoreCol) else col(scoreCol)
-    df.groupBy(col(keyCol))
+    df.filter(!isnan(col(scoreCol).cast("double")))
+      .groupBy(col(keyCol))
       .agg(graft.functions.VectorExpressions.boundedMinPairs(
         sk.cast("double"), col(idCol).cast("long"), k).as("__top"))
       .select(col(keyCol),
@@ -351,12 +356,22 @@ object SimilarityOps {
   def binaryHammingTopK(queries: DataFrame, corpus: DataFrame,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        k: Int = 10): DataFrame = {
+                        k: Int = 10): DataFrame =
+    hammingScan(queries, idCol, vecCol,
+      corpus.select(col(idCol).as("neighbor_id"),
+        signHalf(vecCol, 0).as("__ca"), signHalf(vecCol, 32).as("__cb")),
+      k)
+
+  /** The shared broadcast-queries × signature-scan top-k — the corpus
+    * side arrives pre-signed `(neighbor_id, __ca, __cb)` so the
+    * one-shot face and the [[binaryHammingIncremental]] state
+    * read-back rank through the identical plan. */
+  private def hammingScan(queries: DataFrame, idCol: String,
+                          vecCol: String, corpusSigs: DataFrame,
+                          k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       signHalf(vecCol, 0).as("__qa"), signHalf(vecCol, 32).as("__qb"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      signHalf(vecCol, 0).as("__ca"), signHalf(vecCol, 32).as("__cb"))
-    val scored = broadcast(q).crossJoin(c)
+    val scored = broadcast(q).crossJoin(corpusSigs)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("hamming", expr(
         "bit_count(__qa ^ __ca) + bit_count(__qb ^ __cb)").cast("long"))
@@ -364,6 +379,66 @@ object SimilarityOps {
         descending = false)
       .select(col("query_id"), col("neighbor_id"),
         col("hamming").cast("long").as("hamming"), col("rank"))
+  }
+
+  /**
+   * INCREMENTAL binary-signature retrieval over a
+   * [[graft.operators.StateStore]] — the nightly-embeddings shape the
+   * one-shot ANN fits lacked (r11 verdict #3): each call ingests an
+   * embedding drop's 64 SIGN BITS into the persistent signature table
+   * and answers `queries`' Hamming top-`k` against EVERYTHING ingested
+   * so far, without ever re-signing the archive. Exactness is
+   * structural: sign bits are a pure per-row function (an increment
+   * signs only its own rows), and the bounded top-k rank depends only
+   * on each query's own candidate set — so the answer over the
+   * committed state union equals the one-shot [[binaryHammingTopK]]
+   * over the union corpus, integer-exact (the gate shares
+   * `embed_binary_hamming`'s oracle).
+   *
+   * Store contract: one `sigs` table per increment dir
+   * (`vec_id, __ca, __cb` — 16 bytes/row, 32× below the float
+   * vectors); re-presented ids anti-join out against the committed
+   * ids and short-circuit before committing (the StateStore retry
+   * contract — a re-presented drop is a pure query); the returned
+   * plan reads back the dirs COMMITTED at call time, so later ingests
+   * never change an earlier call's result. The per-call archive cost
+   * is one narrow columnar scan of the signature table — which IS the
+   * retrieval scan itself (the product being paid for), not ledger
+   * overhead; [[StateStore.compact]] folds a season of nightly dirs
+   * when small files accrete (plain union semantics — no lastTables).
+   * Output matches [[binaryHammingTopK]]: `(query_id, neighbor_id,
+   * hamming, rank)`.
+   */
+  def binaryHammingIncremental(queries: DataFrame, newVecs: DataFrame,
+                               statePath: String,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               k: Int = 10): DataFrame = {
+    val spark = newVecs.sparkSession
+    val prior = StateStore.committed(spark, statePath)
+    val sigs = newVecs.select(col(idCol).cast("long").as("vec_id"),
+      signHalf(vecCol, 0).as("__ca"), signHalf(vecCol, 32).as("__cb"))
+    val incoming = (if (prior.isEmpty) sigs else
+      sigs.join(
+        spark.read.parquet(prior.map(_ + "/sigs"): _*).select("vec_id"),
+        Seq("vec_id"), "left_anti"))
+      .localCheckpoint(false) // isEmpty probe + write: compute once
+    val committedNow =
+      if (incoming.isEmpty) {
+        require(prior.nonEmpty,
+          s"binaryHammingIncremental: empty first drop at $statePath")
+        prior // re-presented drop: pure query, no new dir
+      } else {
+        val dir = StateStore.nextDir(spark, statePath)
+        incoming.write.mode("overwrite").parquet(s"$dir/sigs")
+        StateStore.commit(spark, dir)
+        prior :+ dir
+      }
+    hammingScan(queries, idCol, vecCol,
+      spark.read.parquet(committedNow.map(_ + "/sigs"): _*)
+        .select(col("vec_id").as("neighbor_id"), col("__ca"),
+          col("__cb")),
+      k)
   }
 
   /**

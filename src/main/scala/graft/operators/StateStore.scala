@@ -82,8 +82,18 @@ object StateStore {
    * operator call before compacting — those plans read the pre-compact
    * files lazily (the read-back contract), and compaction replaces the
    * files.
+   *
+   * Two generalizations encode per-operator reader contracts:
+   *  - `lastTables`: tables whose reader takes only the NEWEST dir's
+   *    copy (e.g. [[GraphAlgos.ccIncremental]]'s cumulative `labels`)
+   *    compact to the LAST dir's table, not the union — unioning a
+   *    last-read table would hand later reads stale rows.
+   *  - hive-partitioned tables (one `col=value` directory level, e.g.
+   *    the cc edge ledger's `__bk=N`) are re-written with the SAME
+   *    `partitionBy`, so partition pruning survives compaction.
    */
-  def compact(spark: SparkSession, root: String): Unit = {
+  def compact(spark: SparkSession, root: String,
+              lastTables: Set[String] = Set.empty): Unit = {
     val f = fs(spark, root)
     val r = new Path(root)
     val dirs = committed(spark, root) // runs recovery
@@ -93,9 +103,20 @@ object StateStore {
     val tables = dirs.flatMap(d => f.listStatus(new Path(d)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)).distinct
     tables.foreach { t =>
-      val srcs = dirs.filter(d => f.exists(new Path(d, t)))
+      val srcs0 = dirs.filter(d => f.exists(new Path(d, t)))
         .map(d => s"$d/$t")
-      spark.read.parquet(srcs: _*).write.mode("overwrite")
+      val srcs = if (lastTables.contains(t)) Seq(srcs0.last) else srcs0
+      // one `col=value` directory level ⇒ the table was written
+      // partitionBy(col); preserve it (nested partitioning unused here)
+      val partCols = f.listStatus(new Path(srcs.head)).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.contains("=")).map(_.split("=")(0)).distinct
+      // per-root reads + union: multi-root partition inference is
+      // unsupported (the ccArchiveLedger precedent)
+      val merged = srcs.map(spark.read.parquet(_))
+        .reduce(_.unionByName(_))
+      val w = merged.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .parquet(new Path(tmp, t).toString)
     }
     val token = java.util.UUID.randomUUID().toString

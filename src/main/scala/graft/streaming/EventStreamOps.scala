@@ -28,6 +28,15 @@ object EventStreamOps {
   final case class UserStats(user_id: Long, events: Long, total: Double,
                              cents: Long)
 
+  /** SQL text for a sign-split FLOOR division of int64 `c` by positive
+    * literal `d` — Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors, so any compared bin/day arithmetic whose domain COULD
+    * go negative must spell floor semantics out on the Spark side (the
+    * dailyTrend invariant; on nonnegative inputs this equals `div`). */
+  private def floorDivExpr(c: String, d: Long): String =
+    s"CASE WHEN ($c) >= 0L THEN ($c) div ${d}L " +
+      s"ELSE -((-($c) + ${d - 1}L) div ${d}L) END"
+
   /** Normalize `ts` to a proper TIMESTAMP: nanosecond-epoch LONG
     * (TIMESTAMP(NANOS) parquet read via nanosAsLong) divides to micros;
     * TIMESTAMP_NTZ (plain `timestamp[us]` parquet) casts — a no-op on
@@ -336,7 +345,8 @@ object EventStreamOps {
   def dailyTopUsers(events: DataFrame, k: Int = 3,
                     keyCol: String = "user_id"): DataFrame = {
     val daily = events.select(
-        expr("unix_micros(ts) div 86400000000").as("day"), col(keyCol))
+        expr(floorDivExpr("unix_micros(ts)", 86400000000L)).as("day"),
+        col(keyCol))
       .groupBy(col("day"), col(keyCol))
       .agg(count(lit(1)).as("events"))
     graft.operators.SimilarityOps.boundedTopK(daily, "day", keyCol,
@@ -350,10 +360,11 @@ object EventStreamOps {
    * distribution-monitoring report (drift dashboards, alert
    * baselining) on the integer-cents rendering every value gate
    * shares (`floor(value·100)`, the [[exactQuantiles]] substrate).
-   * Bin id = cents div `widthCents` (truncating int64 division —
-   * engine-identical on the nonnegative value domain, the same
-   * contract as the quantile gates; a signed domain would need
-   * dailyTrend's sign-split floor). One partial-aggregable group-by:
+   * Bin id = floor(cents / `widthCents`) via an explicit sign-split
+   * floor division — engine-identical on ANY value domain (DuckDB's
+   * `//` floors while Spark's `div` truncates toward zero, so a
+   * signed domain would silently diverge under plain `div`; on
+   * nonnegative cents the two agree). One partial-aggregable group-by:
    * map-side combine bounds a hot type's contribution to the bin
    * vocabulary, never its event count.
    * Output: `(event_type, bin, lo_cents, n)`.
@@ -363,7 +374,7 @@ object EventStreamOps {
     require(widthCents > 0, s"widthCents must be positive, got $widthCents")
     events.select(col("event_type"),
         expr("cast(floor(value * 100) as bigint)").as("__c"))
-      .withColumn("bin", expr(s"__c div ${widthCents}L"))
+      .withColumn("bin", expr(floorDivExpr("__c", widthCents)))
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"))
       .withColumn("lo_cents", col("bin") * widthCents)
@@ -1615,7 +1626,7 @@ object EventStreamOps {
     val counts = streamFromParquet(spark, path)
       .select(col("event_type"),
         expr("cast(floor(value * 100) as bigint)").as("__c"))
-      .withColumn("bin", expr(s"__c div ${widthCents}L"))
+      .withColumn("bin", expr(floorDivExpr("__c", widthCents)))
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"))
     withStatePartitions(spark, 8) {

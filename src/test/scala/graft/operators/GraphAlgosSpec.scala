@@ -876,6 +876,88 @@ class GraphAlgosSpec extends SparkSpec {
     assert(labels(holdB).contains(30L))
   }
 
+  test("ccCompact: ingest→compact→ingest == one-shot; labels last-read") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-cccompact").toString
+    val dropA = Seq((2L, 1L), (2L, 3L), (11L, 10L)).toDF("src", "dst")
+    val dropB = Seq((3L, 10L), (20L, 21L)).toDF("src", "dst")
+    val dropC = Seq((21L, 1L), (40L, 41L)).toDF("src", "dst")
+    GraphAlgos.ccIncremental(dropA, state).count() // pin before compact
+    val midLabels = labels(GraphAlgos.ccIncremental(dropB, state))
+    GraphAlgos.ccCompact(spark, state)
+    val dirs = StateStore.committed(spark, state)
+    assert(dirs.size == 1, s"compact must fold to one dir, got $dirs")
+    // labels compacted LAST-TABLE: the folded dir answers exactly the
+    // pre-compact newest labels (a union would double-label ids)
+    assert(labels(spark.read.parquet(dirs.head + "/labels")) == midLabels)
+    // the edge ledger keeps its hive bucket layout through compaction
+    val bkDirs = new java.io.File(
+      dirs.head.stripPrefix("file:") + "/edges").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(bkDirs.nonEmpty && bkDirs.forall(_.startsWith("__bk=")),
+      bkDirs.mkString(", "))
+    // post-compact ingest merges against the folded state == one-shot
+    val afterC = labels(GraphAlgos.ccIncremental(dropC, state))
+    val oneShot = labels(GraphAlgos.connectedComponents(GraphStore(
+      Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 40L, 41L).toDF("id"),
+      dropA.union(dropB).union(dropC))))
+    assert(afterC == oneShot)
+    // the compacted ledger still blocks a re-presented drop
+    val nDirs = StateStore.committed(spark, state).size
+    assert(labels(GraphAlgos.ccIncremental(dropA, state)) == afterC)
+    assert(StateStore.committed(spark, state).size == nDirs)
+  }
+
+  test("ccCompact crash mid-swap: recovery yields a whole two-table root") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val dropA = Seq((2L, 1L), (2L, 3L), (11L, 10L)).toDF("src", "dst")
+    val dropB = Seq((3L, 10L), (20L, 21L)).toDF("src", "dst")
+    val dropC = Seq((21L, 40L)).toDF("src", "dst")
+    // rootA = the state that will "crash"; rootB = a clone whose real
+    // ccCompact produces the exact staged bytes a crashed rootA
+    // compaction would have left under .compact_tmp
+    val rootA = Files.createTempDirectory("graft-ccc-a").toString
+    GraphAlgos.ccIncremental(dropA, rootA).count()
+    val preLast = labels(GraphAlgos.ccIncremental(dropB, rootA))
+    val rootB = Files.createTempDirectory("graft-ccc-b").toString + "/s"
+    copyTree(Paths.get(rootA), Paths.get(rootB))
+    GraphAlgos.ccCompact(spark, rootB)
+    // crash point: stage complete, marker written, ONE old dir already
+    // deleted, swap not yet done — the worst half-swapped shape
+    copyTree(Paths.get(s"$rootB/inc_0"),
+      Paths.get(s"$rootA/.compact_tmp"))
+    Files.write(Paths.get(s"$rootA/.compact_tmp/COMPACT_TOKEN"),
+      "cc-tok".getBytes("UTF-8"))
+    Files.deleteIfExists(
+      Paths.get(s"$rootA/.compact_tmp/.COMPACT_TOKEN.crc"))
+    Files.write(Paths.get(s"$rootA/COMPACTING"), "cc-tok".getBytes("UTF-8"))
+    StateStore.delete(s"$rootA/inc_1")
+    // recovery rides committed(): one whole dir, labels = pre-compact
+    // LAST table, edge ledger keeps its bucket layout
+    val dirs = StateStore.committed(spark, rootA)
+    assert(dirs.size == 1 && dirs.head.endsWith("inc_0"), dirs.toString)
+    assert(labels(spark.read.parquet(dirs.head + "/labels")) == preLast)
+    assert(!Files.exists(Paths.get(s"$rootA/COMPACTING")))
+    // the recovered state ingests correctly: == one-shot over all drops
+    val afterC = labels(GraphAlgos.ccIncremental(dropC, rootA))
+    assert(afterC == labels(GraphAlgos.connectedComponents(GraphStore(
+      Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 40L).toDF("id"),
+      dropA.union(dropB).union(dropC)))))
+  }
+
   test("scc: hand-checked graph with cycles, a bridge, and sources") {
     import spark.implicits._
     // 3-cycle {1,2,3} -> 2-cycle {4,5}; 6 feeds the first cycle;

@@ -448,10 +448,14 @@ class OperatorPlanSpec extends SparkSpec {
     val embs = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = embs.filter(col("vec_id") < 3)
+    val bhState = java.nio.file.Files
+      .createTempDirectory("graft-bhplan").toString
     for ((name, df) <- Seq(
         "bruteForceTopK" -> SimilarityOps.bruteForceTopK(queries, embs, k = 5),
         "lshTopK" -> SimilarityOps.lshTopK(queries, embs, k = 5),
-        "maxSimTopK" -> SimilarityOps.maxSimTopK(queries, embs, k = 5))) {
+        "maxSimTopK" -> SimilarityOps.maxSimTopK(queries, embs, k = 5),
+        "binaryHammingIncremental" -> SimilarityOps
+          .binaryHammingIncremental(queries, embs, bhState, k = 5))) {
       val p = plan(df)
       assert(p.contains("partial_graft_bounded_min_pairs"),
         s"$name:\n" + p.take(1500))
@@ -626,6 +630,36 @@ class OperatorPlanSpec extends SparkSpec {
       0L, 1L << 20))
     assert(p.contains("PushedFilters") && p.contains("zval"),
       p.take(1500))
+  }
+
+  test("ccIncremental ledger: exact-verify prunes to touched buckets") {
+    import spark.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-ccledger").toString
+    GraphAlgos.ccIncremental(
+      Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("src", "dst"), state)
+    GraphAlgos.ccIncremental(
+      Seq((9L, 10L), (11L, 12L)).toDF("src", "dst"), state)
+    val prior = StateStore.committed(spark, state)
+    // the bucket of canonical edge (1,2) — same arithmetic as ingest
+    val bk = spark.range(1).select(
+      pmod(xxhash64(lit(1L), lit(2L)),
+        lit(GraphAlgos.CcLedgerBuckets.toLong)).cast("int"))
+      .collect()(0).getInt(0)
+    val led = GraphAlgos.ccArchiveLedger(spark, prior, Seq(bk))
+    // plan guard: the bucket predicate lands as a PARTITION filter on
+    // every archive scan (an ingest's exact-verify never opens
+    // untouched bucket directories)
+    val p = plan(led)
+    assert(p.contains("PartitionFilters") && p.contains("__bk"),
+      p.take(1500))
+    // behavioral: only that bucket's directories are ever touched
+    val files = led.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(s"__bk=$bk")),
+      files.mkString(", "))
+    assert(led.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
   test("corpusDiff: digest-only full-outer equi-join") {

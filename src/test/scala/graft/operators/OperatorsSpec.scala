@@ -732,6 +732,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("binaryHammingIncremental: union == one-shot, re-present no-op") {
+    def rows(df: DataFrame): Seq[(Long, Long, Long, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+        .sortBy(t => (t._1, t._4))
+    val state = tmpState("bh_inc")
+    val q = embs.filter(col("vec_id") < 5)
+    val oneShot = rows(SimilarityOps.binaryHammingTopK(q, embs, k = 5))
+    // two drops; the post-second-ingest answer == one-shot over union
+    val firstDrop = embs.filter(col("vec_id") % 2 === 0)
+    SimilarityOps.binaryHammingIncremental(q, firstDrop, state,
+      k = 5).count()
+    assert(StateStore.committed(spark, state).size == 1)
+    val held = SimilarityOps.binaryHammingIncremental(q,
+      embs.filter(col("vec_id") % 2 === 1), state, k = 5)
+    assert(rows(held) == oneShot)
+    // re-presented drop: NO new dir, and the answer is the same pure
+    // query over the committed state
+    assert(StateStore.committed(spark, state).size == 2)
+    assert(rows(SimilarityOps.binaryHammingIncremental(q, firstDrop,
+      state, k = 5)) == oneShot)
+    assert(StateStore.committed(spark, state).size == 2)
+    // read-back purity: `held`'s frame still answers the same after a
+    // later ingest of NEW vectors (its plan reads the dirs committed
+    // at ITS call time)
+    SimilarityOps.binaryHammingIncremental(q,
+      embs.limit(20).select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding")), state, k = 5).count()
+    assert(StateStore.committed(spark, state).size == 3)
+    assert(rows(held) == oneShot)
+  }
+
   test("binaryRerank: full-depth output, recall floor vs brute force") {
     val k = 5
     val q = embs.filter(col("vec_id") < 10)
