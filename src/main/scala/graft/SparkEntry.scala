@@ -132,6 +132,11 @@ object SparkEntry {
     "not_filter" -> q("g.V().hasLabel('customer').not(out('placed')).count()"),
     "where_store_q8" -> q("g.V().hasLabel('order').has('totalprice', lt(20000.0)).in('placed').dedup().aggregate('small').out('placed').out('contains').in('contains').in('placed').dedup().where(without('small')).count()"),
     "repeat_hop" -> q("g.V().hasLabel('customer').has('nationkey', eq(7)).repeat(out()).count()"),
+    // bounded reachability (until extension): nation-1 customers walk
+    // out() until they stand on a part — traversers exit per-path as
+    // the condition hits (orders continue, parts stop), the frontier
+    // drains at depth 2 and the eager loop certifies the drain
+    "repeat_until" -> q("g.V().hasLabel('customer').has('nationkey', eq(1)).repeat(out()).until(hasLabel('part')).count()"),
     "where_history_neq" -> q("g.V().hasLabel('part').as('a').in('contains').out('contains').where(neq('a')).count()"),
     "range_skip" -> q("g.V().hasLabel('order').values('totalprice').order().skip(5).count()"),
     "traverse_ine" -> q("g.V().hasLabel('order').inE('placed').outV().dedup().count()"),
@@ -1628,6 +1633,15 @@ object SparkEntry {
       operators.SimilarityOps.binaryHammingIncremental(q,
         e.filter(col("vec_id") % 2 === 1), state, k = 5)
     }),
+    // cross-encoder-style pairwise rerank: binary-Hamming shortlist ->
+    // clipped-interaction integer pair scorer -> top-k; the whole
+    // two-stage chain is int64-exact, so the gate hash-checks the
+    // rerank itself (not just a recall floor)
+    "embed_cross_rerank" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      operators.SimilarityOps.crossEncoderRerank(
+        e.filter(col("vec_id") < 10), e, k = 5, shortlist = 50)
+    }),
     // binary shortlist -> exact cosine rerank, recall floor vs brute
     // force (the pqRerank deployment shape at 32x compression)
     "ann_recall_binary" -> ((spark, sfDir) => {
@@ -2103,6 +2117,10 @@ object SparkEntry {
         |  LIMIT 20)""".stripMargin,
     "repeat_hop" ->
       "SELECT count(*) AS value FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 7",
+    // until exits on parts: one path per (nation-1 customer's order,
+    // distinct contained part)
+    "repeat_until" ->
+      s"SELECT count(*) AS value FROM $EdgesContains l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 1",
     "where_history_neq" ->
       s"SELECT count(*) AS value FROM $EdgesContains e1 JOIN $EdgesContains e2 ON e1.l_orderkey = e2.l_orderkey WHERE e2.l_partkey != e1.l_partkey",
     "range_skip" ->
@@ -2465,6 +2483,26 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, h,
         |  row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS rank FROM d)
         |SELECT query_id, neighbor_id, CAST(h AS BIGINT) AS hamming,
+        |  CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    // two-stage integer chain: hamming shortlist (ties by id) ->
+    // clipped int8-lattice interaction score -> top-5 (score DESC,
+    // ties by id). floor(x*8) is engine-exact (x8 = exponent shift)
+    "embed_cross_rerank" ->
+      """WITH s AS (SELECT vec_id,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END for i in range(1, 33)]) AS BIGINT) AS sa,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END for i in range(33, 65)]) AS BIGINT) AS sb,
+        |  [CAST(floor(embedding[i]::DOUBLE * 8) AS BIGINT) for i in range(1, 65)] AS v8
+        | FROM embeddings),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS h,
+        |  CAST(list_sum([least(a.v8[i] * b.v8[i], 64) for i in range(1, 65)]) AS BIGINT) AS score
+        | FROM s a JOIN s b ON a.vec_id < 10 AND b.vec_id != a.vec_id),
+        |sl AS (SELECT query_id, neighbor_id, score,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS hrank FROM d),
+        |r AS (SELECT query_id, neighbor_id, score,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        | FROM sl WHERE hrank <= 50)
+        |SELECT query_id, neighbor_id, score AS pair_score,
         |  CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5""".stripMargin,
     "ann_recall_binary" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,

@@ -43,6 +43,14 @@ final case class CompileException(msg: String) extends Exception(msg)
  */
 object Compiler {
 
+  /** Default round cap for `repeat(sub).until(cond)` when no
+    * `.times(k)` override follows. until() is the compiler's one
+    * EAGER step (a data-dependent driver loop, the graph-operator
+    * class): it exits early when the frontier drains and throws past
+    * the cap (certify-or-throw). */
+  val UntilCap = 10
+
+
   final case class State(
       df: DataFrame,
       kind: Kind,
@@ -205,6 +213,10 @@ object Compiler {
   private def apply(graph: GraphStore, s: State, step: Step): State = {
     import Step._
     step match {
+      case _: TimesMarker | _: UntilMarker =>
+        throw new IllegalStateException(
+          "parser-internal marker reached the compiler (parser bug)")
+
       case V(ids) =>
         var v = graph.vertices
         if (ids.nonEmpty) v = v.filter(col("id").isin(ids: _*))
@@ -696,9 +708,55 @@ object Compiler {
         }
         d.copy(df = joined.drop(rowTag), sideEffects = se)
 
-      case Repeat(sub, times) =>
+      case Repeat(sub, times, None) =>
         (1 to math.max(times, 1)).foldLeft(s)((st, _) =>
           compileSub(graph, st, sub))
+
+      case Repeat(sub, times, Some(cond)) =>
+        // TinkerPop's post-condition repeat().until(): apply the body,
+        // then traversers whose `cond` sub yields ≥ 1 row EXIT (the
+        // existing and() existential); the rest (not()) loop.
+        //
+        // This is the compiler's ONE EAGER step — the graph-operator
+        // class (kCore/SCC), not the job-free compile path: the round
+        // count is data-dependent, and each round's frontier feeds
+        // BOTH branch filters whose semi-joins re-evaluate it (plan
+        // references multiply per round — without truncation the
+        // logical plan grows exponentially in the round count, the
+        // iterative-loop invariant). So the driver loop eagerly
+        // localCheckpoints each round, exits as soon as the frontier
+        // DRAINS (vertices with no onward steps), and past the cap
+        // throws (certify-or-throw) — a traverser still circulating
+        // is never silently dropped. Lazy alternatives measured and
+        // rejected: a lazy localCheckpoint still executes AQE stages
+        // at toRdd (not job-free anyway), and an in-plan assert_true
+        // certification gets column-pruned out by Catalyst.
+        val cap = if (times > 1) times else UntilCap
+        var frontier = s
+        var sats = List.empty[State]
+        var drained = false
+        var round = 0
+        while (!drained && round < cap) {
+          round += 1
+          val applied0 = compileSub(graph, frontier, sub)
+          val applied =
+            applied0.copy(df = applied0.df.localCheckpoint())
+          sats ::= compileSub(graph, applied,
+            List(BranchFilter(AndOp, Seq(cond))))
+          frontier = compileSub(graph, applied,
+            List(BranchFilter(NotOp, Seq(cond))))
+          frontier = frontier.copy(df = frontier.df.localCheckpoint())
+          drained = frontier.df.isEmpty
+        }
+        if (!drained)
+          throw new IllegalStateException(
+            s"repeat().until() frontier not drained after $cap " +
+              "rounds - raise the times() cap")
+        val out = sats.reverse
+        out.last.copy(
+          df = out.map(_.df).reduce(_ unionByName _),
+          sideEffects = frontier.sideEffects,
+          ordering = Nil, distinctVal = false)
     }
   }
 
@@ -725,7 +783,8 @@ object Compiler {
     case Step.Dedup(hs)             => hs.isEmpty
     case Step.Union(subs)           => subs.forall(perValueSub)
     case Step.BranchFilter(_, subs) => subs.forall(perValueSub)
-    case Step.Repeat(s2, _)         => perValueSub(s2)
+    case Step.Repeat(s2, _, u)      =>
+      perValueSub(s2) && u.forall(perValueSub)
     case _                          => true
   }
 

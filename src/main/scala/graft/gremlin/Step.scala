@@ -106,9 +106,22 @@ object Step {
       extends Step
   /** repeat(sub): executes sub exactly once in the reference
     * ("Act just as union", parser.cpp:1305-1318); same here, with an
-    * optional times(k) extension unrolled by the compiler. */
-  final case class Repeat(sub: List[Step], times: Int = 1) extends Step
+    * optional times(k) extension unrolled by the compiler and an
+    * optional until(cond) extension (TinkerPop's post-condition form:
+    * apply the body, then emit traversers whose `cond` sub-traversal
+    * yields ≥ 1 row; the rest loop). With `until` present, `times`
+    * is the ROUND CAP (default [[graft.gremlin.Compiler.UntilCap]]),
+    * the loop runs as the compiler's one EAGER driver loop (early
+    * exit when the frontier drains), and a traverser still
+    * circulating past the cap fails the query loudly
+    * (certify-or-throw, the graph-loop contract). */
+  final case class Repeat(sub: List[Step], times: Int = 1,
+                          until: Option[List[Step]] = None) extends Step
   /** Parser-internal `.times(k)` marker; folded into the preceding
     * Repeat by the parser, never reaches the compiler. */
   private[gremlin] final case class TimesMarker(k: Int) extends Step
+  /** Parser-internal `.until(cond)` marker; folded into the preceding
+    * Repeat by the parser, never reaches the compiler. */
+  private[gremlin] final case class UntilMarker(cond: List[Step])
+      extends Step
 }

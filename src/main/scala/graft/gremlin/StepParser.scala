@@ -90,7 +90,7 @@ object StepParser {
     "bothV", "values", "properties", "key", "label", "as", "select",
     "count", "sum", "max", "min", "mean", "dedup", "order", "limit",
     "range", "skip", "group", "groupCount", "aggregate", "cap", "union",
-    "and", "or", "not", "repeat", "times", "coin")
+    "and", "or", "not", "repeat", "times", "until", "coin")
 
   /** An argument inside a step's parens. */
   sealed trait Arg
@@ -141,6 +141,10 @@ object StepParser {
         steps = r.copy(times = k) :: rest
       case (Step.TimesMarker(_), _) =>
         throw ParseException("times() must follow repeat()")
+      case (Step.UntilMarker(c), (r: Step.Repeat) :: rest) =>
+        steps = r.copy(until = Some(c)) :: rest
+      case (Step.UntilMarker(_), _) =>
+        throw ParseException("until() must follow repeat()")
       case _ => steps = s :: steps
     }
     push(parseStep(cur))
@@ -325,6 +329,7 @@ object StepParser {
       case "cap"       => Cap(args.map(strOf))
 
       case "times"  => TimesMarker(numOf(args.head).toInt) // folded by parseChain
+      case "until"  => UntilMarker(subOf(args.head))       // folded by parseChain
       case "union"  => Union(args.map(subOf))
       case "and"    => BranchFilter(AndOp, args.map(subOf))
       case "or"     => BranchFilter(OrOp, args.map(subOf))

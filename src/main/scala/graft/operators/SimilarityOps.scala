@@ -472,6 +472,54 @@ object SimilarityOps {
   }
 
   /**
+   * Cross-encoder-style PAIRWISE rerank over an ANN shortlist — the
+   * two-stage retrieval deployment where a cheap index scan proposes
+   * `shortlist` candidates per query and an expensive PAIR scorer
+   * (in production a cross-encoder forward pass over the concatenated
+   * pair; here a deterministic integer surrogate) re-ranks them to
+   * `k`. The stage shape is the product: the scorer runs on
+   * |queries|·shortlist equi-joined candidate rows — a per-query
+   * CONSTANT — never on the corpus, exactly like [[pqRerank]] /
+   * [[maxSimRerank]]'s candidate joins.
+   *
+   * Surrogate scorer (stands in for the model, hash-checkable): both
+   * vectors quantize to int8-ish lattice values `floor(8·x)` (×8 is a
+   * pure exponent shift — float32→double→floor is engine-exact), and
+   * the pair scores `Σ_i min(q8_i·c8_i, 64)` — the per-dimension CLIP
+   * makes the score non-factorizable into per-side features (the
+   * defining cross-encoder property: it must be computed at pair
+   * time), and everything is int64, so the whole
+   * shortlist→rerank→top-k chain hash-checks cross-engine. The HOF
+   * scorer interprets per element, but it runs only on the
+   * shortlist-bounded candidate set — the corpus-scale hot path is
+   * [[binaryHammingTopK]]'s codegen'd xor+popcount scan.
+   * Output: `(query_id, neighbor_id, pair_score, rank)`, rank by
+   * score DESC, ties by id.
+   */
+  def crossEncoderRerank(queries: DataFrame, corpus: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         k: Int = 5, shortlist: Int = 50): DataFrame = {
+    val cand = binaryHammingTopK(queries, corpus, idCol, vecCol,
+        k = shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    def q8(c: String) = expr(
+      s"transform($c, x -> cast(floor(cast(x as double) * 8) as bigint))")
+    val q = queries.select(col(idCol).as("query_id"), q8(vecCol).as("__q8"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      q8(vecCol).as("__c8"))
+    val scored = cand.join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("pair_score", expr(
+        "aggregate(zip_with(__q8, __c8, (a, b) -> least(a * b, 64L))," +
+          " 0L, (s, x) -> s + x)"))
+    boundedTopK(scored, "query_id", "neighbor_id", "pair_score", k,
+        descending = true)
+      .select(col("query_id"), col("neighbor_id"),
+        col("pair_score").cast("long").as("pair_score"), col("rank"))
+  }
+
+  /**
    * HARD-negative mining for contrastive training: for each anchor,
    * the `k` most-similar corpus vectors carrying a DIFFERENT label —
    * the highest-loss negatives that make contrastive batches

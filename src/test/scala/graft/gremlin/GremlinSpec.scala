@@ -206,6 +206,42 @@ class GremlinSpec extends SparkSpec {
     }
   }
 
+  test("repeat().until(cond): post-condition exit per traverser") {
+    // marko: round 1 reaches {lop(exits: software-named), vadas, josh};
+    // round 2 from josh reaches {ripple, lop} — lop exits again (two
+    // distinct paths, multiplicity kept); vadas/ripple have no out
+    // edges, so the frontier DRAINS and certification passes
+    assert(longs("g.V(1).repeat(out()).until(has('name','lop')).count()")
+      == Seq(2L))
+    // every person ends on software: 4 exits in round 1 (marko->lop,
+    // josh->ripple, josh->lop, peter->lop), 2 in round 2 via
+    // marko->josh->{ripple,lop}
+    assert(longs("g.V().hasLabel('person').repeat(out())" +
+      ".until(hasLabel('software')).count()") == Seq(6L))
+    // traverser-level exit: the satisfied traverser leaves the loop
+    // while its siblings keep going — values survive the union
+    assert(values("g.V(1).repeat(out()).until(has('name','lop'))" +
+      ".values(\"name\").order()") == Seq("lop", "lop"))
+  }
+
+  test("repeat().until: undrained frontier past the cap fails loudly") {
+    // both() cycles forever and the condition never matches: after the
+    // times(3) cap the frontier is nonempty — the in-plan
+    // certification must throw at execution, never silently drop
+    val e = intercept[Exception] {
+      g.df("g.V(1).repeat(both()).until(has('name','zzz'))" +
+        ".times(3).count()").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not drained")), msgs(e).toString)
+    // until() without a preceding repeat() is a parse error
+    intercept[StepParser.ParseException] {
+      StepParser.parse("g.V().until(has('x'))")
+    }
+  }
+
   test("values over multiple keys") {
     assert(values("g.V().has(\"name\", \"lop\").values(\"name\", \"lang\").order()") ==
       Seq("java", "lop"))
@@ -336,6 +372,9 @@ class GremlinSpec extends SparkSpec {
       // compile time — the content-hash tagging must keep this job-free
       gi.compile("g.V().and(out('knows'), out('created'))" +
         ".values('name')")
+      // (repeat().until is deliberately NOT here: it is the compiler's
+      // one EAGER step — a data-dependent driver loop with per-round
+      // checkpoints, the graph-operator class)
       // listener bus is async — give it time to surface any job event
       Thread.sleep(1500)
       assert(counter.get() == 0,

@@ -732,6 +732,40 @@ class OperatorsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("crossEncoderRerank equals a driver-side two-stage replica") {
+    val out = SimilarityOps.crossEncoderRerank(
+        embs.filter(col("vec_id") === 0), embs, k = 5, shortlist = 20)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    val vecs = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sig(v: Array[Float]): (Long, Long) = {
+      var a = 0L; var b = 0L
+      for (i <- 0 until 32) if (v(i) > 0) a |= 1L << i
+      for (i <- 0 until 32) if (v(32 + i) > 0) b |= 1L << i
+      (a, b)
+    }
+    def q8(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 8).toLong)
+    val qv = vecs(0L)
+    val qs = sig(qv)
+    // stage 1: hamming shortlist, ties by id
+    val short = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val s = sig(v)
+        (id, java.lang.Long.bitCount(qs._1 ^ s._1) +
+          java.lang.Long.bitCount(qs._2 ^ s._2))
+      }.sortBy { case (id, h) => (h, id) }.take(20).map(_._1)
+    // stage 2: clipped-interaction pair score, rank desc, ties by id
+    val q8v = q8(qv)
+    val expected = short
+      .map(id => (id, q8(vecs(id)).zip(q8v)
+        .map { case (a, b) => math.min(a * b, 64L) }.sum))
+      .sortBy { case (id, sc) => (-sc, id) }.take(5)
+      .zipWithIndex.map { case ((id, sc), i) => (id, sc, i + 1) }
+    assert(out == expected)
+  }
+
   test("binaryHammingIncremental: union == one-shot, re-present no-op") {
     def rows(df: DataFrame): Seq[(Long, Long, Long, Int)] =
       df.collect().map(r =>
