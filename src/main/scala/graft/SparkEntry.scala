@@ -1633,6 +1633,24 @@ object SparkEntry {
       operators.SimilarityOps.binaryHammingIncremental(q,
         e.filter(col("vec_id") % 2 === 1), state, k = 5)
     }),
+    // INCREMENTAL IVF (train-once/add-forever): first drop fits+freezes
+    // the coarse quantizer, second appends cell-partitioned postings;
+    // the cell-probed query over state meets the recall floor vs brute
+    // force (the ann_recall_ivf pattern)
+    "ann_recall_ivf_inc" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      val state = freshStateDir("graft_ivfstate")
+      operators.SimilarityOps.ivfIncremental(
+        e.filter(col("vec_id") % 2 === 0), state).count()
+      operators.SimilarityOps.ivfIncremental(
+        e.filter(col("vec_id") % 2 === 1), state).count()
+      operators.SimilarityOps.recallAtK(
+        operators.SimilarityOps.ivfIncrementalTopK(q, state,
+          nprobe = 8, k = 5),
+        operators.SimilarityOps.bruteForceTopK(q, e, k = 5),
+        k = 5, floor = 1)
+    }),
     // cross-encoder-style pairwise rerank: binary-Hamming shortlist ->
     // clipped-interaction integer pair scorer -> top-k; the whole
     // two-stage chain is int64-exact, so the gate hash-checks the
@@ -2387,6 +2405,10 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "ann_recall_ivf" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "ann_recall_ivf_inc" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

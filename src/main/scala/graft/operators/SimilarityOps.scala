@@ -838,6 +838,116 @@ object SimilarityOps {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /**
+   * INCREMENTAL IVF ingest over a [[graft.operators.StateStore]] —
+   * the train-once / add-forever pattern (FAISS `train` + `add`),
+   * closing the nightly-embeddings gap for the cell-probed face the
+   * way [[binaryHammingIncremental]] closes it for signatures: the
+   * FIRST drop fits the coarse quantizer (the deterministic
+   * [[fitIvfCentroids]]) and FREEZES it as a `centroids` table in
+   * state; every drop assigns its own rows to the frozen cells
+   * (broadcast model join + partial-agg argmin — the model-as-data
+   * invariant) and appends `postings` hive-partitioned by cell, so
+   * queries partition-prune to their probed cells. Assignment is a
+   * pure per-row function of the frozen model, so committed postings
+   * equal the one-shot assignment of the union corpus —
+   * [[ivfIncrementalTopK]] is frame-identical to [[ivfTopK]] over the
+   * union with the stored centroids (spec-pinned). Re-presented ids
+   * anti-join out against one narrow vec_id column scan and
+   * short-circuit without committing (the StateStore retry contract);
+   * the returned frame is this drop's committed postings read-back
+   * (empty for a pure re-present). [[StateStore.compact]] folds dirs
+   * with plain union semantics (postings union; the single centroids
+   * table rides along).
+   */
+  def ivfIncremental(newVecs: DataFrame, statePath: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     kCells: Int = 16, iters: Int = 5): DataFrame = {
+    val spark = newVecs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val prior = StateStore.committed(spark, statePath)
+    val fresh0 = newVecs
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .dropDuplicates("__id")
+    val incoming = (if (prior.isEmpty) fresh0 else
+      fresh0.join(readIvfPostings(spark, prior).select(col("vec_id")
+          .as("__id")),
+        Seq("__id"), "left_anti"))
+      .localCheckpoint(false) // isEmpty probe + assignment: compute once
+    if (incoming.isEmpty) {
+      require(prior.nonEmpty,
+        s"ivfIncremental: empty first drop at $statePath")
+      return readIvfPostings(spark, prior).limit(0)
+    }
+    val dir = StateStore.nextDir(spark, statePath)
+    val cdf = if (prior.isEmpty) {
+      val fit = fitIvfCentroids(incoming, idCol = "__id",
+        vecCol = "__v", k = kCells, iters = iters)
+      centroidsDf(spark, fit).repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      spark.read.parquet(s"$dir/centroids")
+    } else spark.read.parquet(prior.head + "/centroids")
+    assignCells(incoming.withColumn("__cn", l2norm(col("__v"))),
+        cdf, carry = Seq("__v", "__cn"))
+      .select(col("__id").as("vec_id"), col("__v"), col("__cn"),
+        col("__cell"))
+      .repartition(col("__cell"))
+      .write.partitionBy("__cell").mode("overwrite")
+      .parquet(s"$dir/postings")
+    StateStore.commit(spark, dir)
+    spark.read.parquet(s"$dir/postings")
+  }
+
+  /** Per-root postings union ([[graft.operators.GraphAlgos]]'s
+    * ccArchiveLedger lesson: multi-root partition inference is
+    * unsupported). */
+  private def readIvfPostings(spark: org.apache.spark.sql.SparkSession,
+                              dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.parquet(s"$d/postings"))
+      .reduce(_.unionByName(_))
+
+  /**
+   * Query face of [[ivfIncremental]]: probe each query's `nprobe`
+   * nearest frozen cells, rank the probed cells' stored postings by
+   * true cosine, cut with the bounded top-k. The postings read is
+   * PARTITION-PRUNED to the query set's probed cells (bounded by the
+   * model size, so the touched-cell collect is a constant-size driver
+   * hop) — a nightly corpus pays one narrow scan of the probed cells,
+   * never the archive. Output matches [[ivfTopK]] exactly.
+   */
+  def ivfIncrementalTopK(queries: DataFrame, statePath: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val prior = StateStore.committed(spark, statePath)
+    require(prior.nonEmpty, s"no committed IVF state under $statePath")
+    val cdf = spark.read.parquet(prior.head + "/centroids")
+    val q = probeCells(
+      queries.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        l2norm(col(vecCol)).as("__qn")),
+      cdf, nprobe, carry = Seq("__v", "__qn"))
+      .select(col("__id").as("query_id"), col("__v").as("__qv"),
+        col("__qn"), col("__cell"))
+    val touched = q.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val posts = readIvfPostings(spark, prior)
+      .filter(col("__cell").isin(touched.map(Int.box): _*))
+      .select(col("vec_id").as("neighbor_id"), col("__v").as("__cv"),
+        col("__cn"), col("__cell"))
+    val scored = q.join(posts, "__cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    boundedTopK(scored, "query_id", "neighbor_id", "cosine", k,
+        descending = true)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ): split each vector into `m` subspaces,
   // k-means each subspace into `k` codes, store m small codes per

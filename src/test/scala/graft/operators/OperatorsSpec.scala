@@ -732,6 +732,39 @@ class OperatorsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("ivfIncremental: union == one-shot on frozen centroids, no-op") {
+    def rows(df: DataFrame): Seq[(Long, Long, Double, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+        .sortBy(t => (t._1, t._4))
+    val state = tmpState("ivf_inc")
+    val dropA = embs.filter(col("vec_id") % 2 === 0)
+    SimilarityOps.ivfIncremental(dropA, state).count()
+    SimilarityOps.ivfIncremental(
+      embs.filter(col("vec_id") % 2 === 1), state).count()
+    assert(StateStore.committed(spark, state).size == 2)
+    // the frozen model read back exactly as fit
+    val stored = spark.read
+      .parquet(StateStore.committed(spark, state).head + "/centroids")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val q = embs.filter(col("vec_id") < 5)
+    // incremental state answers frame-identically to the one-shot IVF
+    // over the union corpus with the SAME frozen centroids
+    assert(rows(SimilarityOps.ivfIncrementalTopK(q, state,
+        nprobe = 4, k = 5)) ==
+      rows(SimilarityOps.ivfTopK(q, embs, stored, nprobe = 4, k = 5)))
+    // re-presented drop: no new dir, empty read-back
+    assert(SimilarityOps.ivfIncremental(dropA, state).count() == 0)
+    assert(StateStore.committed(spark, state).size == 2)
+    // postings keep the cell partition layout (queries prune to it)
+    val pDirs = new java.io.File(StateStore.committed(spark, state).head
+        .stripPrefix("file:") + "/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(pDirs.nonEmpty && pDirs.forall(_.startsWith("__cell=")),
+      pDirs.mkString(", "))
+  }
+
   test("crossEncoderRerank equals a driver-side two-stage replica") {
     val out = SimilarityOps.crossEncoderRerank(
         embs.filter(col("vec_id") === 0), embs, k = 5, shortlist = 20)
