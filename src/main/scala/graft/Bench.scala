@@ -71,7 +71,11 @@ object Bench {
     // stream, a two-stage token-ANN rerank, and a state-store
     // incremental graph ingest (fresh state dir per invocation)
     "events_stream_gap_sessions", "embed_maxsim_rerank",
-    "graph_cc_incremental")
+    "graph_cc_incremental",
+    // round-12: compaction mid-sequence, the eager until() loop, the
+    // two-stage integer rerank, and the frozen-quantizer IVF ingest
+    "graph_cc_compacted", "repeat_until", "embed_cross_rerank",
+    "ann_recall_ivf_inc")
 
   /** Cross-family JIT warmup set (run at the small warmup sf, never at
     * the benched sf): one gate per shared-infra family. */

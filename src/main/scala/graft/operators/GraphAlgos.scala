@@ -76,16 +76,18 @@ object GraphAlgos {
           .as("reciprocity_pm"))
   }
 
-  /** Hash-bucket fanout of the [[ccIncremental]] edge ledger's hive
-    * partitioning — the exact-verify read prunes to the (few)
-    * bloom-positive buckets instead of scanning the archive. 64 keeps
-    * per-increment file counts sane (≤64 files after the pre-write
-    * repartition) while a handful of FP edges touch ≈ that many
-    * buckets. */
+  /** DEFAULT hash-bucket fanout of the [[ccIncremental]] edge
+    * ledger's hive partitioning — the exact-verify read prunes to the
+    * (few) bloom-positive buckets instead of scanning the archive. 64
+    * keeps per-increment file counts sane (≤64 files after the
+    * pre-write repartition) while a handful of FP edges touch ≈ that
+    * many buckets. Sizing is PER STATE (persisted in `meta` at first
+    * ingest): a 10⁹-edge archive wants more buckets and a bigger
+    * bloom. */
   private[graft] val CcLedgerBuckets = 64
-  /** Per-increment edge-bloom sizing: 2^25 bits (4 MiB) holds ~3M
-    * edges per state at ~1e-5 FP with 5 hashes — FP rate only costs
-    * verify I/O, never correctness (no false negatives). */
+  /** DEFAULT per-increment edge-bloom sizing: 2^25 bits (4 MiB) holds
+    * ~3M edges per state at ~1e-5 FP with 5 hashes — FP rate only
+    * costs verify I/O, never correctness (no false negatives). */
   private[graft] val CcBloomBits = 1 << 25
   private[graft] val CcBloomHashes = 5
 
@@ -161,27 +163,39 @@ object GraphAlgos {
    * edges); join a vertex table downstream for isolated singletons.
    * Output: `(id, component)`, component = min member id.
    */
-  def ccIncremental(newEdges: DataFrame, statePath: String): DataFrame = {
+  def ccIncremental(newEdges: DataFrame, statePath: String,
+                    buckets: Int = CcLedgerBuckets,
+                    bloomBits: Int = CcBloomBits): DataFrame = {
     val spark = newEdges.sparkSession
     val prior = StateStore.committed(spark, statePath)
+    // ledger sizing is a PER-STATE property: the first ingest persists
+    // it in a `meta` table and every later ingest reads it back (the
+    // caller's parameters only size a NEW state) — size `buckets` and
+    // `bloomBits` to the expected ARCHIVE edge count (bloom FP rate
+    // drives how many buckets the exact-verify opens), not the drop
+    val (bk, bb) =
+      if (prior.isEmpty) (buckets, bloomBits)
+      else {
+        val m = spark.read.parquet(prior.head + "/meta").collect().head
+        (m.getInt(0), m.getInt(1))
+      }
     // canonical drop, hashed once: __h feeds the bloom, __bk the
     // bucket layout; computed lineage runs once (self-referenced)
     val norm = newEdges.select(
         least(col("src"), col("dst")).cast("long").as("src"),
         greatest(col("src"), col("dst")).cast("long").as("dst")).distinct()
       .withColumn("__h", xxhash64(col("src"), col("dst")))
-      .withColumn("__bk",
-        pmod(col("__h"), lit(CcLedgerBuckets.toLong)).cast("int"))
+      .withColumn("__bk", pmod(col("__h"), lit(bk.toLong)).cast("int"))
       .localCheckpoint(false)
     val incoming = (if (prior.isEmpty) norm else {
       val bloomBc = spark.sparkContext.broadcast(
         foldEdgeBlooms(spark, prior))
       val inBloom = graft.functions.VectorExpressions.bloomContainsBc(
-        col("__h"), bloomBc, CcBloomBits, CcBloomHashes)
+        col("__h"), bloomBc, bb, CcBloomHashes)
       val definiteNew = norm.filter(!inBloom)
       val maybeOld = norm.filter(inBloom)
-      // touched buckets of the POSITIVE subset only — bounded by
-      // CcLedgerBuckets, so the collect is a constant-size driver hop
+      // touched buckets of the POSITIVE subset only — bounded by the
+      // bucket count, so the collect is a constant-size driver hop
       val touched = maybeOld.select(col("__bk")).distinct()
         .collect().map(_.getInt(0)).toSeq
       definiteNew.unionByName(
@@ -209,10 +223,12 @@ object GraphAlgos {
       .write.partitionBy("__bk").mode("overwrite").parquet(s"$dir/edges")
     val freshAll = spark.read.parquet(s"$dir/edges")
     val bloom = CurationOps.bloomFromHashes(
-      freshAll.select(col("__h")), CcBloomBits, CcBloomHashes)
+      freshAll.select(col("__h")), bb, CcBloomHashes)
     import spark.implicits._
     Seq(Tuple1(bloom)).toDF("__bloom").repartition(1)
       .write.mode("overwrite").parquet(s"$dir/bloom")
+    Seq((bk, bb)).toDF("buckets", "bloom_bits").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
     val fresh = freshAll.select(col("src"), col("dst"))
     val prevLabels =
       if (prior.isEmpty) None else Some(lastLabels(prior))
@@ -810,25 +826,32 @@ object GraphAlgos {
                       maxHops: Int,
                       requireConverged: Boolean): DataFrame = {
     import spark.implicits._
-    var dist = Seq((start, 0)).toDF("id", "d").localCheckpoint()
-    var frontier = dist
+    // per-hop frontiers are each checkpointed ONCE; the visited set is
+    // a lazy union over them (re-reading checkpointed blocks), so a
+    // hop costs 2 jobs (frontier checkpoint + its count), not 3 — the
+    // per-round union re-checkpoint bought nothing: the anti-join
+    // scans the same visited rows either way, and the union plan
+    // grows only linearly in hops over already-truncated lineage
+    var frontiers = List(Seq((start, 0)).toDF("id", "d").localCheckpoint())
     var hop = 0
     var fsize = 1L
     while (fsize > 0 && hop < maxHops) {
       hop += 1
-      val next = reS.join(frontier, reS("src") === frontier("id"))
+      val head = frontiers.head
+      val visited = frontiers.map(_.select(col("id")))
+        .reduce(_ union _)
+      val next = reS.join(head, reS("src") === head("id"))
         .select(reS("dst").as("id")).distinct()
-        .join(dist, Seq("id"), "left_anti")
+        .join(visited, Seq("id"), "left_anti")
         .withColumn("d", lit(hop))
         .localCheckpoint()
       fsize = next.count()
-      if (fsize > 0) dist = dist.union(next).localCheckpoint()
-      frontier = next
+      if (fsize > 0) frontiers ::= next
     }
     if (requireConverged && fsize > 0)
       throw new IllegalStateException(
         s"BFS did not converge in $maxHops hops")
-    dist
+    frontiers.reduce(_ union _)
   }
 
   /**

@@ -876,6 +876,32 @@ class GraphAlgosSpec extends SparkSpec {
     assert(labels(holdB).contains(30L))
   }
 
+  test("ccIncremental: per-state ledger sizing persists through meta") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-ccmeta").toString
+    val dropA = Seq((2L, 1L), (11L, 10L)).toDF("src", "dst")
+    val dropB = Seq((3L, 1L), (2L, 1L)).toDF("src", "dst") // one re-present
+    // tiny custom sizing on the FIRST ingest; the second passes
+    // defaults and must pick the stored sizing back up
+    GraphAlgos.ccIncremental(dropA, state, buckets = 8,
+      bloomBits = 1 << 16).count()
+    val after = labels(GraphAlgos.ccIncremental(dropB, state))
+    assert(after == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val dirs = StateStore.committed(spark, state)
+    val metas = spark.read.parquet(dirs.map(_ + "/meta"): _*)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(metas == Set((8, 1 << 16)), metas.toString)
+    // the ledger layout honors the stored bucket count
+    val bkDirs = new java.io.File(dirs.head.stripPrefix("file:")
+        + "/edges").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(bkDirs.forall(d => d.stripPrefix("__bk=").toInt < 8),
+      bkDirs.mkString(", "))
+  }
+
   test("ccCompact: ingest→compact→ingest == one-shot; labels last-read") {
     import spark.implicits._
     def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
