@@ -203,6 +203,40 @@ object ScaleProbe {
       }
     }
 
+    // incremental ANN state (r12): archive ingested once, then a ~1%
+    // drop — the drop's ingest must cost the drop (sign/assign its own
+    // rows + the narrow id-ledger scan), not re-sign/re-assign the
+    // archive; the query face rides the committed state
+    val embsAll = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    if (wanted("bhIncArchive", "bhIncIncrement", "bhIncQuery")) {
+      val st = s"/tmp/graft_probe_bhstate_${ProcessHandle.current().pid()}"
+      operators.StateStore.delete(st)
+      val q = embsAll.filter(col("vec_id") < 10)
+      val archive = () => operators.SimilarityOps.binaryHammingIncremental(
+        q, embsAll.filter(col("vec_id") % 100 =!= 0), st, k = 5).count()
+      if (wanted("bhIncArchive")) time("bhIncArchive")(archive())
+      else archive()
+      time("bhIncIncrement")(operators.SimilarityOps
+        .binaryHammingIncremental(q,
+          embsAll.filter(col("vec_id") % 100 === 0), st, k = 5).count())
+      operators.StateStore.delete(st)
+    }
+    if (wanted("ivfIncArchive", "ivfIncIncrement", "ivfIncQuery")) {
+      val st = s"/tmp/graft_probe_ivfstate_${ProcessHandle.current().pid()}"
+      operators.StateStore.delete(st)
+      val archive = () => operators.SimilarityOps.ivfIncremental(
+        embsAll.filter(col("vec_id") % 100 =!= 0), st).count()
+      if (wanted("ivfIncArchive")) time("ivfIncArchive")(archive())
+      else archive()
+      time("ivfIncIncrement")(operators.SimilarityOps.ivfIncremental(
+        embsAll.filter(col("vec_id") % 100 === 0), st).count())
+      time("ivfIncQuery")(operators.SimilarityOps.ivfIncrementalTopK(
+        embsAll.filter(col("vec_id") < 10), st, nprobe = 8, k = 5)
+        .count())
+      operators.StateStore.delete(st)
+    }
+
     val evbase = streaming.EventStreamOps.readEvents(
       spark, "/root/testdata/sf0.1/events.parquet")
     val events = (0 until mult).map { i =>

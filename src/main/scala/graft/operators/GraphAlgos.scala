@@ -91,16 +91,22 @@ object GraphAlgos {
   private[graft] val CcBloomBits = 1 << 25
   private[graft] val CcBloomHashes = 5
 
-  /** OR-fold of the committed increments' edge blooms (each dir stores
-    * the bloom of ITS OWN edges — the fold equals a filter over the
-    * union, and stays correct after [[ccCompact]] unions the per-dir
-    * bloom tables; 4 MiB × few dirs, a trivial driver fold). */
-  private def foldEdgeBlooms(spark: SparkSession,
-                             dirs: Seq[String]): Array[Byte] = {
+  /** One read of the committed increments' `bloom` tables: OR-fold of
+    * the per-dir edge blooms (each dir stores the bloom of ITS OWN
+    * edges — the fold equals a filter over the union, and stays
+    * correct after [[ccCompact]] unions the per-dir tables) PLUS the
+    * per-state ledger sizing the rows carry (identical on every row
+    * by construction). Bytes × few dirs — a trivial driver fold, and
+    * ONE job instead of a separate meta read. */
+  private def readEdgeLedgerMeta(spark: SparkSession,
+      dirs: Seq[String]): (Array[Byte], Int, Int) = {
     val rows = spark.read.parquet(dirs.map(_ + "/bloom"): _*)
-      .collect().map(_.getAs[Array[Byte]](0))
-    rows.reduce((a, b) =>
-      Array.tabulate(a.length)(i => (a(i) | b(i)).toByte))
+      .collect()
+    val folded = rows.map(_.getAs[Array[Byte]]("__bloom"))
+      .reduce((a, b) =>
+        Array.tabulate(a.length)(i => (a(i) | b(i)).toByte))
+    (folded, rows.head.getAs[Int]("buckets"),
+      rows.head.getAs[Int]("bloom_bits"))
   }
 
   /** The archive-edge ledger read of an [[ccIncremental]] ingest,
@@ -169,16 +175,16 @@ object GraphAlgos {
     val spark = newEdges.sparkSession
     val prior = StateStore.committed(spark, statePath)
     // ledger sizing is a PER-STATE property: the first ingest persists
-    // it in a `meta` table and every later ingest reads it back (the
-    // caller's parameters only size a NEW state) — size `buckets` and
-    // `bloomBits` to the expected ARCHIVE edge count (bloom FP rate
-    // drives how many buckets the exact-verify opens), not the drop
-    val (bk, bb) =
-      if (prior.isEmpty) (buckets, bloomBits)
-      else {
-        val m = spark.read.parquet(prior.head + "/meta").collect().head
-        (m.getInt(0), m.getInt(1))
-      }
+    // it on the bloom rows and every later ingest reads it back in the
+    // same job that folds the filters (the caller's parameters only
+    // size a NEW state) — size `buckets` and `bloomBits` to the
+    // expected ARCHIVE edge count (bloom FP rate drives how many
+    // buckets the exact-verify opens), not the drop
+    val priorMeta =
+      if (prior.isEmpty) None
+      else Some(readEdgeLedgerMeta(spark, prior))
+    val (bk, bb) = priorMeta.map(m => (m._2, m._3))
+      .getOrElse((buckets, bloomBits))
     // canonical drop, hashed once: __h feeds the bloom, __bk the
     // bucket layout; computed lineage runs once (self-referenced)
     val norm = newEdges.select(
@@ -188,8 +194,7 @@ object GraphAlgos {
       .withColumn("__bk", pmod(col("__h"), lit(bk.toLong)).cast("int"))
       .localCheckpoint(false)
     val incoming = (if (prior.isEmpty) norm else {
-      val bloomBc = spark.sparkContext.broadcast(
-        foldEdgeBlooms(spark, prior))
+      val bloomBc = spark.sparkContext.broadcast(priorMeta.get._1)
       val inBloom = graft.functions.VectorExpressions.bloomContainsBc(
         col("__h"), bloomBc, bb, CcBloomHashes)
       val definiteNew = norm.filter(!inBloom)
@@ -221,15 +226,17 @@ object GraphAlgos {
     val dir = StateStore.nextDir(spark, statePath)
     incoming.repartition(col("__bk"))
       .write.partitionBy("__bk").mode("overwrite").parquet(s"$dir/edges")
-    val freshAll = spark.read.parquet(s"$dir/edges")
+    // bloom from the CHECKPOINTED incoming frame — the exact rows the
+    // write just persisted (same materialized RDD), so no-false-
+    // negative vs the ledger holds without re-reading the parquet;
+    // the sizing rides the same row (one table, one read at ingest)
     val bloom = CurationOps.bloomFromHashes(
-      freshAll.select(col("__h")), bb, CcBloomHashes)
+      incoming.select(col("__h")), bb, CcBloomHashes)
     import spark.implicits._
-    Seq(Tuple1(bloom)).toDF("__bloom").repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/bloom")
-    Seq((bk, bb)).toDF("buckets", "bloom_bits").repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    val fresh = freshAll.select(col("src"), col("dst"))
+    Seq((bloom, bk, bb)).toDF("__bloom", "buckets", "bloom_bits")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/bloom")
+    val fresh = spark.read.parquet(s"$dir/edges")
+      .select(col("src"), col("dst"))
     val prevLabels =
       if (prior.isEmpty) None else Some(lastLabels(prior))
     val stars = prevLabels.map(_.filter(col("id") =!= col("component"))

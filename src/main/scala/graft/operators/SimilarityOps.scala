@@ -358,6 +358,7 @@ object SimilarityOps {
                         vecCol: String = "embedding",
                         k: Int = 10): DataFrame =
     hammingScan(queries, idCol, vecCol,
+      // (hammingScan registers the bounded-cut kernel itself)
       corpus.select(col(idCol).as("neighbor_id"),
         signHalf(vecCol, 0).as("__ca"), signHalf(vecCol, 32).as("__cb")),
       k)
@@ -369,6 +370,7 @@ object SimilarityOps {
   private def hammingScan(queries: DataFrame, idCol: String,
                           vecCol: String, corpusSigs: DataFrame,
                           k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
       signHalf(vecCol, 0).as("__qa"), signHalf(vecCol, 32).as("__qb"))
     val scored = broadcast(q).crossJoin(corpusSigs)

@@ -892,7 +892,8 @@ class GraphAlgosSpec extends SparkSpec {
     assert(after == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L))
     val dirs = StateStore.committed(spark, state)
-    val metas = spark.read.parquet(dirs.map(_ + "/meta"): _*)
+    val metas = spark.read.parquet(dirs.map(_ + "/bloom"): _*)
+      .select("buckets", "bloom_bits")
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(metas == Set((8, 1 << 16)), metas.toString)
     // the ledger layout honors the stored bucket count
