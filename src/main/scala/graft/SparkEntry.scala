@@ -1633,6 +1633,23 @@ object SparkEntry {
       operators.SimilarityOps.binaryHammingIncremental(q,
         e.filter(col("vec_id") % 2 === 1), state, k = 5)
     }),
+    // signature-state compaction mid-sequence: two ingested halves
+    // compact into one dir (plain union semantics) and the post-compact
+    // query must still equal the one-shot — embed_binary_hamming's
+    // oracle verbatim
+    "embed_binary_compacted" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      val state = freshStateDir("graft_bhcstate")
+      operators.SimilarityOps.binaryHammingIncremental(q,
+        e.filter(col("vec_id") % 2 === 0), state, k = 5).count()
+      operators.SimilarityOps.binaryHammingIncremental(q,
+        e.filter(col("vec_id") % 2 === 1), state, k = 5).count()
+      operators.StateStore.compact(spark, state)
+      // a pure re-present after compaction: no new dir, same answer
+      operators.SimilarityOps.binaryHammingIncremental(q,
+        e.filter(col("vec_id") % 2 === 0), state, k = 5)
+    }),
     // INCREMENTAL IVF (train-once/add-forever): first drop fits+freezes
     // the coarse quantizer, second appends cell-partitioned postings;
     // the cell-probed query over state meets the recall floor vs brute
@@ -2412,6 +2429,19 @@ object SparkEntry {
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // post-compaction signature query == one-shot (hamming verbatim)
+    "embed_binary_compacted" ->
+      """WITH s AS (SELECT vec_id,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END for i in range(1, 33)]) AS BIGINT) AS sa,
+        |  CAST(list_sum([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END for i in range(33, 65)]) AS BIGINT) AS sb
+        | FROM embeddings),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  bit_count(xor(a.sa, b.sa)) + bit_count(xor(a.sb, b.sb)) AS h
+        | FROM s a JOIN s b ON a.vec_id < 10 AND b.vec_id != a.vec_id),
+        |r AS (SELECT query_id, neighbor_id, h,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS rank FROM d)
+        |SELECT query_id, neighbor_id, CAST(h AS BIGINT) AS hamming,
+        |  CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5""".stripMargin,
     "ann_recall_pq" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor

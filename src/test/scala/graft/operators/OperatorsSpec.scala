@@ -763,6 +763,21 @@ class OperatorsSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName)
     assert(pDirs.nonEmpty && pDirs.forall(_.startsWith("__cell=")),
       pDirs.mkString(", "))
+    // compaction: one dir, centroids survive, query still == one-shot,
+    // cell layout preserved through the rewrite
+    StateStore.compact(spark, state)
+    val cDirs = StateStore.committed(spark, state)
+    assert(cDirs.size == 1)
+    assert(rows(SimilarityOps.ivfIncrementalTopK(q, state,
+        nprobe = 4, k = 5)) ==
+      rows(SimilarityOps.ivfTopK(q, embs, stored, nprobe = 4, k = 5)))
+    val pDirs2 = new java.io.File(cDirs.head.stripPrefix("file:")
+        + "/postings").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(pDirs2.nonEmpty && pDirs2.forall(_.startsWith("__cell=")),
+      pDirs2.mkString(", "))
+    // and a re-present against the compacted ledger stays a no-op
+    assert(SimilarityOps.ivfIncremental(dropA, state).count() == 0)
+    assert(StateStore.committed(spark, state).size == 1)
   }
 
   test("crossEncoderRerank equals a driver-side two-stage replica") {
