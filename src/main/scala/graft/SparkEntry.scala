@@ -137,6 +137,10 @@ object SparkEntry {
     // the condition hits (orders continue, parts stop), the frontier
     // drains at depth 2 and the eager loop certifies the drain
     "repeat_until" -> q("g.V().hasLabel('customer').has('nationkey', eq(1)).repeat(out()).until(hasLabel('part')).count()"),
+    // depth-emitting repeat: every traverser at every depth ≤ 2 —
+    // nation-2 customers' orders (depth 1) plus their parts (depth 2);
+    // times(2) hard-stops (TinkerPop parity)
+    "repeat_emit" -> q("g.V().hasLabel('customer').has('nationkey', eq(2)).repeat(out()).emit().times(2).count()"),
     "where_history_neq" -> q("g.V().hasLabel('part').as('a').in('contains').out('contains').where(neq('a')).count()"),
     "range_skip" -> q("g.V().hasLabel('order').values('totalprice').order().skip(5).count()"),
     "traverse_ine" -> q("g.V().hasLabel('order').inE('placed').outV().dedup().count()"),
@@ -2156,6 +2160,11 @@ object SparkEntry {
     // distinct contained part)
     "repeat_until" ->
       s"SELECT count(*) AS value FROM $EdgesContains l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 1",
+    // emit at both depths: orders + their distinct contained parts
+    "repeat_emit" ->
+      s"""SELECT (SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 2)
+        | + (SELECT count(*) FROM $EdgesContains l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 2)
+        | AS value""".stripMargin,
     "where_history_neq" ->
       s"SELECT count(*) AS value FROM $EdgesContains e1 JOIN $EdgesContains e2 ON e1.l_orderkey = e2.l_orderkey WHERE e2.l_partkey != e1.l_partkey",
     "range_skip" ->

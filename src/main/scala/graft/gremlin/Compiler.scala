@@ -213,7 +213,7 @@ object Compiler {
   private def apply(graph: GraphStore, s: State, step: Step): State = {
     import Step._
     step match {
-      case _: TimesMarker | _: UntilMarker =>
+      case _: TimesMarker | _: UntilMarker | EmitMarker =>
         throw new IllegalStateException(
           "parser-internal marker reached the compiler (parser bug)")
 
@@ -708,14 +708,18 @@ object Compiler {
         }
         d.copy(df = joined.drop(rowTag), sideEffects = se)
 
-      case Repeat(sub, times, None) =>
+      case Repeat(sub, times, None, false) =>
         (1 to math.max(times, 1)).foldLeft(s)((st, _) =>
           compileSub(graph, st, sub))
 
-      case Repeat(sub, times, Some(cond)) =>
-        // TinkerPop's post-condition repeat().until(): apply the body,
-        // then traversers whose `cond` sub yields ≥ 1 row EXIT (the
-        // existing and() existential); the rest (not()) loop.
+      case Repeat(sub, times, untilOpt, emit) =>
+        // TinkerPop's post-condition repeat().until() / depth-emitting
+        // repeat().emit(): apply the body, then
+        //  - until: traversers whose `cond` sub yields ≥ 1 row EXIT
+        //    (the existing and() existential); the rest (not()) loop;
+        //  - emit: EVERY post-body traverser is emitted at every
+        //    round and keeps looping (with until, emitted AND still
+        //    subject to the exit split).
         //
         // This is the compiler's ONE EAGER step — the graph-operator
         // class (kCore/SCC), not the job-free compile path: the round
@@ -724,16 +728,20 @@ object Compiler {
         // references multiply per round — without truncation the
         // logical plan grows exponentially in the round count, the
         // iterative-loop invariant). So the driver loop eagerly
-        // localCheckpoints each round, exits as soon as the frontier
-        // DRAINS (vertices with no onward steps), and past the cap
-        // throws (certify-or-throw) — a traverser still circulating
-        // is never silently dropped. Lazy alternatives measured and
-        // rejected: a lazy localCheckpoint still executes AQE stages
-        // at toRdd (not job-free anyway), and an in-plan assert_true
-        // certification gets column-pruned out by Catalyst.
+        // localCheckpoints each round and exits as soon as the
+        // frontier DRAINS. Past the cap: `repeat(x).emit().times(k)`
+        // HARD-STOPS at depth k (TinkerPop parity — depth-bounded
+        // emission is the semantics, nothing is dropped); every other
+        // form throws (certify-or-throw) — a traverser still
+        // circulating is never silently dropped. Lazy alternatives
+        // measured and rejected: a lazy localCheckpoint still
+        // executes AQE stages at toRdd (not job-free anyway), and an
+        // in-plan assert_true certification gets column-pruned out by
+        // Catalyst.
+        val hardStop = emit && untilOpt.isEmpty && times > 1
         val cap = if (times > 1) times else UntilCap
         var frontier = s
-        var sats = List.empty[State]
+        var outs = List.empty[State]
         var drained = false
         var round = 0
         while (!drained && round < cap) {
@@ -741,18 +749,23 @@ object Compiler {
           val applied0 = compileSub(graph, frontier, sub)
           val applied =
             applied0.copy(df = applied0.df.localCheckpoint())
-          sats ::= compileSub(graph, applied,
-            List(BranchFilter(AndOp, Seq(cond))))
-          frontier = compileSub(graph, applied,
-            List(BranchFilter(NotOp, Seq(cond))))
-          frontier = frontier.copy(df = frontier.df.localCheckpoint())
+          outs ::= (if (emit) applied
+            else compileSub(graph, applied,
+              List(BranchFilter(AndOp, Seq(untilOpt.get)))))
+          frontier = untilOpt match {
+            case Some(cond) =>
+              val f = compileSub(graph, applied,
+                List(BranchFilter(NotOp, Seq(cond))))
+              f.copy(df = f.df.localCheckpoint())
+            case None => applied // already checkpointed
+          }
           drained = frontier.df.isEmpty
         }
-        if (!drained)
+        if (!drained && !hardStop)
           throw new IllegalStateException(
-            s"repeat().until() frontier not drained after $cap " +
+            s"repeat() frontier not drained after $cap " +
               "rounds - raise the times() cap")
-        val out = sats.reverse
+        val out = outs.reverse
         out.last.copy(
           df = out.map(_.df).reduce(_ unionByName _),
           sideEffects = frontier.sideEffects,
@@ -783,7 +796,7 @@ object Compiler {
     case Step.Dedup(hs)             => hs.isEmpty
     case Step.Union(subs)           => subs.forall(perValueSub)
     case Step.BranchFilter(_, subs) => subs.forall(perValueSub)
-    case Step.Repeat(s2, _, u)      =>
+    case Step.Repeat(s2, _, u, _)   =>
       perValueSub(s2) && u.forall(perValueSub)
     case _                          => true
   }

@@ -45,7 +45,7 @@ object EarlyDedup {
       case Step.Dedup(hs)             => hs
       case Step.Union(subs)           => subs.flatMap(referenced)
       case Step.BranchFilter(_, subs) => subs.flatMap(referenced)
-      case Step.Repeat(sub, _, u)     =>
+      case Step.Repeat(sub, _, u, _)  =>
         referenced(sub) ++ u.toSeq.flatMap(referenced)
       case _                          => Nil
     }.toSet
@@ -77,8 +77,8 @@ object EarlyDedup {
       case Step.Union(subs)           => Some(Step.Union(subs.map(walk)))
       case Step.BranchFilter(op, subs) =>
         Some(Step.BranchFilter(op, subs.map(walk)))
-      case Step.Repeat(sub, t, u)     =>
-        Some(Step.Repeat(walk(sub), t, u.map(walk)))
+      case Step.Repeat(sub, t, u, e)  =>
+        Some(Step.Repeat(walk(sub), t, u.map(walk), e))
       case Step.As(n) if !used(n)     => None
       case s                          => Some(s)
     }

@@ -38,7 +38,8 @@ object Reorder {
       case Step.Union(subs) => Step.Union(subs.map(apply))
       case Step.BranchFilter(op, subs) =>
         Step.BranchFilter(op, subs.map(apply))
-      case Step.Repeat(sub, t, u) => Step.Repeat(apply(sub), t, u.map(apply))
+      case Step.Repeat(sub, t, u, e) =>
+        Step.Repeat(apply(sub), t, u.map(apply), e)
       case other => other
     }
     // split into maximal runs of reorderable steps; `as` is a fence

@@ -116,7 +116,8 @@ object Step {
     * circulating past the cap fails the query loudly
     * (certify-or-throw, the graph-loop contract). */
   final case class Repeat(sub: List[Step], times: Int = 1,
-                          until: Option[List[Step]] = None) extends Step
+                          until: Option[List[Step]] = None,
+                          emit: Boolean = false) extends Step
   /** Parser-internal `.times(k)` marker; folded into the preceding
     * Repeat by the parser, never reaches the compiler. */
   private[gremlin] final case class TimesMarker(k: Int) extends Step
@@ -124,4 +125,12 @@ object Step {
     * Repeat by the parser, never reaches the compiler. */
   private[gremlin] final case class UntilMarker(cond: List[Step])
       extends Step
+  /** Parser-internal `.emit()` marker; folded into the preceding
+    * Repeat by the parser, never reaches the compiler. TinkerPop
+    * depth emission: every post-body traverser is emitted at every
+    * round AND keeps looping. With `.times(k)` (no until) the loop
+    * hard-stops at depth k (TinkerPop parity — no throw); with
+    * `until`/unbounded it shares the eager loop's drain semantics
+    * (certify-or-throw past the cap). */
+  private[gremlin] case object EmitMarker extends Step
 }

@@ -90,7 +90,7 @@ object StepParser {
     "bothV", "values", "properties", "key", "label", "as", "select",
     "count", "sum", "max", "min", "mean", "dedup", "order", "limit",
     "range", "skip", "group", "groupCount", "aggregate", "cap", "union",
-    "and", "or", "not", "repeat", "times", "until", "coin")
+    "and", "or", "not", "repeat", "times", "until", "emit", "coin")
 
   /** An argument inside a step's parens. */
   sealed trait Arg
@@ -145,6 +145,10 @@ object StepParser {
         steps = r.copy(until = Some(c)) :: rest
       case (Step.UntilMarker(_), _) =>
         throw ParseException("until() must follow repeat()")
+      case (Step.EmitMarker, (r: Step.Repeat) :: rest) =>
+        steps = r.copy(emit = true) :: rest
+      case (Step.EmitMarker, _) =>
+        throw ParseException("emit() must follow repeat()")
       case _ => steps = s :: steps
     }
     push(parseStep(cur))
@@ -330,6 +334,7 @@ object StepParser {
 
       case "times"  => TimesMarker(numOf(args.head).toInt) // folded by parseChain
       case "until"  => UntilMarker(subOf(args.head))       // folded by parseChain
+      case "emit" if args.isEmpty => EmitMarker            // folded by parseChain
       case "union"  => Union(args.map(subOf))
       case "and"    => BranchFilter(AndOp, args.map(subOf))
       case "or"     => BranchFilter(OrOp, args.map(subOf))

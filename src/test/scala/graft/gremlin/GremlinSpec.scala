@@ -224,6 +224,24 @@ class GremlinSpec extends SparkSpec {
       ".values(\"name\").order()") == Seq("lop", "lop"))
   }
 
+  test("repeat().emit(): depth emission, hard stop at times(k)") {
+    // round 1 from marko emits {vadas, josh, lop}; round 2 emits
+    // {ripple, lop} (via josh); times(2) HARD-stops (TinkerPop
+    // parity — depth-bounded emission, no certification throw even
+    // though lop would have onward... it has none; vadas/lop dead-end)
+    assert(values("g.V(1).repeat(out()).emit().times(2)" +
+      ".values(\"name\").order()") ==
+      Seq("josh", "lop", "lop", "ripple", "vadas"))
+    // emit + until: every depth emitted, satisfied traversers exit
+    // the loop — {vadas,josh,lop} + {ripple,lop}, ripple continues
+    // and dies at depth 3 (drained, certification passes)
+    assert(longs("g.V(1).repeat(out()).until(has('name','lop'))" +
+      ".emit().count()") == Seq(5L))
+    intercept[StepParser.ParseException] {
+      StepParser.parse("g.V().emit()")
+    }
+  }
+
   test("repeat().until: undrained frontier past the cap fails loudly") {
     // both() cycles forever and the condition never matches: after the
     // times(3) cap the frontier is nonempty — the in-plan
