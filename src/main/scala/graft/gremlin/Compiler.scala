@@ -612,17 +612,16 @@ object Compiler {
         // The distinct value set feeds every sub and the count-0
         // universe. A provably duplicate-free frontier (V()/E() roots +
         // filters — the common case) skips the distinct entirely: one
-        // less exchange+aggregate per branch filter. A cheap frontier
-        // (pushed-down scan + filters) is recomputed per use — no
-        // materialization, compile stays job-free; an expensive one
-        // (aggregates/joins/windows in its lineage) gets a LAZY
-        // localCheckpoint so the lineage computes once (same policy as
-        // the row-tag path below).
-        val vals0 =
+        // less exchange+aggregate per branch filter. The value set is
+        // recomputed per use — no materialization: a "lazy"
+        // localCheckpoint is NOT compile-job-free under AQE (toRdd
+        // materializes every non-final stage immediately; measured 2
+        // jobs compiling one join-upstream and()), and the job-free
+        // compile invariant outranks the execution-dedup it bought
+        // (same policy as the row-tag path below).
+        val vals =
           if (d.distinctVal) d.df.select(col("__val").as(tag))
           else d.df.select(col("__val").as(tag)).distinct()
-        val vals = if (expensivePlan(d.df)) vals0.localCheckpoint(false)
-                   else vals0
         val from = d.copy(
           df = vals.select(col(tag), col(tag).as("__val")),
           attached = false, history = Map.empty,
@@ -671,23 +670,23 @@ object Compiler {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(rowHash)).orderBy(contentCols: _*)
         // The semi/anti join evaluates the tagged frontier on both
-        // sides. A cheap frontier (pushed-down scan + filters) is best
-        // recomputed — no materialization at 100 TB. An expensive one
-        // (aggregates/joins/windows in its lineage) gets a LAZY
-        // localCheckpoint: still no compile-time job, computed once at
-        // execution, and — unlike cache(), whose CacheManager entry
-        // would leak per query in a long-running service — the
-        // checkpoint storage is released with the DataFrame.
-        val expensive = expensivePlan(d.df)
-        val tagged0 = base
+        // sides; it is RECOMPUTED per reference — correctness is
+        // exactly what the content-derived tag buys (equal multisets
+        // re-tag identically), and no materialization survives at
+        // 100 TB. A "lazy" localCheckpoint is NOT an option here: under
+        // AQE, toRdd materializes every non-final query stage
+        // immediately, so the supposedly-lazy checkpoint ran the
+        // frontier's joins AT COMPILE TIME (measured: 2 jobs compiling
+        // one join-upstream and() — the job-free invariant the index
+        // gating rests on), and cache() would leak a CacheManager
+        // entry per query in a long-running service.
+        val tagged = base
           .withColumn(rowHash, xxhash64(contentCols: _*))
           // struct tag: joins/windows hash two raw ints, no per-row
           // string formatting
           .withColumn(rowTag,
             struct(col(rowHash), row_number().over(w).as("__rown")))
           .drop(rowHash)
-        val tagged =
-          if (expensive) tagged0.localCheckpoint(false) else tagged0
         val from = d.copy(df = tagged, groupCol = Some(rowTag),
           groupUniverse = Some(tagged.select(col(rowTag)).distinct()))
         var se = d.sideEffects
@@ -770,16 +769,6 @@ object Compiler {
           df = out.map(_.df).reduce(_ unionByName _),
           sideEffects = frontier.sideEffects,
           ordering = Nil, distinctVal = false)
-    }
-  }
-
-  /** Aggregates/joins/windows in the lineage make re-evaluation of a
-    * self-joined frontier worth a lazy checkpoint; plain scans don't. */
-  private def expensivePlan(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin, Window => LWindow}
-    df.queryExecution.analyzed.exists {
-      case _: Aggregate | _: LJoin | _: LWindow => true
-      case _ => false
     }
   }
 

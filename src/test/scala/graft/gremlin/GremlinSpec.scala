@@ -393,6 +393,10 @@ class GremlinSpec extends SparkSpec {
       // (repeat().until is deliberately NOT here: it is the compiler's
       // one EAGER step — a data-dependent driver loop with per-round
       // checkpoints, the graph-operator class)
+      // EXPENSIVE frontier (join upstream) + branch filter: the lazy
+      // localCheckpoint path must also stay job-free at compile
+      gi.compile("g.V().hasLabel('person').out('knows')" +
+        ".and(out('created')).count()")
       // listener bus is async — give it time to surface any job event
       Thread.sleep(1500)
       assert(counter.get() == 0,
