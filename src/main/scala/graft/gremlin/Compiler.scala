@@ -708,7 +708,7 @@ object Compiler {
         d.copy(df = joined.drop(rowTag), sideEffects = se)
 
       case Repeat(sub, times, None, false) =>
-        (1 to math.max(times, 1)).foldLeft(s)((st, _) =>
+        (1 to math.max(times.getOrElse(1), 1)).foldLeft(s)((st, _) =>
           compileSub(graph, st, sub))
 
       case Repeat(sub, times, untilOpt, emit) =>
@@ -737,8 +737,11 @@ object Compiler {
         // executes AQE stages at toRdd (not job-free anyway), and an
         // in-plan assert_true certification gets column-pruned out by
         // Catalyst.
-        val hardStop = emit && untilOpt.isEmpty && times > 1
-        val cap = if (times > 1) times else UntilCap
+        // explicit times(k) — including k=1 — is the cap; absent
+        // falls back to UntilCap (an Int default could not tell
+        // `.times(1)` from "no times()", advice r12)
+        val hardStop = emit && untilOpt.isEmpty && times.isDefined
+        val cap = math.max(times.getOrElse(UntilCap), 1)
         var frontier = s
         var outs = List.empty[State]
         var drained = false

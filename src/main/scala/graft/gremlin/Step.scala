@@ -109,13 +109,15 @@ object Step {
     * optional times(k) extension unrolled by the compiler and an
     * optional until(cond) extension (TinkerPop's post-condition form:
     * apply the body, then emit traversers whose `cond` sub-traversal
-    * yields ≥ 1 row; the rest loop). With `until` present, `times`
-    * is the ROUND CAP (default [[graft.gremlin.Compiler.UntilCap]]),
-    * the loop runs as the compiler's one EAGER driver loop (early
-    * exit when the frontier drains), and a traverser still
-    * circulating past the cap fails the query loudly
-    * (certify-or-throw, the graph-loop contract). */
-  final case class Repeat(sub: List[Step], times: Int = 1,
+    * yields ≥ 1 row; the rest loop). `times` is `None` until an
+    * explicit `.times(k)` folds in — an explicit `.times(1)` must cap
+    * at one round, which an `Int` default of 1 cannot distinguish.
+    * With `until` present, `times` is the ROUND CAP (absent ⇒
+    * [[graft.gremlin.Compiler.UntilCap]]), the loop runs as the
+    * compiler's one EAGER driver loop (early exit when the frontier
+    * drains), and a traverser still circulating past the cap fails
+    * the query loudly (certify-or-throw, the graph-loop contract). */
+  final case class Repeat(sub: List[Step], times: Option[Int] = None,
                           until: Option[List[Step]] = None,
                           emit: Boolean = false) extends Step
   /** Parser-internal `.times(k)` marker; folded into the preceding

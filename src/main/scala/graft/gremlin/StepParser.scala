@@ -138,7 +138,7 @@ object StepParser {
     var steps = List.empty[Step]
     def push(s: Step): Unit = (s, steps) match {
       case (Step.TimesMarker(k), (r: Step.Repeat) :: rest) =>
-        steps = r.copy(times = k) :: rest
+        steps = r.copy(times = Some(k)) :: rest
       case (Step.TimesMarker(_), _) =>
         throw ParseException("times() must follow repeat()")
       case (Step.UntilMarker(c), (r: Step.Repeat) :: rest) =>

@@ -242,6 +242,22 @@ class GremlinSpec extends SparkSpec {
     }
   }
 
+  test("repeat(): explicit times(1) caps at one round (advice r12)") {
+    // until unmatched + times(1): exactly one body application, then
+    // the undrained frontier fails loudly AT CAP 1 — the Int-default
+    // regression ran up to UntilCap rounds here
+    val e = intercept[Exception] {
+      g.df("g.V(1).repeat(both()).until(has('name','zzz'))" +
+        ".times(1).count()").collect()
+    }
+    assert((Option(e.getMessage).toSeq ++
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).toSeq)
+      .exists(_.contains("after 1 rounds")), e.getMessage)
+    // emit + times(1): hard stop at depth 1 — emits exactly round 1
+    assert(values("g.V(1).repeat(out()).emit().times(1)" +
+      ".values(\"name\").order()") == Seq("josh", "lop", "vadas"))
+  }
+
   test("repeat().until: undrained frontier past the cap fails loudly") {
     // both() cycles forever and the condition never matches: after the
     // times(3) cap the frontier is nonempty — the in-plan
