@@ -213,18 +213,24 @@ object ScaleProbe {
       }
     }
 
-    // incremental ANN state (r12): archive ingested once, then a ~1%
-    // drop — the drop's ingest must cost the drop (sign/assign its own
-    // rows + the narrow id-ledger scan), not re-sign/re-assign the
-    // archive; the query face rides the committed state
+    // incremental ANN state (r12/r13): the archive SCALES WITH `mult`
+    // (id-offset copies) while the drop stays a fixed ~1% slice — the
+    // r13 id-ledger claim is that the drop's ingest cost is FLAT as
+    // the archive grows 1x -> 10x (bloom-negative rows ingest with
+    // zero archive I/O; only the FP tail opens pruned id buckets),
+    // the same E>>V shape the cc probe pins for edges
     val embsAll = spark.read
       .parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    val embsScaled = (0 until mult).map(i =>
+        embsAll.select((col("vec_id") + lit(i.toLong * 10000000))
+          .as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _).cache()
     if (wanted("bhIncArchive", "bhIncIncrement", "bhIncQuery")) {
       val st = s"/tmp/graft_probe_bhstate_${ProcessHandle.current().pid()}"
       operators.StateStore.delete(st)
       val q = embsAll.filter(col("vec_id") < 10)
       val archive = () => operators.SimilarityOps.binaryHammingIncremental(
-        q, embsAll.filter(col("vec_id") % 100 =!= 0), st, k = 5).count()
+        q, embsScaled.filter(col("vec_id") % 100 =!= 0), st, k = 5).count()
       if (wanted("bhIncArchive")) time("bhIncArchive")(archive())
       else archive()
       time("bhIncIncrement")(operators.SimilarityOps
@@ -236,7 +242,7 @@ object ScaleProbe {
       val st = s"/tmp/graft_probe_ivfstate_${ProcessHandle.current().pid()}"
       operators.StateStore.delete(st)
       val archive = () => operators.SimilarityOps.ivfIncremental(
-        embsAll.filter(col("vec_id") % 100 =!= 0), st).count()
+        embsScaled.filter(col("vec_id") % 100 =!= 0), st).count()
       if (wanted("ivfIncArchive")) time("ivfIncArchive")(archive())
       else archive()
       time("ivfIncIncrement")(operators.SimilarityOps.ivfIncremental(

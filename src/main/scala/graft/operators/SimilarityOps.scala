@@ -399,32 +399,49 @@ object SimilarityOps {
    *
    * Store contract: one `sigs` table per increment dir
    * (`vec_id, __ca, __cb` — 16 bytes/row, 32× below the float
-   * vectors); re-presented ids anti-join out against the committed
-   * ids and short-circuit before committing (the StateStore retry
-   * contract — a re-presented drop is a pure query); the returned
-   * plan reads back the dirs COMMITTED at call time, so later ingests
-   * never change an earlier call's result. The per-call archive cost
-   * is one narrow columnar scan of the signature table — which IS the
+   * vectors) plus the [[IdLedger]] tables (`ids` hive-partitioned by
+   * id-hash bucket, a per-increment `idbloom`). Re-presented ids are
+   * detected by the OR-folded id bloom — bloom-NEGATIVE drop rows
+   * ingest with ZERO archive I/O, and only the positive tail
+   * (re-presents + ~1e-5 FP) exact-verifies against the
+   * bucket-pruned `ids` read (r12 verdict #1: the former anti-join
+   * shuffled the full archive id column per drop). Re-presents
+   * short-circuit before committing (the StateStore retry contract —
+   * a re-presented drop is a pure query); the returned plan reads
+   * back the dirs COMMITTED at call time, so later ingests never
+   * change an earlier call's result. The per-QUERY archive cost is
+   * one narrow columnar scan of the signature table — which IS the
    * retrieval scan itself (the product being paid for), not ledger
    * overhead; [[StateStore.compact]] folds a season of nightly dirs
-   * when small files accrete (plain union semantics — no lastTables).
-   * Output matches [[binaryHammingTopK]]: `(query_id, neighbor_id,
-   * hamming, rank)`.
+   * when small files accrete (plain union semantics — no lastTables;
+   * blooms OR-fold, the ids keep their bucket layout). Ledger sizing
+   * is a per-state property persisted at first ingest — size
+   * `ledgerBuckets`/`ledgerBloomBits` to the expected ARCHIVE id
+   * count. Output matches [[binaryHammingTopK]]: `(query_id,
+   * neighbor_id, hamming, rank)`.
    */
   def binaryHammingIncremental(queries: DataFrame, newVecs: DataFrame,
                                statePath: String,
                                idCol: String = "vec_id",
                                vecCol: String = "embedding",
-                               k: Int = 10): DataFrame = {
+                               k: Int = 10,
+                               ledgerBuckets: Int = IdLedger.Buckets,
+                               ledgerBloomBits: Int = IdLedger.BloomBits)
+      : DataFrame = {
     val spark = newVecs.sparkSession
     val prior = StateStore.committed(spark, statePath)
-    val sigs = newVecs.select(col(idCol).cast("long").as("vec_id"),
-      signHalf(vecCol, 0).as("__ca"), signHalf(vecCol, 32).as("__cb"))
-    val incoming = (if (prior.isEmpty) sigs else
-      sigs.join(
-        spark.read.parquet(prior.map(_ + "/sigs"): _*).select("vec_id"),
-        Seq("vec_id"), "left_anti"))
-      .localCheckpoint(false) // isEmpty probe + write: compute once
+    val (bloomOpt, bk, bb) = IdLedger.sizing(spark, prior,
+      ledgerBuckets, ledgerBloomBits)
+    // hashed drop checkpointed FIRST: the bloom split references it
+    // three times (negative filter, positive filter, touched collect)
+    val sigs = IdLedger.withHash(
+        newVecs.select(col(idCol).cast("long").as("vec_id"),
+          signHalf(vecCol, 0).as("__ca"), signHalf(vecCol, 32).as("__cb")),
+        "vec_id", bk)
+      .localCheckpoint(false)
+    val incoming = (if (prior.isEmpty) sigs
+      else IdLedger.splitFresh(sigs, "vec_id", prior, bloomOpt, bb)
+        .localCheckpoint(false)) // isEmpty probe + writes: compute once
     val committedNow =
       if (incoming.isEmpty) {
         require(prior.nonEmpty,
@@ -432,7 +449,9 @@ object SimilarityOps {
         prior // re-presented drop: pure query, no new dir
       } else {
         val dir = StateStore.nextDir(spark, statePath)
-        incoming.write.mode("overwrite").parquet(s"$dir/sigs")
+        incoming.select("vec_id", "__ca", "__cb")
+          .write.mode("overwrite").parquet(s"$dir/sigs")
+        IdLedger.write(incoming, "vec_id", dir, bk, bb)
         StateStore.commit(spark, dir)
         prior :+ dir
       }
@@ -855,28 +874,40 @@ object SimilarityOps {
    * equal the one-shot assignment of the union corpus —
    * [[ivfIncrementalTopK]] is frame-identical to [[ivfTopK]] over the
    * union with the stored centroids (spec-pinned). Re-presented ids
-   * anti-join out against one narrow vec_id column scan and
-   * short-circuit without committing (the StateStore retry contract);
-   * the returned frame is this drop's committed postings read-back
-   * (empty for a pure re-present). [[StateStore.compact]] folds dirs
-   * with plain union semantics (postings union; the single centroids
-   * table rides along).
+   * are detected by the [[IdLedger]] (per-increment id blooms
+   * OR-folded at ingest; only the bloom-positive tail exact-verifies
+   * against the bucket-pruned narrow `ids` read — r12 verdict #1: the
+   * former anti-join shuffled the full archive posting ids per drop,
+   * making the INGEST the one term that grew with history while the
+   * query stayed cell-pruned) and short-circuit without committing
+   * (the StateStore retry contract); the returned frame is this
+   * drop's committed postings read-back (empty for a pure
+   * re-present). [[StateStore.compact]] folds dirs with plain union
+   * semantics (postings union keeps the cell layout, id blooms
+   * OR-fold, the single centroids table rides along).
    */
   def ivfIncremental(newVecs: DataFrame, statePath: String,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     kCells: Int = 16, iters: Int = 5): DataFrame = {
+                     kCells: Int = 16, iters: Int = 5,
+                     ledgerBuckets: Int = IdLedger.Buckets,
+                     ledgerBloomBits: Int = IdLedger.BloomBits)
+      : DataFrame = {
     val spark = newVecs.sparkSession
     graft.functions.VectorExpressions.register(spark)
     val prior = StateStore.committed(spark, statePath)
-    val fresh0 = newVecs
-      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
-      .dropDuplicates("__id")
-    val incoming = (if (prior.isEmpty) fresh0 else
-      fresh0.join(readIvfPostings(spark, prior).select(col("vec_id")
-          .as("__id")),
-        Seq("__id"), "left_anti"))
-      .localCheckpoint(false) // isEmpty probe + assignment: compute once
+    val (bloomOpt, bk, bb) = IdLedger.sizing(spark, prior,
+      ledgerBuckets, ledgerBloomBits)
+    // hashed drop checkpointed FIRST: the bloom split references it
+    // three times (negative filter, positive filter, touched collect)
+    val fresh0 = IdLedger.withHash(
+        newVecs.select(col(idCol).cast("long").as("__id"),
+          col(vecCol).as("__v")).dropDuplicates("__id"),
+        "__id", bk)
+      .localCheckpoint(false)
+    val incoming = (if (prior.isEmpty) fresh0
+      else IdLedger.splitFresh(fresh0, "__id", prior, bloomOpt, bb)
+        .localCheckpoint(false)) // isEmpty + assignment: compute once
     if (incoming.isEmpty) {
       require(prior.nonEmpty,
         s"ivfIncremental: empty first drop at $statePath")
@@ -897,6 +928,7 @@ object SimilarityOps {
       .repartition(col("__cell"))
       .write.partitionBy("__cell").mode("overwrite")
       .parquet(s"$dir/postings")
+    IdLedger.write(incoming, "__id", dir, bk, bb)
     StateStore.commit(spark, dir)
     spark.read.parquet(s"$dir/postings")
   }

@@ -662,6 +662,58 @@ class OperatorPlanSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
+  test("IdLedger: ANN ingest exact-verify prunes to touched id buckets") {
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-idledger").toString
+    SimilarityOps.ivfIncremental(
+      embs.filter(col("vec_id") % 2 === 0), state).count()
+    SimilarityOps.ivfIncremental(
+      embs.filter(col("vec_id") % 2 === 1), state).count()
+    val prior = StateStore.committed(spark, state)
+    // the bucket of id 0 — same arithmetic as ingest
+    val ib = spark.range(1).select(
+      pmod(xxhash64(lit(0L)), lit(IdLedger.Buckets.toLong)).cast("int"))
+      .collect()(0).getInt(0)
+    val led = IdLedger.archiveIds(spark, prior, Seq(ib))
+    // plan guard: the bucket predicate lands as a PARTITION filter on
+    // every archive scan (an ingest's exact-verify never opens
+    // untouched id-bucket directories)
+    val p = plan(led)
+    assert(p.contains("PartitionFilters") && p.contains("__ib"),
+      p.take(1500))
+    val files = led.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(s"__ib=$ib")),
+      files.mkString(", "))
+    assert(led.select("vec_id").collect().map(_.getLong(0))
+      .contains(0L))
+  }
+
+  test("IdLedger: a fresh ANN drop ingests with zero archive-id I/O") {
+    // behavioral proof (the ingest is eager, so no plan to inspect):
+    // DELETE the committed dirs' `ids` tables — a fresh bloom-negative
+    // drop must still ingest (it never builds the archive read), while
+    // a re-presented drop must fail loudly reaching for them
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = embs.filter(col("vec_id") < 3)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-idfresh").toString
+    val dropA = embs.filter(col("vec_id") < 200)
+    SimilarityOps.binaryHammingIncremental(q, dropA, state, k = 5).count()
+    StateStore.committed(spark, state)
+      .foreach(d => StateStore.delete(s"$d/ids"))
+    val dropB = embs.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+    SimilarityOps.binaryHammingIncremental(q, dropB, state, k = 5).count()
+    assert(StateStore.committed(spark, state).size == 2)
+    intercept[Exception] {
+      SimilarityOps.binaryHammingIncremental(q, dropA, state,
+        k = 5).count()
+    }
+  }
+
   test("corpusDiff: digest-only full-outer equi-join") {
     val p = plan(CurationOps.corpusDiff(
       docs.filter(col("doc_id") % 2 === 0), docs))

@@ -780,6 +780,39 @@ class OperatorsSpec extends SparkSpec {
     assert(StateStore.committed(spark, state).size == 1)
   }
 
+  test("IdLedger sizing: persisted at first ingest, read back by later") {
+    val state = tmpState("bh_sizing")
+    val q = embs.filter(col("vec_id") < 3)
+    // tiny custom sizing on the FIRST ingest; the second passes
+    // defaults and must pick the stored sizing back up
+    SimilarityOps.binaryHammingIncremental(q,
+      embs.filter(col("vec_id") % 2 === 0), state, k = 5,
+      ledgerBuckets = 8, ledgerBloomBits = 1 << 16).count()
+    SimilarityOps.binaryHammingIncremental(q,
+      embs.filter(col("vec_id") % 2 === 1), state, k = 5).count()
+    val dirs = StateStore.committed(spark, state)
+    val metas = spark.read.parquet(dirs.map(_ + "/idbloom"): _*)
+      .select("buckets", "bloom_bits")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(metas == Set((8, 1 << 16)), metas.toString)
+    // the ids layout honors the stored bucket count in EVERY dir
+    dirs.foreach { d =>
+      val ibDirs = new java.io.File(d.stripPrefix("file:") + "/ids")
+        .listFiles().filter(_.isDirectory).map(_.getName)
+      assert(ibDirs.nonEmpty &&
+        ibDirs.forall(n => n.stripPrefix("__ib=").toInt < 8),
+        ibDirs.mkString(", "))
+    }
+    // a pre-ledger (r12-format) state fails with the migration hint,
+    // not a raw path-not-found
+    dirs.foreach(d => StateStore.delete(s"$d/idbloom"))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.binaryHammingIncremental(q,
+        embs.limit(5), state, k = 5)
+    }
+    assert(e.getMessage.contains("pre-ledger state"), e.getMessage)
+  }
+
   test("crossEncoderRerank equals a driver-side two-stage replica") {
     val out = SimilarityOps.crossEncoderRerank(
         embs.filter(col("vec_id") === 0), embs, k = 5, shortlist = 20)
