@@ -86,6 +86,23 @@ object Bench {
     "events_sessions", "multimodal_meta", "text_quality")
 
   private val SteadyReps = 3
+  private val TrivialFloorReps = 5
+
+  /** Steady-regime per-job floor: the median of [[TrivialFloorReps]]
+    * trivial Spark jobs in the CURRENT (warm) JVM — the
+    * `steady_per_trivial` denominator (r12 verdict #4: one reading
+    * swung 1.35× between same-code runs; a median in the same regime
+    * as the steady numerator is what the normalizer claims to be).
+    * Shared with ProbeSteady's drift control, which compares floors
+    * across time to tell box drift from storage contamination. */
+  private[graft] def trivialFloor(spark: SparkSession): Double = {
+    val ts = (1 to TrivialFloorReps).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 20).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    ts(ts.size / 2)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -220,15 +237,24 @@ object Bench {
     // per-job floor drifts round to round (trivial_job 0.5-3.7 s
     // observed), so the raw steady total alone forces judge reruns to
     // compare rounds. steady_per_trivial = steady total ÷ the SAME
-    // run's trivial-job floor — a dimensionless series that cancels
-    // box drift to first order (most gates are a handful of jobs, so
-    // their latency scales with the floor, not the data volume, at
-    // sf0.1).
+    // run's steady-regime trivial-job floor — a dimensionless series
+    // that cancels box drift to first order (most gates are a handful
+    // of jobs, so their latency scales with the floor, not the data
+    // volume, at sf0.1). r12 verdict #4: the denominator was the ONE
+    // cold-JVM trivial job, which swung 1.35× between same-code runs
+    // while the numerator agreed within 0.7% — it is now the median of
+    // [[TrivialFloorReps]] trivial jobs measured right after the
+    // steady pass (same regime as the numerator). That resets the spt
+    // series at r13; `steady_per_trivial_cold` carries the old
+    // definition as the cross-round bridge.
+    val trivialSteadySec = trivialFloor(spark)
     val steadyPerTrivial =
+      if (trivialSteadySec > 0) steadyTotal / trivialSteadySec else 0.0
+    val steadyPerTrivialCold =
       if (trivialJobSec > 0) steadyTotal / trivialJobSec else 0.0
     val steadyMinTotal = steadyMin.map(_._2).sum
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(cold)},"queries_warm":${json(warm)},"queries_steady":${json(steady)},"queries_steady_min":${json(steadyMin)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,"steady_min_total":$steadyMinTotal%.3f,"steady_per_trivial":$steadyPerTrivial%.2f,$health,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(cold)},"queries_warm":${json(warm)},"queries_steady":${json(steady)},"queries_steady_min":${json(steadyMin)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,"steady_min_total":$steadyMinTotal%.3f,"steady_per_trivial":$steadyPerTrivial%.2f,"steady_per_trivial_cold":$steadyPerTrivialCold%.2f,"trivial_steady_sec":$trivialSteadySec%.3f,$health,"sf":"$sfDir"}"""
     // full detail: one early stdout line + a file (survives log tailing)
     println(full)
     try {
@@ -259,7 +285,7 @@ object Bench {
     // says to judge perf from; cold/warm per-query detail lives in the
     // committed bench_detail.json and the earlier full stdout line.
     spark.stop() // stop BEFORE the compact line so shutdown noise precedes it
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(steady)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,"steady_min_total":$steadyMinTotal%.3f,"steady_per_trivial":$steadyPerTrivial%.2f,$health,"nq":${cold.size},"detail":"bench_detail.json","detail_sha":"$detailSha","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(steady)},"warm_total":$warmTotal%.3f,"steady_total":$steadyTotal%.3f,"steady_min_total":$steadyMinTotal%.3f,"steady_per_trivial":$steadyPerTrivial%.2f,"steady_per_trivial_cold":$steadyPerTrivialCold%.2f,"trivial_steady_sec":$trivialSteadySec%.3f,$health,"nq":${cold.size},"detail":"bench_detail.json","detail_sha":"$detailSha","sf":"$sfDir"}""")
   }
 
   /** Full transient-storage reset between sweep phases: free

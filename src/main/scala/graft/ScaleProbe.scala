@@ -213,6 +213,35 @@ object ScaleProbe {
       }
     }
 
+    // ledger-resize rescue (r13): ingest the x10 E>>V archive at the
+    // DEFAULT 2^25 bloom (saturated: ~13% FP opens nearly every bucket
+    // at verify), measure a fresh increment, resize-compact to 2^28,
+    // then measure a SECOND fresh increment — the resize must restore
+    // the flat-ingest property without a re-ingest
+    if (wanted("ccResize")) {
+      val g0 = sources.GraphStore.tpch(spark, "/root/testdata/sf0.1")
+      def mapped(i: Int) = g0.edges.select(
+        pmod(xxhash64(col("src"), lit(i * 2)), lit(4096L)).as("src"),
+        pmod(xxhash64(col("dst"), lit(i * 2 + 1)), lit(4096L)).as("dst"))
+      val st = s"/tmp/graft_probe_ccresize_${ProcessHandle.current().pid()}"
+      operators.StateStore.delete(st)
+      val all = (0 until 10).map(mapped).reduce(_ unionByName _).cache()
+      val m = pmod(col("src") + col("dst"), lit(100))
+      val archive = all.filter(m =!= 0 && m =!= 50)
+      println(s"ccResize archive=${archive.count()} (default 2^25 bloom)")
+      operators.GraphAlgos.ccIncremental(archive, st).count()
+      time("ccResizeSaturatedIncrement")(operators.GraphAlgos
+        .ccIncremental(mapped(0).filter(m === 0), st).count())
+      time("ccResizeCompact") {
+        operators.GraphAlgos.ccCompact(spark, st, buckets = 64,
+          bloomBits = 1 << 28); 0L
+      }
+      time("ccResizePostIncrement")(operators.GraphAlgos
+        .ccIncremental(mapped(0).filter(m === 50), st).count())
+      operators.StateStore.delete(st)
+      all.unpersist()
+    }
+
     // incremental ANN state (r12/r13): the archive SCALES WITH `mult`
     // (id-offset copies) while the drop stays a fixed ~1% slice — the
     // r13 id-ledger claim is that the drop's ingest cost is FLAT as

@@ -1672,6 +1672,26 @@ object SparkEntry {
         operators.SimilarityOps.bruteForceTopK(q, e, k = 5),
         k = 5, floor = 1)
     }),
+    // IVF REFIT (FAISS retrain+re-add): model frozen on an
+    // unrepresentative first drop, full corpus arrives, ivfRefit
+    // retrains the quantizer on the committed union and reassigns
+    // postings via the crash-safe compact swap; the post-refit
+    // cell-probed query meets the recall floor vs brute force
+    "ann_recall_ivf_refit" -> ((spark, sfDir) => {
+      val e = embs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      val state = freshStateDir("graft_ivfrefit")
+      operators.SimilarityOps.ivfIncremental(
+        e.filter(col("vec_id") < 300), state, kCells = 8).count()
+      operators.SimilarityOps.ivfIncremental(
+        e.filter(col("vec_id") >= 300), state).count()
+      operators.SimilarityOps.ivfRefit(spark, state, kCells = 16)
+      operators.SimilarityOps.recallAtK(
+        operators.SimilarityOps.ivfIncrementalTopK(q, state,
+          nprobe = 8, k = 5),
+        operators.SimilarityOps.bruteForceTopK(q, e, k = 5),
+        k = 5, floor = 1)
+    }),
     // cross-encoder-style pairwise rerank: binary-Hamming shortlist ->
     // clipped-interaction integer pair scorer -> top-k; the whole
     // two-stage chain is int64-exact, so the gate hash-checks the
@@ -2435,6 +2455,10 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "ann_recall_ivf_inc" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "ann_recall_ivf_refit" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

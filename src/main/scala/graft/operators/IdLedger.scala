@@ -43,29 +43,61 @@ private[graft] object IdLedger {
   val BloomBits = 1 << 25
   val BloomHashes = 5
 
-  private def hasTable(spark: SparkSession, path: String): Boolean = {
+  private[operators] def hasTable(spark: SparkSession,
+                                  path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Per-dir bloom cache, keyed by (path, mtime): committed blooms are
+    * immutable (compaction produces new files/mtimes), so an ingest
+    * that just wrote the previous increment's bloom folds the meta
+    * with ZERO read jobs — the [[GraphAlgos]] cc-ledger pattern. */
+  private val cache =
+    new java.util.LinkedHashMap[(String, Long),
+        (Array[Byte], Int, Int)](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            (Array[Byte], Int, Int)]): Boolean = size() > 16
+    }
+
+  private def mtime(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/idbloom")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+  }
+
   /** OR-folded bloom bytes + the persisted per-state sizing of the
-    * committed dirs (one job; bytes × dirs reach the driver). A dir
-    * missing `idbloom` is a pre-ledger (r12-format) state: fail with
-    * the migration path rather than a raw path-not-found. */
+    * committed dirs (bytes × dirs on the driver; uncached dirs cost
+    * one tiny read job each, typically none). A dir missing `idbloom`
+    * is a pre-ledger (r12-format) state: fail with the migration path
+    * rather than a raw path-not-found. */
   private def meta(spark: SparkSession,
                    dirs: Seq[String]): (Array[Byte], Int, Int) = {
     val missing = dirs.filterNot(d => hasTable(spark, s"$d/idbloom"))
     require(missing.isEmpty,
       s"pre-ledger state (no idbloom table) under ${missing.mkString(", ")}: " +
         "this state predates the per-increment id ledger — rebuild it " +
-        "with the operator's ledgerRebuild compaction (or re-ingest " +
-        "into a fresh state)")
-    val rows = spark.read.parquet(dirs.map(_ + "/idbloom"): _*).collect()
-    val folded = rows.map(_.getAs[Array[Byte]]("__bloom"))
-      .reduce((a, b) =>
-        Array.tabulate(a.length)(i => (a(i) | b(i)).toByte))
-    (folded, rows.head.getAs[Int]("buckets"),
-      rows.head.getAs[Int]("bloom_bits"))
+        "with the operator's ledger-rebuild compaction " +
+        "(SimilarityOps.binaryHammingLedgerRebuild / ivfLedgerRebuild) " +
+        "or re-ingest into a fresh state")
+    val perDir = dirs.map { d =>
+      val key = (d, mtime(spark, d))
+      val hit = cache.synchronized(Option(cache.get(key)))
+      hit.getOrElse {
+        val rows = spark.read.parquet(s"$d/idbloom").collect()
+        val folded = rows.map(_.getAs[Array[Byte]]("__bloom"))
+          .reduce((a, b) =>
+            Array.tabulate(a.length)(i => (a(i) | b(i)).toByte))
+        val v = (folded, rows.head.getAs[Int]("buckets"),
+          rows.head.getAs[Int]("bloom_bits"))
+        cache.synchronized { cache.put(key, v) }
+        v
+      }
+    }
+    (perDir.map(_._1).reduce((a, b) =>
+      Array.tabulate(a.length)(i => (a(i) | b(i)).toByte)),
+      perDir.head._2, perDir.head._3)
   }
 
   /** The archive-id read of an ingest's exact-verify, PRUNED to the
@@ -96,50 +128,116 @@ private[graft] object IdLedger {
       .withColumn("__ib",
         pmod(col("__h"), lit(buckets.toLong)).cast("int"))
 
+  /** A split drop: the not-yet-ingested rows (LAZY — the caller
+    * checkpoints + isEmpty-probes) plus the drop's own bloom bytes
+    * (covering the WHOLE drop — a superset of `fresh`; supersets only
+    * ADD bits, so no-false-negative holds and a re-present's bits are
+    * already set in the dir that owns it) ready for [[write]]. */
+  private[graft] case class Split(fresh: DataFrame,
+                                  bloomBytes: Array[Byte])
+
   /** Split a hashed drop (from [[withHash]], CHECKPOINTED by the
     * caller — the split references it three times) into its
-    * not-yet-ingested rows: bloom-negative rows pass through with no
-    * archive I/O; the bloom-positive tail anti-joins the bucket-pruned
-    * archive ids. Returns the drop's columns unchanged (incl. __h /
-    * __ib); LAZY — the caller checkpoints + isEmpty-probes. */
+    * not-yet-ingested rows: ONE aggregation job computes both the
+    * drop's bloom bytes and the bloom-positive touched buckets (the
+    * cc-ledger job fold, r12 verdict #3); bloom-negative rows pass
+    * through with no archive I/O and only the positive tail
+    * anti-joins the bucket-pruned archive ids. */
   private[graft] def splitFresh(hashed: DataFrame, idCol: String,
                                 prior: Seq[String],
                                 bloom: Option[Array[Byte]],
-                                bloomBits: Int): DataFrame = {
-    if (prior.isEmpty) return hashed
+                                bloomBits: Int): Split = {
     val spark = hashed.sparkSession
-    val bloomBc = spark.sparkContext.broadcast(bloom.get)
-    val inBloom = graft.functions.VectorExpressions.bloomContainsBc(
-      col("__h"), bloomBc, bloomBits, BloomHashes)
-    val definiteNew = hashed.filter(!inBloom)
-    val maybeOld = hashed.filter(inBloom)
-    // touched buckets of the POSITIVE subset only — bounded by the
-    // bucket count, a constant-size driver hop
-    val touched = maybeOld.select(col("__ib")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) definiteNew
-    else definiteNew.unionByName(
-      maybeOld.join(archiveIds(spark, prior, touched)
-          .select(col("vec_id").as("__lid")),
-        maybeOld(idCol).cast("long") === col("__lid"), "left_anti"))
+    graft.functions.VectorExpressions.register(spark)
+    val VE = graft.functions.VectorExpressions
+    val inBloom = bloom match {
+      case Some(b) =>
+        val bc = spark.sparkContext.broadcast(b)
+        VE.bloomContainsBc(col("__h"), bc, bloomBits, BloomHashes)
+      case None => lit(false)
+    }
+    val aggRows = hashed.select(
+        explode(VE.bloomPositions(col("__h"), bloomBits, BloomHashes))
+          .as("__p"),
+        when(inBloom, col("__ib")).as("__tb"))
+      // 64-bit-WORD granularity: 8× fewer grouped/collected rows than
+      // per-byte (the GraphAlgos cc-ledger layout, bit-compatible with
+      // the byte-addressed BloomContains probe)
+      .select((col("__p") / 64).cast("int").as("__i"),
+        expr("shiftleft(1L, cast(__p % 64 as int))").as("__m"),
+        col("__tb"))
+      .groupBy(col("__i"))
+      .agg(bit_or(col("__m")).as("__b"), collect_set(col("__tb")).as("__t"))
+      .collect()
+    val bytes = new Array[Byte](bloomBits / 8)
+    val touchedSet = scala.collection.mutable.Set[Int]()
+    aggRows.foreach { r =>
+      val i = r.getInt(0)
+      val w = r.getLong(1)
+      var b = 0
+      while (b < 8) {
+        bytes(i * 8 + b) = ((w >>> (b * 8)) & 0xffL).toByte
+        b += 1
+      }
+      r.getSeq[Int](2).foreach(touchedSet += _)
+    }
+    val touched = touchedSet.toSeq
+    val fresh =
+      if (prior.isEmpty || touched.isEmpty) hashed
+      else {
+        val pos = hashed.filter(inBloom)
+        hashed.filter(!inBloom).unionByName(
+          pos.join(archiveIds(spark, prior, touched)
+              .select(col("vec_id").as("__lid")),
+            pos(idCol).cast("long") === col("__lid"), "left_anti"))
+      }
+    Split(fresh, bytes)
   }
 
-  /** Persist the increment's ledger tables under `dir`. `fresh` must
-    * carry `__h`/`__ib` from [[withHash]] and be the exact
-    * materialized rows the operator's own table write persists (same
-    * checkpointed RDD), so no-false-negative vs the ledger holds
-    * without re-reading parquet. */
+  /** Compaction-time ledger REBUILD at a new sizing, for use inside a
+    * [[StateStore.compactRewrite]]: fresh `ids`/`idbloom` tables
+    * derived from the owning operator's own id column (`ids` must be
+    * one long-castable column) replace the merged ones in `m`. The
+    * rescue for a state whose archive outgrew its first-ingest bloom,
+    * and the migration for pre-ledger states; two passes over the old
+    * files — a compaction is O(archive) by definition. */
+  private[graft] def rebuilt(m: Map[String, (DataFrame, Seq[String])],
+                             ids: DataFrame, buckets: Int,
+                             bloomBits: Int)
+      : Map[String, (DataFrame, Seq[String])] = {
+    val spark = ids.sparkSession
+    val hashed = withHash(ids.toDF("vec_id"), "vec_id", buckets)
+    val bloom = CurationOps.bloomFromHashes(
+      hashed.select(col("__h")), bloomBits, BloomHashes)
+    import spark.implicits._
+    m + ("ids" -> (hashed
+        .select(col("vec_id").cast("long").as("vec_id"), col("__ib"))
+        .repartition(col("__ib")), Seq("__ib"))) +
+      ("idbloom" -> (Seq((bloom, buckets, bloomBits))
+        .toDF("__bloom", "buckets", "bloom_bits")
+        .repartition(1), Seq.empty[String]))
+  }
+
+  /** Persist the increment's ledger tables under `dir`: the fresh
+    * rows' ids (hive-partitioned by `__ib`) plus the DROP's bloom
+    * bytes computed by [[splitFresh]]'s one aggregation job — no
+    * second pass. The written bloom covers a superset of the `ids`
+    * rows (see [[Split]]); the cache then serves the next ingest's
+    * meta fold without a read job. */
   private[graft] def write(fresh: DataFrame, idCol: String, dir: String,
-                           buckets: Int, bloomBits: Int): Unit = {
+                           buckets: Int, bloomBits: Int,
+                           bloomBytes: Array[Byte]): Unit = {
     val spark = fresh.sparkSession
     fresh.select(col(idCol).cast("long").as("vec_id"), col("__ib"))
       .repartition(col("__ib"))
       .write.partitionBy("__ib").mode("overwrite").parquet(s"$dir/ids")
-    val bloom = CurationOps.bloomFromHashes(
-      fresh.select(col("__h")), bloomBits, BloomHashes)
     import spark.implicits._
-    Seq((bloom, buckets, bloomBits))
+    Seq((bloomBytes, buckets, bloomBits))
       .toDF("__bloom", "buckets", "bloom_bits")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/idbloom")
+    cache.synchronized {
+      cache.put((dir, mtime(spark, dir)), (bloomBytes, buckets, bloomBits))
+      ()
+    }
   }
 }

@@ -439,8 +439,9 @@ object SimilarityOps {
           signHalf(vecCol, 0).as("__ca"), signHalf(vecCol, 32).as("__cb")),
         "vec_id", bk)
       .localCheckpoint(false)
+    val split = IdLedger.splitFresh(sigs, "vec_id", prior, bloomOpt, bb)
     val incoming = (if (prior.isEmpty) sigs
-      else IdLedger.splitFresh(sigs, "vec_id", prior, bloomOpt, bb)
+      else split.fresh
         .localCheckpoint(false)) // isEmpty probe + writes: compute once
     val committedNow =
       if (incoming.isEmpty) {
@@ -451,7 +452,7 @@ object SimilarityOps {
         val dir = StateStore.nextDir(spark, statePath)
         incoming.select("vec_id", "__ca", "__cb")
           .write.mode("overwrite").parquet(s"$dir/sigs")
-        IdLedger.write(incoming, "vec_id", dir, bk, bb)
+        IdLedger.write(incoming, "vec_id", dir, bk, bb, split.bloomBytes)
         StateStore.commit(spark, dir)
         prior :+ dir
       }
@@ -905,8 +906,9 @@ object SimilarityOps {
           col(vecCol).as("__v")).dropDuplicates("__id"),
         "__id", bk)
       .localCheckpoint(false)
+    val split = IdLedger.splitFresh(fresh0, "__id", prior, bloomOpt, bb)
     val incoming = (if (prior.isEmpty) fresh0
-      else IdLedger.splitFresh(fresh0, "__id", prior, bloomOpt, bb)
+      else split.fresh
         .localCheckpoint(false)) // isEmpty + assignment: compute once
     if (incoming.isEmpty) {
       require(prior.nonEmpty,
@@ -928,7 +930,7 @@ object SimilarityOps {
       .repartition(col("__cell"))
       .write.partitionBy("__cell").mode("overwrite")
       .parquet(s"$dir/postings")
-    IdLedger.write(incoming, "__id", dir, bk, bb)
+    IdLedger.write(incoming, "__id", dir, bk, bb, split.bloomBytes)
     StateStore.commit(spark, dir)
     spark.read.parquet(s"$dir/postings")
   }
@@ -980,6 +982,69 @@ object SimilarityOps {
         descending = true)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Compact a [[binaryHammingIncremental]] state with an
+    * [[IdLedger]] REBUILD at the given sizing — the rescue for a
+    * saturated first-ingest bloom and the one-time migration for
+    * pre-ledger (r12-format) states: `ids` + `idbloom` are rebuilt
+    * from the signature table the compaction is already rewriting.
+    * Runs even on a single-dir state; plain [[StateStore.compact]]
+    * suffices while the sizing is still right. */
+  def binaryHammingLedgerRebuild(spark: org.apache.spark.sql.SparkSession,
+                                 statePath: String,
+                                 ledgerBuckets: Int = IdLedger.Buckets,
+                                 ledgerBloomBits: Int = IdLedger.BloomBits)
+      : Unit =
+    StateStore.compactRewrite(spark, statePath)(m =>
+      IdLedger.rebuilt(m, m("sigs")._1.select(col("vec_id")),
+        ledgerBuckets, ledgerBloomBits))
+
+  /** [[binaryHammingLedgerRebuild]]'s twin for [[ivfIncremental]]
+    * states: the ledger rebuilds from the postings' id column; the
+    * frozen centroids and the cell layout ride through untouched. */
+  def ivfLedgerRebuild(spark: org.apache.spark.sql.SparkSession,
+                       statePath: String,
+                       ledgerBuckets: Int = IdLedger.Buckets,
+                       ledgerBloomBits: Int = IdLedger.BloomBits): Unit =
+    StateStore.compactRewrite(spark, statePath)(m =>
+      IdLedger.rebuilt(m, m("postings")._1.select(col("vec_id")),
+        ledgerBuckets, ledgerBloomBits))
+
+  /**
+   * REFIT face of [[ivfIncremental]] (FAISS retrain + re-add, riding
+   * the crash-safe compact machinery): the coarse quantizer is frozen
+   * at the first drop by design, but a corpus whose distribution
+   * drifts from that first drop degrades to uneven cells — probes
+   * touch ever-larger posting lists. `ivfRefit` retrains the
+   * quantizer on the COMMITTED union (the deterministic
+   * [[fitIvfCentroids]], whose driver-side Lloyd's runs on a bounded
+   * sample), reassigns every posting to the new cells (broadcast
+   * model join + partial-agg argmin — the same pure per-row function
+   * as ingest), and swaps atomically via [[StateStore.compactRewrite]]
+   * — so post-refit [[ivfIncrementalTopK]] is frame-identical to a
+   * one-shot [[ivfTopK]] over the union corpus with the freshly fit
+   * centroids (spec-pinned), and the id ledger + re-present/read-back
+   * contracts ride through untouched. Later ingests assign to the NEW
+   * frozen model (read from the compacted first dir).
+   */
+  def ivfRefit(spark: org.apache.spark.sql.SparkSession,
+               statePath: String,
+               kCells: Int = 16, iters: Int = 5): Unit = {
+    graft.functions.VectorExpressions.register(spark)
+    StateStore.compactRewrite(spark, statePath) { m =>
+      val posts = m("postings")._1
+        .select(col("vec_id").as("__id"), col("__v"))
+      val fit = fitIvfCentroids(posts, idCol = "__id", vecCol = "__v",
+        k = kCells, iters = iters)
+      val cdf = centroidsDf(spark, fit)
+      val re = assignCells(posts.withColumn("__cn", l2norm(col("__v"))),
+          cdf, carry = Seq("__v", "__cn"))
+        .select(col("__id").as("vec_id"), col("__v"), col("__cn"),
+          col("__cell"))
+      m + ("centroids" -> (cdf.repartition(1), Seq.empty[String])) +
+        ("postings" -> (re.repartition(col("__cell")), Seq("__cell")))
+    }
   }
 
   // ------------------------------------------------------------------

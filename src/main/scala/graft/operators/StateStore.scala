@@ -93,29 +93,65 @@ object StateStore {
    *    `partitionBy`, so partition pruning survives compaction.
    */
   def compact(spark: SparkSession, root: String,
-              lastTables: Set[String] = Set.empty): Unit = {
+              lastTables: Set[String] = Set.empty): Unit =
+    if (committed(spark, root).size > 1)
+      compactRewrite(spark, root, lastTables)(identity)
+
+  /**
+   * [[compact]] with a whole-state REWRITE hook — the
+   * maintenance face that lets an operator rebuild derived tables at
+   * compaction time (the one moment every byte is being rewritten
+   * anyway): resize a saturated bloom ledger, re-bucket a hive
+   * layout, retrain + reassign a frozen model. `rewrite` receives
+   * every table's merged union (lastTables taking only the newest
+   * dir's copy) with its inferred partition columns, and returns the
+   * table map to stage — add, drop, or transform tables freely; the
+   * crash-safe stage/marker/swap machinery is identical to plain
+   * [[compact]], so a crash at any step still recovers to a whole
+   * root. Derived-table builds may run jobs during staging (they read
+   * the OLD files, which stay in place until the marker).
+   *
+   * Partition columns are inferred from the `col=value` directory
+   * level across ALL source dirs and must agree — a mixed layout
+   * (some increments partitioned, some not) fails loudly rather than
+   * silently flattening the pruning the ledger reads rely on.
+   */
+  def compactRewrite(spark: SparkSession, root: String,
+                     lastTables: Set[String] = Set.empty)(
+      rewrite: Map[String, (DataFrame, Seq[String])]
+        => Map[String, (DataFrame, Seq[String])]): Unit = {
     val f = fs(spark, root)
     val r = new Path(root)
     val dirs = committed(spark, root) // runs recovery
-    if (dirs.size <= 1) return
+    if (dirs.isEmpty) return // single-dir states still rewrite (resize)
     val tmp = new Path(r, CompactTmp)
     if (f.exists(tmp)) f.delete(tmp, true)
     val tables = dirs.flatMap(d => f.listStatus(new Path(d)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)).distinct
-    tables.foreach { t =>
-      val srcs0 = dirs.filter(d => f.exists(new Path(d, t)))
-        .map(d => s"$d/$t")
-      val srcs = if (lastTables.contains(t)) Seq(srcs0.last) else srcs0
-      // one `col=value` directory level ⇒ the table was written
-      // partitionBy(col); preserve it (nested partitioning unused here)
-      val partCols = f.listStatus(new Path(srcs.head)).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.contains("=")).map(_.split("=")(0)).distinct
-      // per-root reads + union: multi-root partition inference is
-      // unsupported (the ccArchiveLedger precedent)
-      val merged = srcs.map(spark.read.parquet(_))
-        .reduce(_.unionByName(_))
-      val w = merged.write.mode("overwrite")
+    val merged: Map[String, (DataFrame, Seq[String])] =
+      tables.map { t =>
+        val srcs0 = dirs.filter(d => f.exists(new Path(d, t)))
+          .map(d => s"$d/$t")
+        val srcs = if (lastTables.contains(t)) Seq(srcs0.last) else srcs0
+        // one `col=value` directory level ⇒ the table was written
+        // partitionBy(col); preserve it (nested partitioning unused
+        // here). Inferred across ALL srcs — keying off the first dir
+        // alone silently lost the layout when it differed (advice r12)
+        val partsPerSrc = srcs.map(s => f.listStatus(new Path(s)).toSeq
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.contains("=")).map(_.split("=")(0))
+          .distinct.sorted)
+        require(partsPerSrc.distinct.size == 1,
+          s"compact: mixed partition layout for table '$t' across " +
+            s"increments (${partsPerSrc.distinct.mkString(" vs ")}) — " +
+            "rewrite the state to one layout before compacting")
+        // per-root reads + union: multi-root partition inference is
+        // unsupported (the ccArchiveLedger precedent)
+        t -> (srcs.map(spark.read.parquet(_))
+          .reduce(_.unionByName(_)), partsPerSrc.head)
+      }.toMap
+    rewrite(merged).foreach { case (t, (df, partCols)) =>
+      val w = df.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .parquet(new Path(tmp, t).toString)
     }

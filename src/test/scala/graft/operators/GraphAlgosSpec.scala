@@ -938,6 +938,69 @@ class GraphAlgosSpec extends SparkSpec {
     assert(StateStore.committed(spark, state).size == nDirs)
   }
 
+  test("ccCompact resize: rebuilt ledger sizing, pre-bloom migration") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-ccresize").toString
+    val dropA = Seq((2L, 1L), (2L, 3L), (11L, 10L)).toDF("src", "dst")
+    val dropB = Seq((3L, 10L), (20L, 21L)).toDF("src", "dst")
+    val dropC = Seq((21L, 1L), (40L, 41L)).toDF("src", "dst")
+    GraphAlgos.ccIncremental(dropA, state, buckets = 4,
+      bloomBits = 1 << 10).count()
+    GraphAlgos.ccIncremental(dropB, state).count()
+    // resize-compact to a bigger ledger: one dir, NEW sizing persisted,
+    // __bk layout honors the new bucket count
+    GraphAlgos.ccCompact(spark, state, buckets = 16,
+      bloomBits = 1 << 18)
+    val dirs = StateStore.committed(spark, state)
+    assert(dirs.size == 1, dirs.toString)
+    val meta = spark.read.parquet(dirs.head + "/bloom")
+      .select("buckets", "bloom_bits").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(meta == Set((16, 1 << 18)), meta.toString)
+    val bkDirs = new java.io.File(dirs.head.stripPrefix("file:")
+        + "/edges").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(bkDirs.nonEmpty &&
+      bkDirs.forall(d => d.stripPrefix("__bk=").toInt < 16),
+      bkDirs.mkString(", "))
+    // the resized state ingests correctly (sizing read back = new),
+    // == one-shot over all drops; re-present still a no-op
+    val afterC = labels(GraphAlgos.ccIncremental(dropC, state))
+    assert(afterC == labels(GraphAlgos.connectedComponents(GraphStore(
+      Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 40L, 41L).toDF("id"),
+      dropA.union(dropB).union(dropC)))))
+    val nDirs = StateStore.committed(spark, state).size
+    assert(labels(GraphAlgos.ccIncremental(dropA, state)) == afterC)
+    assert(StateStore.committed(spark, state).size == nDirs)
+
+    // pre-bloom (r11-format) migration: strip the state down to plain
+    // unpartitioned (src,dst) edges with no bloom tables — the next
+    // ingest must fail with the migration hint, and the resize compact
+    // must rebuild a working ledger from it
+    val state2 = java.nio.file.Files
+      .createTempDirectory("graft-ccmigrate").toString
+    GraphAlgos.ccIncremental(dropA, state2).count()
+    GraphAlgos.ccIncremental(dropB, state2).count()
+    StateStore.committed(spark, state2).foreach { d =>
+      val plain = spark.read.parquet(s"$d/edges")
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      StateStore.delete(s"$d/edges")
+      StateStore.delete(s"$d/bloom")
+      plain.toDF("src", "dst").write.parquet(s"$d/edges")
+    }
+    val e = intercept[IllegalArgumentException] {
+      GraphAlgos.ccIncremental(dropC, state2)
+    }
+    assert(e.getMessage.contains("pre-bloom cc state"), e.getMessage)
+    GraphAlgos.ccCompact(spark, state2, buckets = 8,
+      bloomBits = 1 << 16)
+    val afterC2 = labels(GraphAlgos.ccIncremental(dropC, state2))
+    assert(afterC2 == afterC)
+  }
+
   test("ccCompact crash mid-swap: recovery yields a whole two-table root") {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}

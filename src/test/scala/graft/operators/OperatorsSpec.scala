@@ -813,6 +813,93 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("pre-ledger state"), e.getMessage)
   }
 
+  test("ANN ledger rebuild: pre-ledger state migrates, then ingests") {
+    val state = tmpState("bh_migrate")
+    val q = embs.filter(col("vec_id") < 3)
+    val dropA = embs.filter(col("vec_id") % 2 === 0)
+    SimilarityOps.binaryHammingIncremental(q, dropA, state, k = 5).count()
+    // strip to the r12 format (sigs only)
+    StateStore.committed(spark, state).foreach { d =>
+      StateStore.delete(s"$d/ids"); StateStore.delete(s"$d/idbloom")
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.binaryHammingIncremental(q,
+        embs.filter(col("vec_id") % 2 === 1), state, k = 5)
+    }
+    SimilarityOps.binaryHammingLedgerRebuild(spark, state,
+      ledgerBuckets = 8, ledgerBloomBits = 1 << 16)
+    val out = SimilarityOps.binaryHammingIncremental(q,
+      embs.filter(col("vec_id") % 2 === 1), state, k = 5)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+      .sortBy(t => (t._1, t._4))
+    assert(rows(out) ==
+      rows(SimilarityOps.binaryHammingTopK(q, embs, k = 5)))
+    // rebuilt ledger still blocks a re-present
+    val nDirs = StateStore.committed(spark, state).size
+    SimilarityOps.binaryHammingIncremental(q, dropA, state, k = 5).count()
+    assert(StateStore.committed(spark, state).size == nDirs)
+  }
+
+  test("ivfRefit: post-refit state == one-shot with the new centroids") {
+    def rows(df: DataFrame): Seq[(Long, Long, Double, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+        .sortBy(t => (t._1, t._4))
+    val state = tmpState("ivf_refit")
+    // model frozen on an UNREPRESENTATIVE first drop (a corner of the
+    // id space), then the full corpus arrives — the refit case
+    SimilarityOps.ivfIncremental(
+      embs.filter(col("vec_id") < 300), state, kCells = 8).count()
+    SimilarityOps.ivfIncremental(
+      embs.filter(col("vec_id") >= 300), state).count()
+    SimilarityOps.ivfRefit(spark, state, kCells = 16, iters = 5)
+    val dirs = StateStore.committed(spark, state)
+    assert(dirs.size == 1)
+    val stored = spark.read.parquet(dirs.head + "/centroids")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    assert(stored.length == 16) // retrained at the new k
+    val q = embs.filter(col("vec_id") < 5)
+    // frame-identical to the one-shot IVF over the union corpus with
+    // the freshly fit centroids
+    assert(rows(SimilarityOps.ivfIncrementalTopK(q, state,
+        nprobe = 4, k = 5)) ==
+      rows(SimilarityOps.ivfTopK(q, embs, stored, nprobe = 4, k = 5)))
+    // later ingests assign to the NEW frozen model; ledger contracts
+    // survive the refit (re-present no-op, union equality holds)
+    SimilarityOps.ivfIncremental(
+      embs.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 50000L).as("vec_id"),
+          col("embedding")), state).count()
+    assert(StateStore.committed(spark, state).size == 2)
+    assert(SimilarityOps.ivfIncremental(
+      embs.filter(col("vec_id") < 300), state).count() == 0)
+    assert(rows(SimilarityOps.ivfIncrementalTopK(q, state,
+        nprobe = 4, k = 5)) ==
+      rows(SimilarityOps.ivfTopK(q,
+        embs.unionByName(embs.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 50000L).as("vec_id"),
+            col("embedding"), col("label"))),
+        stored, nprobe = 4, k = 5)))
+  }
+
+  test("compact: mixed partition layout fails loudly") {
+    import spark.implicits._
+    val state = tmpState("mixed_layout")
+    val d0 = StateStore.nextDir(spark, state)
+    Seq((1L, 0)).toDF("v", "p").write.partitionBy("p")
+      .parquet(s"$d0/t")
+    StateStore.commit(spark, d0)
+    val d1 = StateStore.nextDir(spark, state)
+    Seq((2L, 1)).toDF("v", "p").write.parquet(s"$d1/t")
+    StateStore.commit(spark, d1)
+    val e = intercept[IllegalArgumentException] {
+      StateStore.compact(spark, state)
+    }
+    assert(e.getMessage.contains("mixed partition layout"), e.getMessage)
+  }
+
   test("crossEncoderRerank equals a driver-side two-stage replica") {
     val out = SimilarityOps.crossEncoderRerank(
         embs.filter(col("vec_id") === 0), embs, k = 5, shortlist = 20)
