@@ -75,7 +75,10 @@ object Bench {
     // round-12: compaction mid-sequence, the eager until() loop, the
     // two-stage integer rerank, and the frozen-quantizer IVF ingest
     "graph_cc_compacted", "repeat_until", "embed_cross_rerank",
-    "ann_recall_ivf_inc")
+    "ann_recall_ivf_inc",
+    // round-13: the retrain+reassign compaction (ingest x2 + refit +
+    // query — the structurally-new crash-safe rewrite face)
+    "ann_recall_ivf_refit")
 
   /** Cross-family JIT warmup set (run at the small warmup sf, never at
     * the benched sf): one gate per shared-infra family. */

@@ -141,6 +141,17 @@ object SparkEntry {
     // nation-2 customers' orders (depth 1) plus their parts (depth 2);
     // times(2) hard-stops (TinkerPop parity)
     "repeat_emit" -> q("g.V().hasLabel('customer').has('nationkey', eq(2)).repeat(out()).emit().times(2).count()"),
+    // PRE-position until (TinkerPop while-do): the small parts in the
+    // seed match at depth 0 and exit WITHOUT entering the body (the
+    // post-form would drop them — parts have no out edges); the
+    // customers walk out() until they reach parts
+    "repeat_until_pre" -> q("g.V().union(hasLabel('customer').has('nationkey', eq(1)), hasLabel('part').has('size', lt(10))).until(hasLabel('part')).repeat(out()).count()"),
+    // PRE-position emit: depth 0 (the seed customers) is emitted too,
+    // unlike repeat_emit's post-form
+    "repeat_emit_pre" -> q("g.V().hasLabel('customer').has('nationkey', eq(2)).emit().repeat(out()).times(2).count()"),
+    // labeled-history path: [customer, order, part] vertex-id triples
+    // rendered in as()-application order
+    "path_labeled" -> q("g.V().hasLabel('customer').has('nationkey', eq(4)).as('c').out('placed').as('o').out('contains').path().order().limit(50)"),
     "where_history_neq" -> q("g.V().hasLabel('part').as('a').in('contains').out('contains').where(neq('a')).count()"),
     "range_skip" -> q("g.V().hasLabel('order').values('totalprice').order().skip(5).count()"),
     "traverse_ine" -> q("g.V().hasLabel('order').inE('placed').outV().dedup().count()"),
@@ -2185,6 +2196,26 @@ object SparkEntry {
       s"""SELECT (SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 2)
         | + (SELECT count(*) FROM $EdgesContains l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 2)
         | AS value""".stripMargin,
+    // while-do: depth-0 part matches exit unprocessed + the customers'
+    // (order, part) arrival paths
+    "repeat_until_pre" ->
+      s"""SELECT (SELECT count(*) FROM part WHERE p_size < 10)
+        | + (SELECT count(*) FROM $EdgesContains l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 1)
+        | AS value""".stripMargin,
+    // emit-pre: depth 0 (customers) + depth 1 (orders) + depth 2 paths
+    "repeat_emit_pre" ->
+      s"""SELECT (SELECT count(*) FROM customer WHERE c_nationkey = 2)
+        | + (SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 2)
+        | + (SELECT count(*) FROM $EdgesContains l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 2)
+        | AS value""".stripMargin,
+    // path strings sort lexicographically in both engines (ASCII ids)
+    "path_labeled" ->
+      s"""SELECT concat('[', c.c_custkey, ', ', o.o_orderkey + 1000000000,
+        | ', ', l.l_partkey + 2000000000, ']') AS value
+        |FROM $EdgesContains l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_nationkey = 4 ORDER BY value LIMIT 50""".stripMargin,
     "where_history_neq" ->
       s"SELECT count(*) AS value FROM $EdgesContains e1 JOIN $EdgesContains e2 ON e1.l_orderkey = e2.l_orderkey WHERE e2.l_partkey != e1.l_partkey",
     "range_skip" ->

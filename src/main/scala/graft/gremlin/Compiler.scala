@@ -91,8 +91,10 @@ object Compiler {
       case other => throw CompileException(
         s"query must start with V() or E(), got $other")
     }
-    val init = State(null, VertexKind, attached = false, Map.empty,
-      Map.empty, None, Nil)
+    // ListMap: history preserves as()-application order (path() renders
+    // labels in the order they were recorded)
+    val init = State(null, VertexKind, attached = false,
+      scala.collection.immutable.ListMap.empty, Map.empty, None, Nil)
     val out = steps.foldLeft(init)((s, step) => apply(graph, s, step))
     Result(out.df, out.kind, out.ordering, out.sideEffects)
   }
@@ -105,8 +107,8 @@ object Compiler {
     // posting lists hold one row per element (intersections/unions of
     // per-value postings of one key stay element-unique)
     val init = State(frontier.select(col("id").as("__val")), VertexKind,
-      attached = false, Map.empty, Map.empty, None, Nil,
-      distinctVal = true)
+      attached = false, scala.collection.immutable.ListMap.empty,
+      Map.empty, None, Nil, distinctVal = true)
     val out = steps.foldLeft(init)((s, step) => apply(graph, s, step))
     Result(out.df, out.kind, out.ordering, out.sideEffects)
   }
@@ -117,7 +119,8 @@ object Compiler {
   def compileSeededEdges(graph: GraphStore, frontier: DataFrame,
                          steps: List[Step]): Result = {
     val init = State(frontier.select(edgeStruct().as("__val")), EdgeKind,
-      attached = false, Map.empty, Map.empty, None, Nil,
+      attached = false, scala.collection.immutable.ListMap.empty,
+      Map.empty, None, Nil,
       distinctVal = true)
     val out = steps.foldLeft(init)((s, step) => apply(graph, s, step))
     Result(out.df, out.kind, out.ordering, out.sideEffects)
@@ -416,6 +419,27 @@ object Compiler {
             distinctVal = false)
       }
 
+      case PathStep() =>
+        // labeled-history path: every as()-recorded value in label
+        // application order (history is a ListMap), then the current
+        // value, rendered in the reference's multi-select style
+        // (select_expert.hpp:30-138 formatting, applied to the same
+        // history_t columns)
+        val d = detach(s)
+        val cur: Column = s.kind match {
+          case EdgeKind => concat(
+            col("__val").getField("src").cast(StringType), lit("->"),
+            col("__val").getField("dst").cast(StringType))
+          case _ => col("__val").cast(StringType)
+        }
+        val parts =
+          s.history.keys.toSeq.map(n => col(s"__as_$n").cast(StringType)) :+
+            cur
+        d.copy(df = d.df.withColumn("__val",
+            concat(lit("["), concat_ws(", ", parts: _*), lit("]"))),
+          kind = ScalarKind(StringType), attached = false,
+          distinctVal = false)
+
       case Count() =>
         val df = s.groupCol match {
           case Some(g) =>
@@ -707,18 +731,29 @@ object Compiler {
         }
         d.copy(df = joined.drop(rowTag), sideEffects = se)
 
-      case Repeat(sub, times, None, false) =>
+      case Repeat(sub, times, None, false, false, false) =>
         (1 to math.max(times.getOrElse(1), 1)).foldLeft(s)((st, _) =>
           compileSub(graph, st, sub))
 
-      case Repeat(sub, times, untilOpt, emit) =>
-        // TinkerPop's post-condition repeat().until() / depth-emitting
-        // repeat().emit(): apply the body, then
-        //  - until: traversers whose `cond` sub yields ≥ 1 row EXIT
-        //    (the existing and() existential); the rest (not()) loop;
-        //  - emit: EVERY post-body traverser is emitted at every
-        //    round and keeps looping (with until, emitted AND still
-        //    subject to the exit split).
+      case Repeat(sub, times, untilOpt, emitPost, untilPre, emitPre) =>
+        // The full TinkerPop repeat family (RepeatStep semantics):
+        //  - until POST (`repeat(x).until(c)`, do-while): apply the
+        //    body, then traversers whose `cond` sub yields ≥ 1 row
+        //    EXIT (the and() existential); the rest (not()) loop.
+        //  - until PRE (`until(c).repeat(x)`, while-do): the condition
+        //    checks BEFORE each body application — a depth-0 match
+        //    exits without entering the body.
+        //  - emit POST (`repeat(x).emit()`): EVERY post-body traverser
+        //    is emitted at every round and keeps looping (with until,
+        //    emitted AND still subject to the exit split; an exiting
+        //    traverser is emitted ONCE — TinkerPop merges the final
+        //    emit with the exit).
+        //  - emit PRE (`emit().repeat(x)`): the loop INPUT is emitted
+        //    at depth 0 and every stayer at each later depth; a
+        //    times-exhausted frontier exits as the loop's normal
+        //    output. Exit checks precede emit checks, so an
+        //    until-exiting traverser is never also emit-duplicated at
+        //    the same position (TinkerPop RepeatStep order).
         //
         // This is the compiler's ONE EAGER step — the graph-operator
         // class (kCore/SCC), not the job-free compile path: the round
@@ -728,8 +763,8 @@ object Compiler {
         // logical plan grows exponentially in the round count, the
         // iterative-loop invariant). So the driver loop eagerly
         // localCheckpoints each round and exits as soon as the
-        // frontier DRAINS. Past the cap: `repeat(x).emit().times(k)`
-        // HARD-STOPS at depth k (TinkerPop parity — depth-bounded
+        // frontier DRAINS. Past the cap: the emit-only times(k) forms
+        // HARD-STOP at depth k (TinkerPop parity — depth-bounded
         // emission is the semantics, nothing is dropped); every other
         // form throws (certify-or-throw) — a traverser still
         // circulating is never silently dropped. Lazy alternatives
@@ -740,33 +775,54 @@ object Compiler {
         // explicit times(k) — including k=1 — is the cap; absent
         // falls back to UntilCap (an Int default could not tell
         // `.times(1)` from "no times()", advice r12)
-        val hardStop = emit && untilOpt.isEmpty && times.isDefined
+        val hardStop =
+          (emitPost || emitPre) && untilOpt.isEmpty && times.isDefined
         val cap = math.max(times.getOrElse(UntilCap), 1)
         var frontier = s
         var outs = List.empty[State]
         var drained = false
-        var round = 0
-        while (!drained && round < cap) {
-          round += 1
-          val applied0 = compileSub(graph, frontier, sub)
-          val applied =
-            applied0.copy(df = applied0.df.localCheckpoint())
-          outs ::= (if (emit) applied
-            else compileSub(graph, applied,
+        var capped = false
+        var rounds = 0
+        while (!drained && !capped) {
+          if (untilPre) {
+            val exit = detach(compileSub(graph, frontier,
               List(BranchFilter(AndOp, Seq(untilOpt.get)))))
-          frontier = untilOpt match {
-            case Some(cond) =>
-              val f = compileSub(graph, applied,
-                List(BranchFilter(NotOp, Seq(cond))))
-              f.copy(df = f.df.localCheckpoint())
-            case None => applied // already checkpointed
+            outs ::= exit.copy(df = exit.df.localCheckpoint())
+            val stay = compileSub(graph, frontier,
+              List(BranchFilter(NotOp, Seq(untilOpt.get))))
+            frontier = stay.copy(df = stay.df.localCheckpoint())
           }
-          drained = frontier.df.isEmpty
+          if (frontier.df.isEmpty) drained = true
+          else if (rounds == cap) capped = true
+          else {
+            // detach before union: the depth-0 frontier may carry
+            // attached property columns the post-body rounds lack
+            if (emitPre) outs ::= detach(frontier)
+            val applied0 = compileSub(graph, frontier, sub)
+            val applied =
+              applied0.copy(df = applied0.df.localCheckpoint())
+            rounds += 1
+            if (untilOpt.isDefined && !untilPre) {
+              outs ::= detach(if (emitPost) applied
+                else compileSub(graph, applied,
+                  List(BranchFilter(AndOp, Seq(untilOpt.get)))))
+              val f = compileSub(graph, applied,
+                List(BranchFilter(NotOp, Seq(untilOpt.get))))
+              frontier = f.copy(df = f.df.localCheckpoint())
+            } else {
+              if (emitPost) outs ::= detach(applied)
+              frontier = applied // already checkpointed
+            }
+          }
         }
-        if (!drained && !hardStop)
+        if (capped && !hardStop)
           throw new IllegalStateException(
             s"repeat() frontier not drained after $cap " +
               "rounds - raise the times() cap")
+        // times-exhausted emit-PRE frontier exits as the loop's normal
+        // output (post-emit already emitted it at its own round)
+        if (capped && emitPre && !emitPost) outs ::= detach(frontier)
+        if (outs.isEmpty) outs = List(detach(frontier)) // empty in/out
         val out = outs.reverse
         out.last.copy(
           df = out.map(_.df).reduce(_ unionByName _),
@@ -784,12 +840,13 @@ object Compiler {
     * once per distinct value. */
   private def perValueSub(sub: List[Step]): Boolean = sub.forall {
     case _: Step.As | _: Step.Select | _: Step.WherePred |
-         _: Step.WhereHistory | _: Step.Aggregate | _: Step.Coin => false
+         _: Step.WhereHistory | _: Step.Aggregate | _: Step.Coin |
+         _: Step.PathStep => false
     case Step.Dedup(hs)             => hs.isEmpty
     case Step.Union(subs)           => subs.forall(perValueSub)
     case Step.BranchFilter(_, subs) => subs.forall(perValueSub)
-    case Step.Repeat(s2, _, u, _)   =>
-      perValueSub(s2) && u.forall(perValueSub)
+    case r: Step.Repeat            =>
+      perValueSub(r.sub) && r.until.forall(perValueSub)
     case _                          => true
   }
 

@@ -45,7 +45,7 @@ object EarlyDedup {
       case Step.Dedup(hs)             => hs
       case Step.Union(subs)           => subs.flatMap(referenced)
       case Step.BranchFilter(_, subs) => subs.flatMap(referenced)
-      case Step.Repeat(sub, _, u, _)  =>
+      case Step.Repeat(sub, _, u, _, _, _) =>
         referenced(sub) ++ u.toSeq.flatMap(referenced)
       case _                          => Nil
     }.toSet
@@ -72,13 +72,23 @@ object EarlyDedup {
     * an and()/union() branch still counts as read). Duplicate labels
     * (re-recorded `as(x)`) are kept conservatively. */
   private[gremlin] def elimDeadLabels(steps: List[Step]): List[Step] = {
+    // path() reads EVERY recorded label — no label is dead under it
+    def containsPath(l: List[Step]): Boolean = l.exists {
+      case Step.PathStep()            => true
+      case Step.Union(subs)           => subs.exists(containsPath)
+      case Step.BranchFilter(_, subs) => subs.exists(containsPath)
+      case r: Step.Repeat             =>
+        containsPath(r.sub) || r.until.exists(containsPath)
+      case _                          => false
+    }
+    if (containsPath(steps)) return steps
     val used = referenced(steps)
     def walk(l: List[Step]): List[Step] = l.flatMap {
       case Step.Union(subs)           => Some(Step.Union(subs.map(walk)))
       case Step.BranchFilter(op, subs) =>
         Some(Step.BranchFilter(op, subs.map(walk)))
-      case Step.Repeat(sub, t, u, e)  =>
-        Some(Step.Repeat(walk(sub), t, u.map(walk), e))
+      case r @ Step.Repeat(sub, _, u, _, _, _) =>
+        Some(r.copy(sub = walk(sub), until = u.map(walk)))
       case Step.As(n) if !used(n)     => None
       case s                          => Some(s)
     }

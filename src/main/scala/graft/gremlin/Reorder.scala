@@ -38,8 +38,8 @@ object Reorder {
       case Step.Union(subs) => Step.Union(subs.map(apply))
       case Step.BranchFilter(op, subs) =>
         Step.BranchFilter(op, subs.map(apply))
-      case Step.Repeat(sub, t, u, e) =>
-        Step.Repeat(apply(sub), t, u.map(apply), e)
+      case r @ Step.Repeat(sub, _, u, _, _, _) =>
+        r.copy(sub = apply(sub), until = u.map(apply))
       case other => other
     }
     // split into maximal runs of reorderable steps; `as` is a fence

@@ -116,10 +116,26 @@ object Step {
     * [[graft.gremlin.Compiler.UntilCap]]), the loop runs as the
     * compiler's one EAGER driver loop (early exit when the frontier
     * drains), and a traverser still circulating past the cap fails
-    * the query loudly (certify-or-throw, the graph-loop contract). */
+    * the query loudly (certify-or-throw, the graph-loop contract).
+    * `untilPre`/`emitPre` mark TinkerPop's PRE-position forms —
+    * `until(c).repeat(x)` is while-do (the condition checks BEFORE
+    * each body application, so a depth-0 match exits immediately) and
+    * `emit().repeat(x)` emits the loop INPUT at depth 0 and every
+    * stayer at each later depth (per TinkerPop RepeatStep, an exiting
+    * traverser is never also emit-duplicated, and a times-exhausted
+    * emit-pre frontier exits as the loop's normal output). */
   final case class Repeat(sub: List[Step], times: Option[Int] = None,
                           until: Option[List[Step]] = None,
-                          emit: Boolean = false) extends Step
+                          emit: Boolean = false,
+                          untilPre: Boolean = false,
+                          emitPre: Boolean = false) extends Step
+  /** path(): the traverser's LABELED path — every `as()`-recorded
+    * value in label-application order plus the current value, rendered
+    * in the reference console's multi-select style (`[v1, v2, v3]`).
+    * The reference has no path expert; this rides the same history
+    * columns its `history_t` carries (core/message.hpp:74-100), so it
+    * is the labeled-history path, not a full per-step trace. */
+  final case class PathStep() extends Step
   /** Parser-internal `.times(k)` marker; folded into the preceding
     * Repeat by the parser, never reaches the compiler. */
   private[gremlin] final case class TimesMarker(k: Int) extends Step

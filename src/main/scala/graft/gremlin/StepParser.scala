@@ -90,7 +90,8 @@ object StepParser {
     "bothV", "values", "properties", "key", "label", "as", "select",
     "count", "sum", "max", "min", "mean", "dedup", "order", "limit",
     "range", "skip", "group", "groupCount", "aggregate", "cap", "union",
-    "and", "or", "not", "repeat", "times", "until", "emit", "coin")
+    "and", "or", "not", "repeat", "times", "until", "emit", "coin",
+    "path")
 
   /** An argument inside a step's parens. */
   sealed trait Arg
@@ -136,20 +137,44 @@ object StepParser {
     * extension beyond the reference, whose repeat is single-pass. */
   private def parseChain(cur: Cursor): List[Step] = {
     var steps = List.empty[Step]
+    def isPreMarker(s: Step): Boolean = s match {
+      case Step.UntilMarker(_) | Step.EmitMarker => true
+      case _                                     => false
+    }
     def push(s: Step): Unit = (s, steps) match {
       case (Step.TimesMarker(k), (r: Step.Repeat) :: rest) =>
         steps = r.copy(times = Some(k)) :: rest
       case (Step.TimesMarker(_), _) =>
         throw ParseException("times() must follow repeat()")
       case (Step.UntilMarker(c), (r: Step.Repeat) :: rest) =>
+        if (r.until.isDefined)
+          throw ParseException("duplicate until() on one repeat()")
         steps = r.copy(until = Some(c)) :: rest
-      case (Step.UntilMarker(_), _) =>
-        throw ParseException("until() must follow repeat()")
       case (Step.EmitMarker, (r: Step.Repeat) :: rest) =>
         steps = r.copy(emit = true) :: rest
-      case (Step.EmitMarker, _) =>
-        throw ParseException("emit() must follow repeat()")
-      case _ => steps = s :: steps
+      // pre-position markers (TinkerPop while-do / depth-0 emission):
+      // until()/emit() with no preceding repeat() sit on the stack and
+      // fold into the NEXT step iff it is a repeat()
+      case (Step.UntilMarker(_) | Step.EmitMarker, _) =>
+        steps = s :: steps
+      case (r0: Step.Repeat, _) if steps.headOption.exists(isPreMarker) =>
+        var r = r0
+        while (steps.headOption.exists(isPreMarker)) {
+          steps.head match {
+            case Step.UntilMarker(c) =>
+              if (r.until.isDefined)
+                throw ParseException("duplicate until() on one repeat()")
+              r = r.copy(until = Some(c), untilPre = true)
+            case _ => r = r.copy(emitPre = true)
+          }
+          steps = steps.tail
+        }
+        steps = r :: steps
+      case _ =>
+        if (steps.headOption.exists(isPreMarker))
+          throw ParseException(
+            "until()/emit() must follow or immediately precede repeat()")
+        steps = s :: steps
     }
     push(parseStep(cur))
     var continue = true
@@ -157,6 +182,9 @@ object StepParser {
       case Some(TDot) => cur.next(); push(parseStep(cur))
       case _          => continue = false
     }
+    if (steps.headOption.exists(isPreMarker))
+      throw ParseException(
+        "until()/emit() must follow or immediately precede repeat()")
     steps.reverse
   }
 
@@ -340,6 +368,7 @@ object StepParser {
       case "or"     => BranchFilter(OrOp, args.map(subOf))
       case "not"    => BranchFilter(NotOp, args.map(subOf))
       case "repeat" => Repeat(subOf(args.head))
+      case "path" if args.isEmpty => PathStep()
 
       case other => throw ParseException(s"unhandled step: $other")
     }

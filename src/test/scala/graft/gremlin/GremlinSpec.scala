@@ -242,6 +242,48 @@ class GremlinSpec extends SparkSpec {
     }
   }
 
+  test("until().repeat(): while-do — depth-0 matches exit immediately") {
+    // marko is a person, not software: post-form and pre-form agree
+    assert(longs("g.V(1).until(hasLabel('software')).repeat(out())" +
+      ".count()") ==
+      longs("g.V(1).repeat(out()).until(hasLabel('software')).count()"))
+    // but a depth-0 match exits WITHOUT entering the body: lop (software)
+    // exits at depth 0 under the pre-form (1 traverser), while the
+    // post-form applies out() first — lop has no out edges, frontier
+    // drains, 0 outputs
+    assert(longs("g.V(3).until(hasLabel('software')).repeat(out())" +
+      ".count()") == Seq(1L))
+    assert(longs("g.V(3).repeat(out()).until(hasLabel('software'))" +
+      ".count()") == Seq(0L))
+    // whole-graph while-do: software vertices (lop, ripple) exit at
+    // depth 0; persons walk out() until software — 6 arrivals + 2
+    assert(longs("g.V().until(hasLabel('software')).repeat(out())" +
+      ".count()") == Seq(8L))
+  }
+
+  test("emit().repeat(): depth-0 emission includes the input") {
+    // emit-pre + times(2): depth0 (marko) + depth1 + depth2 (final exit)
+    assert(values("g.V(1).emit().repeat(out()).times(2)" +
+      ".values(\"name\").order()") ==
+      Seq("josh", "lop", "lop", "marko", "ripple", "vadas"))
+    // unbounded emit-pre drains at depth 3 (ripple/lop dead-end):
+    // depth0..2 emitted, nothing silently dropped
+    assert(longs("g.V(1).emit().repeat(out()).count()") == Seq(6L))
+  }
+
+  test("path(): labeled-history path in as()-application order") {
+    assert(values("g.V(1).as('a').out().as('b').path().order()") ==
+      Seq("[1, 2, 2]", "[1, 3, 3]", "[1, 4, 4]"))
+    // without labels the path is just the current value
+    assert(values("g.V(1).out().path().order()") ==
+      Seq("[2]", "[3]", "[4]"))
+    // path() composes downstream: count over paths
+    assert(longs("g.V(1).as('a').out().path().count()") == Seq(3L))
+    // dead-label elimination must NOT strip as() under a path()
+    assert(values("g.V(1).as('a').out().path().order()") ==
+      Seq("[1, 2]", "[1, 3]", "[1, 4]"))
+  }
+
   test("repeat(): explicit times(1) caps at one round (advice r12)") {
     // until unmatched + times(1): exactly one body application, then
     // the undrained frontier fails loudly AT CAP 1 — the Int-default
