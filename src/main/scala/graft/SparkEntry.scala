@@ -1581,9 +1581,12 @@ object SparkEntry {
     // the union must equal the one-shot CC over all edges
     "graph_cc_incremental" -> ((spark, sfDir) => {
       val g0 = sources.GraphStore.tpch(spark, sfDir)
+      // drops are DATA by the time an ingest sees them: materialize the
+      // derived edge subset once (eager checkpoint; Sweep frees it) so
+      // the gate times the ingests, not 2x the lineitem aggregation
       val sub = g0.edges
         .filter(col("label") === "placed" || col("quantity") >= 52.0)
-        .select(col("src"), col("dst"))
+        .select(col("src"), col("dst")).localCheckpoint()
       val state = freshStateDir("graft_ccstate")
       operators.GraphAlgos.ccIncremental(
         sub.filter(pmod(col("src") + col("dst"), lit(2)) === 0), state)
@@ -1599,9 +1602,10 @@ object SparkEntry {
     // — graph_cc_incremental's oracle verbatim
     "graph_cc_compacted" -> ((spark, sfDir) => {
       val g0 = sources.GraphStore.tpch(spark, sfDir)
+      // see graph_cc_incremental: the drop source materializes once
       val sub = g0.edges
         .filter(col("label") === "placed" || col("quantity") >= 52.0)
-        .select(col("src"), col("dst"))
+        .select(col("src"), col("dst")).localCheckpoint()
       val state = freshStateDir("graft_cccstate")
       operators.GraphAlgos.ccIncremental(
         sub.filter(pmod(col("src") + col("dst"), lit(3)) === 0), state)

@@ -384,7 +384,7 @@ object VectorExpressions {
   // probe sides (Kirsch–Mitzenmacher: pos_i = h1 + i·h2 mod m, h1/h2
   // splitmix64 remixes of the input hash; h2 forced odd so the probe
   // sequence never degenerates).
-  private def bloomSeed(h: Long): (Long, Long) = {
+  private[functions] def bloomSeed(h: Long): (Long, Long) = {
     def mix(x0: Long): Long = {
       var z = x0 + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -514,6 +514,9 @@ object VectorExpressions {
     // by a registry builder in an AggregateExpression (Complete)
     "graft_bounded_min_ids" -> (exprs => BoundedMinIds(exprs(0), exprs(1),
       intLitAt(exprs, 2, "graft_bounded_min_ids cap"))),
+    "graft_bloom_agg" -> (exprs => BloomBytesAgg(exprs(0),
+      intLitAt(exprs, 1, "graft_bloom_agg numBits"),
+      intLitAt(exprs, 2, "graft_bloom_agg numHashes"))),
     "graft_bounded_min_pairs" -> (exprs => BoundedMinPairs(exprs(0),
       exprs(1), intLitAt(exprs, 2, "graft_bounded_min_pairs cap"))))
 
@@ -558,6 +561,8 @@ object VectorExpressions {
   }
   def boundedMinIds(sortKey: Column, id: Column, cap: Int): Column =
     call_function("graft_bounded_min_ids", sortKey, id, lit(cap))
+  def bloomAgg(hash: Column, numBits: Int, numHashes: Int): Column =
+    call_function("graft_bloom_agg", hash, lit(numBits), lit(numHashes))
   def boundedMinPairs(sortKey: Column, id: Column, cap: Int): Column =
     call_function("graft_bounded_min_pairs", sortKey, id, lit(cap))
 }

@@ -286,32 +286,16 @@ object GraphAlgos {
         VE.bloomContainsBc(col("__h"), bloomBc, bb, CcBloomHashes)
       case None => lit(false)
     }
-    val aggRows = norm.select(
-        explode(VE.bloomPositions(col("__h"), bb, CcBloomHashes))
-          .as("__p"),
-        when(inBloom, col("__bk")).as("__tb"))
-      // 64-bit-WORD granularity (not bytes): the grouped row count —
-      // and the driver collect — shrinks 8×; a 200k-edge drop at 2^25
-      // bits collects ~150k word rows instead of ~1M byte rows
-      .select((col("__p") / 64).cast("int").as("__i"),
-        expr("shiftleft(1L, cast(__p % 64 as int))").as("__m"),
-        col("__tb"))
-      .groupBy(col("__i"))
-      .agg(bit_or(col("__m")).as("__b"), collect_set(col("__tb")).as("__t"))
-      .collect()
-    val bloom = new Array[Byte](bb / 8)
-    val touchedSet = scala.collection.mutable.Set[Int]()
-    aggRows.foreach { r =>
-      val i = r.getInt(0)
-      val w = r.getLong(1)
-      var b = 0
-      while (b < 8) {
-        bloom(i * 8 + b) = ((w >>> (b * 8)) & 0xffL).toByte
-        b += 1
-      }
-      r.getSeq[Int](2).foreach(touchedSet += _)
-    }
-    val touched = touchedSet.toSeq
+    // [[graft.functions.BloomBytesAgg]]: the shuffle carries one
+    // sparse-capped buffer per map partition and exactly ONE binary
+    // row reaches the driver (the explode → per-word bit_or → collect
+    // formulation shipped ~270k small rows per gate-scale ingest)
+    val aggRow = norm.agg(
+        VE.bloomAgg(col("__h"), bb, CcBloomHashes).as("__b"),
+        collect_set(when(inBloom, col("__bk"))).as("__t"))
+      .collect().head
+    val bloom = aggRow.getAs[Array[Byte]](0)
+    val touched = aggRow.getSeq[Int](1)
     // only the bloom-positive tail (re-presents + ~1e-5 FP) pays the
     // bucket-pruned exact-verify; a fully bloom-negative drop never
     // builds the archive read at all
@@ -359,20 +343,93 @@ object GraphAlgos {
       .select(col("src"), col("dst"))
     val prevLabels =
       if (prior.isEmpty) None else Some(lastLabels(prior))
-    val stars = prevLabels.map(_.filter(col("id") =!= col("component"))
-      .select(col("component").as("src"), col("id").as("dst")))
-    val edgesAll = stars.fold(fresh)(fresh.union)
-    val verts = prevLabels
-      .map(l => fresh.select(col("src").as("id"))
-        .union(fresh.select(col("dst")))
-        .union(l.select(col("id"))))
-      .getOrElse(fresh.select(col("src").as("id"))
-        .union(fresh.select(col("dst"))))
-      .distinct()
-    connectedComponents(GraphStore(verts, edgesAll))
-      .write.mode("overwrite").parquet(s"$dir/labels")
+    // the per-ingest CC input is |labels| star edges + |drop| new
+    // edges — LABEL-sized by the contraction property. Below
+    // [[CcSmallEdges]] the exact min-id labeling computes as a driver
+    // union-find over a bounded collect (two cheap counts decide):
+    // the distributed CC's ~10 scheduler-bound jobs dominated the
+    // sf0.1 gate (ProbeJobs r13: 44 jobs / 135 stages per run) while
+    // the whole graph fits in a few MB. Archive-scale states exceed
+    // the threshold and keep the GraphX path — the small path is a
+    // latency floor, not a scale path.
+    val freshCnt = fresh.count()
+    val labelCnt = prevLabels.map(_.count()).getOrElse(0L)
+    val labelsOut: DataFrame =
+      if (freshCnt + labelCnt <= CcSmallEdges) {
+        val fe = fresh.collect().map(r => (r.getLong(0), r.getLong(1)))
+        // a labels row (id, component) IS a connectivity pair — the
+        // star edges are exactly these with self rows dropped, and
+        // self rows are harmless to a union-find
+        val le = prevLabels.map(_.collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+          .getOrElse(Array.empty[(Long, Long)])
+        import spark.implicits._
+        ccUnionFind(fe ++ le).toSeq.toDF("id", "component")
+      } else {
+        val stars = prevLabels.map(
+          _.filter(col("id") =!= col("component"))
+            .select(col("component").as("src"), col("id").as("dst")))
+        val edgesAll = stars.fold(fresh)(fresh.union)
+        val verts = prevLabels
+          .map(l => fresh.select(col("src").as("id"))
+            .union(fresh.select(col("dst")))
+            .union(l.select(col("id"))))
+          .getOrElse(fresh.select(col("src").as("id"))
+            .union(fresh.select(col("dst"))))
+          .distinct()
+        connectedComponents(GraphStore(verts, edgesAll))
+      }
+    labelsOut.write.mode("overwrite").parquet(s"$dir/labels")
     StateStore.commit(spark, dir)
     spark.read.parquet(s"$dir/labels")
+  }
+
+  /** Edge count below which an incremental ingest's CC runs as a
+    * driver union-find instead of distributed CC — identical min-id
+    * labels (spec-pinned via the == one-shot equalities), a few MB of
+    * collect, zero iterative jobs. */
+  private[graft] val CcSmallEdges = 200000L
+
+  /** Min-id union-find labeling of an undirected pair list: the exact
+    * semantics of [[connectedComponents]] (component = smallest member
+    * id), driver-side. Path-halving find + arbitrary union, then a
+    * min-per-root pass canonicalizes. */
+  private[graft] def ccUnionFind(
+      pairs: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    val ids = new java.util.ArrayList[Long](parent.keySet())
+    val minOfRoot = new java.util.HashMap[Long, Long]()
+    ids.forEach { id =>
+      val r = find(id)
+      val cur = minOfRoot.getOrDefault(r, Long.MaxValue)
+      if (id < cur) minOfRoot.put(r, id)
+    }
+    val out = new Array[(Long, Long)](ids.size())
+    var i = 0
+    while (i < ids.size()) {
+      val id = ids.get(i)
+      out(i) = (id, minOfRoot.get(find(id)))
+      i += 1
+    }
+    out
   }
 
   /** Connected components (undirected): `(id, component)` where

@@ -156,32 +156,14 @@ private[graft] object IdLedger {
         VE.bloomContainsBc(col("__h"), bc, bloomBits, BloomHashes)
       case None => lit(false)
     }
-    val aggRows = hashed.select(
-        explode(VE.bloomPositions(col("__h"), bloomBits, BloomHashes))
-          .as("__p"),
-        when(inBloom, col("__ib")).as("__tb"))
-      // 64-bit-WORD granularity: 8× fewer grouped/collected rows than
-      // per-byte (the GraphAlgos cc-ledger layout, bit-compatible with
-      // the byte-addressed BloomContains probe)
-      .select((col("__p") / 64).cast("int").as("__i"),
-        expr("shiftleft(1L, cast(__p % 64 as int))").as("__m"),
-        col("__tb"))
-      .groupBy(col("__i"))
-      .agg(bit_or(col("__m")).as("__b"), collect_set(col("__tb")).as("__t"))
-      .collect()
-    val bytes = new Array[Byte](bloomBits / 8)
-    val touchedSet = scala.collection.mutable.Set[Int]()
-    aggRows.foreach { r =>
-      val i = r.getInt(0)
-      val w = r.getLong(1)
-      var b = 0
-      while (b < 8) {
-        bytes(i * 8 + b) = ((w >>> (b * 8)) & 0xffL).toByte
-        b += 1
-      }
-      r.getSeq[Int](2).foreach(touchedSet += _)
-    }
-    val touched = touchedSet.toSeq
+    // [[graft.functions.BloomBytesAgg]]: one sparse-capped buffer per
+    // map partition through the shuffle, ONE binary row to the driver
+    val aggRow = hashed.agg(
+        VE.bloomAgg(col("__h"), bloomBits, BloomHashes).as("__b"),
+        collect_set(when(inBloom, col("__ib"))).as("__t"))
+      .collect().head
+    val bytes = aggRow.getAs[Array[Byte]](0)
+    val touched = aggRow.getSeq[Int](1)
     val fresh =
       if (prior.isEmpty || touched.isEmpty) hashed
       else {

@@ -780,6 +780,29 @@ class OperatorsSpec extends SparkSpec {
     assert(StateStore.committed(spark, state).size == 1)
   }
 
+  test("BloomBytesAgg == explode/bit_or bloom build, byte for byte") {
+    import spark.implicits._
+    val VE = graft.functions.VectorExpressions
+    VE.register(spark)
+    val hashes = (1L to 5000L).map(i => i * 0x9E3779B97F4A7C15L)
+      .toDF("__h").repartition(8)
+    for (bits <- Seq(1 << 10, 1 << 16)) {
+      val legacy = CurationOps.bloomFromHashes(hashes, bits, 5)
+      val agged = hashes.agg(VE.bloomAgg(col("__h"), bits, 5))
+        .collect().head.getAs[Array[Byte]](0)
+      val diffs = legacy.indices.filter(i => legacy(i) != agged(i))
+      assert(java.util.Arrays.equals(legacy, agged),
+        s"bits=$bits lens=${legacy.length}/${agged.length} " +
+        s"diffIdx=${diffs.take(8)} " +
+        diffs.take(4).map(i => s"$i:${legacy(i)}vs${agged(i)}").mkString(","))
+    }
+    // a large filter exercises the dense-buffer path + OR merge
+    val big = hashes.agg(VE.bloomAgg(col("__h"), 1 << 20, 5))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(big,
+      CurationOps.bloomFromHashes(hashes, 1 << 20, 5)))
+  }
+
   test("IdLedger sizing: persisted at first ingest, read back by later") {
     val state = tmpState("bh_sizing")
     val q = embs.filter(col("vec_id") < 3)
