@@ -938,6 +938,43 @@ class GraphAlgosSpec extends SparkSpec {
     assert(StateStore.committed(spark, state).size == nDirs)
   }
 
+  test("ccUnionFind == independent BFS labeling on seeded random graphs") {
+    // the small-mode driver path (r13) cross-checked against a second,
+    // structurally different implementation — min-id BFS flooding —
+    // over 50 seeded random multigraphs incl. self-loops and dupes
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(60)
+      val m = rnd.nextInt(120)
+      val pairs = Array.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val uf = GraphAlgos.ccUnionFind(pairs).toMap
+      // BFS reference
+      val adj = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      def link(a: Long, b: Long): Unit = {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+      pairs.foreach { case (a, b) => link(a, b) }
+      val label = scala.collection.mutable.Map.empty[Long, Long]
+      adj.keys.toSeq.sorted.foreach { v =>
+        if (!label.contains(v)) {
+          // v is the smallest unvisited id => the component min
+          val q = scala.collection.mutable.Queue(v)
+          label(v) = v
+          while (q.nonEmpty) {
+            val x = q.dequeue()
+            adj(x).foreach { y =>
+              if (!label.contains(y)) { label(y) = v; q += y }
+            }
+          }
+        }
+      }
+      assert(uf == label.toMap, s"n=$n m=$m")
+    }
+  }
+
   test("ccCompact resize: rebuilt ledger sizing, pre-bloom migration") {
     import spark.implicits._
     def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
