@@ -292,10 +292,17 @@ object GraphAlgos {
     // formulation shipped ~270k small rows per gate-scale ingest)
     val aggRow = norm.agg(
         VE.bloomAgg(col("__h"), bb, CcBloomHashes).as("__b"),
-        collect_set(when(inBloom, col("__bk"))).as("__t"))
+        collect_set(when(inBloom, col("__bk"))).as("__t"),
+        count(lit(1)).as("__n"))
       .collect().head
     val bloom = aggRow.getAs[Array[Byte]](0)
     val touched = aggRow.getSeq[Int](1)
+    // canonical-drop size, free in the same job: an admissible UPPER
+    // bound on the fresh-row count (fresh ⊆ norm), used only to pick
+    // the small-graph code path below — overestimates route a
+    // re-present-heavy drop to the distributed path, never the
+    // reverse (the IndexStore admissibility rule)
+    val normCnt = aggRow.getLong(2)
     // only the bloom-positive tail (re-presents + ~1e-5 FP) pays the
     // bucket-pruned exact-verify; a fully bloom-negative drop never
     // builds the archive read at all
@@ -335,51 +342,70 @@ object GraphAlgos {
             org.apache.spark.sql.types.LongType))))
     }
     import spark.implicits._
-    Seq((bloom, bk, bb)).toDF("__bloom", "buckets", "bloom_bits")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/bloom")
-    // the cache serves the NEXT ingest's meta fold without a read job
-    cacheBloom(spark, dir, (bloom, bk, bb))
-    val fresh = spark.read.parquet(s"$dir/edges")
-      .select(col("src"), col("dst"))
-    val prevLabels =
-      if (prior.isEmpty) None else Some(lastLabels(prior))
-    // the per-ingest CC input is |labels| star edges + |drop| new
-    // edges — LABEL-sized by the contraction property. Below
-    // [[CcSmallEdges]] the exact min-id labeling computes as a driver
-    // union-find over a bounded collect (two cheap counts decide):
-    // the distributed CC's ~10 scheduler-bound jobs dominated the
-    // sf0.1 gate (ProbeJobs r13: 44 jobs / 135 stages per run) while
-    // the whole graph fits in a few MB. Archive-scale states exceed
-    // the threshold and keep the GraphX path — the small path is a
-    // latency floor, not a scale path.
-    val freshCnt = fresh.count()
-    val labelCnt = prevLabels.map(_.count()).getOrElse(0L)
-    val labelsOut: DataFrame =
-      if (freshCnt + labelCnt <= CcSmallEdges) {
-        val fe = fresh.collect().map(r => (r.getLong(0), r.getLong(1)))
-        // a labels row (id, component) IS a connectivity pair — the
-        // star edges are exactly these with self rows dropped, and
-        // self rows are harmless to a union-find
-        val le = prevLabels.map(_.collect()
-          .map(r => (r.getLong(0), r.getLong(1))))
-          .getOrElse(Array.empty[(Long, Long)])
-        import spark.implicits._
-        ccUnionFind(fe ++ le).toSeq.toDF("id", "component")
-      } else {
-        val stars = prevLabels.map(
-          _.filter(col("id") =!= col("component"))
-            .select(col("component").as("src"), col("id").as("dst")))
-        val edgesAll = stars.fold(fresh)(fresh.union)
-        val verts = prevLabels
-          .map(l => fresh.select(col("src").as("id"))
-            .union(fresh.select(col("dst")))
-            .union(l.select(col("id"))))
-          .getOrElse(fresh.select(col("src").as("id"))
-            .union(fresh.select(col("dst"))))
-          .distinct()
-        connectedComponents(GraphStore(verts, edgesAll))
-      }
-    labelsOut.write.mode("overwrite").parquet(s"$dir/labels")
+    // the bloom rows are driver-held bytes with no lineage and the
+    // labels table derives only from the already-written edges + the
+    // PRIOR dirs — two independent state-table productions, overlapped
+    // (opt guide §2.6); commit still waits for both
+    StateStore.inParallel(Seq(
+      () => {
+        Seq((bloom, bk, bb)).toDF("__bloom", "buckets", "bloom_bits")
+          .repartition(1).write.mode("overwrite").parquet(s"$dir/bloom")
+        // the cache serves the NEXT ingest's meta fold w/o a read job
+        cacheBloom(spark, dir, (bloom, bk, bb))
+      },
+      () => {
+        val fresh = spark.read.parquet(s"$dir/edges")
+          .select(col("src"), col("dst"))
+        val prevLabels =
+          if (prior.isEmpty) None else Some(lastLabels(prior))
+        // the per-ingest CC input is |labels| star edges + |drop| new
+        // edges — LABEL-sized by the contraction property. Below
+        // [[CcSmallEdges]] the exact min-id labeling computes as a
+        // driver union-find over a bounded collect. The sizes that
+        // decide the path cost NO jobs: the drop bound (`normCnt`)
+        // rides the split's aggregation row, and the label count is a
+        // parquet-footer fold over the prior labels table (exact
+        // metadata; small-path labels land as ONE file below, so this
+        // opens one footer). The count() formulation paid two
+        // scheduler-bound jobs per ingest for numbers already at
+        // hand. Archive-scale states exceed the threshold and keep
+        // the GraphX path — the small path is a latency floor, not a
+        // scale path.
+        val labelCnt = prior.lastOption
+          .map(d => StateStore.parquetRows(spark, s"$d/labels"))
+          .getOrElse(0L)
+        val labelsOut: DataFrame =
+          if (normCnt + labelCnt <= CcSmallEdges) {
+            val fe = fresh.collect().map(r => (r.getLong(0), r.getLong(1)))
+            // a labels row (id, component) IS a connectivity pair —
+            // the star edges are exactly these with self rows dropped,
+            // and self rows are harmless to a union-find
+            val le = prevLabels.map(_.collect()
+              .map(r => (r.getLong(0), r.getLong(1))))
+              .getOrElse(Array.empty[(Long, Long)])
+            // driver-sized by the threshold: land as ONE file — the
+            // default local-relation write scattered ~32 tiny files
+            // that every later read (lastLabels, the returned frame,
+            // the next ingest's footer fold) paid to open (§6 small
+            // files)
+            ccUnionFind(fe ++ le).toSeq.toDF("id", "component")
+              .coalesce(1)
+          } else {
+            val stars = prevLabels.map(
+              _.filter(col("id") =!= col("component"))
+                .select(col("component").as("src"), col("id").as("dst")))
+            val edgesAll = stars.fold(fresh)(fresh.union)
+            val verts = prevLabels
+              .map(l => fresh.select(col("src").as("id"))
+                .union(fresh.select(col("dst")))
+                .union(l.select(col("id"))))
+              .getOrElse(fresh.select(col("src").as("id"))
+                .union(fresh.select(col("dst"))))
+              .distinct()
+            connectedComponents(GraphStore(verts, edgesAll))
+          }
+        labelsOut.write.mode("overwrite").parquet(s"$dir/labels")
+      }))
     StateStore.commit(spark, dir)
     spark.read.parquet(s"$dir/labels")
   }

@@ -210,13 +210,17 @@ private[graft] object IdLedger {
                            buckets: Int, bloomBits: Int,
                            bloomBytes: Array[Byte]): Unit = {
     val spark = fresh.sparkSession
-    fresh.select(col(idCol).cast("long").as("vec_id"), col("__ib"))
-      .repartition(col("__ib"))
-      .write.partitionBy("__ib").mode("overwrite").parquet(s"$dir/ids")
     import spark.implicits._
-    Seq((bloomBytes, buckets, bloomBits))
-      .toDF("__bloom", "buckets", "bloom_bits")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/idbloom")
+    // the two ledger tables are independent (ids from the checkpointed
+    // fresh rows, idbloom from driver-held bytes): overlap their write
+    // jobs (opt guide §2.6)
+    StateStore.inParallel(Seq(
+      () => fresh.select(col(idCol).cast("long").as("vec_id"), col("__ib"))
+        .repartition(col("__ib"))
+        .write.partitionBy("__ib").mode("overwrite").parquet(s"$dir/ids"),
+      () => Seq((bloomBytes, buckets, bloomBits))
+        .toDF("__bloom", "buckets", "bloom_bits")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/idbloom")))
     cache.synchronized {
       cache.put((dir, mtime(spark, dir)), (bloomBytes, buckets, bloomBits))
       ()

@@ -450,9 +450,15 @@ object SimilarityOps {
         prior // re-presented drop: pure query, no new dir
       } else {
         val dir = StateStore.nextDir(spark, statePath)
-        incoming.select("vec_id", "__ca", "__cb")
-          .write.mode("overwrite").parquet(s"$dir/sigs")
-        IdLedger.write(incoming, "vec_id", dir, bk, bb, split.bloomBytes)
+        // sigs and the ledger tables all derive from the checkpointed
+        // `incoming` (materialized by the isEmpty probe above) and
+        // write to disjoint paths: overlap the write jobs (opt guide
+        // §2.6); commit still waits for all of them
+        StateStore.inParallel(Seq(
+          () => incoming.select("vec_id", "__ca", "__cb")
+            .write.mode("overwrite").parquet(s"$dir/sigs"),
+          () => IdLedger.write(incoming, "vec_id", dir, bk, bb,
+            split.bloomBytes)))
         StateStore.commit(spark, dir)
         prior :+ dir
       }
@@ -923,14 +929,20 @@ object SimilarityOps {
         .write.mode("overwrite").parquet(s"$dir/centroids")
       spark.read.parquet(s"$dir/centroids")
     } else spark.read.parquet(prior.head + "/centroids")
-    assignCells(incoming.withColumn("__cn", l2norm(col("__v"))),
-        cdf, carry = Seq("__v", "__cn"))
-      .select(col("__id").as("vec_id"), col("__v"), col("__cn"),
-        col("__cell"))
-      .repartition(col("__cell"))
-      .write.partitionBy("__cell").mode("overwrite")
-      .parquet(s"$dir/postings")
-    IdLedger.write(incoming, "__id", dir, bk, bb, split.bloomBytes)
+    // postings and the ledger tables all derive from the checkpointed
+    // `incoming` (materialized by the isEmpty probe above) and write
+    // to disjoint paths: overlap the write jobs (opt guide §2.6);
+    // commit still waits for all of them
+    StateStore.inParallel(Seq(
+      () => assignCells(incoming.withColumn("__cn", l2norm(col("__v"))),
+          cdf, carry = Seq("__v", "__cn"))
+        .select(col("__id").as("vec_id"), col("__v"), col("__cn"),
+          col("__cell"))
+        .repartition(col("__cell"))
+        .write.partitionBy("__cell").mode("overwrite")
+        .parquet(s"$dir/postings"),
+      () => IdLedger.write(incoming, "__id", dir, bk, bb,
+        split.bloomBytes)))
     StateStore.commit(spark, dir)
     spark.read.parquet(s"$dir/postings")
   }

@@ -150,11 +150,18 @@ object StateStore {
         t -> (srcs.map(spark.read.parquet(_))
           .reduce(_.unionByName(_)), partsPerSrc.head)
       }.toMap
-    rewrite(merged).foreach { case (t, (df, partCols)) =>
-      val w = df.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-        .parquet(new Path(tmp, t).toString)
-    }
+    // the staged tables are independent outputs of one state dir, so
+    // their writes overlap (opt guide §2.6: submit independent jobs
+    // from a thread pool so one write's straggler tail back-fills with
+    // the next write's tasks); the token/marker/swap below still runs
+    // strictly AFTER every write returns, so crash safety is unchanged
+    inParallel(rewrite(merged).toSeq.map { case (t, (df, partCols)) =>
+      () => {
+        val w = df.write.mode("overwrite")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .parquet(new Path(tmp, t).toString)
+      }
+    })
     val token = java.util.UUID.randomUUID().toString
     writeSmall(f, new Path(tmp, TokenFile), token)
     writeSmall(f, new Path(tmp, "COMMIT"), "")
@@ -231,6 +238,77 @@ object StateStore {
       s"readAsOf: no committed '$table' under $root in the first " +
         s"$upToIncrements increments")
     spark.read.parquet(dirs: _*)
+  }
+
+  /** Run independent Spark actions (an ingest's or compaction's
+    * state-TABLE writes — different target paths, no shared lineage
+    * beyond already-materialized checkpoints) concurrently and wait
+    * for all of them (opt guide §2.6: actions are only sequential
+    * because the driver calls them sequentially; overlapping
+    * independent jobs back-fills each job's straggler tail). Any
+    * failure propagates UNWRAPPED after every task settles, so a
+    * caller's commit marker is never written past a failed write and
+    * crash-point specs see the original exception type. Sequential
+    * fast-path for 0/1 tasks. */
+  private[graft] def inParallel(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = t()
+        }))
+      var firstFailure: Throwable = null
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure == null) firstFailure = e.getCause
+        }
+      }
+      if (firstFailure != null) throw firstFailure
+    } finally pool.shutdown()
+  }
+
+  /** Exact row count of a parquet table directory from file FOOTERS —
+    * a driver-side metadata fold (no Spark job), recursive so
+    * hive-partitioned layouts count across their `col=value` dirs.
+    * Used where an ingest only needs a SIZE to pick a code path (e.g.
+    * [[GraphAlgos.ccIncremental]]'s small-graph threshold): footer
+    * row counts are exact parquet metadata, and two driver footer
+    * folds replace two scheduler-bound count() jobs per ingest. */
+  private[graft] def parquetRows(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val f = p.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) files += s
+    }
+    def rows(s: org.apache.hadoop.fs.FileStatus): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
+      try r.getRecordCount finally r.close()
+    }
+    if (files.size <= 2) files.map(rows).sum
+    else {
+      // footer opens are independent tiny I/Os: fold them on a small
+      // pool so a many-file layout costs one I/O round-trip, not N
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      try {
+        val futs = files.map(s =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = rows(s)
+          }))
+        futs.map(_.get()).sum
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdown()
+    }
   }
 
   /** Recursively delete a state root (or any path) — the one shared
