@@ -469,6 +469,56 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Nearest-centroid cell id with the model carried as a `Broadcast`
+    * HANDLE (the [[BloomContainsBc]] pattern): one pass over the k
+    * cells per row, distance = ||c||² − 2·v·c (the rank-equivalent
+    * [[graft.operators.SimilarityOps]] `cellDist`), accumulated in the
+    * exact sequential order [[DotProduct]] uses, ties to the LOWEST
+    * cell id via `Double.compare` — argmin-identical to the
+    * broadcast-join + `min(struct(__d, __cell))` formulation it
+    * replaces on the model-fit/ingest paths, but a NARROW projection:
+    * no broadcast exchange, no ×k candidate rows, and no group-by
+    * shuffle of the full vector column per assignment pass. The model
+    * is `(cvec, cnorm2)` indexed BY cell id. Registry builders cannot
+    * construct this (a Broadcast is not a Literal) — reached through
+    * the [[org.apache.spark.sql.ColumnIntrospection]] wrap. */
+  case class NearestCellBc(child: Expression,
+                           modelBc: org.apache.spark.broadcast.Broadcast[
+                             Array[(Array[Double], Double)]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val model = modelBc.value
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      var best = 0
+      var bestD = Double.NaN
+      var c = 0
+      while (c < model.length) {
+        val (cv, cn2) = model(c)
+        val n = math.min(x.numElements(), cv.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          s += xi * cv(i)
+          i += 1
+        }
+        val d = cn2 - 2.0 * s
+        // Double.compare mirrors Spark's DoubleType ordering (NaN
+        // greatest, -0.0 < 0.0) — the struct-min tie semantics
+        if (c == 0 || java.lang.Double.compare(d, bestD) < 0) {
+          bestD = d; best = c
+        }
+        c += 1
+      }
+      best
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ---- Column-level API ----
   // Expressions reach the plan through the session FunctionRegistry
   // (the supported extension point; direct Column construction from an
@@ -558,6 +608,12 @@ object VectorExpressions {
                       numBits: Int, numHashes: Int): Column = {
     val CI = org.apache.spark.sql.ColumnIntrospection
     CI.column(BloomContainsBc(CI.expression(hash), bc, numBits, numHashes))
+  }
+  def nearestCellBc(vec: Column,
+                    bc: org.apache.spark.broadcast.Broadcast[
+                      Array[(Array[Double], Double)]]): Column = {
+    val CI = org.apache.spark.sql.ColumnIntrospection
+    CI.column(NearestCellBc(CI.expression(vec), bc))
   }
   def boundedMinIds(sortKey: Column, id: Column, cap: Int): Column =
     call_function("graft_bounded_min_ids", sortKey, id, lit(cap))

@@ -772,9 +772,15 @@ object SimilarityOps {
                       vecCol: String = "embedding", dim: Int = 64,
                       k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val VE = graft.functions.VectorExpressions
     val spark = corpus.sparkSession
+    // distinct (id, vector) ONCE, then cache: the per-iteration
+    // assignment used to re-group by (__id, __v) every Lloyd pass —
+    // k-scaled candidate rows through a broadcast join plus a full
+    // shuffle of the vector column, five times per fit. Deduping once
+    // up front keeps the exact same row multiset every pass saw.
     val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .cache()
+      .dropDuplicates("__id", "__v").cache()
     var centroids: Array[Array[Double]] = {
       val sample = vecs
         .orderBy(md5(concat(lit("ivf:"), col("__id").cast("string"))))
@@ -783,10 +789,13 @@ object SimilarityOps {
       farthestFirst(sample, k)
     }
     for (_ <- 1 to iters) {
-      val assigned = assignCells(vecs, centroidsDf(spark, centroids),
-        carry = Seq("__v"))
-      val means = assigned
-        .select(col("__cell"),
+      // broadcast-HANDLE argmin (NearestCellBc): assignment is a
+      // narrow projection — the only shuffle left per pass is the
+      // (cell, pos) means aggregation (opt guide §2.4)
+      val bc = spark.sparkContext.broadcast(
+        centroids.map(c => (c, c.map(x => x * x).sum)))
+      val means = vecs
+        .select(VE.nearestCellBc(col("__v"), bc).as("__cell"),
           posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy("__cell", "__pos").agg(avg(col("__x")).as("__m"))
         .collect()
@@ -795,6 +804,7 @@ object SimilarityOps {
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
       }
       centroids = next
+      bc.unpersist()
     }
     vecs.unpersist()
     centroids
@@ -922,22 +932,32 @@ object SimilarityOps {
       return readIvfPostings(spark, prior).limit(0)
     }
     val dir = StateStore.nextDir(spark, statePath)
-    val cdf = if (prior.isEmpty) {
+    // the frozen model as a driver array: the first drop has it in
+    // hand from the fit; later drops collect the stored k-row table
+    // (bounded by the model size — it was broadcast-joined before
+    // anyway). Assignment is then a NARROW projection via the
+    // broadcast-handle argmin (NearestCellBc) — the broadcast-join +
+    // (__id, __v) group-by it replaces re-shuffled the drop's full
+    // vector column per ingest for a dedup `incoming` already had
+    // (ids are distinct by the dropDuplicates above; opt guide §2.4)
+    val model: Array[(Array[Double], Double)] = if (prior.isEmpty) {
       val fit = fitIvfCentroids(incoming, idCol = "__id",
         vecCol = "__v", k = kCells, iters = iters)
       centroidsDf(spark, fit).repartition(1)
         .write.mode("overwrite").parquet(s"$dir/centroids")
-      spark.read.parquet(s"$dir/centroids")
-    } else spark.read.parquet(prior.head + "/centroids")
+      fit.map(c => (c, c.map(x => x * x).sum))
+    } else readCentroidModel(spark, prior.head + "/centroids")
+    val VE = graft.functions.VectorExpressions
+    val bcm = spark.sparkContext.broadcast(model)
     // postings and the ledger tables all derive from the checkpointed
     // `incoming` (materialized by the isEmpty probe above) and write
     // to disjoint paths: overlap the write jobs (opt guide §2.6);
     // commit still waits for all of them
     StateStore.inParallel(Seq(
-      () => assignCells(incoming.withColumn("__cn", l2norm(col("__v"))),
-          cdf, carry = Seq("__v", "__cn"))
-        .select(col("__id").as("vec_id"), col("__v"), col("__cn"),
-          col("__cell"))
+      () => incoming
+        .select(col("__id").as("vec_id"), col("__v"),
+          l2norm(col("__v")).as("__cn"),
+          VE.nearestCellBc(col("__v"), bcm).as("__cell"))
         .repartition(col("__cell"))
         .write.partitionBy("__cell").mode("overwrite")
         .parquet(s"$dir/postings"),
@@ -945,6 +965,23 @@ object SimilarityOps {
         split.bloomBytes)))
     StateStore.commit(spark, dir)
     spark.read.parquet(s"$dir/postings")
+  }
+
+  /** The stored coarse-quantizer model as a driver array indexed by
+    * cell id, with the PERSISTED norms (bit-identical to what the
+    * broadcast-join argmin read from the same table) — bounded by the
+    * model size, one tiny collect. */
+  private def readCentroidModel(spark: org.apache.spark.sql.SparkSession,
+                                path: String)
+      : Array[(Array[Double], Double)] = {
+    val rows = spark.read.parquet(path).collect()
+    val arr = new Array[(Array[Double], Double)](rows.length)
+    rows.foreach { r =>
+      arr(r.getAs[Int]("__cell")) =
+        (r.getAs[Seq[Double]]("__cvec").toArray,
+          r.getAs[Double]("__cnorm2"))
+    }
+    arr
   }
 
   /** Per-root postings union ([[graft.operators.GraphAlgos]]'s
@@ -1050,10 +1087,18 @@ object SimilarityOps {
       val fit = fitIvfCentroids(posts, idCol = "__id", vecCol = "__v",
         k = kCells, iters = iters)
       val cdf = centroidsDf(spark, fit)
-      val re = assignCells(posts.withColumn("__cn", l2norm(col("__v"))),
-          cdf, carry = Seq("__v", "__cn"))
-        .select(col("__id").as("vec_id"), col("__v"), col("__cn"),
-          col("__cell"))
+      // committed postings carry distinct vec_ids by the id-ledger
+      // contract (re-presents never commit), so the broadcast-handle
+      // argmin projection assigns each posting directly — the
+      // broadcast-join + (__id, __v) group-by it replaces re-shuffled
+      // every stored vector for a dedup the ledger already guarantees
+      val VE = graft.functions.VectorExpressions
+      val bcm = spark.sparkContext.broadcast(
+        fit.map(c => (c, c.map(x => x * x).sum)))
+      val re = posts
+        .select(col("__id").as("vec_id"), col("__v"),
+          l2norm(col("__v")).as("__cn"),
+          VE.nearestCellBc(col("__v"), bcm).as("__cell"))
       m + ("centroids" -> (cdf.repartition(1), Seq.empty[String])) +
         ("postings" -> (re.repartition(col("__cell")), Seq("__cell")))
     }
