@@ -519,6 +519,64 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** All `m` PQ subspace codes of a vector in ONE narrow pass, the
+    * codebooks carried as a `Broadcast` handle ([[NearestCellBc]]'s
+    * multi-subspace sibling): code(s) = argmin over book `s` of
+    * ||c||² − 2·v[s·sd..]·c, accumulated in [[DotProduct]]'s
+    * sequential order with ties to the LOWEST code id — argmin-
+    * identical to the subVectors-explode + broadcast-join +
+    * min(struct) encode it replaces, which paid an ×m row explode and
+    * two grouped shuffles of the sub-vector column per encode pass.
+    * Model: `books(s)(code) = (cvec, cnorm2)`. */
+  case class PqCodesBc(child: Expression,
+                       booksBc: org.apache.spark.broadcast.Broadcast[
+                         Array[Array[(Array[Double], Double)]]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val books = booksBc.value
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val m = books.length
+      val out = new Array[Int](m)
+      var s = 0
+      var off = 0
+      while (s < m) {
+        val book = books(s)
+        val sd = if (book.isEmpty) 0 else book(0)._1.length
+        var best = 0
+        var bestD = Double.NaN
+        var c = 0
+        while (c < book.length) {
+          val (cv, cn2) = book(c)
+          // mirror slice(): stop at the vector's end on short inputs
+          val n = math.min(math.max(x.numElements() - off, 0), sd)
+          var acc = 0.0
+          var i = 0
+          while (i < n) {
+            val xi = if (isFloat) x.getFloat(off + i).toDouble
+                     else x.getDouble(off + i)
+            acc += xi * cv(i)
+            i += 1
+          }
+          val d = cn2 - 2.0 * acc
+          if (c == 0 || java.lang.Double.compare(d, bestD) < 0) {
+            bestD = d; best = c
+          }
+          c += 1
+        }
+        out(s) = best
+        off += sd
+        s += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ---- Column-level API ----
   // Expressions reach the plan through the session FunctionRegistry
   // (the supported extension point; direct Column construction from an
@@ -614,6 +672,12 @@ object VectorExpressions {
                       Array[(Array[Double], Double)]]): Column = {
     val CI = org.apache.spark.sql.ColumnIntrospection
     CI.column(NearestCellBc(CI.expression(vec), bc))
+  }
+  def pqCodesBc(vec: Column,
+                bc: org.apache.spark.broadcast.Broadcast[
+                  Array[Array[(Array[Double], Double)]]]): Column = {
+    val CI = org.apache.spark.sql.ColumnIntrospection
+    CI.column(PqCodesBc(CI.expression(vec), bc))
   }
   def boundedMinIds(sortKey: Column, id: Column, cap: Int): Column =
     call_function("graft_bounded_min_ids", sortKey, id, lit(cap))

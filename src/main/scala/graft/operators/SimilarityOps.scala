@@ -1201,16 +1201,16 @@ object SimilarityOps {
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
-    val dim = books.length * books.head.head.length
-    val sub = subVectors(
-      df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
-      dim, books.length)
-    assignCodes(sub, codebooksDf(df.sparkSession, books))
-      .groupBy(col("__id"))
-      .agg(transform(array_sort(collect_list(
-        struct(col("__sub"), col("__code")))),
-        s => s.getField("__code")).as("codes"))
-      .select(col("__id").as(idCol), col("codes"))
+    val VE = graft.functions.VectorExpressions
+    // all m codes in ONE narrow pass (PqCodesBc, argmin-identical to
+    // the explode + broadcast-join + min(struct) chain it replaces —
+    // parity spec): the old encode exploded ×m sub-vector rows and
+    // paid two grouped shuffles of them per pass (opt guide §2.4).
+    // One row per input row — callers feed distinct ids (the corpus
+    // contract shared with bruteForceTopK).
+    val bc = df.sparkSession.sparkContext.broadcast(
+      books.map(_.map(c => (c, c.map(x => x * x).sum))))
+    df.select(col(idCol), VE.pqCodesBc(col(vecCol), bc).as("codes"))
   }
 
   /**

@@ -65,4 +65,39 @@ class NearestCellBcSpec extends SparkSpec {
     assert(ties(3L) === 0)
     assert(ties(4L) === 0)
   }
+
+  test("PqCodesBc equals the subvector-explode join argmin encode") {
+    VectorExpressions.register(spark)
+    // two 2-dim subspaces over the 4-dim fixture vectors, 3 codes each
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.5, 0.5)),
+      Array(Array(0.0, 0.0), Array(0.25, -0.125), Array(1.0, 1.0)))
+    val sd = 2
+    val bdf = books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, i) =>
+        (s, i, c.toSeq, c.map(x => x * x).sum) }
+    }.toSeq.toDF("__sub", "__cell", "__cvec", "__cnorm2")
+    val sub = vecs.select(col("id"), explode(expr(
+        s"transform(sequence(0, 1), s -> " +
+        s"struct(s AS sub, slice(v, s * $sd + 1, $sd) AS sv))")).as("__p"))
+      .select(col("id"), col("__p.sub").as("__sub"),
+        col("__p.sv").as("__v"))
+    val joined = sub.join(broadcast(bdf), "__sub")
+      .withColumn("__d", col("__cnorm2") -
+        lit(2.0) * VectorExpressions.dot(col("__v"), col("__cvec")))
+      .groupBy(col("id"), col("__sub"), col("__v"))
+      .agg(min(struct(col("__d"), col("__cell")))
+        .getField("__cell").as("__code"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("__sub"), col("__code")))),
+        s => s.getField("__code")).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val bc = spark.sparkContext.broadcast(
+      books.map(_.map(c => (c, c.map(x => x * x).sum))))
+    val fused = vecs.select(col("id"),
+        VectorExpressions.pqCodesBc(col("v"), bc).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(fused === joined)
+  }
 }
