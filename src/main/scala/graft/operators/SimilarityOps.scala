@@ -852,13 +852,22 @@ object SimilarityOps {
               idCol: String = "vec_id", vecCol: String = "embedding",
               nprobe: Int = 4, k: Int = 10): DataFrame = {
     graft.functions.VectorExpressions.register(queries.sparkSession)
+    val VE = graft.functions.VectorExpressions
     val cdf = centroidsDf(queries.sparkSession, centroids)
-    val c = assignCells(
-      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-        l2norm(col(vecCol)).as("__cn")),
-      cdf, carry = Seq("__v", "__cn"))
-      .select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
-        col("__cn"), col("__cell"))
+    // corpus cell assignment as a NARROW projection (NearestCellBc —
+    // argmin-identical to the broadcast-join + min(struct) path, spec
+    // NearestCellBcSpec): the join formulation's (__id, __v) group-by
+    // shuffled the full corpus vector column per query run. Output
+    // identity holds even for duplicate-id inputs: the old group-by
+    // collapsed exact (id, vector) copies, and the scored rows of such
+    // copies are themselves exact copies, which the
+    // dropDuplicates(query_id, neighbor_id) below collapses the same
+    // way — the multiset reaching the top-k cut is unchanged.
+    val bcm = queries.sparkSession.sparkContext.broadcast(
+      centroids.map(cv => (cv, cv.map(x => x * x).sum)))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"),
+      VE.nearestCellBc(col(vecCol), bcm).as("__cell"))
     val q = probeCells(
       queries.select(col(idCol).as("__id"), col(vecCol).as("__v"),
         l2norm(col(vecCol)).as("__qn")),
