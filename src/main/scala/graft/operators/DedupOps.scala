@@ -607,9 +607,15 @@ object DedupOps {
     // than the vectors — once at execution, and its storage is released
     // with the DataFrame (cache() would leak a CacheManager entry per
     // call in a long-running service).
-    val sigs = withNorm.select(col("__id"),
-      SimilarityOps.signBuckets(col("__v"), dim, bits, nTables)
-        .as("__bs")).localCheckpoint(false)
+    // widened BEFORE the checkpoint (SimilarityOps.widenSmall): the
+    // single-row-group scan otherwise pins the checkpoint to ONE
+    // partition, and both sides' bucket/probe explosions inherit that
+    // width for their whole map stage
+    val sigs = SimilarityOps.widenSmall(
+        withNorm.select(col("__id"), col("__v")))
+      .select(col("__id"),
+        SimilarityOps.signBuckets(col("__v"), dim, bits, nTables)
+          .as("__bs")).localCheckpoint(false)
 
     val corpusSide = sigs.select(col("__id").as("id_b"),
       explode(col("__bs")).as("__bucket"))
@@ -663,8 +669,13 @@ object DedupOps {
     val withNorm = df.select(col(idCol).as("__id"),
       col(vecCol).as("__v"),
       SimilarityOps.l2norm(col(vecCol)).as("__n"))
-    val a = withNorm.select(col("__id").as("id_a"), col("__v").as("__va"),
-      col("__n").as("__na"))
+    // the theta self-join streams one side through a broadcast
+    // nested-loop scan: widen it (SimilarityOps.widenSmall — the
+    // single-row-group scan otherwise runs the whole n²/2 dot stage
+    // on one task)
+    val a = SimilarityOps.widenSmall(
+      withNorm.select(col("__id").as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na")))
     val b = withNorm.select(col("__id").as("id_b"), col("__v").as("__vb"),
       col("__n").as("__nb"))
     a.join(b, col("id_a") < col("id_b"))

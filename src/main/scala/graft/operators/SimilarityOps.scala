@@ -80,6 +80,30 @@ object SimilarityOps {
    * to be small (it is broadcast); ties broken by corpus id for
    * determinism. Returns `(query_id, neighbor_id, cosine, rank)`.
    */
+  /** Width floor for a SMALL frame about to feed a superlinear kernel
+    * (an n·|queries| broadcast-crossJoin scan, an all-pairs self-join):
+    * a single parquet file holds ONE row group, so however the scan's
+    * byte ranges split, every row lands in one task and the whole
+    * n²-flop stage runs on one core (measured: embed_knn_graph's 3 s
+    * of task time at parallelism ≈ 1). One tiny round-robin exchange
+    * spreads the rows across the session's shuffle width (opt guide
+    * §2.2/§6 — scan parallelism floors). Gated on the plan's size
+    * ESTIMATE so a big corpus never pays a repartition it doesn't
+    * need: above [[WidenMaxBytes]] (or when stats are unknown — e.g. a
+    * checkpointed input, which already carries its own partitioning)
+    * the frame passes through untouched; the superlinear faces at
+    * archive scale already have input parallelism from their file
+    * splits. Only order-free consumers (per-row scoring, argmin/top-k
+    * cuts, integer kernels) may widen — round-robin changes row
+    * order. */
+  private[operators] def widenSmall(df: DataFrame): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= WidenMaxBytes)
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    else df
+  }
+  private[operators] val WidenMaxBytes: Long = 256L << 20
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
@@ -87,8 +111,8 @@ object SimilarityOps {
     graft.functions.VectorExpressions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
+    val c = widenSmall(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -118,8 +142,8 @@ object SimilarityOps {
     graft.functions.VectorExpressions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
+    val c = widenSmall(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn")))
     broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -219,7 +243,8 @@ object SimilarityOps {
     val qt = tokenView(queries, "query_id")
       .select(col("query_id"), col("__t").as("__qt"),
         col("__tv").as("__qv"), col("__tn").as("__qn"))
-    (qt, tokenView(corpus, "neighbor_id"))
+    (qt, tokenView(
+      widenSmall(corpus.select(col(idCol), col(vecCol))), "neighbor_id"))
   }
 
   /** Shared MaxSim scoring + bounded cut over (query token × doc
@@ -306,13 +331,14 @@ object SimilarityOps {
   private[graft] def knnCandidates(df: DataFrame, nBits: Int,
                                    nTables: Int, dim: Int, idCol: String,
                                    vecCol: String): DataFrame = {
-    val a = df.select(col(idCol).as("src"), col(vecCol).as("__av"),
-      l2norm(col(vecCol)).as("__an"))
+    val a = widenSmall(df.select(col(idCol).as("src"),
+      col(vecCol).as("__av"), l2norm(col(vecCol)).as("__an")))
     val b = df.select(col(idCol).as("dst"), col(vecCol).as("__bv"),
       l2norm(col(vecCol)).as("__bn"))
     if (nBits <= 0) a.crossJoin(broadcast(b))
     else {
-      val bucketed = df.select(col(idCol), col(vecCol),
+      val bucketed = widenSmall(df.select(col(idCol), col(vecCol)))
+        .select(col(idCol), col(vecCol),
           explode(signBuckets(col(vecCol), dim, nBits, nTables))
             .as("__bucket"))
         .localCheckpoint(false) // self-joined: compute lineage once
@@ -645,8 +671,8 @@ object SimilarityOps {
     graft.functions.VectorExpressions.register(left.sparkSession)
     val cand =
       if (nBits <= 0) {
-        val a = left.select(col(idCol).as("src"), col(vecCol).as("__av"),
-          l2norm(col(vecCol)).as("__an"))
+        val a = widenSmall(left.select(col(idCol).as("src"),
+          col(vecCol).as("__av"), l2norm(col(vecCol)).as("__an")))
         val b = right.select(col(idCol).as("dst"), col(vecCol).as("__bv"),
           l2norm(col(vecCol)).as("__bn"))
         a.crossJoin(broadcast(b))
