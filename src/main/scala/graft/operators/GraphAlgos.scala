@@ -323,7 +323,13 @@ object GraphAlgos {
     // written layout with a driver FS listing, not a separate isEmpty
     // job
     val dir = StateStore.nextDir(spark, statePath)
-    incoming.repartition(col("__bk"))
+    // EXPLICIT width on the bucket repartition: without a partition
+    // count AQE coalesces the (tiny at gate scale) shuffle to one
+    // partition and a single task writes all ~64 bucket files
+    // serially — measured as the dominant per-ingest job. The session
+    // shuffle width is the scale knob either way.
+    incoming.repartition(
+        spark.sessionState.conf.numShufflePartitions, col("__bk"))
       .write.partitionBy("__bk").mode("overwrite").parquet(s"$dir/edges")
     val edgesPath = new org.apache.hadoop.fs.Path(s"$dir/edges")
     val wroteRows = edgesPath
