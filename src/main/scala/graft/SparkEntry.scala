@@ -1918,7 +1918,7 @@ object SparkEntry {
   // leftovers are GC'd on the next call — the streamedToParquet sink
   // pattern. A live foreign pid's dirs are never touched.
   private val stateCounter = new java.util.concurrent.atomic.AtomicLong()
-  private def freshStateDir(tag: String): String = {
+  private[graft] def freshStateDir(tag: String): String = {
     val base = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"), tag).toString
     val pidPrefix = s"${base}_p${ProcessHandle.current().pid()}_"

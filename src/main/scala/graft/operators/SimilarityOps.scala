@@ -817,12 +817,20 @@ object SimilarityOps {
     for (_ <- 1 to iters) {
       // broadcast-HANDLE argmin (NearestCellBc): assignment is a
       // narrow projection — the only shuffle left per pass is the
-      // (cell, pos) means aggregation (opt guide §2.4)
+      // (cell, pos) means aggregation (opt guide §2.4).
+      // The cell is assigned in its OWN projection BELOW the explode:
+      // a single select(cell, posexplode) analyzes to
+      // Project[cell] ABOVE Generate, evaluating the k·dim argmin per
+      // EXPLODED ELEMENT — dim× too often, interpreted, outside
+      // codegen (measured r14: ~0.5 s/pass at 2000×64 — the argmin
+      // itself is ~2 ms). Spark never pushes projections down through
+      // a Generate, so the two-step select pins one eval per ROW; the
+      // (cell, pos, x) multiset reaching the aggregate is identical.
       val bc = spark.sparkContext.broadcast(
         centroids.map(c => (c, c.map(x => x * x).sum)))
       val means = vecs
-        .select(VE.nearestCellBc(col("__v"), bc).as("__cell"),
-          posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .select(VE.nearestCellBc(col("__v"), bc).as("__cell"), col("__v"))
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy("__cell", "__pos").agg(avg(col("__x")).as("__m"))
         .collect()
       val next = centroids.map(_.clone())
