@@ -60,7 +60,10 @@ object PlanDump {
             f"shj=$shj%-2d bnlj=$bnlj%-2d cart=$cart%-2d win=$win%-2d " +
             f"scans=$scans%-2d nofilter=$unpushed%-2d"
         } catch {
-          case e: Throwable =>
+          // NonFatal only (advice r13): a VM error (OOM, linkage) must
+          // abort the sweep — later gates' committed plan lines can't
+          // be trusted after one
+          case scala.util.control.NonFatal(e) =>
             f"$name%-36s ERROR ${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(120)
         }

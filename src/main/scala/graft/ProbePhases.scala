@@ -103,8 +103,16 @@ object ProbePhases {
       val bc = spark.sparkContext.broadcast(
         cents.map(c => (c, c.map(x => x * x).sum)))
       for (i <- 1 to 3)
-        phase(s"means$i")(vecs
+        phase(s"meansOld$i")(vecs
           .select(VE.nearestCellBc(col("__v"), bc).as("__cell"),
+            posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy("__cell", "__pos").agg(avg(col("__x")).as("__m"))
+          .collect())
+      for (i <- 1 to 3)
+        phase(s"meansNew$i")(vecs
+          .select(VE.nearestCellBc(col("__v"), bc).as("__cell"),
+            col("__v"))
+          .select(col("__cell"),
             posexplode(col("__v")).as(Seq("__pos", "__x")))
           .groupBy("__cell", "__pos").agg(avg(col("__x")).as("__m"))
           .collect())
@@ -128,7 +136,8 @@ object ProbePhases {
       val bc = spark.sparkContext.broadcast(
         cents.map(c => (c, c.map(x => x * x).sum)))
       val means = vecs
-        .select(VE.nearestCellBc(col("__v"), bc).as("__cell"),
+        .select(VE.nearestCellBc(col("__v"), bc).as("__cell"), col("__v"))
+        .select(col("__cell"),
           posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy("__cell", "__pos").agg(avg(col("__x")).as("__m"))
       means.collect()

@@ -8,7 +8,13 @@ object ScaleProbe {
     // run a targeted subset in a fresh session (accumulated caches
     // distort the long-tail timings)
     val only = args.lift(1).map(_.split(",").toSeq)
-    val spark = SparkSession.builder().master("local[16]")
+    // core count from the env (default the historical 16) so the probe
+    // doubles as the CORE-SCALING receipt: the same replicated corpus
+    // at 8 vs 32 cores measures whether the shuffle/n²-heavy faces
+    // actually parallelize (r13 verdict item 7 — sf0.1's one-row-group
+    // gates cannot show this; the replicated 10× corpus can)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.adaptive.enabled","true")

@@ -153,16 +153,40 @@ object GraphAlgos {
 
   /** The archive-edge ledger read of an [[ccIncremental]] ingest,
     * PRUNED to the given hash buckets — exposed for the plan-guard
-    * spec, which asserts the scan carries partition filters (i.e. an
-    * ingest's exact-verify never reads untouched archive buckets). */
+    * spec, which asserts the scan roots are exactly the touched bucket
+    * directories (an ingest's exact-verify never reads — or even
+    * LISTS — untouched archive buckets). Pruning is PATH-level: the
+    * touched `__bk=N` leaf dirs are handed to the reader directly, so
+    * a 64-bucket × N-increment ledger costs a handful of driver
+    * exists() probes instead of a full-root listing job per prior dir
+    * (a >32-path root triggers Spark's distributed file-listing job —
+    * measured ~0.13 s per dir per ingest at gate scale, r14). A
+    * touched bucket can be absent from every dir (an OR-fold false
+    * positive): the read is then empty, which the anti-join treats as
+    * fresh — exactly the FP contract. */
   private[graft] def ccArchiveLedger(spark: SparkSession,
-      prior: Seq[String], touched: Seq[Int]): DataFrame =
-    // per-root reads + union (multi-root partition inference is
-    // unsupported); the bucket filter pushes through the Union into
-    // each scan's partition filters
-    prior.map(p => spark.read.parquet(s"$p/edges"))
-      .reduce(_.unionByName(_))
-      .filter(col("__bk").isin(touched.map(Int.box): _*))
+      prior: Seq[String], touched: Seq[Int]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = prior.flatMap { p =>
+      val root = new org.apache.hadoop.fs.Path(s"$p/edges")
+      val f = root.getFileSystem(conf)
+      // the TABLE must exist (a silent empty read would admit a
+      // re-present as fresh); absent BUCKET dirs are the sparse/FP case
+      require(f.exists(root),
+        s"ccIncremental: missing edges ledger under $p — corrupted state?")
+      touched.map(b => new org.apache.hadoop.fs.Path(root, s"__bk=$b"))
+        .filter(f.exists).map(_.toString)
+    }
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dst",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(paths: _*).select(col("src"), col("dst"))
+  }
 
   /** Compact an [[ccIncremental]] state root: edge ledger and blooms
     * union (both readers fold associatively — the anti-join probes the
@@ -196,8 +220,12 @@ object GraphAlgos {
           pmod(col("__h"), lit(buckets.toLong)).cast("int"))
       val bloom = CurationOps.bloomFromHashes(
         edges.select(col("__h")), bloomBits, CcBloomHashes)
-      import spark.implicits._
-      m + ("edges" -> (edges.repartition(col("__bk")), Seq("__bk"))) +
+      // staged frames stay on the merged frames' (maintenance)
+      // session; no repartition on edges — compactRewrite repartitions
+      // every partitioned staged table by its partition columns
+      val ms = edges.sparkSession
+      import ms.implicits._
+      m + ("edges" -> (edges, Seq("__bk"))) +
         ("bloom" -> (Seq((bloom, buckets, bloomBits))
           .toDF("__bloom", "buckets", "bloom_bits")
           .repartition(1), Seq.empty[String]))
@@ -259,7 +287,19 @@ object GraphAlgos {
       .getOrElse((buckets, bloomBits))
     // canonical drop, hashed once: __h feeds the bloom, __bk the
     // bucket layout; computed lineage runs once (self-referenced)
-    val norm = newEdges.select(
+    // the ingest's bookkeeping (the canonical-drop checkpoint, split
+    // aggregation, state-table writes, the small-path label collects)
+    // runs on the AQE-off maintenance session — every one of these is
+    // a static 1-3-stage job, and AQE charges one driver job per query
+    // stage on top (StateStore.maint). Rebasing the INPUT (before the
+    // distinct) keeps the checkpoint's exchange inside the first
+    // maintenance action instead of materializing it as parent-side
+    // AQE stage jobs at plan time (the documented lazy-checkpoint
+    // gotcha); gate drops arrive checkpointed, so `.rdd` is free.
+    val ms = StateStore.maint(spark)
+    val norm = StateStore.rebase(
+        newEdges.select(col("src"), col("dst")), ms)
+      .select(
         least(col("src"), col("dst")).cast("long").as("src"),
         greatest(col("src"), col("dst")).cast("long").as("dst")).distinct()
       .withColumn("__h", xxhash64(col("src"), col("dst")))
@@ -310,11 +350,11 @@ object GraphAlgos {
       if (prior.isEmpty || touched.isEmpty) norm
       else norm.filter(!inBloom).unionByName(
         norm.filter(inBloom)
-          .join(ccArchiveLedger(spark, prior, touched)
+          .join(ccArchiveLedger(ms, prior, touched)
               .select(col("src"), col("dst")),
             Seq("src", "dst"), "left_anti"))
-    def lastLabels(dirs: Seq[String]): DataFrame =
-      spark.read.parquet(dirs.last + "/labels")
+    def lastLabels(sess: SparkSession, dirs: Seq[String]): DataFrame =
+      sess.read.parquet(dirs.last + "/labels")
     // write the drop ONCE, derive everything from the read-back (the
     // exactIncremental pattern: ledger and labels can never diverge);
     // repartition by bucket first so each bucket lands as one file,
@@ -329,7 +369,7 @@ object GraphAlgos {
     // serially — measured as the dominant per-ingest job. The session
     // shuffle width is the scale knob either way.
     incoming.repartition(
-        spark.sessionState.conf.numShufflePartitions, col("__bk"))
+        ms.sessionState.conf.numShufflePartitions, col("__bk"))
       .write.partitionBy("__bk").mode("overwrite").parquet(s"$dir/edges")
     val edgesPath = new org.apache.hadoop.fs.Path(s"$dir/edges")
     val wroteRows = edgesPath
@@ -338,7 +378,7 @@ object GraphAlgos {
       .exists(s => s.isDirectory && s.getPath.getName.startsWith("__bk="))
     if (!wroteRows) {
       StateStore.delete(dir) // uncommitted; tidy up for the next index
-      if (prior.nonEmpty) return lastLabels(prior)
+      if (prior.nonEmpty) return lastLabels(spark, prior)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -347,7 +387,7 @@ object GraphAlgos {
           org.apache.spark.sql.types.StructField("component",
             org.apache.spark.sql.types.LongType))))
     }
-    import spark.implicits._
+    import ms.implicits._
     // the bloom rows are driver-held bytes with no lineage and the
     // labels table derives only from the already-written edges + the
     // PRIOR dirs — two independent state-table productions, overlapped
@@ -360,10 +400,13 @@ object GraphAlgos {
         cacheBloom(spark, dir, (bloom, bk, bb))
       },
       () => {
-        val fresh = spark.read.parquet(s"$dir/edges")
+        // small-path reads/writes stay on the maintenance session;
+        // the DISTRIBUTED path (archive-scale states) builds on the
+        // parent so the iterative CC keeps AQE and its own tuning
+        val fresh = ms.read.parquet(s"$dir/edges")
           .select(col("src"), col("dst"))
         val prevLabels =
-          if (prior.isEmpty) None else Some(lastLabels(prior))
+          if (prior.isEmpty) None else Some(lastLabels(ms, prior))
         // the per-ingest CC input is |labels| star edges + |drop| new
         // edges — LABEL-sized by the contraction property. Below
         // [[CcSmallEdges]] the exact min-id labeling computes as a
@@ -382,13 +425,19 @@ object GraphAlgos {
           .getOrElse(0L)
         val labelsOut: DataFrame =
           if (normCnt + labelCnt <= CcSmallEdges) {
-            val fe = fresh.collect().map(r => (r.getLong(0), r.getLong(1)))
-            // a labels row (id, component) IS a connectivity pair —
-            // the star edges are exactly these with self rows dropped,
-            // and self rows are harmless to a union-find
-            val le = prevLabels.map(_.collect()
-              .map(r => (r.getLong(0), r.getLong(1))))
-              .getOrElse(Array.empty[(Long, Long)])
+            // the two bounded collects are independent reads of
+            // disjoint tables — overlap them (opt guide §2.6)
+            var fe: Array[(Long, Long)] = null
+            var le = Array.empty[(Long, Long)]
+            StateStore.inParallel(Seq(
+              () => fe = fresh.collect()
+                .map(r => (r.getLong(0), r.getLong(1))),
+              // a labels row (id, component) IS a connectivity pair —
+              // the star edges are exactly these with self rows
+              // dropped, and self rows are harmless to a union-find
+              () => le = prevLabels.map(_.collect()
+                .map(r => (r.getLong(0), r.getLong(1))))
+                .getOrElse(Array.empty[(Long, Long)])))
             // driver-sized by the threshold: land as ONE file — the
             // default local-relation write scattered ~32 tiny files
             // that every later read (lastLabels, the returned frame,
@@ -397,16 +446,22 @@ object GraphAlgos {
             ccUnionFind(fe ++ le).toSeq.toDF("id", "component")
               .coalesce(1)
           } else {
-            val stars = prevLabels.map(
+            // archive-scale: rebuild on the PARENT session (AQE on —
+            // the iterative CC wants runtime coalescing/skew handling)
+            val freshP = spark.read.parquet(s"$dir/edges")
+              .select(col("src"), col("dst"))
+            val prevLabelsP =
+              if (prior.isEmpty) None else Some(lastLabels(spark, prior))
+            val stars = prevLabelsP.map(
               _.filter(col("id") =!= col("component"))
                 .select(col("component").as("src"), col("id").as("dst")))
-            val edgesAll = stars.fold(fresh)(fresh.union)
-            val verts = prevLabels
-              .map(l => fresh.select(col("src").as("id"))
-                .union(fresh.select(col("dst")))
+            val edgesAll = stars.fold(freshP)(freshP.union)
+            val verts = prevLabelsP
+              .map(l => freshP.select(col("src").as("id"))
+                .union(freshP.select(col("dst")))
                 .union(l.select(col("id"))))
-              .getOrElse(fresh.select(col("src").as("id"))
-                .union(fresh.select(col("dst"))))
+              .getOrElse(freshP.select(col("src").as("id"))
+                .union(freshP.select(col("dst"))))
               .distinct()
             connectedComponents(GraphStore(verts, edgesAll))
           }

@@ -102,14 +102,37 @@ private[graft] object IdLedger {
 
   /** The archive-id read of an ingest's exact-verify, PRUNED to the
     * given hash buckets — exposed for the plan-guard spec, which
-    * asserts the scan carries partition filters (a fresh drop's
-    * bloom-positive tail never opens untouched bucket dirs). Per-root
-    * reads + union: multi-root partition inference is unsupported. */
+    * asserts the scan roots are exactly the touched bucket dirs (a
+    * fresh drop's bloom-positive tail never opens — or LISTS —
+    * untouched bucket dirs). Path-level pruning, the
+    * [[GraphAlgos.ccArchiveLedger]] shape: touched `__ib=N` leaf dirs
+    * go to the reader directly (driver exists() probes instead of a
+    * full-root listing job per dir); an OR-fold false-positive bucket
+    * absent everywhere reads empty, which the anti-join treats as
+    * fresh. */
   private[graft] def archiveIds(spark: SparkSession, dirs: Seq[String],
-                                touched: Seq[Int]): DataFrame =
-    dirs.map(d => spark.read.parquet(s"$d/ids"))
-      .reduce(_.unionByName(_))
-      .filter(col("__ib").isin(touched.map(Int.box): _*))
+                                touched: Seq[Int]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = dirs.flatMap { d =>
+      val root = new org.apache.hadoop.fs.Path(s"$d/ids")
+      val f = root.getFileSystem(conf)
+      // the TABLE must exist — a missing `ids` is a corrupted/foreign
+      // state and must fail loudly (a silent empty read would admit a
+      // re-present as fresh); an absent BUCKET dir within an existing
+      // table is the legitimate sparse/FP case and reads empty
+      require(f.exists(root),
+        s"IdLedger: missing ids table under $d — corrupted state?")
+      touched.map(b => new org.apache.hadoop.fs.Path(root, s"__ib=$b"))
+        .filter(f.exists).map(_.toString)
+    }
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(paths: _*).select(col("vec_id"))
+  }
 
   /** Per-state ledger sizing: persisted meta when the state exists,
     * the caller's defaults for a new one. The bloom bytes ride along
@@ -192,9 +215,12 @@ private[graft] object IdLedger {
     val bloom = CurationOps.bloomFromHashes(
       hashed.select(col("__h")), bloomBits, BloomHashes)
     import spark.implicits._
+    // no repartition here: [[StateStore.compactRewrite]] repartitions
+    // every partitioned staged table by its partition columns at the
+    // session width before writing
     m + ("ids" -> (hashed
-        .select(col("vec_id").cast("long").as("vec_id"), col("__ib"))
-        .repartition(col("__ib")), Seq("__ib"))) +
+        .select(col("vec_id").cast("long").as("vec_id"), col("__ib")),
+        Seq("__ib"))) +
       ("idbloom" -> (Seq((bloom, buckets, bloomBits))
         .toDF("__bloom", "buckets", "bloom_bits")
         .repartition(1), Seq.empty[String]))
@@ -215,8 +241,13 @@ private[graft] object IdLedger {
     // fresh rows, idbloom from driver-held bytes): overlap their write
     // jobs (opt guide §2.6)
     StateStore.inParallel(Seq(
+      // EXPLICIT width on the bucket repartition (the cc __bk lesson,
+      // r13): without a partition count AQE coalesces the tiny shuffle
+      // to ONE partition and a single task writes all ~64 bucket files
+      // serially — measured ~1.0 s vs ~0.45 s at width 8-32 (ProbeWrite)
       () => fresh.select(col(idCol).cast("long").as("vec_id"), col("__ib"))
-        .repartition(col("__ib"))
+        .repartition(fresh.sparkSession.sessionState.conf
+          .numShufflePartitions, col("__ib"))
         .write.partitionBy("__ib").mode("overwrite").parquet(s"$dir/ids"),
       () => Seq((bloomBytes, buckets, bloomBits))
         .toDF("__bloom", "buckets", "bloom_bits")

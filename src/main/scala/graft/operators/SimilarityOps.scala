@@ -95,14 +95,35 @@ object SimilarityOps {
     * archive scale already have input parallelism from their file
     * splits. Only order-free consumers (per-row scoring, argmin/top-k
     * cuts, integer kernels) may widen — round-robin changes row
-    * order. */
-  private[operators] def widenSmall(df: DataFrame): DataFrame = {
+    * order.
+    *
+    * `minBytes` is the WORK-FLOOR gate (r13 verdict #1: below the
+    * 256 MB upper gate the widen fired unconditionally, and on faces
+    * whose per-row work is bounded — a broadcast-crossJoin against a
+    * BOUNDED query set — a 2000-row corpus paid a full exchange +
+    * 32-task wave that cost more than the one-task stage it replaced:
+    * ann_topk 0.352→0.624 s, embed_maxsim_rerank 0.896→1.384 s). The
+    * widened frame's bytes cannot measure the MULTIPLIER (the same
+    * embeddings table feeds both ann_topk's 10×n scan and
+    * embed_knn_graph's n² self-join), so the discriminator is the
+    * call site's consumer shape:
+    *  - SELF-superlinear consumers (all-pairs/bucket self-joins —
+    *    work ∝ n² in the widened frame) widen unconditionally below
+    *    the upper gate: even a 1 MB frame carries n²·dim flops.
+    *  - BOUNDED-multiplier consumers (bruteForceTopK / radiusSearch /
+    *    maxSimViews — work ∝ n × |queries| with |queries| bounded by
+    *    the broadcast contract) pass [[WidenMinBytes]]: a frame under
+    *    it finishes faster serially than the exchange costs, while a
+    *    mid-size corpus (16–256 MB) still widens. */
+  private[operators] def widenSmall(df: DataFrame,
+                                    minBytes: Long = 0L): DataFrame = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= WidenMaxBytes)
+    if (est <= WidenMaxBytes && est >= minBytes)
       df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
     else df
   }
   private[operators] val WidenMaxBytes: Long = 256L << 20
+  private[operators] val WidenMinBytes: Long = 16L << 20
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String = "vec_id",
@@ -112,7 +133,8 @@ object SimilarityOps {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
     val c = widenSmall(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn")))
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn")),
+      minBytes = WidenMinBytes) // bounded-query face: see widenSmall
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -143,7 +165,8 @@ object SimilarityOps {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
     val c = widenSmall(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn")))
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn")),
+      minBytes = WidenMinBytes) // bounded-query face: see widenSmall
     broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -244,7 +267,8 @@ object SimilarityOps {
       .select(col("query_id"), col("__t").as("__qt"),
         col("__tv").as("__qv"), col("__tn").as("__qn"))
     (qt, tokenView(
-      widenSmall(corpus.select(col(idCol), col(vecCol))), "neighbor_id"))
+      widenSmall(corpus.select(col(idCol), col(vecCol)),
+        minBytes = WidenMinBytes), "neighbor_id"))
   }
 
   /** Shared MaxSim scoring + bounded cut over (query token × doc
@@ -458,11 +482,17 @@ object SimilarityOps {
     val prior = StateStore.committed(spark, statePath)
     val (bloomOpt, bk, bb) = IdLedger.sizing(spark, prior,
       ledgerBuckets, ledgerBloomBits)
+    // eager ingest bookkeeping on the AQE-off maintenance session
+    // (StateStore.maint rationale); rebasing the narrow signed INPUT
+    // keeps the checkpoint off the parent's AQE plan-time jobs
+    val ms = StateStore.maint(spark)
     // hashed drop checkpointed FIRST: the bloom split references it
     // three times (negative filter, positive filter, touched collect)
     val sigs = IdLedger.withHash(
-        newVecs.select(col(idCol).cast("long").as("vec_id"),
-          signHalf(vecCol, 0).as("__ca"), signHalf(vecCol, 32).as("__cb")),
+        StateStore.rebase(
+          newVecs.select(col(idCol).cast("long").as("vec_id"),
+            signHalf(vecCol, 0).as("__ca"),
+            signHalf(vecCol, 32).as("__cb")), ms),
         "vec_id", bk)
       .localCheckpoint(false)
     val split = IdLedger.splitFresh(sigs, "vec_id", prior, bloomOpt, bb)
@@ -477,9 +507,10 @@ object SimilarityOps {
       } else {
         val dir = StateStore.nextDir(spark, statePath)
         // sigs and the ledger tables all derive from the checkpointed
-        // `incoming` (materialized by the isEmpty probe above) and
-        // write to disjoint paths: overlap the write jobs (opt guide
-        // §2.6); commit still waits for all of them
+        // `incoming` (materialized by the isEmpty probe above, already
+        // on the maintenance session) and write to disjoint paths:
+        // overlap the write jobs (opt guide §2.6); commit still waits
+        // for all of them
         StateStore.inParallel(Seq(
           () => incoming.select("vec_id", "__ca", "__cb")
             .write.mode("overwrite").parquet(s"$dir/sigs"),
@@ -787,25 +818,35 @@ object SimilarityOps {
    * picks the k seeds — id-order init clumped seeds when vector
    * content correlates with id. Seeding is fully deterministic (md5
    * order; ties broken by scan index), so fitted models are
-   * reproducible across runs. Cell assignment is the broadcast-join
-   * argmin of [[assignCells]]; element-wise means are computed
-   * distributed (posexplode → groupBy(cluster, dim)). Only the
-   * k·dim model and the 8·k seed sample ever reach the driver, and
-   * each iteration plans fresh from the cached vectors — plan depth
-   * stays constant.
+   * reproducible across runs. Each Lloyd pass is ONE single-stage
+   * job: a per-partition accumulator assigns cells with the
+   * [[graft.functions.VectorExpressions.NearestCellBc]] arithmetic
+   * and folds per-(cell, pos) sums/counts, and the k·dim partials
+   * merge on the driver in partition-index order (deterministic).
+   * Only the k·dim partials and the 8·k seed sample ever reach the
+   * driver, and each iteration plans fresh from the cached vectors —
+   * plan depth stays constant.
    */
   def fitIvfCentroids(corpus: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding", dim: Int = 64,
                       k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
-    val VE = graft.functions.VectorExpressions
-    val spark = corpus.sparkSession
+    // the Lloyd loop runs on the AQE-off maintenance session: the
+    // sample cut and the cache fill are static 1-2-stage jobs, so
+    // AQE's per-stage query jobs double the loop's driver-job count
+    // for nothing (the StateStore.maint rationale; the loop is the
+    // iterative-driver shape the SCC small-mode invariant covers).
+    // The rebase costs one row conversion into the one-time cache
+    // fill; callers pass scans or checkpointed frames so `.rdd` runs
+    // no new work.
+    val spark = StateStore.maint(corpus.sparkSession)
     // distinct (id, vector) ONCE, then cache: the per-iteration
     // assignment used to re-group by (__id, __v) every Lloyd pass —
     // k-scaled candidate rows through a broadcast join plus a full
     // shuffle of the vector column, five times per fit. Deduping once
     // up front keeps the exact same row multiset every pass saw.
-    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val vecs = StateStore.rebase(corpus, spark)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .dropDuplicates("__id", "__v").cache()
     var centroids: Array[Array[Double]] = {
       val sample = vecs
@@ -814,28 +855,82 @@ object SimilarityOps {
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
       farthestFirst(sample, k)
     }
+    val isFloat = vecs.schema("__v").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType
     for (_ <- 1 to iters) {
-      // broadcast-HANDLE argmin (NearestCellBc): assignment is a
-      // narrow projection — the only shuffle left per pass is the
-      // (cell, pos) means aggregation (opt guide §2.4).
-      // The cell is assigned in its OWN projection BELOW the explode:
-      // a single select(cell, posexplode) analyzes to
-      // Project[cell] ABOVE Generate, evaluating the k·dim argmin per
-      // EXPLODED ELEMENT — dim× too often, interpreted, outside
-      // codegen (measured r14: ~0.5 s/pass at 2000×64 — the argmin
-      // itself is ~2 ms). Spark never pushes projections down through
-      // a Generate, so the two-step select pins one eval per ROW; the
-      // (cell, pos, x) multiset reaching the aggregate is identical.
+      // One pass per iteration as a SINGLE-stage per-partition
+      // accumulator (the mllib k-means shape): each task scans its
+      // cached partition once, assigns the nearest cell with the
+      // NearestCellBc arithmetic verbatim (||c||² − 2·v·c accumulated
+      // sequentially, Double.compare ties to the lowest cell), and
+      // accumulates per-(cell, pos) sums/counts; the k·dim partials
+      // merge on the driver in PARTITION-INDEX order (deterministic —
+      // an unordered reduce would merge doubles in arrival order).
+      // The former formulation (argmin projection → posexplode →
+      // groupBy(cell, pos) avg → collect) computed the identical
+      // means but paid an exchange plus dim× exploded rows per pass —
+      // at gate scale each pass was job-floor-bound, at archive scale
+      // the explode shuffled dim× the corpus row count (§2.3/§2.4).
       val bc = spark.sparkContext.broadcast(
         centroids.map(c => (c, c.map(x => x * x).sum)))
-      val means = vecs
-        .select(VE.nearestCellBc(col("__v"), bc).as("__cell"), col("__v"))
-        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__cell", "__pos").agg(avg(col("__x")).as("__m"))
-        .collect()
+      val kk = centroids.length
+      val dd = dim
+      val fl = isFloat
+      val partials = vecs.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val model = bc.value
+        val sums = Array.ofDim[Double](kk, dd)
+        val cnts = Array.ofDim[Long](kk, dd)
+        it.foreach { row =>
+          val v: Array[Double] =
+            if (fl) row.getSeq[Float](1).iterator.map(_.toDouble).toArray
+            else row.getSeq[Double](1).toArray
+          var best = 0
+          var bestD = Double.NaN
+          var c = 0
+          while (c < model.length) {
+            val (cv, cn2) = model(c)
+            val n = math.min(v.length, cv.length)
+            var s = 0.0
+            var i = 0
+            while (i < n) { s += v(i) * cv(i); i += 1 }
+            val d = cn2 - 2.0 * s
+            if (c == 0 || java.lang.Double.compare(d, bestD) < 0) {
+              bestD = d; best = c
+            }
+            c += 1
+          }
+          val srow = sums(best)
+          val crow = cnts(best)
+          val m = math.min(v.length, dd)
+          var i = 0
+          while (i < m) { srow(i) += v(i); crow(i) += 1; i += 1 }
+        }
+        Iterator((pi, sums, cnts))
+      }.collect().sortBy(_._1)
       val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      val sumAll = Array.ofDim[Double](kk, dd)
+      val cntAll = Array.ofDim[Long](kk, dd)
+      partials.foreach { case (_, s, n) =>
+        var c = 0
+        while (c < kk) {
+          var i = 0
+          while (i < dd) {
+            sumAll(c)(i) += s(c)(i); cntAll(c)(i) += n(c)(i); i += 1
+          }
+          c += 1
+        }
+      }
+      var c = 0
+      while (c < kk) {
+        var i = 0
+        while (i < dd) {
+          // cells/positions with no assigned rows keep their centroid,
+          // as the grouped-avg formulation did (absent groups)
+          if (cntAll(c)(i) > 0) next(c)(i) = sumAll(c)(i) / cntAll(c)(i)
+          i += 1
+        }
+        c += 1
       }
       centroids = next
       bc.unpersist()
@@ -958,11 +1053,21 @@ object SimilarityOps {
     val prior = StateStore.committed(spark, statePath)
     val (bloomOpt, bk, bb) = IdLedger.sizing(spark, prior,
       ledgerBuckets, ledgerBloomBits)
+    // the whole eager ingest (hash/dedup checkpoint, bloom split,
+    // state-table writes, the first drop's model fit) runs on the
+    // AQE-off maintenance session — every piece is a static
+    // 1-3-stage job (StateStore.maint rationale). Rebasing the INPUT
+    // keeps the dedup exchange inside the first maintenance action
+    // instead of parent-side AQE plan-time stage jobs (the documented
+    // lazy-checkpoint gotcha); gate drops are scans, so `.rdd` is free.
+    val ms = StateStore.maint(spark)
     // hashed drop checkpointed FIRST: the bloom split references it
     // three times (negative filter, positive filter, touched collect)
     val fresh0 = IdLedger.withHash(
-        newVecs.select(col(idCol).cast("long").as("__id"),
-          col(vecCol).as("__v")).dropDuplicates("__id"),
+        StateStore.rebase(
+            newVecs.select(col(idCol).cast("long").as("__id"),
+              col(vecCol).as("__v")), ms)
+          .dropDuplicates("__id"),
         "__id", bk)
       .localCheckpoint(false)
     val split = IdLedger.splitFresh(fresh0, "__id", prior, bloomOpt, bb)
@@ -975,6 +1080,7 @@ object SimilarityOps {
       return readIvfPostings(spark, prior).limit(0)
     }
     val dir = StateStore.nextDir(spark, statePath)
+    val incomingM = incoming // already on the maintenance session
     // the frozen model as a driver array: the first drop has it in
     // hand from the fit; later drops collect the stored k-row table
     // (bounded by the model size — it was broadcast-joined before
@@ -986,7 +1092,7 @@ object SimilarityOps {
     val model: Array[(Array[Double], Double)] = if (prior.isEmpty) {
       val fit = fitIvfCentroids(incoming, idCol = "__id",
         vecCol = "__v", k = kCells, iters = iters)
-      centroidsDf(spark, fit).repartition(1)
+      centroidsDf(ms, fit).repartition(1)
         .write.mode("overwrite").parquet(s"$dir/centroids")
       fit.map(c => (c, c.map(x => x * x).sum))
     } else readCentroidModel(spark, prior.head + "/centroids")
@@ -997,15 +1103,24 @@ object SimilarityOps {
     // to disjoint paths: overlap the write jobs (opt guide §2.6);
     // commit still waits for all of them
     StateStore.inParallel(Seq(
-      () => incoming
+      // explicit width (the cc __bk lesson): a width-less repartition
+      // lets AQE coalesce the tiny shuffle to one partition and one
+      // task then writes every cell file serially
+      () => incomingM
         .select(col("__id").as("vec_id"), col("__v"),
           l2norm(col("__v")).as("__cn"),
           VE.nearestCellBc(col("__v"), bcm).as("__cell"))
-        .repartition(col("__cell"))
+        .repartition(ms.sessionState.conf.numShufflePartitions,
+          col("__cell"))
         .write.partitionBy("__cell").mode("overwrite")
         .parquet(s"$dir/postings"),
-      () => IdLedger.write(incoming, "__id", dir, bk, bb,
+      () => IdLedger.write(incomingM, "__id", dir, bk, bb,
         split.bloomBytes)))
+    // the ingest is eager — the model broadcast is consumed by the
+    // write above and the returned frame is a pure read-back, so free
+    // it now instead of waiting for a driver GC (advice r13: dead
+    // model broadcasts accumulate across long sweeps)
+    bcm.unpersist()
     StateStore.commit(spark, dir)
     spark.read.parquet(s"$dir/postings")
   }
@@ -1124,12 +1239,17 @@ object SimilarityOps {
                statePath: String,
                kCells: Int = 16, iters: Int = 5): Unit = {
     graft.functions.VectorExpressions.register(spark)
+    // freed after the compaction staged its writes (advice r13 — the
+    // refit is eager, nothing lazy references the model broadcast)
+    var bcmOut: org.apache.spark.broadcast.Broadcast[_] = null
     StateStore.compactRewrite(spark, statePath) { m =>
       val posts = m("postings")._1
         .select(col("vec_id").as("__id"), col("__v"))
       val fit = fitIvfCentroids(posts, idCol = "__id", vecCol = "__v",
         k = kCells, iters = iters)
-      val cdf = centroidsDf(spark, fit)
+      // staged tables build on the merged frames' (maintenance)
+      // session, so their writes run AQE-off like the rest of the stage
+      val cdf = centroidsDf(posts.sparkSession, fit)
       // committed postings carry distinct vec_ids by the id-ledger
       // contract (re-presents never commit), so the broadcast-handle
       // argmin projection assigns each posting directly — the
@@ -1138,13 +1258,17 @@ object SimilarityOps {
       val VE = graft.functions.VectorExpressions
       val bcm = spark.sparkContext.broadcast(
         fit.map(c => (c, c.map(x => x * x).sum)))
+      bcmOut = bcm
       val re = posts
         .select(col("__id").as("vec_id"), col("__v"),
           l2norm(col("__v")).as("__cn"),
           VE.nearestCellBc(col("__v"), bcm).as("__cell"))
+      // no repartition on postings: compactRewrite repartitions every
+      // partitioned staged table by its partition columns at width
       m + ("centroids" -> (cdf.repartition(1), Seq.empty[String])) +
-        ("postings" -> (re.repartition(col("__cell")), Seq("__cell")))
+        ("postings" -> (re, Seq("__cell")))
     }
+    if (bcmOut != null) bcmOut.unpersist()
   }
 
   // ------------------------------------------------------------------
@@ -1182,32 +1306,36 @@ object SimilarityOps {
         col("__p.sv").as("__v"))
   }
 
-  /** Nearest code per (element, subspace): broadcast-join on the
-    * subspace key + the same map-side partial argmin as
-    * [[assignCells]]. */
-  private def assignCodes(sub: DataFrame, bdf: DataFrame): DataFrame =
-    sub.join(broadcast(bdf), "__sub").withColumn("__d", cellDist)
-      .groupBy(col("__id"), col("__sub"), col("__v"))
-      .agg(min(struct(col("__d"), col("__cell")))
-        .getField("__cell").as("__code"))
-
   /**
    * Fit PQ codebooks: Lloyd's k-means in every subspace SIMULTANEOUSLY
-   * — one exploded-subvector table, one broadcast-join argmin and one
-   * grouped mean per iteration cover all `m` subspaces (m separate
-   * fits would scan the corpus m times). Seeding is the deterministic
-   * farthest-first of [[fitIvfCentroids]], run per subspace over one
-   * md5-ordered driver sample. Only the 8·k sample and the k·dim
-   * model reach the driver.
+   * over one exploded-subvector table (m separate fits would scan the
+   * corpus m times). Each pass is ONE single-stage job — the
+   * [[fitIvfCentroids]] per-partition accumulator over the
+   * triple-distinct `(id, sub, subvector)` cache, assigning codes with
+   * the [[graft.functions.VectorExpressions.PqCodesBc]] arithmetic and
+   * folding per-(sub, code, pos) sums/counts; partials merge on the
+   * driver in partition-index order. The distinct matches the old
+   * broadcast-join formulation exactly: its `groupBy(__id, __sub,
+   * __v)` argmin collapsed duplicate triples before the mean, so
+   * deduping ONCE up front feeds every pass the identical multiset
+   * (the r13 fitIvfCentroids lesson) — without paying the join's ×k
+   * candidate rows and the two grouped shuffles per pass. Seeding is
+   * the deterministic farthest-first of [[fitIvfCentroids]], run per
+   * subspace over one md5-ordered driver sample. Only the 8·k sample
+   * and the k·dim partials reach the driver.
    */
   def fitPq(corpus: DataFrame, idCol: String = "vec_id",
             vecCol: String = "embedding", dim: Int = 64, m: Int = 8,
             k: Int = 16, iters: Int = 4): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     graft.functions.VectorExpressions.register(corpus.sparkSession)
-    val spark = corpus.sparkSession
+    // the Lloyd loop runs on the AQE-off maintenance session (the
+    // fitIvfCentroids rationale)
+    val spark = StateStore.maint(corpus.sparkSession)
     val sd = dim / m
-    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val vecs = StateStore.rebase(
+        corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+        spark)
       .cache()
     val sample = vecs
       .orderBy(md5(concat(lit("pq:"), col("__id").cast("string"))))
@@ -1215,18 +1343,88 @@ object SimilarityOps {
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
       farthestFirst(sample.map(_.slice(s * sd, (s + 1) * sd)), k))
-    val sub = subVectors(vecs, dim, m).cache()
+    val sub = subVectors(vecs, dim, m)
+      .dropDuplicates("__id", "__sub", "__v").cache()
+    val isFloat = sub.schema("__v").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType
     for (_ <- 1 to iters) {
-      val means = assignCodes(sub, codebooksDf(spark, books))
-        .select(col("__sub"), col("__code"),
-          posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__sub", "__code", "__pos").agg(avg(col("__x")).as("__m"))
-        .collect()
+      val bc = spark.sparkContext.broadcast(
+        books.map(_.map(c => (c, c.map(x => x * x).sum))))
+      val mm = m
+      val kk = k
+      val sdd = sd
+      val fl = isFloat
+      val partials = sub.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val model = bc.value
+        val sums = Array.ofDim[Double](mm, kk, sdd)
+        val cnts = Array.ofDim[Long](mm, kk, sdd)
+        it.foreach { row =>
+          val s = row.getInt(1)
+          val v: Array[Double] =
+            if (fl) row.getSeq[Float](2).iterator.map(_.toDouble).toArray
+            else row.getSeq[Double](2).toArray
+          val book = model(s)
+          var best = 0
+          var bestD = Double.NaN
+          var c = 0
+          while (c < book.length) {
+            val (cv, cn2) = book(c)
+            val n = math.min(v.length, cv.length)
+            var acc = 0.0
+            var i = 0
+            while (i < n) { acc += v(i) * cv(i); i += 1 }
+            val d = cn2 - 2.0 * acc
+            if (c == 0 || java.lang.Double.compare(d, bestD) < 0) {
+              bestD = d; best = c
+            }
+            c += 1
+          }
+          val srow = sums(s)(best)
+          val crow = cnts(s)(best)
+          val lim = math.min(v.length, sdd)
+          var i = 0
+          while (i < lim) { srow(i) += v(i); crow(i) += 1; i += 1 }
+        }
+        Iterator((pi, sums, cnts))
+      }.collect().sortBy(_._1)
       val next = books.map(_.map(_.clone()))
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      val sumAll = Array.ofDim[Double](mm, kk, sdd)
+      val cntAll = Array.ofDim[Long](mm, kk, sdd)
+      partials.foreach { case (_, su, cn) =>
+        var s = 0
+        while (s < mm) {
+          var c = 0
+          while (c < kk) {
+            var i = 0
+            while (i < sdd) {
+              sumAll(s)(c)(i) += su(s)(c)(i)
+              cntAll(s)(c)(i) += cn(s)(c)(i)
+              i += 1
+            }
+            c += 1
+          }
+          s += 1
+        }
+      }
+      var s = 0
+      while (s < mm) {
+        var c = 0
+        while (c < kk) {
+          var i = 0
+          while (i < sdd) {
+            // absent (sub, code, pos) groups keep their entry, as the
+            // grouped-avg formulation did
+            if (cntAll(s)(c)(i) > 0)
+              next(s)(c)(i) = sumAll(s)(c)(i) / cntAll(s)(c)(i)
+            i += 1
+          }
+          c += 1
+        }
+        s += 1
       }
       books = next
+      bc.unpersist()
     }
     sub.unpersist()
     vecs.unpersist()
@@ -1237,8 +1435,13 @@ object SimilarityOps {
    * Encode vectors to PQ codes: `(idCol, codes)` with `codes(s)` = the
    * nearest codebook entry of subspace `s`. The compressed corpus
    * representation [[pqTopK]] searches — m·log₂k bits of payload per
-   * vector. One broadcast join + one grouped collect, no shuffle wider
-   * than the output.
+   * vector. One narrow projection, no shuffle at all.
+   *
+   * Precondition (the corpus contract shared with [[bruteForceTopK]]):
+   * ids are distinct — the encode emits ONE row PER INPUT ROW, so a
+   * duplicated id yields duplicated code rows (the pre-r13 group-by
+   * emitted one malformed 2m-code row per duplicated id instead;
+   * neither is meaningful — dedup dirty inputs first).
    */
   def pqEncode(df: DataFrame, books: Array[Array[Array[Double]]],
                idCol: String = "vec_id",

@@ -22,6 +22,62 @@ object StateStore {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** MAINTENANCE session for the store's eager bookkeeping jobs (state
+    * table writes, compaction reads/stages, model fits run inside a
+    * rewrite): the parent session's conf with AQE OFF. Every one of
+    * these plans is 1-3 STATIC stages — a checkpoint/path-read source,
+    * at most one explicit-width repartition, a write or collect — so
+    * AQE contributes nothing (its coalescing is disabled on
+    * explicit-width repartitions anyway) while charging one extra
+    * driver JOB per exchange (stage materialization) plus per-stage
+    * re-optimization, which at gate scale IS the latency (the SCC
+    * small-mode lesson, measured there at ~55 ms/stage; an ingest's
+    * repartition+write runs as two jobs under AQE, one without).
+    * Isolation per the documented invariant: `newSession()` so no
+    * session-global conf mutation can leak into concurrent queries;
+    * the child shares the SparkContext, so checkpointed RDDs,
+    * broadcasts and returned frames cross the boundary. Parent-session
+    * RESULTS are unchanged: the written table CONTENTS are a pure
+    * function of the input multiset (hive dirs split by value; all
+    * state-table readers are order-free by the store's contracts), so
+    * only job count and intra-file row order move. Keyed weakly by the
+    * parent so per-connection serving sessions don't accumulate. */
+  private val maintSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+  private[graft] def maint(spark: SparkSession): SparkSession = {
+    val hit = maintSessions.get(spark)
+    if (hit != null) hit
+    else {
+      val c = spark.newSession()
+      c.conf.set("spark.sql.shuffle.partitions",
+        spark.sessionState.conf.numShufflePartitions.toString)
+      c.conf.set("spark.sql.session.timeZone",
+        spark.sessionState.conf.sessionLocalTimeZone)
+      c.conf.set("spark.sql.adaptive.enabled", "false")
+      // state tables are hive-bucketed at a BOUNDED fan (the ledger
+      // sizing, default 64 dirs): listing them through the default
+      // 32-path threshold launches a distributed file-listing JOB per
+      // read (~0.15 s at gate scale for a layout the driver lists in
+      // ~ms). 256 covers the store's own layouts; an archive-scale
+      // state beyond it still gets the distributed listing.
+      c.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "256")
+      graft.functions.VectorExpressions.register(c)
+      maintSessions.put(spark, c)
+      c
+    }
+  }
+
+  /** Rebase a frame onto `session` through its RDD — the documented
+    * cross-session migration (`child.createDataFrame(df.rdd,
+    * df.schema)`). Callers pass CHECKPOINTED (or scan-only) frames so
+    * `.rdd` is free of new work; an exchange-ful frame would
+    * materialize its stages on the parent at call time. */
+  private[graft] def rebase(df: DataFrame,
+                            session: SparkSession): DataFrame =
+    session.createDataFrame(df.rdd, df.schema)
+
   private val CompactingMarker = "COMPACTING"
   private val CompactTmp = ".compact_tmp"
   private val TokenFile = "COMPACT_TOKEN"
@@ -146,18 +202,40 @@ object StateStore {
             s"increments (${partsPerSrc.distinct.mkString(" vs ")}) — " +
             "rewrite the state to one layout before compacting")
         // per-root reads + union: multi-root partition inference is
-        // unsupported (the ccArchiveLedger precedent)
-        t -> (srcs.map(spark.read.parquet(_))
+        // unsupported (the ccArchiveLedger precedent). Reads build on
+        // the AQE-off [[maint]] session, so the whole
+        // read→rewrite→stage chain (including any jobs the rewrite
+        // hook runs, e.g. a refit's model fit) pays one job per
+        // action instead of one per query stage.
+        t -> (srcs.map(maint(spark).read.parquet(_))
           .reduce(_.unionByName(_)), partsPerSrc.head)
       }.toMap
     // the staged tables are independent outputs of one state dir, so
     // their writes overlap (opt guide §2.6: submit independent jobs
     // from a thread pool so one write's straggler tail back-fills with
     // the next write's tasks); the token/marker/swap below still runs
-    // strictly AFTER every write returns, so crash safety is unchanged
+    // strictly AFTER every write returns, so crash safety is unchanged.
+    // Layout discipline (§6 small files, measured in ProbeWrite):
+    //  - partitioned tables repartition by their partition columns at
+    //    the session width, so each `col=value` dir lands as ONE file
+    //    per compaction instead of one file per input task — without
+    //    it the file count grows with every compaction and the write
+    //    runs one task per inherited input file;
+    //  - small non-partitioned tables (by plan estimate) coalesce to
+    //    one file, so later reads open one footer. Width and the
+    //    estimate gate both scale with the session/config, never a
+    //    local core count.
+    val width = spark.sessionState.conf.numShufflePartitions
     inParallel(rewrite(merged).toSeq.map { case (t, (df, partCols)) =>
       () => {
-        val w = df.write.mode("overwrite")
+        import org.apache.spark.sql.functions.col
+        val shaped =
+          if (partCols.nonEmpty)
+            df.repartition(width, partCols.map(col): _*)
+          else if (df.queryExecution.optimizedPlan.stats.sizeInBytes
+              <= (64L << 20)) df.coalesce(1)
+          else df
+        val w = shaped.write.mode("overwrite")
         (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
           .parquet(new Path(tmp, t).toString)
       }
@@ -264,6 +342,18 @@ object StateStore {
         catch {
           case e: java.util.concurrent.ExecutionException =>
             if (firstFailure == null) firstFailure = e.getCause
+          case e: InterruptedException =>
+            // an interrupted driver must not leave sibling write jobs
+            // running detached (advice r13): cancel what hasn't
+            // finished, wait for the pool to settle, then rethrow —
+            // "failure propagates after every task settles" holds for
+            // interrupts too
+            futs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            pool.awaitTermination(60,
+              java.util.concurrent.TimeUnit.SECONDS)
+            Thread.currentThread().interrupt()
+            throw e
         }
       }
       if (firstFailure != null) throw firstFailure

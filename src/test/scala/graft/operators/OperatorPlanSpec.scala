@@ -647,11 +647,12 @@ class OperatorPlanSpec extends SparkSpec {
         lit(GraphAlgos.CcLedgerBuckets.toLong)).cast("int"))
       .collect()(0).getInt(0)
     val led = GraphAlgos.ccArchiveLedger(spark, prior, Seq(bk))
-    // plan guard: the bucket predicate lands as a PARTITION filter on
-    // every archive scan (an ingest's exact-verify never opens
-    // untouched bucket directories)
+    // plan guard: pruning is PATH-level — the scan's root paths are
+    // exactly the touched bucket directories, so an ingest's
+    // exact-verify never opens (or lists) untouched bucket dirs
     val p = plan(led)
-    assert(p.contains("PartitionFilters") && p.contains("__bk"),
+    assert(p.contains(s"__bk=$bk"), p.take(1500))
+    assert(!"__bk=\\d+".r.findAllIn(p).exists(_ != s"__bk=$bk"),
       p.take(1500))
     // behavioral: only that bucket's directories are ever touched
     val files = led.select(input_file_name()).distinct()
@@ -677,11 +678,12 @@ class OperatorPlanSpec extends SparkSpec {
       pmod(xxhash64(lit(0L)), lit(IdLedger.Buckets.toLong)).cast("int"))
       .collect()(0).getInt(0)
     val led = IdLedger.archiveIds(spark, prior, Seq(ib))
-    // plan guard: the bucket predicate lands as a PARTITION filter on
-    // every archive scan (an ingest's exact-verify never opens
-    // untouched id-bucket directories)
+    // plan guard: pruning is PATH-level — the scan's root paths are
+    // exactly the touched bucket directories, so an ingest's
+    // exact-verify never opens (or lists) untouched id-bucket dirs
     val p = plan(led)
-    assert(p.contains("PartitionFilters") && p.contains("__ib"),
+    assert(p.contains(s"__ib=$ib"), p.take(1500))
+    assert(!"__ib=\\d+".r.findAllIn(p).exists(_ != s"__ib=$ib"),
       p.take(1500))
     val files = led.select(input_file_name()).distinct()
       .collect().map(_.getString(0))
