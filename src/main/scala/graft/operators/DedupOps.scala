@@ -343,16 +343,16 @@ object DedupOps {
       array_distinct(split(trim(col(textCol)), " ")).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
-    val tokenDf = docs.select(col("__id"), explode(col("__sh")).as("__tok"))
+    // set size is size(__sh) — __sh is already distinct, so carrying it
+    // through the explode is exactly the per-doc count the former
+    // count-over-Window computed, minus one Window pass (§2.4)
+    val tokenDf = docs.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__tok"))
     val freq = tokenDf.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    // set size rides the same per-doc window partition as the rank —
-    // one exchange on __id serves both (a separate size join would
-    // re-shuffle the token rows a second time)
     val perDoc = Window.partitionBy("__id")
     val withSize = tokenDf.join(freq, "__tok")
       .withColumn("__rank", row_number().over(
         perDoc.orderBy(col("__df"), col("__tok"))))
-      .withColumn("__n", count(lit(1)).over(perDoc))
     // the candidate join below is a self-join of this prefix index;
     // lazy checkpoint computes the freq-join + rank window once and
     // serves both sides the narrow (token, id, size, rank) rows
@@ -379,14 +379,26 @@ object DedupOps {
         / chunk).cast("int"))
       .withColumn("__m", ceil(count(lit(1)).over(byTok) / lit(chunk.toDouble))
         .cast("int"))
+    // EXPLICIT width on both join sides (r14, measured: the whole
+    // chunk-pair join + verify chain ran at 1-2 tasks — 10.9 taskSec
+    // over 19 tasks on a 4.4 s wall — because AQE coalesces the tiny-
+    // BYTE exchanges while the pair work grows superlinearly; the
+    // widenSmall disease on the dedup side). Keyed repartition at the
+    // session width pre-distributes exactly the join's requirement, so
+    // no extra exchange is planned and AQE cannot coalesce an explicit
+    // user repartition; hash-by-(tok, chunk-pair) is the salted key,
+    // designed to spread.
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
     val l = chunked.select(col("__tok"), col("__id").as("id_a"),
         col("__n").as("__na"), col("__rank").as("__pa"),
         col("__c").as("__ci"),
         explode(sequence(col("__c"), col("__m") - 1)).as("__cj"))
+      .repartition(width, col("__tok"), col("__ci"), col("__cj"))
     val r = chunked.select(col("__tok"), col("__id").as("id_b"),
         col("__n").as("__nb"), col("__rank").as("__pb"),
         explode(sequence(lit(0), col("__c"))).as("__ci"),
         col("__c").as("__cj"))
+      .repartition(width, col("__tok"), col("__ci"), col("__cj"))
     // two lossless prunes on top of the prefix guarantee:
     //  - size band: J ≥ τ requires τ·max(|a|,|b|) ≤ min(|a|,|b|)
     //  - PPJoin position bound: overlap o ≥ ⌈τ/(1+τ)·(|a|+|b|)⌉, and a
@@ -400,7 +412,15 @@ object DedupOps {
           least(col("__na"), col("__nb")) &&
         least(col("__na") - col("__pa"), col("__nb") - col("__pb")) + 1 >=
           ceil(lit(tau / (1 + tau)) * (col("__na") + col("__nb"))))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+      // explicit-width repartition + dropDuplicates instead of
+      // distinct(): the dedup's required distribution is satisfied by
+      // the repartition, so no second exchange is planned and the
+      // verify's per-pair exact-jaccard stage keeps the width (AQE
+      // would coalesce a plain distinct's exchange to 1-2 partitions
+      // on byte estimates and serialize the verify)
+      .repartition(width, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
     verifyPairs(candidates, docs, tau)
   }

@@ -943,8 +943,8 @@ object SimilarityOps {
     * k-means++): start from the sample's md5-first vector, then
     * repeatedly take the point farthest from its nearest chosen seed.
     * O(|sample|·k·dim) driver flops on a bounded sample. */
-  private def farthestFirst(sample: Array[Array[Double]],
-                            k: Int): Array[Array[Double]] = {
+  private[operators] def farthestFirst(sample: Array[Array[Double]],
+                                       k: Int): Array[Array[Double]] = {
     if (sample.isEmpty) return Array.empty
     val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
     val d2 = Array.fill(sample.length)(Double.MaxValue)

@@ -1119,6 +1119,113 @@ class OperatorsSpec extends SparkSpec {
     assert(withTwin(9999L) == withTwin(3L))
   }
 
+  test("fitIvfCentroids: accumulator pass equals a driver Lloyd replica") {
+    // pins the r14 single-stage per-partition accumulator: seeding,
+    // the NearestCellBc assignment arithmetic (sequential dot,
+    // Double.compare ties to the lowest cell), per-(cell, pos) means
+    // over the distinct (id, vector) multiset, absent groups keeping
+    // their centroid. The replica sums on the driver in collect order
+    // while the fit merges per-partition partials, so means may
+    // differ in the last ulp — compared at 1e-9.
+    val fit = SimilarityOps.fitIvfCentroids(embs, k = 4, iters = 1)
+    val rows = embs
+      .select(col("vec_id").as("__id"), col("embedding").as("__v"))
+      .dropDuplicates("__id", "__v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val sample = embs
+      .select(col("vec_id").as("__id"), col("embedding").as("__v"))
+      .dropDuplicates("__id", "__v")
+      .orderBy(md5(concat(lit("ivf:"), col("__id").cast("string"))))
+      .limit(64).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val seeds = SimilarityOps.farthestFirst(sample, 4)
+    val model = seeds.map(c => (c, c.map(x => x * x).sum))
+    val sums = Array.ofDim[Double](4, 64)
+    val cnts = Array.ofDim[Long](4, 64)
+    rows.foreach { case (_, v) =>
+      var best = 0
+      var bestD = Double.NaN
+      var c = 0
+      while (c < model.length) {
+        val (cv, cn2) = model(c)
+        var s = 0.0
+        var i = 0
+        while (i < math.min(v.length, cv.length)) { s += v(i) * cv(i); i += 1 }
+        val d = cn2 - 2.0 * s
+        if (c == 0 || java.lang.Double.compare(d, bestD) < 0) {
+          bestD = d; best = c
+        }
+        c += 1
+      }
+      var i = 0
+      while (i < math.min(v.length, 64)) {
+        sums(best)(i) += v(i); cnts(best)(i) += 1; i += 1
+      }
+    }
+    val expect = seeds.map(_.clone())
+    for (c <- 0 until 4; i <- 0 until 64)
+      if (cnts(c)(i) > 0) expect(c)(i) = sums(c)(i) / cnts(c)(i)
+    assert(fit.length == 4)
+    for (c <- 0 until 4; i <- 0 until 64)
+      assert(math.abs(fit(c)(i) - expect(c)(i)) < 1e-9,
+        s"cell $c pos $i: ${fit(c)(i)} vs ${expect(c)(i)}")
+  }
+
+  test("fitPq: accumulator pass equals a driver Lloyd replica") {
+    // the PQ twin of the spec above: per-(sub, code, pos) means over
+    // the triple-distinct (id, sub, subvector) multiset, the
+    // PqCodesBc per-subspace assignment arithmetic
+    val m = 4
+    val sd = 16
+    val fit = SimilarityOps.fitPq(embs, dim = 64, m = m, k = 4, iters = 1)
+    val base = embs
+      .select(col("vec_id").as("__id"), col("embedding").as("__v"))
+    val sample = base
+      .orderBy(md5(concat(lit("pq:"), col("__id").cast("string"))))
+      .limit(64).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val seeds = Array.tabulate(m)(s =>
+      SimilarityOps.farthestFirst(sample.map(_.slice(s * sd, (s + 1) * sd)), 4))
+    val triples = base.collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (0 until m).map(s => (id, s, v.slice(s * sd, (s + 1) * sd).toSeq))
+      }.distinct
+    val sums = Array.ofDim[Double](m, 4, sd)
+    val cnts = Array.ofDim[Long](m, 4, sd)
+    triples.foreach { case (_, s, sv) =>
+      val v = sv.toArray
+      val book = seeds(s).map(c => (c, c.map(x => x * x).sum))
+      var best = 0
+      var bestD = Double.NaN
+      var c = 0
+      while (c < book.length) {
+        val (cv, cn2) = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < math.min(v.length, cv.length)) { acc += v(i) * cv(i); i += 1 }
+        val d = cn2 - 2.0 * acc
+        if (c == 0 || java.lang.Double.compare(d, bestD) < 0) {
+          bestD = d; best = c
+        }
+        c += 1
+      }
+      var i = 0
+      while (i < math.min(v.length, sd)) {
+        sums(s)(best)(i) += v(i); cnts(s)(best)(i) += 1; i += 1
+      }
+    }
+    for (s <- 0 until m; c <- 0 until 4; i <- 0 until sd) {
+      val expect =
+        if (cnts(s)(c)(i) > 0) sums(s)(c)(i) / cnts(s)(c)(i)
+        else seeds(s)(c)(i)
+      assert(math.abs(fit(s)(c)(i) - expect) < 1e-9,
+        s"sub $s code $c pos $i: ${fit(s)(c)(i)} vs $expect")
+    }
+  }
+
   test("pq top-k: reasonable recall vs brute force") {
     val books = SimilarityOps.fitPq(embs, m = 8, k = 16, iters = 3)
     val queries = embs.filter(col("vec_id") < 20).cache()
