@@ -72,6 +72,9 @@ object ProbeJobs {
       println(f"$gate run$i: $dt%.2fs jobs=${jobs.get()} " +
         f"stages=${stages.get()} taskSec=${taskMs.get() / 1000.0}%.1f")
     }
+    // same-JVM trivial-job floor: gate latency ÷ floor is the
+    // box-drift-cancelling ratio (the A-B-A control's anchor)
+    println(f"trivial_floor: ${Bench.trivialFloor(spark)}%.3f s")
     spark.stop()
   }
 }
